@@ -1,0 +1,123 @@
+"""Posting-list codec: delta-encoded docID gaps + LEB128 varint blocks.
+
+The reference delegates its posting storage to bleve's scorch segment
+format (vellum FST + roaring bitmaps; /root/reference/go.mod:4,10).  The
+rebuild's format — mandated by the north rule — is its own: per-term
+posting lists are cut into fixed-size blocks (``BLOCK_SIZE`` postings),
+each block stored as one Arrow row carrying
+
+    (term, salt, block_id, first_doc, n, doc_blob, tf_blob, dl_blob,
+     pos_blob, max_wdl)
+
+where ``doc_blob`` is the varint stream of docID deltas within the block,
+``tf_blob``/``dl_blob`` are varint term-frequencies / doc-lengths, and
+``max_wdl`` is the block's maximum *idf-free* BM25 partial score
+``tf / (tf + k1*(1 - b + b*dl/avgdl))`` — multiplied by the term's idf at
+query time it is the block upper bound that block-max WAND skips on.
+
+Both encode and decode are numpy-vectorized (no per-value Python loop):
+encode computes per-value byte widths by threshold comparison and
+scatters 7-bit groups per byte-position; decode locates terminal bytes
+(high bit clear) and gathers per byte-position.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints (vectorized)."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    nbytes = np.ones(arr.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += arr >= t
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for k in range(maxb):
+        mask = nbytes > k
+        vals = (arr[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = vals.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(blob: bytes | memoryview, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128 stream to uint64 (vectorized)."""
+    b = np.frombuffer(blob, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    term_idx = np.nonzero(b < 128)[0]
+    starts = np.empty_like(term_idx)
+    starts[0] = 0
+    starts[1:] = term_idx[:-1] + 1
+    lens = term_idx - starts + 1
+    vals = np.zeros(term_idx.shape, dtype=np.uint64)
+    maxb = int(lens.max())
+    for k in range(maxb):
+        mask = lens > k
+        vals[mask] |= (b[starts[mask] + k].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+    if count is not None and vals.size != count:
+        raise ValueError(f"varint stream decoded {vals.size} values, expected {count}")
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Encode a sorted docID array as varint deltas (first value absolute)."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    d = np.empty_like(a)
+    d[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=d[1:])
+    return varint_encode(d)
+
+
+def delta_decode(blob: bytes | memoryview, count: int | None = None) -> np.ndarray:
+    d = varint_decode(blob, count)
+    return np.cumsum(d, dtype=np.uint64)
+
+
+def encode_positions(pos_lists: list[np.ndarray]) -> bytes:
+    """Encode per-posting position lists: varint(count), then varint gaps.
+
+    Positions are 1-based token positions (pre-stop-removal stream, bleve
+    semantics); each list must be strictly increasing.
+    """
+    parts: list[np.ndarray] = []
+    for p in pos_lists:
+        a = np.ascontiguousarray(p, dtype=np.uint64)
+        d = np.empty(a.size + 1, dtype=np.uint64)
+        d[0] = a.size
+        if a.size:
+            d[1] = a[0]
+            np.subtract(a[1:], a[:-1], out=d[2:])
+        parts.append(d)
+    if not parts:
+        return b""
+    return varint_encode(np.concatenate(parts))
+
+
+def decode_positions(blob: bytes | memoryview, n_postings: int) -> list[np.ndarray]:
+    flat = varint_decode(blob)
+    out: list[np.ndarray] = []
+    i = 0
+    for _ in range(n_postings):
+        cnt = int(flat[i]); i += 1
+        out.append(np.cumsum(flat[i : i + cnt], dtype=np.uint64))
+        i += cnt
+    return out
+
+
+def bm25_wdl(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
+    """Idf-free BM25 partial score: tf / (tf + k1*(1 - b + b*dl/avgdl))."""
+    tf = tf.astype(np.float64)
+    return tf / (tf + k1 * (1.0 - b + b * (dl.astype(np.float64) / avgdl)))
