@@ -1,0 +1,268 @@
+"""Index build pipeline (SURVEY §3.1 rebuilt Ray-Data-first).
+
+    read_parquet(corpus)
+      → [docs-meta map_batches]                → docs table parquet
+      → [stats map_batches → tiny reduce]      → N, avgdl (exact or sampled)
+      → [Tokenizer actor map_batches]          → (term, salt, bucket, doc_id, tf, dl, positions)
+      → groupby("bucket").map_groups(encode)   → posting-block rows
+      → write_parquet(postings)                → + manifest.json
+
+Design notes (scale):
+* The ONLY all-to-all exchange is the bucket groupby; its key cardinality
+  is ``num_buckets`` (not vocabulary size), each bucket is encoded with
+  one vectorized call, and head-term skew inside a bucket is bounded by
+  the salt column.  This replaces the reference's single-threaded bleve
+  index writer (internal/doclib/index_pdfs.go:104-167) with a shuffle —
+  no single-writer bottleneck.
+* Corpus stats (avgdl) come from a deterministic doc_id-hash sample so the
+  build does not tokenize twice at scale; ``sample_rate=1.0`` gives exact
+  stats for correctness fixtures.  N (doc count) is always exact.
+* Output layout: ``<index_dir>/{docs,postings}/*.parquet`` + manifest —
+  the analog of the reference's persistDir layout (bleve_pdf.go:93-130).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..analysis.analyzer import ANALYZER_VERSION, get_analyzer
+from ..functions.hashing import content_hash, mix64
+from ..index.build_blocks import encode_bucket
+from ..index.codec import BLOCK_SIZE
+from ..stages.tokenize import DEFAULT_NUM_BUCKETS, Tokenizer
+from ..state.manifest import IndexManifest
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+_SAMPLE_MOD = 1 << 16
+
+
+def _sample_mask(doc_ids: np.ndarray, rate: float) -> np.ndarray:
+    """Deterministic doc sample: mix64(doc_id) % M < rate*M."""
+    if rate >= 1.0:
+        return np.ones(len(doc_ids), dtype=bool)
+    thresh = np.uint64(int(rate * _SAMPLE_MOD))
+    return (mix64(doc_ids.astype(np.uint64)) % np.uint64(_SAMPLE_MOD)) < thresh
+
+
+class _DocMeta:
+    """Per-batch doc catalog rows (createFileDesc analog, file_desc.go:51-68)."""
+
+    def __init__(self, id_col: str, text_col: str, url_col: str | None,
+                 lang_col: str | None, store_text: bool):
+        self.id_col, self.text_col = id_col, text_col
+        self.url_col, self.lang_col = url_col, lang_col
+        self.store_text = store_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = batch[self.text_col].to_pylist()
+        hashes = [content_hash((t or "").encode("utf-8")) for t in texts]
+        cols: dict[str, Any] = {
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "url": batch[self.url_col] if self.url_col else pa.array([""] * n),
+            "hash": pa.array(hashes, type=pa.string()),
+            "lang": batch[self.lang_col] if self.lang_col else pa.array([""] * n),
+        }
+        if self.store_text:
+            cols["text"] = batch[self.text_col]
+        return pa.table(cols)
+
+
+class _TokenStats:
+    """Per-batch partial (n_docs, total_dl) over a deterministic sample."""
+
+    def __init__(self, analyzer: str, text_col: str, id_col: str, rate: float):
+        self.analyze = get_analyzer("en") if analyzer == "en" else get_analyzer(analyzer)
+        self.analyzer = analyzer
+        self.text_col, self.id_col, self.rate = text_col, id_col, rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mask = _sample_mask(ids, self.rate)
+        total, ndocs = 0, 0
+        texts = batch[self.text_col].to_pylist()
+        for keep, text in zip(mask, texts):
+            if not keep or not text:
+                continue
+            dl = len(self.analyze(text))
+            if dl:
+                total += dl
+                ndocs += 1
+        return pa.table({"total_dl": pa.array([total], type=pa.int64()),
+                         "n_docs": pa.array([ndocs], type=pa.int64())})
+
+
+class _HotTermSampler:
+    """Per-batch (term, partial_df) rows over a sample — hot-term detection."""
+
+    def __init__(self, analyzer: str, text_col: str, id_col: str, rate: float):
+        self.analyze = get_analyzer(analyzer)
+        self.text_col, self.id_col, self.rate = text_col, id_col, rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mask = _sample_mask(ids, self.rate)
+        counts: dict[str, int] = {}
+        ndocs = 0
+        for keep, text in zip(mask, batch[self.text_col].to_pylist()):
+            if not keep or not text:
+                continue
+            ndocs += 1
+            for term in set(self.analyze(text)):
+                counts[term] = counts.get(term, 0) + 1
+        t = pa.table({"term": pa.array(list(counts.keys()), type=pa.string()),
+                      "df_part": pa.array(list(counts.values()), type=pa.int64())})
+        return t
+
+
+def detect_hot_terms(
+    ds: rd.Dataset,
+    *,
+    analyzer: str,
+    text_col: str,
+    id_col: str,
+    sample_rate: float,
+    hot_df_ratio: float,
+    num_salts: int,
+) -> dict[str, int]:
+    """Estimate per-term df on a sample; terms with df/N above
+    ``hot_df_ratio`` get ``num_salts`` salt shards (SURVEY §4 skew row)."""
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(
+        _HotTermSampler(analyzer, text_col, id_col, sample_rate),
+        batch_format="pyarrow",
+    )
+    agg = parts.groupby("term").aggregate(Sum("df_part", alias_name="df")).to_pandas()
+    if agg.empty:
+        return {}
+    n_sampled = max(1, int(agg["df"].max()))  # upper bound on sampled docs
+    # better estimate: a term present in every sampled doc has df == n_sampled
+    hot = agg[agg["df"] >= hot_df_ratio * n_sampled]
+    return {t: num_salts for t in hot["term"].tolist()}
+
+
+def build_index(
+    source: str | list[str] | rd.Dataset,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    lang_col: str | None = None,
+    analyzer: str = "en",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    block_size: int = BLOCK_SIZE,
+    sample_rate: float = 1.0,
+    hot_terms: dict[str, int] | None = None,
+    auto_salt: bool = False,
+    hot_df_ratio: float = 0.25,
+    num_salts: int = 8,
+    with_positions: bool = True,
+    store_text: bool = True,
+    tokenize_concurrency: int | None = None,
+    tokenize_batch_size: int = 256,
+) -> IndexManifest:
+    """Build a BM25 inverted index at ``index_dir`` from a Parquet corpus
+    (or an already-constructed Dataset, e.g. the extract checkpoint)."""
+    t0 = time.time()
+
+    def _load() -> rd.Dataset:
+        if isinstance(source, rd.Dataset):
+            return source
+        cols = [c for c in (id_col, text_col, url_col, lang_col) if c]
+        return rd.read_parquet(source, columns=cols)
+
+    # 1. docs catalog (cheap pass, no tokenization)
+    docs = _load().map_batches(
+        _DocMeta(id_col, text_col, url_col, lang_col, store_text),
+        batch_format="pyarrow",
+    )
+    docs.write_parquet(f"{index_dir}/docs")
+    t_docs = time.time()
+
+    # 2. corpus stats: N exact from docs; avgdl from (possibly sampled) pass
+    n_docs = rd.read_parquet(f"{index_dir}/docs", columns=["doc_id"]).count()
+    stats = (
+        _load()
+        .map_batches(_TokenStats(analyzer, text_col, id_col, sample_rate),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    total_dl = int(stats["total_dl"].sum())
+    n_sampled = int(stats["n_docs"].sum())
+    avgdl = (total_dl / n_sampled) if n_sampled else 1.0
+    total_tokens = total_dl if sample_rate >= 1.0 else int(total_dl / max(sample_rate, 1e-9))
+    t_stats = time.time()
+
+    # 3. optional hot-term detection for salting
+    if auto_salt and hot_terms is None:
+        hot_terms = detect_hot_terms(
+            _load(), analyzer=analyzer, text_col=text_col, id_col=id_col,
+            sample_rate=min(sample_rate, 0.1) if sample_rate < 1.0 else 0.05,
+            hot_df_ratio=hot_df_ratio, num_salts=num_salts,
+        )
+    hot_terms = hot_terms or {}
+    t_hot = time.time()
+
+    # 4. tokenize → bucket groupby → encode → write postings
+    tokenizer_kwargs: dict[str, Any] = dict(
+        analyzer=analyzer, text_col=text_col, id_col=id_col,
+        num_buckets=num_buckets, hot_terms=hot_terms,
+        with_positions=with_positions,
+    )
+    if tokenize_concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        # autoscaling actor pool; leave headroom for read + shuffle stages
+        tokenize_concurrency = (1, max(1, ncpu - 2))
+    tokens = _load().map_batches(
+        Tokenizer,
+        fn_constructor_kwargs=tokenizer_kwargs,
+        batch_format="pyarrow",
+        batch_size=tokenize_batch_size,
+        concurrency=tokenize_concurrency,
+    )
+
+    def _encode(group: pa.Table) -> pa.Table:
+        return encode_bucket(group, k1=k1, b=b, avgdl=avgdl, block_size=block_size)
+
+    postings = tokens.groupby("bucket").map_groups(_encode, batch_format="pyarrow")
+    postings.write_parquet(f"{index_dir}/postings")
+    t_post = time.time()
+
+    manifest = IndexManifest(
+        n_docs=int(n_docs),
+        avgdl=float(avgdl),
+        total_tokens=total_tokens,
+        analyzer=analyzer,
+        analyzer_version=ANALYZER_VERSION,
+        k1=k1,
+        b=b,
+        num_buckets=num_buckets,
+        block_size=block_size,
+        salt_spec=hot_terms,
+        built_at=t0,
+        avgdl_exact=sample_rate >= 1.0,
+        build_metrics={
+            "sec_docs": round(t_docs - t0, 3),
+            "sec_stats": round(t_stats - t_docs, 3),
+            "sec_hot": round(t_hot - t_stats, 3),
+            "sec_postings": round(t_post - t_hot, 3),
+            "sec_total": round(t_post - t0, 3),
+            "docs_per_sec": round(int(n_docs) / max(t_post - t0, 1e-9), 2),
+            "store_text": store_text,
+        },
+    )
+    manifest.save(index_dir)
+    return manifest

@@ -1,0 +1,377 @@
+"""BM25 query engine over the posting-block index.
+
+The query-time counterpart of the reference's search path
+(internal/doclib/search_pdfs.go:110-277): analyze the query with the same
+chain as indexing (search_pdfs.go:160-174), probe the inverted index as
+an analyzed OR-of-terms scored top-k (search_pdfs.go:176-194), then
+hydrate the top-k with doc metadata, phrase spans and line numbers
+(hitToPdfMatch, search_pdfs.go:330-366).
+
+Scoring is BM25 (k1/b from the manifest, Lucene-style idf
+``ln(1 + (N - df + 0.5)/(df + 0.5))``), term-at-a-time with vectorized
+numpy accumulation.  Determinism (rank-identity contract, SURVEY §7.1):
+query terms are processed in sorted unique order, postings per term in
+(salt, block_id) order, so float accumulation order is fixed; ties break
+(score desc, doc_id asc).
+
+Partition pruning: postings are keyed ``bucket = fnv1a64(term) % P``; a
+query computes each term's bucket and reads only matching row groups via
+Parquet predicate pushdown — the rebuild's version of the reference's
+term-dictionary probe (J3).  Reads are cached per term in the engine
+(unlike the reference, which reopens per-doc files on every hit and
+documents that as inefficient at bleve_pdf.go:482-484).
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..analysis.analyzer import analyze_en, get_analyzer
+from ..functions.hashing import fnv1a64_str
+from ..index.codec import bm25_wdl, varint_decode
+from ..state.manifest import IndexManifest
+
+DEFAULT_MAX_RESULTS = 10  # DefaultMaxResults (index_search.go:54-59)
+
+
+# ---------------------------------------------------------------- phrase kernels
+
+
+def best_phrases(
+    query_terms: list[str],
+    term_locations: dict[str, list[tuple[int, int, int]]],
+) -> list[dict]:
+    """Exact port of the reference's bestPhrases semantics
+    (search_pdfs.go:382-484).
+
+    ``query_terms``: analyzed query tokens IN ORDER (duplicates kept).
+    ``term_locations``: matched term → [(pos, start, end)] in the doc.
+    Returns phrases [{score:int, start:int, end:int}] keeping only the
+    max-score set (ties kept, `>=` comparison).
+    """
+    term_positions: dict[str, set[int]] = {}
+    start_set: set[int] = set()
+    pos_loc: dict[int, tuple[int, int, int]] = {}
+
+    for i, term in enumerate(query_terms):
+        locs = term_locations.get(term)
+        if not locs:
+            continue
+        tp = term_positions.setdefault(term, set())
+        for loc in locs:
+            pos = loc[0]
+            pos_loc[pos] = loc  # later query-term overwrites, as in the Go map fill
+            tp.add(pos)
+            start_set.add(pos - i)
+
+    phrases: list[dict] = []
+    for pos0 in sorted(start_set):
+        locations: list[tuple[int, int, int]] = []
+        score = 0
+        for k, term in enumerate(query_terms):
+            pos = pos0 + k
+            if term in term_positions and pos in term_positions[term]:
+                locations.append(pos_loc[pos])
+                score += 1
+        if locations:
+            phrases.append(
+                {
+                    "score": score,
+                    "start": int(locations[0][1]),
+                    "end": int(locations[-1][2]),
+                }
+            )
+
+    best_score = 0
+    for p in phrases:
+        if p["score"] > best_score:
+            best_score = p["score"]
+    return [p for p in phrases if p["score"] >= best_score]
+
+
+def line_number(text: str, offset: int) -> tuple[int, str] | None:
+    """1-offset line number + line text containing char ``offset``
+    (lineNumber, search_pdfs.go:544-584)."""
+    if offset < 0 or offset > len(text):
+        return None
+    starts = [0]
+    for i, ch in enumerate(text):
+        if ch == "\n":
+            starts.append(i + 1)
+    ln = bisect.bisect_right(starts, offset) - 1
+    end = starts[ln + 1] - 1 if ln + 1 < len(starts) else len(text)
+    return ln + 1, text[starts[ln] : end]
+
+
+@dataclass
+class Match:
+    doc_id: int
+    url: str
+    score: float
+    spans: list[dict] = field(default_factory=list)  # {start,end,score}
+    line_nums: list[int] = field(default_factory=list)
+    lines: list[str] = field(default_factory=list)
+    fragment: str = ""
+
+
+@dataclass
+class MatchSet:
+    """PdfMatchSet analog (search_pdfs.go:28-60)."""
+
+    total_matches: int = 0
+    search_duration: float = 0.0
+    matches: list[Match] = field(default_factory=list)
+
+    def best(self) -> "MatchSet":
+        """Best() semantics exactly (search_pdfs.go:62-102): keep only
+        spans (and their line info) at the global max span score."""
+        best_score = 0.0
+        for m in self.matches:
+            for s in m.spans:
+                if s["score"] >= best_score:
+                    best_score = s["score"]
+        out = MatchSet(search_duration=self.search_duration)
+        for m in self.matches:
+            spans, line_nums, lines = [], [], []
+            for i, s in enumerate(m.spans):
+                if s["score"] >= best_score:
+                    spans.append(s)
+                    if i < len(m.line_nums):
+                        line_nums.append(m.line_nums[i])
+                        lines.append(m.lines[i])
+            if spans:
+                out.matches.append(
+                    Match(m.doc_id, m.url, m.score, spans, line_nums, lines, m.fragment)
+                )
+                out.total_matches += len(spans)
+        return out
+
+    def files(self) -> list[str]:
+        """Distinct urls, first-seen order (Files(), search_pdfs.go:313-326)."""
+        seen: set[str] = set()
+        out: list[str] = []
+        for m in self.matches:
+            if m.url not in seen:
+                seen.add(m.url)
+                out.append(m.url)
+        return out
+
+
+# ---------------------------------------------------------------- engine
+
+
+class BM25Index:
+    """Query-side index handle (ST3 analog).  Construct once; reuse —
+    ``ReuseIndex`` semantics (index_search.go:86-91)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = IndexManifest.load(index_dir)
+        self.postings = pads.dataset(f"{index_dir}/postings", format="parquet")
+        self.docs = pads.dataset(f"{index_dir}/docs", format="parquet")
+        self.analyze = get_analyzer(self.manifest.analyzer)
+        self._term_cache: dict[str, list[dict]] = {}
+
+    # -- posting access ------------------------------------------------
+
+    def _load_terms(self, terms: list[str]) -> None:
+        missing = [t for t in terms if t not in self._term_cache]
+        if not missing:
+            return
+        nb = self.manifest.num_buckets
+        buckets = sorted({fnv1a64_str(t) % nb for t in missing})
+        filt = pc.field("bucket").isin(buckets) & pc.field("term").isin(missing)
+        tbl = self.postings.to_table(
+            filter=filt,
+            columns=["term", "salt", "block_id", "first_doc", "n",
+                     "doc_blob", "tf_blob", "dl_blob", "pos_blob", "max_wdl"],
+        )
+        for t in missing:
+            self._term_cache[t] = []
+        if tbl.num_rows == 0:
+            return
+        tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending"),
+                           ("block_id", "ascending")])
+        terms_np = tbl["term"].to_pylist()
+        for i in range(tbl.num_rows):
+            n = tbl["n"][i].as_py()
+            first = np.uint64(tbl["first_doc"][i].as_py())
+            gaps = varint_decode(tbl["doc_blob"][i].as_py(), count=n - 1)
+            ids = np.empty(n, dtype=np.uint64)
+            ids[0] = first
+            if n > 1:
+                np.cumsum(gaps, out=ids[1:])
+                ids[1:] += first
+            blk = {
+                "ids": ids,
+                "tf": varint_decode(tbl["tf_blob"][i].as_py(), count=n),
+                "dl": varint_decode(tbl["dl_blob"][i].as_py(), count=n),
+                "pos_blob": tbl["pos_blob"][i].as_py(),
+                "max_wdl": tbl["max_wdl"][i].as_py(),
+            }
+            self._term_cache[terms_np[i]].append(blk)
+
+    def _term_df(self, term: str) -> int:
+        return sum(len(b["ids"]) for b in self._term_cache.get(term, ()))
+
+    # -- scoring -------------------------------------------------------
+
+    def _score(self, uniq_terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Exact TAAT disjunctive scoring → (doc_ids, scores)."""
+        m = self.manifest
+        id_parts: list[np.ndarray] = []
+        sc_parts: list[np.ndarray] = []
+        for t in uniq_terms:
+            blocks = self._term_cache.get(t, [])
+            df = sum(len(b["ids"]) for b in blocks)
+            if df == 0:
+                continue
+            idf = float(np.log(1.0 + (m.n_docs - df + 0.5) / (df + 0.5)))
+            for b in blocks:
+                w = bm25_wdl(b["tf"], b["dl"], m.k1, m.b, m.avgdl)
+                id_parts.append(b["ids"])
+                sc_parts.append(idf * w)
+        if not id_parts:
+            return np.empty(0, dtype=np.uint64), np.empty(0)
+        all_ids = np.concatenate(id_parts)
+        all_sc = np.concatenate(sc_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(uniq.size)
+        np.add.at(scores, inv, all_sc)
+        return uniq, scores
+
+    # -- public API ----------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        max_results: int = DEFAULT_MAX_RESULTS,
+        with_spans: bool = True,
+        apply_best: bool = False,
+    ) -> MatchSet:
+        """Analyzed OR-of-terms BM25 top-k (SearchBleveIndex analog)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        if self.manifest.analyzer == "en":
+            q_terms = [tok.term for tok in analyze_en(query)]
+        else:
+            q_terms = self.analyze(query)
+        uniq_terms = sorted(set(q_terms))
+        self._load_terms(uniq_terms)
+        ids, scores = self._score(uniq_terms)
+
+        result = MatchSet()
+        result.total_matches = int(ids.size)
+        if ids.size:
+            k = min(max_results, ids.size)
+            # top-k, tie-break (score desc, doc_id asc); keep every row tied
+            # with the k-th score so the lexsort sees all tie candidates
+            if ids.size > k * 8:
+                kth = np.partition(scores, ids.size - k)[ids.size - k]
+                mask = scores >= kth
+                cand_ids, cand_sc = ids[mask], scores[mask]
+            else:
+                cand_ids, cand_sc = ids, scores
+            order = np.lexsort((cand_ids, -cand_sc))[:k]
+            top_ids = cand_ids[order]
+            top_sc = cand_sc[order]
+            result.matches = self._hydrate(q_terms, top_ids, top_sc, with_spans)
+        result.search_duration = _time.perf_counter() - t0
+        if apply_best:
+            best = result.best()
+            best.total_matches = result.total_matches if not with_spans else best.total_matches
+            return best
+        return result
+
+    def _hydrate(
+        self,
+        q_terms: list[str],
+        top_ids: np.ndarray,
+        top_sc: np.ndarray,
+        with_spans: bool,
+    ) -> list[Match]:
+        """Join hits against the docs table and build spans/lines — the
+        hitToPdfMatch join (J1, search_pdfs.go:330-366).  Top-k is tiny,
+        so this is a pushdown-filtered read, not a shuffle."""
+        id_list = [int(i) for i in top_ids]
+        cols = ["doc_id", "url"]
+        has_text = "text" in self.docs.schema.names
+        if has_text and with_spans:
+            cols.append("text")
+        dtbl = self.docs.to_table(
+            filter=pc.field("doc_id").isin(id_list), columns=cols
+        )
+        meta: dict[int, tuple[str, str]] = {}
+        texts = dtbl["text"].to_pylist() if (has_text and with_spans) else [""] * dtbl.num_rows
+        for did, url, text in zip(dtbl["doc_id"].to_pylist(), dtbl["url"].to_pylist(), texts):
+            meta[did] = (url, text)
+
+        matches: list[Match] = []
+        uniq_q = set(q_terms)
+        for did, sc in zip(id_list, [float(s) for s in top_sc]):
+            url, text = meta.get(did, ("", ""))
+            m = Match(doc_id=did, url=url, score=sc)
+            if with_spans and text:
+                term_locs: dict[str, list[tuple[int, int, int]]] = {}
+                if self.manifest.analyzer == "en":
+                    for tok in analyze_en(text):
+                        if tok.term in uniq_q:
+                            term_locs.setdefault(tok.term, []).append(
+                                (tok.position, tok.start, tok.end)
+                            )
+                else:
+                    pos = 0
+                    for i, term in enumerate(self.analyze(text)):
+                        pos += 1
+                        if term in uniq_q:
+                            term_locs.setdefault(term, []).append((pos, -1, -1))
+                phrases = best_phrases(q_terms, term_locs)
+                for p in phrases:
+                    m.spans.append(
+                        {"start": p["start"], "end": p["end"], "score": float(p["score"])}
+                    )
+                    ln = line_number(text, p["start"])
+                    if ln:
+                        m.line_nums.append(ln[0])
+                        m.lines.append(ln[1])
+            matches.append(m)
+        return matches
+
+    def search_to_table(self, query: str, max_results: int = DEFAULT_MAX_RESULTS,
+                        with_spans: bool = True) -> pa.Table:
+        """Results as an Arrow table in schemas.QUERY_RESULTS shape."""
+        ms = self.search(query, max_results, with_spans=with_spans)
+        rows = {
+            "query": [], "rank": [], "doc_id": [], "url": [], "score": [], "spans": [],
+        }
+        for rank, m in enumerate(ms.matches):
+            rows["query"].append(query)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(m.doc_id)
+            rows["url"].append(m.url)
+            rows["score"].append(m.score)
+            rows["spans"].append(
+                [
+                    {"start": s["start"], "end": s["end"], "score": s["score"]}
+                    for s in m.spans
+                ]
+            )
+        from ..schemas import QUERY_RESULTS
+
+        return pa.table(
+            {
+                "query": pa.array(rows["query"], type=pa.string()),
+                "rank": pa.array(rows["rank"], type=pa.int32()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "url": pa.array(rows["url"], type=pa.string()),
+                "score": pa.array(rows["score"], type=pa.float64()),
+                "spans": pa.array(rows["spans"], type=QUERY_RESULTS.field("spans").type),
+            }
+        )

@@ -1,0 +1,115 @@
+"""Tokenize stage: text → per-(doc, term) token tuples.
+
+The actor-pool analog of the reference's extract worker + bleve analyzer
+(ST1/M5: internal/doclib/index_pdfs.go:77-95 worker pool feeding the `en`
+analyzer configured at bleve_glue.go:42-61).  A callable class so the
+compiled regexes / stopword set / stem cache / hot-term set are built once
+per actor (``__init__``), not once per batch; used as
+
+    ds.map_batches(Tokenizer, batch_format="pyarrow", concurrency=N)
+
+The stage performs the *partial aggregation* that keeps the shuffle sane:
+tf and positions are combined per (doc, term) here, so the groupby that
+builds postings only ever sees one row per (doc, term) — the rebuild's
+version of the reference's 100-page bleve batching (bleve_pdf.go:64).
+
+Shuffle keys are precomputed here too:
+* ``bucket = fnv1a64(term) % num_buckets`` — the posting-build partition
+  key (query-time pruning recomputes it from the query term).
+* ``salt`` — 0 for ordinary terms; ``mix64(doc_id) % salt`` for terms in
+  the broadcast hot-term set, splitting Zipfian head-term groups into
+  bounded sub-groups (north_rule's explicit skew handling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis.analyzer import ANALYZER_VERSION, get_analyzer
+from ..functions.hashing import fnv1a64_str, mix64
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+class Tokenizer:
+    def __init__(
+        self,
+        analyzer: str = "en",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_buckets: int = DEFAULT_NUM_BUCKETS,
+        hot_terms: dict[str, int] | None = None,
+        with_positions: bool = True,
+    ):
+        self.analyze = get_analyzer(analyzer)
+        self.analyzer_name = analyzer
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_buckets = num_buckets
+        self.hot_terms = hot_terms or {}
+        self.with_positions = with_positions
+        self._bucket_cache: dict[str, int] = {}
+        self.version = ANALYZER_VERSION
+
+    def _bucket(self, term: str) -> int:
+        b = self._bucket_cache.get(term)
+        if b is None:
+            b = fnv1a64_str(term) % self.num_buckets
+            if len(self._bucket_cache) < (1 << 20):
+                self._bucket_cache[term] = b
+        return b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+
+        out_term: list[str] = []
+        out_doc: list[int] = []
+        out_tf: list[int] = []
+        out_dl: list[int] = []
+        out_pos: list[list[int]] = []
+        out_salt: list[int] = []
+        out_bucket: list[int] = []
+
+        hot = self.hot_terms
+        en = self.analyzer_name == "en"
+        if en:
+            from ..analysis.analyzer import analyze_en
+        for text, doc_id in zip(texts, doc_ids):
+            if not text:
+                continue  # empty-page filter (bleve_pdf.go:309-312)
+            agg: dict[str, list[int]] = {}
+            dl = 0
+            if en:
+                for t in analyze_en(text):
+                    dl += 1
+                    agg.setdefault(t.term, []).append(t.position)
+            else:
+                for i, term in enumerate(self.analyze(text)):
+                    dl += 1
+                    agg.setdefault(term, []).append(i + 1)
+            if dl == 0:
+                continue
+            salt_base = int(mix64(np.asarray([doc_id], dtype=np.uint64))[0])
+            for term, positions in agg.items():
+                out_term.append(term)
+                out_doc.append(int(doc_id))
+                out_tf.append(len(positions))
+                out_dl.append(dl)
+                out_pos.append(positions if self.with_positions else [])
+                s = hot.get(term, 0)
+                out_salt.append(salt_base % s if s else 0)
+                out_bucket.append(self._bucket(term))
+
+        return pa.table(
+            {
+                "term": pa.array(out_term, type=pa.string()),
+                "salt": pa.array(out_salt, type=pa.int32()),
+                "bucket": pa.array(out_bucket, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "tf": pa.array(out_tf, type=pa.uint32()),
+                "dl": pa.array(out_dl, type=pa.uint32()),
+                "positions": pa.array(out_pos, type=pa.list_(pa.uint32())),
+            }
+        )

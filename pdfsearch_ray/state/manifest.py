@@ -1,0 +1,89 @@
+"""Index manifest: per-build lineage, corpus stats and checkpoint state.
+
+The rebuild's version of the reference's catalog + partition footers
+(`file_list.json` at internal/doclib/file_desc.go:13-35 and the
+`pagePartition{Offset,Size,Check}` entries at doc_positions.go:41-49):
+one JSON document at ``<index_dir>/manifest.json`` recording everything a
+query engine needs to open the index without touching the build code, and
+everything a restarted build needs to skip finished partitions.
+
+Atomicity: written to a temp file then ``os.replace``d — the rename is
+the commit point, mirroring the reference's rollback-on-partial-write
+(bleve_pdf.go:342-351).  Per-extract-partition completion markers live in
+``<index_dir>/_partitions/<partition_id>.json`` with row counts +
+checksums so a rerun can list completed partitions and filter its input
+(north_rule: resumable from per-partition checkpoints with lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+MANIFEST_NAME = "manifest.json"
+PARTITIONS_DIR = "_partitions"
+FORMAT_VERSION = 1
+
+
+@dataclass
+class IndexManifest:
+    n_docs: int
+    avgdl: float
+    total_tokens: int
+    analyzer: str
+    analyzer_version: str
+    k1: float
+    b: float
+    num_buckets: int
+    block_size: int
+    salt_spec: dict[str, int] = field(default_factory=dict)
+    format_version: int = FORMAT_VERSION
+    built_at: float = 0.0
+    build_metrics: dict[str, Any] = field(default_factory=dict)
+    avgdl_exact: bool = True
+
+    def save(self, index_dir: str) -> None:
+        os.makedirs(index_dir, exist_ok=True)
+        path = os.path.join(index_dir, MANIFEST_NAME)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=1, sort_keys=True)
+        os.replace(tmp, path)  # atomic commit
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IndexManifest":
+        with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+            d = json.load(f)
+        d.pop("format_version_check", None)
+        return cls(**d)
+
+
+def partition_marker_path(index_dir: str, partition_id: int) -> str:
+    return os.path.join(index_dir, PARTITIONS_DIR, f"{partition_id:06d}.json")
+
+
+def write_partition_marker(index_dir: str, partition_id: int, info: dict[str, Any]) -> None:
+    os.makedirs(os.path.join(index_dir, PARTITIONS_DIR), exist_ok=True)
+    path = partition_marker_path(index_dir, partition_id)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    info = dict(info, partition_id=partition_id, completed_at=time.time())
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, path)
+
+
+def completed_partitions(index_dir: str) -> set[int]:
+    pdir = os.path.join(index_dir, PARTITIONS_DIR)
+    if not os.path.isdir(pdir):
+        return set()
+    out = set()
+    for name in os.listdir(pdir):
+        if name.endswith(".json"):
+            try:
+                out.add(int(name[:-5]))
+            except ValueError:
+                pass
+    return out
