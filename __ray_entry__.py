@@ -1,44 +1,201 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
+the driver against DuckDB at sf0.01 (row-count + schema + value-hash);
+the fulltext/en-analyzer pipelines have no SQL equivalent in this sandbox
+(DuckDB cannot load a stemmer extension offline) and are pinned instead by
+golden pytest fixtures (tests/) — they appear without oracle entries and
+get the rows-only check.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the en-chain BM25 index over sf0.001 documents and
+    answer the reference query set; returns the result table."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    index_dir = tempfile.mkdtemp(prefix="pdfsearch_entry_")
+    build_index(
+        f"{SF_SMOKE}/documents.parquet", index_dir,
+        analyzer="en", lang_col="lang", num_buckets=16,
+    )
+    idx = BM25Index(index_dir)
+    tables = [
+        idx.search_to_table(q, max_results=10)
+        for q in ("data processing pipeline", "stream window", "information")
+    ]
+    return pa.concat_tables(tables)
+
+
+def _fulltext_topk(sf_dir: str) -> Any:
+    """Full en-chain build+query at sf_dir (rows-only driver check)."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    index_dir = tempfile.mkdtemp(prefix="pdfsearch_ft_")
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                analyzer="en", lang_col="lang")
+    idx = BM25Index(index_dir)
+    out = [
+        idx.search_to_table(q, max_results=10, with_spans=False)
+        for q in ("data processing pipeline", "stream window merge",
+                  "query performance", "information")
+    ]
+    return pa.concat_tables(out).drop_columns(["spans"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdfsearch_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_df": q.term_df,
+        "top_terms": q.top_terms,
+        "doc_token_stats": q.doc_token_stats,
+        "exact_dedup": q.exact_dedup,
+        "quality_scores": q.quality_scores,
+        "bm25_topk": q.bm25_topk,
+        "lang_distribution": q.lang_distribution,
+        "ann_cosine_topk": q.ann_cosine_topk,
+        "fulltext_topk": _fulltext_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdfsearch_ray.pipelines.queries import (
+        ANN_K,
+        ANN_NUM_QUERIES,
+        BM25_B,
+        BM25_K,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+        QUALITY_STOPWORDS,
+    )
+
+    toks = (
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        "FROM documents"
+    )
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    qvals = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+
+    return {
+        "term_df": f"""
+            WITH toks AS ({toks})
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM toks WHERE term <> '' GROUP BY term
+        """,
+        "top_terms": f"""
+            WITH toks AS ({toks})
+            SELECT term, count(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY term
+            ORDER BY tf DESC, term ASC LIMIT 100
+        """,
+        "doc_token_stats": f"""
+            WITH toks AS ({toks})
+            SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique
+            FROM toks WHERE term <> '' GROUP BY doc_id
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS hash, min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "quality_scores": f"""
+            WITH toks AS ({toks})
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop,
+                   max(length(term)) AS max_token_len
+            FROM toks WHERE term <> '' GROUP BY doc_id
+        """,
+        "bm25_topk": f"""
+            WITH toks AS ({toks}),
+            tok AS (SELECT * FROM toks WHERE term <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            q(term) AS (VALUES {qvals}),
+            tfs AS (
+                SELECT t.doc_id, t.term, count(*) AS tf
+                FROM tok t JOIN q USING (term) GROUP BY t.doc_id, t.term
+            ),
+            dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+            scores AS (
+                SELECT tfs.doc_id,
+                       sum(ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * tfs.tf / (tfs.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+                       ) AS s
+                FROM tfs
+                CROSS JOIN stats
+                JOIN dfs ON tfs.term = dfs.term
+                JOIN dl ON tfs.doc_id = dl.doc_id
+                GROUP BY tfs.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score,
+                   row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM scores
+            ORDER BY round(s, 6) DESC, doc_id ASC
+            LIMIT {BM25_K}
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        """,
+        "ann_cosine_topk": f"""
+            WITH qe AS (
+                SELECT vec_id AS query_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+            ),
+            be AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings WHERE vec_id >= {ANN_NUM_QUERIES}
+            ),
+            qn AS (SELECT query_id, sqrt(sum(v * v)) AS nrm FROM qe GROUP BY query_id),
+            bn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM be GROUP BY vec_id),
+            dots AS (
+                SELECT qe.query_id, be.vec_id, sum(qe.v * be.v) AS dot
+                FROM qe JOIN be ON qe.i = be.i
+                GROUP BY qe.query_id, be.vec_id
+            ),
+            sims AS (
+                SELECT d.query_id, d.vec_id, d.dot / (qn.nrm * bn.nrm) AS s
+                FROM dots d
+                JOIN qn ON d.query_id = qn.query_id
+                JOIN bn ON d.vec_id = bn.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, round(s, 6) AS sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(s, 6) DESC, vec_id ASC
+                       ) AS rank
+                FROM sims
+            )
+            SELECT query_id, vec_id, sim, rank
+            FROM ranked WHERE rank <= {ANN_K}
+            ORDER BY query_id, rank
+        """,
+    }

@@ -1,0 +1,306 @@
+"""Registered query pipelines over the driver's sf tables.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / Arrow table /
+pandas DataFrame; each has a matching ANSI-SQL oracle in
+``__ray_entry__.oracle_sql`` that DuckDB runs on the same parquet files.
+Column names and dtypes are aligned with the SQL on purpose — the
+driver's value-hash sorts columns by name, so every computed column is
+named identically on both sides (see repo README).
+
+Tokenization for the SQL-checked pipelines is the ``simple`` chain
+(lower + split on [^a-z0-9]+), because it is exactly expressible as
+``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` in DuckDB; the full
+``en`` chain (possessive→stop→Porter) is exercised by the fulltext
+pipelines, which are pinned by golden pytest fixtures instead (DuckDB
+1.0.0 in this sandbox cannot load the fts/stemmer extension).
+
+Float-returning pipelines round to 6 decimals on BOTH sides and break
+ranking ties by id so IEEE summation-order differences between engines
+cannot flip a rank (SURVEY §7.5 rank-identity note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.tokenize import Tokenizer
+
+# Small fixed stopword list shared verbatim with the SQL oracle.
+QUALITY_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+BM25_QUERY_TERMS = ("data", "stream", "window")
+BM25_K = 20
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _simple_tokens(sf_dir: str) -> rd.Dataset:
+    """One row per (doc_id, term) with tf and dl (simple analyzer)."""
+    return _docs(sf_dir).map_batches(
+        Tokenizer,
+        fn_constructor_kwargs=dict(
+            analyzer="simple", text_col="text", id_col="doc_id",
+            with_positions=False, num_buckets=16,
+        ),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------- SQL-oracled
+
+
+def term_df(sf_dir: str) -> rd.Dataset:
+    """Document frequency per term (the A1 shuffle, aggregation-only view)."""
+    return (
+        _simple_tokens(sf_dir)
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+    )
+
+
+def top_terms(sf_dir: str) -> rd.Dataset:
+    """Top-100 terms by collection frequency, tie-break term asc (T1/T3)."""
+    return (
+        _simple_tokens(sf_dir)
+        .map_batches(
+            lambda t: pa.table({"term": t["term"], "tf": t["tf"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+        .sort(["tf", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def doc_token_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc token count + distinct terms — no shuffle, pure map_batches."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from ..analysis.analyzer import analyze_simple
+
+        ids, n_tok, n_uniq = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = analyze_simple(text or "")
+            if not toks:
+                continue
+            ids.append(did)
+            n_tok.append(len(toks))
+            n_uniq.append(len(set(toks)))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_unique": pa.array(n_uniq, type=pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """Exact content dedup by md5(text): keep min doc_id per hash (D2 done
+    for real — the reference declares this and leaves it inert,
+    bleve_pdf.go:395-409)."""
+    import hashlib
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({
+            "hash": pa.array(hashes, type=pa.string()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir)
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+    )
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    """Per-doc quality features (integer-valued so the oracle hash is
+    float-free): token count, stopword hits, longest token."""
+
+    def q(batch: pa.Table) -> pa.Table:
+        from ..analysis.analyzer import analyze_simple
+
+        stop = set(QUALITY_STOPWORDS)
+        ids, n_tok, n_stop, mx = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = analyze_simple(text or "")
+            if not toks:
+                continue
+            ids.append(did)
+            n_tok.append(len(toks))
+            n_stop.append(sum(1 for t in toks if t in stop))
+            mx.append(max(len(t) for t in toks))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_stop": pa.array(n_stop, type=pa.int64()),
+            "max_token_len": pa.array(mx, type=pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(q, batch_format="pyarrow")
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    """BM25 disjunctive top-k over `documents` for a fixed query, built and
+    scored entirely in Ray (distributed tf/df/dl aggregation), rounded to
+    6 dp with (score desc, doc_id asc) tie-break.
+
+    This is the SQL-checkable projection of the flagship engine: same
+    formula (Lucene-style idf), same determinism contract, but the simple
+    analyzer so DuckDB can replicate tokenization."""
+    tokens = _simple_tokens(sf_dir).materialize()
+
+    # dl table + corpus stats (docs with >=1 token, as the engine indexes)
+    # one row per (doc,term) already → dl is on every row; take per-doc first
+    from ray.data.aggregate import Mean
+
+    dl_tbl = (
+        tokens.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "dl": t["dl"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(Max("dl", alias_name="dl"))  # dl identical per doc; Max = the value
+    )
+    stats = dl_tbl.aggregate(Count(alias_name="n"), Sum("dl", alias_name="total_dl"))
+    n = int(stats["n"])
+    avgdl = float(stats["total_dl"]) / n
+
+    qterms = list(BM25_QUERY_TERMS)
+    hits = tokens.map_batches(
+        lambda t: t.filter(pc.is_in(t["term"], value_set=pa.array(qterms))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # df per query term (rows are unique (doc,term))
+    df_tbl = hits.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    dfs = dict(zip(df_tbl["term"], df_tbl["df"]))
+
+    # score per (doc, term) then sum per doc — the per-doc term set is tiny
+    # (≤3), so finish on the driver deterministically in sorted term order.
+    h = hits.select_columns(["term", "doc_id", "tf", "dl"]).to_pandas()
+    if h.empty:
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64()),
+        })
+    h = h.sort_values(["term", "doc_id"], kind="mergesort")
+    idf = h["term"].map(
+        lambda t: float(np.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+    )
+    tf = h["tf"].astype("float64")
+    dl = h["dl"].astype("float64")
+    h["contrib"] = idf * tf / (tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+    scores = h.groupby("doc_id", sort=True)["contrib"].sum().reset_index()
+    scores["score"] = scores["contrib"].round(6)
+    scores = scores.sort_values(["score", "doc_id"], ascending=[False, True],
+                                kind="mergesort").head(BM25_K)
+    scores["rank"] = range(1, len(scores) + 1)
+    return pa.table({
+        "doc_id": pa.array(scores["doc_id"].tolist(), type=pa.int64()),
+        "score": pa.array(scores["score"].tolist(), type=pa.float64()),
+        "rank": pa.array(scores["rank"].tolist(), type=pa.int64()),
+    })
+
+
+def lang_distribution(sf_dir: str) -> rd.Dataset:
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+ANN_NUM_QUERIES = 5
+ANN_K = 10
+
+
+def ann_cosine_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k: query vectors (vec_id < 5) broadcast via
+    ray.put once, numpy matmul per batch, per-batch partial top-k, driver
+    merge.  The baseline ANN path of SURVEY's training-data addenda; the
+    scale path (LSH bucketing) is pipelines/similarity.py."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ANN_NUM_QUERIES)],
+    )
+    q_ids = qt["vec_id"].to_numpy()
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ref = ray.put((q_ids, qn))
+
+    def sims(batch: pa.Table) -> pa.Table:
+        q_ids_, qn_ = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        mask = ids >= ANN_NUM_QUERIES
+        if not mask.any():
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            })
+        emb = batch["embedding"].combine_chunks()
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.chunk(0)
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = qn_.shape[1]
+        m = flat.reshape(-1, dim)[mask]
+        ids = ids[mask]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = mn @ qn_.T  # (rows, nq)
+        # keep k + buffer per batch so rounding-boundary / exact-tie rows
+        # can't be lost before the global (rounded sim, vec_id) ordering
+        k = min(ANN_K + 32, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(q_ids_):
+            col = s[:, j]
+            if len(ids) > k:
+                top = np.lexsort((ids, -col))[:k]
+            else:
+                top = np.arange(len(ids))
+            out_q += [int(qid)] * len(top)
+            out_v += [int(x) for x in ids[top]]
+            out_s += [float(x) for x in col[top]]
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
+
+    part = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .map_batches(sims, batch_format="pyarrow", batch_size=4096)
+    pdf = part.to_pandas()
+    pdf["sim_r"] = pdf["sim"].round(6)
+    pdf = pdf.sort_values(["query_id", "sim_r", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    pdf = pdf.groupby("query_id", sort=True).head(ANN_K)
+    pdf["rank"] = pdf.groupby("query_id", sort=True).cumcount() + 1
+    return pa.table({
+        "query_id": pa.array(pdf["query_id"].tolist(), type=pa.int64()),
+        "vec_id": pa.array(pdf["vec_id"].tolist(), type=pa.int64()),
+        "sim": pa.array(pdf["sim_r"].tolist(), type=pa.float64()),
+        "rank": pa.array(pdf["rank"].tolist(), type=pa.int64()),
+    })
