@@ -266,3 +266,53 @@ def build_index(
     )
     manifest.save(index_dir)
     return manifest
+
+
+def dedup_exact(ds: rd.Dataset, hash_col: str = "hash", id_col: str = "doc_id") -> rd.Dataset:
+    """Exact content dedup: keep the min-doc_id row per content hash —
+    the dedup the reference declares but leaves inert (D2,
+    bleve_pdf.go:385-409,500-507), implemented for real as a
+    hash-partitioned groupby + per-group first."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1)
+
+    return ds.groupby(hash_col).map_groups(first, batch_format="pandas")
+
+
+def build_from_pages(
+    input_path: str | list[str],
+    index_dir: str,
+    *,
+    extract_dir: str | None = None,
+    lang_allow: tuple[str, ...] | None = ("en",),
+    dedup: bool = True,
+    resume: bool = True,
+    extract_concurrency: int | None = None,
+    **build_kwargs,
+) -> IndexManifest:
+    """Full pipeline over a PAGES corpus (input_hint shape): checkpointed
+    extract → optional exact dedup → index build (SURVEY §3.4 build path)."""
+    from ..sources.pages_source import extract_pages, extracted_dataset
+
+    extract_dir = extract_dir or f"{index_dir}/extracted"
+    summary = extract_pages(
+        input_path, extract_dir,
+        lang_allow=lang_allow, resume=resume, concurrency=extract_concurrency,
+    )
+    ds = extracted_dataset(extract_dir)
+    if dedup:
+        # checkpoint the deduped corpus: build_index scans its source three
+        # times (docs / stats / tokens) and must not re-run the dedup
+        # shuffle each time
+        dedup_dir = f"{index_dir}/deduped"
+        dedup_exact(ds).write_parquet(dedup_dir)
+        ds = rd.read_parquet(dedup_dir)
+    manifest = build_index(
+        ds, index_dir, id_col="doc_id", url_col="url", lang_col="lang",
+        **build_kwargs,
+    )
+    manifest.build_metrics["extract"] = summary
+    manifest.save(index_dir)
+    return manifest

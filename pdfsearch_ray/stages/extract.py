@@ -1,0 +1,120 @@
+"""HTML → text extraction stage (M2/M3 analog).
+
+The reference's extractor is UniDoc's per-page text extraction wrapped in
+a worker pool (internal/doclib/bleve_pdf.go:269-328, unidoc_glue.go:128-139).
+The webtext analog: a deterministic, versioned HTML-to-text extractor run
+as an actor-pool ``map_batches`` stage.  Per-row invariant (input_hint):
+``extract(html) == text`` byte-identically per url — pinned by
+EXTRACTOR_VERSION in the manifest and by tests against the fixture
+corpus, whose generator (fixtures/gen.py) is the exact inverse.
+
+Extraction rules (v1): text content of <title> and of each block-level
+element (<p>, <div>, <li>, <h1>..<h6>, <br> boundaries), one per line,
+joined with "\n"; entities unescaped; <script>/<style> dropped; empty
+lines dropped except a fully-empty document stays "".
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+EXTRACTOR_VERSION = "html-lines-v1"
+
+_BLOCK_TAGS = {
+    "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6",
+    "title", "tr", "article", "section", "header", "footer", "blockquote",
+    "pre",
+}
+_SKIP_TAGS = {"script", "style", "noscript"}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.lines: list[str] = []
+        self._buf: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag in _BLOCK_TAGS or tag == "br":
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if not self._skip and data:
+            self._buf.append(data)
+
+    def _flush(self):
+        if self._buf:
+            line = "".join(self._buf)
+            self._buf = []
+            if line:
+                self.lines.append(line)
+
+    def text(self) -> str:
+        self._flush()
+        return "\n".join(self.lines)
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Deterministic HTML→text; errors yield "" (skip-and-count semantics,
+    index_pdfs.go:108-113 continueOnFailure)."""
+    try:
+        p = _TextExtractor()
+        p.feed(html_bytes.decode("utf-8", errors="replace"))
+        p.close()
+        return p.text()
+    except Exception:
+        return ""
+
+
+class HtmlExtractor:
+    """Actor-pool batch extractor: pages rows → EXTRACTED rows.
+
+    doc_id assignment needs the caller to provide ``partition_id`` and
+    ``row_offset`` columns (sources/pages_source.py does); doc_id =
+    (partition_id << 32) | row — the "%04X.%d" docID generalization
+    (bleve_pdf.go:57)."""
+
+    def __init__(self, lang_allow: tuple[str, ...] | None = ("en",)):
+        self.lang_allow = set(lang_allow) if lang_allow else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import content_hash
+
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.schema.names else [""] * len(urls)
+        pids = batch["partition_id"].to_pylist()
+        rows = batch["row_offset"].to_pylist()
+
+        out = {"doc_id": [], "url": [], "hash": [], "text": [], "lang": []}
+        for url, html, lang, pid, row in zip(urls, htmls, langs, pids, rows):
+            if self.lang_allow is not None and lang not in self.lang_allow:
+                continue  # corpus filter (M12 CleanCorpus analog)
+            text = extract_text(html) if html else ""
+            if not text:
+                continue  # empty-page filter (bleve_pdf.go:309-312)
+            out["doc_id"].append((pid << 32) | row)
+            out["url"].append(url)
+            out["hash"].append(content_hash(html))
+            out["text"].append(text)
+            out["lang"].append(lang)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "url": pa.array(out["url"], type=pa.string()),
+                "hash": pa.array(out["hash"], type=pa.string()),
+                "text": pa.array(out["text"], type=pa.string()),
+                "lang": pa.array(out["lang"], type=pa.string()),
+            }
+        )
