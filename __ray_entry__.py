@@ -80,6 +80,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": q.lang_distribution,
         "ann_cosine_topk": q.ann_cosine_topk,
         "fulltext_topk": _fulltext_topk,
+        "ngram_jaccard": q.ngram_jaccard,
+        "minhash_dedup": q.minhash_dedup,
+        "simhash_fps": q.simhash_fps,
+        "langid_pred": q.langid_pred,
+        "token_count_stats": q.token_count_stats,
+        "doc_fingerprints": q.doc_fingerprints,
+        "ann_lsh": q.ann_lsh,
     }
 
 
@@ -91,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         BM25_K,
         BM25_K1,
         BM25_QUERY_TERMS,
+        JACCARD_THRESHOLD,
         QUALITY_STOPWORDS,
     )
 
@@ -159,6 +167,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        """,
+        "ngram_jaccard": f"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS term
+                FROM arr
+            ),
+            sh AS (
+                SELECT DISTINCT a.doc_id,
+                       a.term || ' ' || b.term || ' ' || c.term AS shingle
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= {JACCARD_THRESHOLD}
+            ORDER BY doc_a, doc_b
         """,
         "ann_cosine_topk": f"""
             WITH qe AS (

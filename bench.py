@@ -1,0 +1,165 @@
+"""Benchmark harness (driver-run per round; judge reads BENCH_r{N}.json).
+
+Headline: full pages pipeline (checkpointed extract → dedup → tokenize →
+posting shuffle → index write) over a deterministic 60k-page fixture
+corpus, plus BM25 query latency (p50/p95 over the reference query set),
+plus one timed pass of each SQL-oracled pipeline at $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: reruns the headline build in fresh processes at
+num_cpus=8 and num_cpus=32 on the same corpus and reports both
+throughputs + scaling efficiency (the sandbox evidence for the
+north_rule's N→4N criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_ROOT = "/tmp/pdfsearch_bench"
+CORPUS_DIR = f"{BENCH_ROOT}/pages60k"
+CORPUS_ROWS = 60_000
+CORPUS_DOC_WORDS = 120
+QUERY_REPEATS = 5
+
+
+def ensure_corpus() -> str:
+    marker = f"{CORPUS_DIR}/.complete"
+    if os.path.exists(marker):
+        return CORPUS_DIR
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    from pdfsearch_ray.fixtures.gen import write_pages
+
+    write_pages(CORPUS_DIR, CORPUS_ROWS, doc_len_words=CORPUS_DOC_WORDS,
+                rows_per_file=5000, row_group_size=1000)
+    Path(marker).touch()
+    return CORPUS_DIR
+
+
+def run_bench(ncpu: int, sf_dir: str) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pdfsearch_ray.fixtures.gen import QUERY_SET
+    from pdfsearch_ray.pipelines import queries as qmod
+    from pdfsearch_ray.pipelines.build import build_from_pages
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    corpus = ensure_corpus()
+    # warm page cache so we measure compute+shuffle, not first disk read
+    for p in sorted(Path(corpus).glob("*.parquet")):
+        p.read_bytes()
+
+    results: dict[str, float] = {}
+    index_dir = f"{BENCH_ROOT}/index_cpu{ncpu}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    manifest = build_from_pages(
+        corpus, index_dir,
+        resume=False, dedup=True,
+        sample_rate=0.1,       # sampled avgdl: the at-scale configuration
+        auto_salt=True,
+        num_buckets=max(64, ncpu * 4),
+    )
+    build_sec = time.perf_counter() - t0
+    results["build_pages60k"] = round(build_sec, 3)
+    n_docs = manifest.n_docs
+
+    # query latency over the reference query set
+    idx = BM25Index(index_dir)
+    lat: list[float] = []
+    for _ in range(QUERY_REPEATS):
+        for q in QUERY_SET:
+            t = time.perf_counter()
+            idx.search(q, max_results=10, with_spans=True)
+            lat.append(time.perf_counter() - t)
+    lat.sort()
+    results["query_p50"] = round(statistics.median(lat), 4)
+    results["query_p95"] = round(lat[int(0.95 * len(lat)) - 1], 4)
+
+    # one timed pass of each oracled pipeline at the sf dir
+    for name in ("term_df", "top_terms", "doc_token_stats", "exact_dedup",
+                 "quality_scores", "bm25_topk", "lang_distribution",
+                 "ann_cosine_topk"):
+        fn = getattr(qmod, name)
+        t = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        results[name] = round(time.perf_counter() - t, 3)
+
+    total = round(sum(results.values()), 3)
+    return {
+        "metric": "pages60k_build+query+sf_pipelines",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "n_docs_indexed": n_docs,
+    }
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PDFSEARCH_BENCH_CHILD="1")
+    out = subprocess.run([sys.executable, __file__], env=env,
+                         capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        ensure_corpus()
+        lo, hi = 8, 32
+        r_lo, r_hi = run_child(lo), run_child(hi)
+        thr_lo = r_lo["build_docs_per_sec"]
+        thr_hi = r_hi["build_docs_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "queries": {
+                f"build_sec_{lo}cpu": r_lo["queries"]["build_pages60k"],
+                f"build_sec_{hi}cpu": r_hi["queries"]["build_pages60k"],
+                f"docs_per_sec_{lo}cpu": thr_lo,
+                f"docs_per_sec_{hi}cpu": thr_hi,
+            },
+            "sf": sf_dir,
+            "num_cpus": hi,
+        }))
+        return
+
+    out = run_bench(ncpu, sf_dir)
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

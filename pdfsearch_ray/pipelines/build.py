@@ -182,12 +182,13 @@ def build_index(
         cols = [c for c in (id_col, text_col, url_col, lang_col) if c]
         return rd.read_parquet(source, columns=cols)
 
-    # 1. docs catalog (cheap pass, no tokenization)
+    # 1. docs catalog (cheap pass, no tokenization), sorted by doc_id so
+    # query-time hydration prunes to O(k) row groups via footer stats
     docs = _load().map_batches(
         _DocMeta(id_col, text_col, url_col, lang_col, store_text),
         batch_format="pyarrow",
     )
-    docs.write_parquet(f"{index_dir}/docs")
+    docs.sort("doc_id").write_parquet(f"{index_dir}/docs")
     t_docs = time.time()
 
     # 2. corpus stats: N exact from docs; avgdl from (possibly sampled) pass
@@ -268,17 +269,37 @@ def build_index(
     return manifest
 
 
-def dedup_exact(ds: rd.Dataset, hash_col: str = "hash", id_col: str = "doc_id") -> rd.Dataset:
+def dedup_exact(
+    ds: rd.Dataset,
+    hash_col: str = "hash",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> rd.Dataset:
     """Exact content dedup: keep the min-doc_id row per content hash —
     the dedup the reference declares but leaves inert (D2,
-    bleve_pdf.go:385-409,500-507), implemented for real as a
-    hash-partitioned groupby + per-group first."""
+    bleve_pdf.go:385-409,500-507), implemented for real.
+
+    Keyed on ``bucket = hash % num_buckets`` rather than the raw hash so
+    the shuffle dispatches ~num_buckets vectorized group calls instead of
+    one Python call per distinct document (same skew/overhead argument as
+    the posting-build bucket groupby)."""
     import pandas as pd
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t[hash_col].to_pylist()
+        b = [int(x[:8], 16) % num_buckets if x else 0 for x in h]
+        return t.append_column("_dedup_bucket", pa.array(b, type=pa.int32()))
 
-    return ds.groupby(hash_col).map_groups(first, batch_format="pandas")
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([hash_col, id_col], kind="mergesort")
+        g = g.drop_duplicates(hash_col, keep="first")
+        return g.drop(columns=["_dedup_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_dedup_bucket")
+        .map_groups(first_per_hash, batch_format="pandas")
+    )
 
 
 def build_from_pages(
@@ -296,19 +317,23 @@ def build_from_pages(
     extract → optional exact dedup → index build (SURVEY §3.4 build path)."""
     from ..sources.pages_source import extract_pages, extracted_dataset
 
+    t0 = time.time()
     extract_dir = extract_dir or f"{index_dir}/extracted"
     summary = extract_pages(
         input_path, extract_dir,
         lang_allow=lang_allow, resume=resume, concurrency=extract_concurrency,
     )
+    summary["sec_extract"] = round(time.time() - t0, 3)
     ds = extracted_dataset(extract_dir)
     if dedup:
         # checkpoint the deduped corpus: build_index scans its source three
         # times (docs / stats / tokens) and must not re-run the dedup
         # shuffle each time
+        t1 = time.time()
         dedup_dir = f"{index_dir}/deduped"
         dedup_exact(ds).write_parquet(dedup_dir)
         ds = rd.read_parquet(dedup_dir)
+        summary["sec_dedup"] = round(time.time() - t1, 3)
     manifest = build_index(
         ds, index_dir, id_col="doc_id", url_col="url", lang_col="lang",
         **build_kwargs,

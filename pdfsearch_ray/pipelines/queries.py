@@ -231,6 +231,55 @@ def lang_distribution(sf_dir: str) -> rd.Dataset:
     )
 
 
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def ngram_jaccard(sf_dir: str) -> pa.Table:
+    """Exact word-3gram Jaccard near-dup pairs (SQL-oracled; the exact
+    baseline the MinHash-LSH path approximates)."""
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), n=JACCARD_N,
+                               threshold=JACCARD_THRESHOLD)
+
+
+def minhash_dedup(sf_dir: str) -> pa.Table:
+    from .dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def simhash_fps(sf_dir: str):
+    from .dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(sf_dir))
+
+
+def langid_pred(sf_dir: str):
+    from .textstats import language_id
+
+    return language_id(_docs(sf_dir))
+
+
+def token_count_stats(sf_dir: str):
+    from .textstats import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def doc_fingerprints(sf_dir: str):
+    from .textstats import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def ann_lsh(sf_dir: str) -> pa.Table:
+    from .similarity import ann_lsh_topk
+
+    return ann_lsh_topk(sf_dir, num_queries=ANN_NUM_QUERIES, k=ANN_K, nbits=4)
+
+
 ANN_NUM_QUERIES = 5
 ANN_K = 10
 

@@ -24,7 +24,6 @@ documents that as inefficient at bleve_pdf.go:482-484).
 
 from __future__ import annotations
 
-import bisect
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -95,18 +94,35 @@ def best_phrases(
     return [p for p in phrases if p["score"] >= best_score]
 
 
-def line_number(text: str, offset: int) -> tuple[int, str] | None:
+def line_starts(text: str) -> np.ndarray:
+    """Start offset of every line, computed once per doc (the
+    "precalculate this" the reference leaves as a TODO at
+    search_pdfs.go:546 — it rescans the page text per span)."""
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    # offsets are in characters; for ascii-dominated corpora bytes==chars,
+    # but to stay exact under unicode use a python scan only when needed
+    if raw.size == len(text):
+        nl = np.nonzero(raw == 0x0A)[0]
+        return np.concatenate(([0], nl + 1))
+    starts = [0]
+    idx = text.find("\n")
+    while idx != -1:
+        starts.append(idx + 1)
+        idx = text.find("\n", idx + 1)
+    return np.asarray(starts, dtype=np.int64)
+
+
+def line_number(text: str, offset: int, starts: np.ndarray | None = None
+                ) -> tuple[int, str] | None:
     """1-offset line number + line text containing char ``offset``
     (lineNumber, search_pdfs.go:544-584)."""
     if offset < 0 or offset > len(text):
         return None
-    starts = [0]
-    for i, ch in enumerate(text):
-        if ch == "\n":
-            starts.append(i + 1)
-    ln = bisect.bisect_right(starts, offset) - 1
-    end = starts[ln + 1] - 1 if ln + 1 < len(starts) else len(text)
-    return ln + 1, text[starts[ln] : end]
+    if starts is None:
+        starts = line_starts(text)
+    ln = int(np.searchsorted(starts, offset, side="right")) - 1
+    end = int(starts[ln + 1]) - 1 if ln + 1 < len(starts) else len(text)
+    return ln + 1, text[int(starts[ln]) : end]
 
 
 @dataclass
@@ -177,6 +193,31 @@ class BM25Index:
         self.docs = pads.dataset(f"{index_dir}/docs", format="parquet")
         self.analyze = get_analyzer(self.manifest.analyzer)
         self._term_cache: dict[str, list[dict]] = {}
+        self._doc_rg_index: list[tuple[str, int, int, int]] | None = None
+        from collections import OrderedDict
+
+        self._analysis_cache: OrderedDict[int, list] = OrderedDict()
+        self._analysis_cache_max = 256
+
+    def _build_doc_rg_index(self) -> list[tuple[str, int, int, int]]:
+        """(file, row_group, min_doc_id, max_doc_id) from parquet footers —
+        read once, then every hit hydration touches only matching row
+        groups instead of stat-scanning the whole docs dataset (the
+        reference reopens per-doc files per hit and calls that slow,
+        bleve_pdf.go:482-484; this is the indexed version)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for frag in self.docs.get_fragments():
+            md = pq.ParquetFile(frag.path).metadata
+            idx = md.schema.to_arrow_schema().names.index("doc_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None:
+                    out.append((frag.path, rg, -(1 << 62), 1 << 62))
+                else:
+                    out.append((frag.path, rg, st.min, st.max))
+        return out
 
     # -- posting access ------------------------------------------------
 
@@ -300,14 +341,26 @@ class BM25Index:
         """Join hits against the docs table and build spans/lines — the
         hitToPdfMatch join (J1, search_pdfs.go:330-366).  Top-k is tiny,
         so this is a pushdown-filtered read, not a shuffle."""
+        import pyarrow.parquet as pq
+
         id_list = [int(i) for i in top_ids]
         cols = ["doc_id", "url"]
         has_text = "text" in self.docs.schema.names
         if has_text and with_spans:
             cols.append("text")
-        dtbl = self.docs.to_table(
-            filter=pc.field("doc_id").isin(id_list), columns=cols
-        )
+        if self._doc_rg_index is None:
+            self._doc_rg_index = self._build_doc_rg_index()
+        want = sorted(id_list)
+        parts = []
+        open_files: dict[str, pq.ParquetFile] = {}
+        for path, rg, lo, hi in self._doc_rg_index:
+            if any(lo <= d <= hi for d in want):
+                pf = open_files.get(path)
+                if pf is None:
+                    pf = open_files[path] = pq.ParquetFile(path)
+                t = pf.read_row_group(rg, columns=cols)
+                parts.append(t.filter(pc.is_in(t["doc_id"], value_set=pa.array(want))))
+        dtbl = pa.concat_tables(parts) if parts else self.docs.schema.empty_table().select(cols)
         meta: dict[int, tuple[str, str]] = {}
         texts = dtbl["text"].to_pylist() if (has_text and with_spans) else [""] * dtbl.num_rows
         for did, url, text in zip(dtbl["doc_id"].to_pylist(), dtbl["url"].to_pylist(), texts):
@@ -320,29 +373,40 @@ class BM25Index:
             m = Match(doc_id=did, url=url, score=sc)
             if with_spans and text:
                 term_locs: dict[str, list[tuple[int, int, int]]] = {}
-                if self.manifest.analyzer == "en":
-                    for tok in analyze_en(text):
-                        if tok.term in uniq_q:
-                            term_locs.setdefault(tok.term, []).append(
-                                (tok.position, tok.start, tok.end)
-                            )
-                else:
-                    pos = 0
-                    for i, term in enumerate(self.analyze(text)):
-                        pos += 1
-                        if term in uniq_q:
-                            term_locs.setdefault(term, []).append((pos, -1, -1))
+                for pos, term, start, end in self._doc_tokens(did, text):
+                    if term in uniq_q:
+                        term_locs.setdefault(term, []).append((pos, start, end))
                 phrases = best_phrases(q_terms, term_locs)
+                starts = line_starts(text) if phrases else None
                 for p in phrases:
                     m.spans.append(
                         {"start": p["start"], "end": p["end"], "score": float(p["score"])}
                     )
-                    ln = line_number(text, p["start"])
+                    ln = line_number(text, p["start"], starts)
                     if ln:
                         m.line_nums.append(ln[0])
                         m.lines.append(ln[1])
             matches.append(m)
         return matches
+
+    def _doc_tokens(self, doc_id: int, text: str) -> list[tuple[int, str, int, int]]:
+        """Analyzed (position, term, start, end) per doc, LRU-cached — the
+        hydration-side token stream used for span assembly."""
+        toks = self._analysis_cache.get(doc_id)
+        if toks is None:
+            if self.manifest.analyzer == "en":
+                toks = [(t.position, t.term, t.start, t.end) for t in analyze_en(text)]
+            else:
+                toks = [
+                    (i + 1, term, -1, -1)
+                    for i, term in enumerate(self.analyze(text))
+                ]
+            self._analysis_cache[doc_id] = toks
+            if len(self._analysis_cache) > self._analysis_cache_max:
+                self._analysis_cache.popitem(last=False)
+        else:
+            self._analysis_cache.move_to_end(doc_id)
+        return toks
 
     def search_to_table(self, query: str, max_results: int = DEFAULT_MAX_RESULTS,
                         with_spans: bool = True) -> pa.Table:

@@ -1,0 +1,117 @@
+"""Dedup suite tests: exact Jaccard oracle agreement, MinHash-LSH finds
+planted near-dups, SimHash hamming pairs, cluster correctness."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pdfsearch_ray.analysis.analyzer import analyze_simple
+from pdfsearch_ray.pipelines.dedup import (
+    MinHashBander,
+    _word_ngrams,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+    simhash_fingerprints,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the engineers "
+    "measure throughput in documents per second and latency in milliseconds "
+    "shuffle stages move blocks between workers while map stages stay local"
+)
+
+
+def _corpus():
+    # 0: base; 1: exact copy; 2: one word changed; 3: half the text;
+    # 4-9: unrelated
+    texts = [
+        BASE,
+        BASE,
+        BASE.replace("lazy", "sleepy"),
+        BASE[: len(BASE) // 2],
+        "completely different content about databases and storage engines",
+        "another unrelated document mentioning search ranking and scoring",
+        "short",
+        "",
+        "compression trades cpu for bytes and caching trades memory for time",
+        "correctness comes first performance comes second but both must ship",
+    ]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+
+
+def brute_jaccard(ta: str, tb: str, n=3) -> float:
+    sa = _word_ngrams(analyze_simple(ta), n)
+    sb = _word_ngrams(analyze_simple(tb), n)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    return rd.from_arrow(_corpus())
+
+
+def test_ngram_jaccard_exact(docs_ds):
+    got = ngram_jaccard_pairs(docs_ds, n=3, threshold=0.3).to_pandas()
+    texts = _corpus()["text"].to_pylist()
+    expected = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            j = brute_jaccard(texts[a], texts[b])
+            if j >= 0.3:
+                expected.append((a, b, round(j, 6)))
+    got_set = {(r.doc_a, r.doc_b, r.jaccard) for r in got.itertuples()}
+    assert got_set == set(expected)
+    assert (0, 1, 1.0) in got_set  # exact copy
+    assert any(a == 0 and b == 2 for a, b, _ in got_set)  # one-word edit
+
+
+def test_minhash_signature_estimates_jaccard():
+    b = MinHashBander(num_perm=256, bands=32)
+    s1 = b.signature(BASE)
+    s2 = b.signature(BASE.replace("lazy", "sleepy"))
+    est = float((s1 == s2).mean())
+    true = brute_jaccard(BASE, BASE.replace("lazy", "sleepy"))
+    assert abs(est - true) < 0.15
+    assert float((b.signature(BASE) == b.signature(BASE)).mean()) == 1.0
+
+
+def test_minhash_lsh_dedup_finds_planted(docs_ds):
+    out = minhash_lsh_dedup(docs_ds, threshold=0.5).to_pandas()
+    by_doc = dict(zip(out["doc_id"], out["keep_id"]))
+    # 0,1,2 form a near-dup cluster with representative 0
+    assert by_doc.get(0) == 0 and by_doc.get(1) == 0 and by_doc.get(2) == 0
+    # unrelated docs are not clustered with 0
+    for d in (4, 5, 8, 9):
+        assert by_doc.get(d, d) != 0 or d == 0
+
+
+def test_simhash_pairs(docs_ds):
+    fps = simhash_fingerprints(docs_ds).to_pandas()
+    assert len(fps) == 10
+    fp = dict(zip(fps["doc_id"], fps["simhash"]))
+    assert fp[0] == fp[1]  # identical docs, identical fingerprints
+    pairs = simhash_dup_pairs(docs_ds, max_hamming=6).to_pandas()
+    pset = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in pset
+    ham = dict(((a, b), h) for a, b, h in
+               zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"]))
+    assert ham[(0, 1)] == 0
+
+
+def test_exact_dedup_stage(ray_session):
+    from pdfsearch_ray.pipelines.build import dedup_exact
+
+    tbl = pa.table({
+        "doc_id": pa.array([3, 1, 2, 5], type=pa.int64()),
+        "hash": pa.array(["a", "a", "b", "b"], type=pa.string()),
+    })
+    out = dedup_exact(rd.from_arrow(tbl)).to_pandas().sort_values("hash")
+    assert out["doc_id"].tolist() == [1, 2]

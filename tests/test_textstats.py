@@ -1,0 +1,87 @@
+"""Text-analysis + similarity operator tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pdfsearch_ray.pipelines.textstats import (
+    LanguageId,
+    fingerprints,
+    language_id,
+    token_counts,
+)
+
+SAMPLES = {
+    "en": "the quick brown fox jumps over the lazy dog and the engineers "
+          "are being measured in the most careful of ways on this day",
+    "de": "der schnelle braune fuchs springt über den faulen hund und die "
+          "ingenieure werden an diesem tag sorgfältig gemessen und gewogen",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et les "
+          "ingénieurs sont mesurés avec soin les plus grands que la ville",
+}
+
+
+def test_language_id_classifier():
+    lid = LanguageId()
+    for lang, text in SAMPLES.items():
+        assert lid.classify(text) == lang, lang
+    assert lid.classify("") == "und"
+    assert lid.classify("zzz qqq 123") == "und"
+
+
+def test_language_id_pipeline(ray_session):
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array(list(SAMPLES.values()), type=pa.string()),
+    })
+    out = language_id(rd.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == list(SAMPLES.keys())
+
+
+def test_token_counts(ray_session):
+    texts = ["hello world", "it's a test-case with 123 numbers", ""]
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = token_counts(rd.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    assert out["n_ws_tokens"].tolist() == [len(t.split()) for t in texts]
+    assert out["n_bpe_pieces"].tolist()[0] == 2  # "hello", " world"
+    assert out["n_bpe_pieces"].tolist()[2] == 0
+
+
+def test_fingerprints_deterministic(ray_session):
+    texts = ["some document body", "some document body", "different body"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = fingerprints(rd.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    fps = out["fingerprint"].tolist()
+    chs = out["content_hash"].tolist()
+    assert fps[0] == fps[1] and chs[0] == chs[1]
+    assert chs[0] != chs[2]
+
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    from pdfsearch_ray.pipelines.queries import ann_cosine_topk
+    from pdfsearch_ray.pipelines.similarity import ann_lsh_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_cosine_topk(sf).to_pandas()
+    # the driver's embeddings are isotropic noise (no cluster structure),
+    # so LSH recall ≈ fraction of buckets probed; at nbits=4 multi-probe
+    # covers 5/16 of the space → expect ~0.3 recall, and exact sim values
+    # for every (query, vec) the approx path does return
+    approx = ann_lsh_topk(sf, nbits=4).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.15, recalls
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    if len(merged):
+        np.testing.assert_allclose(merged["sim_a"], merged["sim_e"], atol=2e-6)
