@@ -171,10 +171,16 @@ def build_index(
     store_text: bool = True,
     tokenize_concurrency: int | None = None,
     tokenize_batch_size: int = 256,
+    report=None,
 ) -> IndexManifest:
     """Build a BM25 inverted index at ``index_dir`` from a Parquet corpus
-    (or an already-constructed Dataset, e.g. the extract checkpoint)."""
+    (or an already-constructed Dataset, e.g. the extract checkpoint).
+
+    ``report``: optional ``fn(str)`` progress callback — the reference's
+    report hook (index_search.go:62-67, invoked per file at
+    index_pdfs.go:160-166); here invoked per stage."""
     t0 = time.time()
+    report = report or (lambda msg: None)
 
     def _load() -> rd.Dataset:
         if isinstance(source, rd.Dataset):
@@ -190,6 +196,7 @@ def build_index(
     )
     docs.sort("doc_id").write_parquet(f"{index_dir}/docs")
     t_docs = time.time()
+    report(f"docs catalog written in {t_docs - t0:.1f}s")
 
     # 2. corpus stats: N exact from docs; avgdl from (possibly sampled) pass
     n_docs = rd.read_parquet(f"{index_dir}/docs", columns=["doc_id"]).count()
@@ -199,6 +206,7 @@ def build_index(
                      batch_format="pyarrow")
         .to_pandas()
     )
+    report("corpus stats pass done")
     total_dl = int(stats["total_dl"].sum())
     n_sampled = int(stats["n_docs"].sum())
     avgdl = (total_dl / n_sampled) if n_sampled else 1.0
@@ -241,6 +249,10 @@ def build_index(
     postings = tokens.groupby("bucket").map_groups(_encode, batch_format="pyarrow")
     postings.write_parquet(f"{index_dir}/postings")
     t_post = time.time()
+    report(
+        f"postings written in {t_post - t_hot:.1f}s "
+        f"({int(n_docs) / max(t_post - t0, 1e-9):.0f} docs/sec overall)"
+    )
 
     manifest = IndexManifest(
         n_docs=int(n_docs),

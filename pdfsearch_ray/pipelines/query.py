@@ -378,6 +378,13 @@ class BM25Index:
                         term_locs.setdefault(term, []).append((pos, start, end))
                 phrases = best_phrases(q_terms, term_locs)
                 starts = line_starts(text) if phrases else None
+                if phrases:
+                    from ..functions.collections import truncate
+
+                    first = phrases[0]
+                    m.fragment = truncate(
+                        text[first["start"] : first["end"] + 160], 200
+                    )
                 for p in phrases:
                     m.spans.append(
                         {"start": p["start"], "end": p["end"], "score": float(p["score"])}
@@ -389,6 +396,10 @@ class BM25Index:
             matches.append(m)
         return matches
 
+    def doc_count(self) -> int:
+        """Global index cardinality (DocCount analog, index_pdfs.go:99)."""
+        return self.manifest.n_docs
+
     def _doc_tokens(self, doc_id: int, text: str) -> list[tuple[int, str, int, int]]:
         """Analyzed (position, term, start, end) per doc, LRU-cached — the
         hydration-side token stream used for span assembly."""
@@ -397,9 +408,15 @@ class BM25Index:
             if self.manifest.analyzer == "en":
                 toks = [(t.position, t.term, t.start, t.end) for t in analyze_en(text)]
             else:
+                # simple chain: offsets from finditer over the lowered text
+                # (str.lower is length-preserving for this corpus domain)
+                import re as _re
+
                 toks = [
-                    (i + 1, term, -1, -1)
-                    for i, term in enumerate(self.analyze(text))
+                    (i + 1, m.group(), m.start(), m.end())
+                    for i, m in enumerate(
+                        _re.finditer(r"[a-z0-9]+", text.lower())
+                    )
                 ]
             self._analysis_cache[doc_id] = toks
             if len(self._analysis_cache) > self._analysis_cache_max:

@@ -65,15 +65,18 @@ class _TextExtractor(HTMLParser):
         return "\n".join(self.lines)
 
 
-def extract_text(html_bytes: bytes) -> str:
-    """Deterministic HTML→text; errors yield "" (skip-and-count semantics,
-    index_pdfs.go:108-113 continueOnFailure)."""
+def extract_text(html_bytes: bytes, strict: bool = False) -> str:
+    """Deterministic HTML→text.  Non-strict: errors yield "" and the row
+    is skipped-and-counted (continueOnFailure, index_pdfs.go:108-113);
+    strict: re-raise (ExposeErrors analog, index_search.go:190-194)."""
     try:
         p = _TextExtractor()
         p.feed(html_bytes.decode("utf-8", errors="replace"))
         p.close()
         return p.text()
     except Exception:
+        if strict:
+            raise
         return ""
 
 
@@ -85,8 +88,11 @@ class HtmlExtractor:
     (partition_id << 32) | row — the "%04X.%d" docID generalization
     (bleve_pdf.go:57)."""
 
-    def __init__(self, lang_allow: tuple[str, ...] | None = ("en",)):
+    def __init__(self, lang_allow: tuple[str, ...] | None = ("en",),
+                 strict: bool = False):
         self.lang_allow = set(lang_allow) if lang_allow else None
+        self.strict = strict
+        self.n_errors = 0  # skip-and-count (A7-style counter)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.hashing import content_hash
@@ -101,8 +107,9 @@ class HtmlExtractor:
         for url, html, lang, pid, row in zip(urls, htmls, langs, pids, rows):
             if self.lang_allow is not None and lang not in self.lang_allow:
                 continue  # corpus filter (M12 CleanCorpus analog)
-            text = extract_text(html) if html else ""
+            text = extract_text(html, self.strict) if html else ""
             if not text:
+                self.n_errors += 1
                 continue  # empty-page filter (bleve_pdf.go:309-312)
             out["doc_id"].append((pid << 32) | row)
             out["url"].append(url)
