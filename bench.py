@@ -29,10 +29,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 BENCH_ROOT = "/tmp/pdfsearch_bench"
-CORPUS_DIR = f"{BENCH_ROOT}/pages60k"
-CORPUS_ROWS = 60_000
-CORPUS_DOC_WORDS = 120
+CORPUS_DIR = f"{BENCH_ROOT}/pages120k"
+CORPUS_ROWS = 120_000
+CORPUS_DOC_WORDS = 150
 QUERY_REPEATS = 5
+# The workload must be IDENTICAL at every parallelism level (the scaling
+# criterion compares them), so shuffle width is fixed, not ncpu-derived.
+NUM_BUCKETS = 64
 
 
 def ensure_corpus() -> str:
@@ -42,8 +45,10 @@ def ensure_corpus() -> str:
     shutil.rmtree(CORPUS_DIR, ignore_errors=True)
     from pdfsearch_ray.fixtures.gen import write_pages
 
+    # bigger partitions (2500 rows/row-group): per-task work must dominate
+    # Ray's per-task overhead or the scaling measurement measures overhead
     write_pages(CORPUS_DIR, CORPUS_ROWS, doc_len_words=CORPUS_DOC_WORDS,
-                rows_per_file=5000, row_group_size=1000)
+                rows_per_file=10_000, row_group_size=2500)
     Path(marker).touch()
     return CORPUS_DIR
 
@@ -79,10 +84,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         resume=False, dedup=True,
         sample_rate=0.1,       # sampled avgdl: the at-scale configuration
         auto_salt=True,
-        num_buckets=max(64, ncpu * 4),
+        num_buckets=NUM_BUCKETS,
+        extract_concurrency=min(48, ncpu),
+        tokenize_concurrency=max(1, ncpu - 2),
+        tokenize_batch_size=512,
     )
     build_sec = time.perf_counter() - t0
-    results["build_pages60k"] = round(build_sec, 3)
+    results["build_pages"] = round(build_sec, 3)
     n_docs = manifest.n_docs
 
     # query latency over the reference query set
@@ -110,7 +118,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
 
     total = round(sum(results.values()), 3)
     return {
-        "metric": "pages60k_build+query+sf_pipelines",
+        "metric": "pages_build+query+sf_pipelines",
         "value": total,
         "unit": "sec",
         "queries": results,
@@ -144,8 +152,8 @@ def main():
             "value": round(eff, 3),
             "unit": "ratio",
             "queries": {
-                f"build_sec_{lo}cpu": r_lo["queries"]["build_pages60k"],
-                f"build_sec_{hi}cpu": r_hi["queries"]["build_pages60k"],
+                f"build_sec_{lo}cpu": r_lo["queries"]["build_pages"],
+                f"build_sec_{hi}cpu": r_hi["queries"]["build_pages"],
                 f"docs_per_sec_{lo}cpu": thr_lo,
                 f"docs_per_sec_{hi}cpu": thr_hi,
             },

@@ -223,18 +223,21 @@ def build_index(
     hot_terms = hot_terms or {}
     t_hot = time.time()
 
-    # 4. tokenize → bucket groupby → encode → write postings
+    # 4. tokenize (combined segments) → bucket groupby → encode → write.
+    # combine=True is the combiner: one (term, salt) segment row per batch
+    # instead of one row per (doc, term), shrinking the shuffle by ~the
+    # batch size for head terms (SURVEY §4: pre-aggregate before groupby).
     tokenizer_kwargs: dict[str, Any] = dict(
         analyzer=analyzer, text_col=text_col, id_col=id_col,
         num_buckets=num_buckets, hot_terms=hot_terms,
-        with_positions=with_positions,
+        with_positions=with_positions, combine=True,
     )
     if tokenize_concurrency is None:
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        # autoscaling actor pool; leave headroom for read + shuffle stages
-        tokenize_concurrency = (1, max(1, ncpu - 2))
+        # fixed-size actor pool; leave headroom for read + shuffle stages
+        tokenize_concurrency = max(1, ncpu - 2)
     tokens = _load().map_batches(
         Tokenizer,
         fn_constructor_kwargs=tokenizer_kwargs,
@@ -243,8 +246,13 @@ def build_index(
         concurrency=tokenize_concurrency,
     )
 
+    from ..index.build_blocks import encode_bucket_segments
+
     def _encode(group: pa.Table) -> pa.Table:
-        return encode_bucket(group, k1=k1, b=b, avgdl=avgdl, block_size=block_size)
+        return encode_bucket_segments(
+            group, k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+            with_positions=with_positions,
+        )
 
     postings = tokens.groupby("bucket").map_groups(_encode, batch_format="pyarrow")
     postings.write_parquet(f"{index_dir}/postings")

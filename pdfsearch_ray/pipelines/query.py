@@ -222,6 +222,10 @@ class BM25Index:
     # -- posting access ------------------------------------------------
 
     def _load_terms(self, terms: list[str]) -> None:
+        """Fetch posting-block rows for terms (bucket- and row-group-pruned
+        parquet read).  Blocks stay ENCODED until a scorer touches them —
+        block-max pruning must be able to skip a block without paying its
+        decode."""
         missing = [t for t in terms if t not in self._term_cache]
         if not missing:
             return
@@ -241,43 +245,66 @@ class BM25Index:
                            ("block_id", "ascending")])
         terms_np = tbl["term"].to_pylist()
         for i in range(tbl.num_rows):
-            n = tbl["n"][i].as_py()
-            first = np.uint64(tbl["first_doc"][i].as_py())
-            gaps = varint_decode(tbl["doc_blob"][i].as_py(), count=n - 1)
-            ids = np.empty(n, dtype=np.uint64)
-            ids[0] = first
-            if n > 1:
-                np.cumsum(gaps, out=ids[1:])
-                ids[1:] += first
             blk = {
-                "ids": ids,
-                "tf": varint_decode(tbl["tf_blob"][i].as_py(), count=n),
-                "dl": varint_decode(tbl["dl_blob"][i].as_py(), count=n),
+                "salt": tbl["salt"][i].as_py(),
+                "first_doc": tbl["first_doc"][i].as_py(),
+                "n": tbl["n"][i].as_py(),
+                "doc_blob": tbl["doc_blob"][i].as_py(),
+                "tf_blob": tbl["tf_blob"][i].as_py(),
+                "dl_blob": tbl["dl_blob"][i].as_py(),
                 "pos_blob": tbl["pos_blob"][i].as_py(),
                 "max_wdl": tbl["max_wdl"][i].as_py(),
             }
             self._term_cache[terms_np[i]].append(blk)
 
+    def _decode_block(self, blk: dict, idf: float) -> dict:
+        """Decode a posting block in place (memoized): ids, per-posting
+        BM25 contribution (idf × wdl)."""
+        if "ids" not in blk:
+            m = self.manifest
+            n = blk["n"]
+            first = np.uint64(blk["first_doc"])
+            gaps = varint_decode(blk["doc_blob"], count=n - 1)
+            ids = np.empty(n, dtype=np.uint64)
+            ids[0] = first
+            if n > 1:
+                np.cumsum(gaps, out=ids[1:])
+                ids[1:] += first
+            tf = varint_decode(blk["tf_blob"], count=n)
+            dl = varint_decode(blk["dl_blob"], count=n)
+            blk["ids"] = ids
+            blk["tf"] = tf
+            blk["dl"] = dl
+            blk["scores"] = idf * bm25_wdl(tf, dl, m.k1, m.b, m.avgdl)
+        return blk
+
     def _term_df(self, term: str) -> int:
-        return sum(len(b["ids"]) for b in self._term_cache.get(term, ()))
+        return sum(b["n"] for b in self._term_cache.get(term, ()))
+
+    def _idf(self, term: str) -> float:
+        df = self._term_df(term)
+        if df == 0:
+            return 0.0
+        m = self.manifest
+        return float(np.log(1.0 + (m.n_docs - df + 0.5) / (df + 0.5)))
 
     # -- scoring -------------------------------------------------------
 
     def _score(self, uniq_terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """Exact TAAT disjunctive scoring → (doc_ids, scores)."""
-        m = self.manifest
+        """Exact TAAT disjunctive scoring → (doc_ids, scores).  Exhaustive:
+        used when exact total-match counts are required and for the test
+        oracle; decodes every block of every query term."""
         id_parts: list[np.ndarray] = []
         sc_parts: list[np.ndarray] = []
         for t in uniq_terms:
             blocks = self._term_cache.get(t, [])
-            df = sum(len(b["ids"]) for b in blocks)
-            if df == 0:
+            idf = self._idf(t)
+            if idf == 0.0:
                 continue
-            idf = float(np.log(1.0 + (m.n_docs - df + 0.5) / (df + 0.5)))
             for b in blocks:
-                w = bm25_wdl(b["tf"], b["dl"], m.k1, m.b, m.avgdl)
+                self._decode_block(b, idf)
                 id_parts.append(b["ids"])
-                sc_parts.append(idf * w)
+                sc_parts.append(b["scores"])
         if not id_parts:
             return np.empty(0, dtype=np.uint64), np.empty(0)
         all_ids = np.concatenate(id_parts)
@@ -287,6 +314,128 @@ class BM25Index:
         np.add.at(scores, inv, all_sc)
         return uniq, scores
 
+    def _score_maxscore(
+        self, uniq_terms: list[str], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max MaxScore top-k (doc-at-a-time with pruning).
+
+        Scoring units are (term, salt) RUNS: a salted hot term's postings
+        are S independent docID-sorted runs (stages/tokenize.py) and a doc
+        lives in exactly one, so each run is an independent disjunct with
+        upper bound idf × max(block max_wdl).  Runs are sorted by bound;
+        once the heap holds k docs with threshold θ, runs whose cumulative
+        bound prefix ≤ θ become non-essential: they are only probed by
+        binary search (block firsts → block, decode on demand) for docs
+        surfaced by the essential runs, and probing stops early when the
+        remaining bound cannot lift a doc above θ.  Skipped blocks are
+        never decoded (the point of the per-block max_wdl metadata).
+
+        Produces the same top-k, scores and tie order as exhaustive TAAT
+        (doc order is ascending, so a later doc can never displace an
+        equal-scored incumbent under the (score desc, doc_id asc) rule);
+        does NOT produce total-match counts.
+        """
+        import heapq
+
+        runs = []
+        for t in uniq_terms:
+            blocks = self._term_cache.get(t, [])
+            idf = self._idf(t)
+            if idf == 0.0:
+                continue
+            # group blocks into salt runs (blocks arrive salt-major)
+            by_salt: dict[int, list[dict]] = {}
+            for b in blocks:
+                by_salt.setdefault(b["salt"], []).append(b)
+            for salt, bl in by_salt.items():
+                firsts = np.array([b["first_doc"] for b in bl], dtype=np.int64)
+                ub = idf * max(b["max_wdl"] for b in bl)
+                runs.append({"idf": idf, "blocks": bl, "firsts": firsts, "ub": ub})
+        if not runs:
+            return np.empty(0, dtype=np.uint64), np.empty(0)
+
+        runs.sort(key=lambda r: r["ub"])
+        prefix = np.cumsum([r["ub"] for r in runs])
+        total_ub = float(prefix[-1])
+
+        # cursors: (block_idx, offset) per run; None = exhausted
+        cursors = [[0, 0] for _ in runs]
+
+        def cur_doc(ri: int) -> int | None:
+            c = cursors[ri]
+            if c is None:
+                return None
+            blk = runs[ri]["blocks"][c[0]]
+            self._decode_block(blk, runs[ri]["idf"])
+            return int(blk["ids"][c[1]])
+
+        def advance(ri: int) -> None:
+            c = cursors[ri]
+            blocks = runs[ri]["blocks"]
+            c[1] += 1
+            if c[1] >= blocks[c[0]]["n"]:
+                c[0] += 1
+                c[1] = 0
+                if c[0] >= len(blocks):
+                    cursors[ri] = None
+
+        def probe(ri: int, d: int) -> float:
+            """Binary-search run ri for doc d; 0.0 if absent."""
+            r = runs[ri]
+            bi = int(np.searchsorted(r["firsts"], d, side="right")) - 1
+            if bi < 0:
+                return 0.0
+            blk = self._decode_block(r["blocks"][bi], r["idf"])
+            j = int(np.searchsorted(blk["ids"], np.uint64(d)))
+            if j < blk["n"] and int(blk["ids"][j]) == d:
+                return float(blk["scores"][j])
+            return 0.0
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id): top = worst
+        theta = 0.0
+        n_runs = len(runs)
+        boundary = 0  # runs[:boundary] are non-essential
+
+        while True:
+            if boundary >= n_runs or total_ub <= theta:
+                break
+            # next candidate = min current doc over essential runs
+            d = None
+            for ri in range(boundary, n_runs):
+                cd = cur_doc(ri)
+                if cd is not None and (d is None or cd < d):
+                    d = cd
+            if d is None:
+                break
+            score = 0.0
+            for ri in range(boundary, n_runs):
+                if cursors[ri] is not None:
+                    c = cursors[ri]
+                    blk = runs[ri]["blocks"][c[0]]
+                    if int(blk["ids"][c[1]]) == d:
+                        score += float(blk["scores"][c[1]])
+                        advance(ri)
+            # probe non-essential runs, best bound first, early exit
+            rem = float(prefix[boundary - 1]) if boundary > 0 else 0.0
+            for ri in range(boundary - 1, -1, -1):
+                if score + rem <= theta:
+                    break
+                contrib = probe(ri, d)
+                score += contrib
+                rem -= runs[ri]["ub"]
+            if len(heap) < k:
+                heapq.heappush(heap, (score, -d))
+            elif score > heap[0][0]:
+                heapq.heapreplace(heap, (score, -d))
+            if len(heap) >= k and heap[0][0] > theta:
+                theta = heap[0][0]
+                boundary = int(np.searchsorted(prefix, theta, side="right"))
+
+        out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+        ids = np.array([d for _, d in out], dtype=np.uint64)
+        scores = np.array([s for s, _ in out])
+        return ids, scores
+
     # -- public API ----------------------------------------------------
 
     def search(
@@ -295,8 +444,13 @@ class BM25Index:
         max_results: int = DEFAULT_MAX_RESULTS,
         with_spans: bool = True,
         apply_best: bool = False,
+        method: str = "taat",
     ) -> MatchSet:
-        """Analyzed OR-of-terms BM25 top-k (SearchBleveIndex analog)."""
+        """Analyzed OR-of-terms BM25 top-k (SearchBleveIndex analog).
+
+        ``method``: "taat" (exhaustive, exact total_matches — the oracle
+        path) or "maxscore" (block-max pruned top-k, same ranks/scores,
+        total_matches reported as -1/unknown — the scale path)."""
         import time as _time
 
         t0 = _time.perf_counter()
@@ -306,6 +460,16 @@ class BM25Index:
             q_terms = self.analyze(query)
         uniq_terms = sorted(set(q_terms))
         self._load_terms(uniq_terms)
+        if method == "maxscore":
+            top_i, top_s = self._score_maxscore(uniq_terms, max(max_results, 1))
+            result = MatchSet()
+            result.total_matches = -1 if top_i.size else 0
+            if top_i.size and max_results > 0:
+                result.matches = self._hydrate(
+                    q_terms, top_i[:max_results], top_s[:max_results], with_spans
+                )
+            result.search_duration = _time.perf_counter() - t0
+            return result.best() if apply_best else result
         ids, scores = self._score(uniq_terms)
 
         result = MatchSet()

@@ -41,6 +41,7 @@ class Tokenizer:
         num_buckets: int = DEFAULT_NUM_BUCKETS,
         hot_terms: dict[str, int] | None = None,
         with_positions: bool = True,
+        combine: bool = False,
     ):
         self.analyze = get_analyzer(analyzer)
         self.analyzer_name = analyzer
@@ -49,6 +50,10 @@ class Tokenizer:
         self.num_buckets = num_buckets
         self.hot_terms = hot_terms or {}
         self.with_positions = with_positions
+        # combine=True emits ONE segment row per (term, salt) per batch
+        # (docs/tfs/dls/positions as list columns) — the combiner that
+        # shrinks the posting shuffle by ~batch_size for head terms.
+        self.combine = combine
         self._bucket_cache: dict[str, int] = {}
         self.version = ANALYZER_VERSION
 
@@ -76,6 +81,8 @@ class Tokenizer:
         en = self.analyzer_name == "en"
         if en:
             from ..analysis.analyzer import analyze_en
+        # combine mode: (term, salt) → [doc_ids, tfs, dls, flat_positions, pos_lens]
+        seg: dict[tuple[str, int], list[list[int]]] = {}
         for text, doc_id in zip(texts, doc_ids):
             if not text:
                 continue  # empty-page filter (bleve_pdf.go:309-312)
@@ -92,15 +99,50 @@ class Tokenizer:
             if dl == 0:
                 continue
             salt_base = int(mix64(np.asarray([doc_id], dtype=np.uint64))[0])
-            for term, positions in agg.items():
-                out_term.append(term)
-                out_doc.append(int(doc_id))
-                out_tf.append(len(positions))
-                out_dl.append(dl)
-                out_pos.append(positions if self.with_positions else [])
-                s = hot.get(term, 0)
-                out_salt.append(salt_base % s if s else 0)
-                out_bucket.append(self._bucket(term))
+            if self.combine:
+                for term, positions in agg.items():
+                    s = hot.get(term, 0)
+                    key = (term, salt_base % s if s else 0)
+                    e = seg.get(key)
+                    if e is None:
+                        e = seg[key] = [[], [], [], [], []]
+                    e[0].append(int(doc_id))
+                    e[1].append(len(positions))
+                    e[2].append(dl)
+                    if self.with_positions:
+                        e[3].extend(positions)
+                    e[4].append(len(positions) if self.with_positions else 0)
+            else:
+                for term, positions in agg.items():
+                    out_term.append(term)
+                    out_doc.append(int(doc_id))
+                    out_tf.append(len(positions))
+                    out_dl.append(dl)
+                    out_pos.append(positions if self.with_positions else [])
+                    s = hot.get(term, 0)
+                    out_salt.append(salt_base % s if s else 0)
+                    out_bucket.append(self._bucket(term))
+
+        if self.combine:
+            keys = sorted(seg.keys())
+            return pa.table(
+                {
+                    "term": pa.array([k[0] for k in keys], type=pa.string()),
+                    "salt": pa.array([k[1] for k in keys], type=pa.int32()),
+                    "bucket": pa.array([self._bucket(k[0]) for k in keys],
+                                       type=pa.int32()),
+                    "seg_docs": pa.array([seg[k][0] for k in keys],
+                                         type=pa.list_(pa.int64())),
+                    "seg_tfs": pa.array([seg[k][1] for k in keys],
+                                        type=pa.list_(pa.uint32())),
+                    "seg_dls": pa.array([seg[k][2] for k in keys],
+                                        type=pa.list_(pa.uint32())),
+                    "seg_pos": pa.array([seg[k][3] for k in keys],
+                                        type=pa.list_(pa.uint32())),
+                    "seg_pos_lens": pa.array([seg[k][4] for k in keys],
+                                             type=pa.list_(pa.uint32())),
+                }
+            )
 
         return pa.table(
             {
