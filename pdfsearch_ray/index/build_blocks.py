@@ -19,9 +19,15 @@ Two input shapes:
   batch size for head terms — the pre-aggregation the reference
   approximates with its 100-page bleve batches (bleve_pdf.go:64).
 
-Both produce identical output: final doc order per (term, salt) is the
-global doc_id sort, so the index is bit-identical whichever path built it
-(determinism contract, SURVEY §7.1).
+Both normalize to flat per-posting arrays and share one fully-vectorized
+encoder: the WHOLE bucket is varint-encoded in four passes (doc gaps with
+per-block restarts, tf, dl, positions) and every block's payload is a
+byte slice — no per-run or per-posting encode calls.  Zipf tails make
+most (term, salt) runs singletons, so anything per-run in Python is the
+bottleneck at web scale.
+
+Output doc order per (term, salt) is the global doc_id sort, so the index
+is bit-identical whichever input shape built it (SURVEY §7.1 determinism).
 """
 
 from __future__ import annotations
@@ -30,70 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codec import BLOCK_SIZE, bm25_wdl, encode_positions, varint_encode
-
-
-class _BlockWriter:
-    """Accumulates posting-block output rows."""
-
-    def __init__(self, bucket: int, k1: float, b: float, avgdl: float,
-                 block_size: int):
-        self.bucket = bucket
-        self.k1, self.b, self.avgdl = k1, b, avgdl
-        self.block_size = block_size
-        self.o_bucket: list[int] = []
-        self.o_term: list[str] = []
-        self.o_salt: list[int] = []
-        self.o_block: list[int] = []
-        self.o_first: list[int] = []
-        self.o_n: list[int] = []
-        self.o_doc: list[bytes] = []
-        self.o_tf: list[bytes] = []
-        self.o_dl: list[bytes] = []
-        self.o_pos: list[bytes] = []
-        self.o_max: list[float] = []
-
-    def emit_run(self, term: str, salt: int, ids: np.ndarray, tfs: np.ndarray,
-                 dls: np.ndarray, plists: list[np.ndarray] | None) -> None:
-        """ids must be sorted ascending; one run = one (term, salt)."""
-        wdl = bm25_wdl(tfs, dls, self.k1, self.b, self.avgdl)
-        bs = self.block_size
-        for lo in range(0, ids.size, bs):
-            hi = min(lo + bs, ids.size)
-            blk_ids = ids[lo:hi]
-            deltas = np.empty(blk_ids.size, dtype=np.uint64)
-            deltas[0] = 0
-            np.subtract(blk_ids[1:], blk_ids[:-1], out=deltas[1:])
-            self.o_bucket.append(self.bucket)
-            self.o_term.append(term)
-            self.o_salt.append(salt)
-            self.o_block.append(lo // bs)
-            self.o_first.append(int(blk_ids[0]))
-            self.o_n.append(hi - lo)
-            self.o_doc.append(varint_encode(deltas[1:]))
-            self.o_tf.append(varint_encode(tfs[lo:hi]))
-            self.o_dl.append(varint_encode(dls[lo:hi]))
-            self.o_pos.append(
-                encode_positions(plists[lo:hi]) if plists is not None else b""
-            )
-            self.o_max.append(float(wdl[lo:hi].max()))
-
-    def table(self) -> pa.Table:
-        return pa.table(
-            {
-                "bucket": pa.array(self.o_bucket, type=pa.int32()),
-                "term": pa.array(self.o_term, type=pa.string()),
-                "salt": pa.array(self.o_salt, type=pa.int32()),
-                "block_id": pa.array(self.o_block, type=pa.int32()),
-                "first_doc": pa.array(self.o_first, type=pa.int64()),
-                "n": pa.array(self.o_n, type=pa.int32()),
-                "doc_blob": pa.array(self.o_doc, type=pa.large_binary()),
-                "tf_blob": pa.array(self.o_tf, type=pa.large_binary()),
-                "dl_blob": pa.array(self.o_dl, type=pa.large_binary()),
-                "pos_blob": pa.array(self.o_pos, type=pa.large_binary()),
-                "max_wdl": pa.array(self.o_max, type=pa.float32()),
-            }
-        )
+from .codec import BLOCK_SIZE, bm25_wdl, encode_positions_run, varint_encode_offsets
 
 
 def _empty() -> pa.Table:
@@ -102,9 +45,85 @@ def _empty() -> pa.Table:
     return POSTINGS.empty_table()
 
 
-def _list_parts(col: pa.ChunkedArray | pa.ListArray):
+def _list_parts(col):
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return col.offsets.to_numpy(), col.values.to_numpy()
+
+
+def _encode_flat(
+    bucket: int,
+    run_terms: np.ndarray,      # term string per run
+    run_salts: np.ndarray,      # salt per run
+    run_of_post: np.ndarray,    # run index per posting (grouped ascending)
+    ids: np.ndarray,            # doc ids, sorted within each run
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_flat: np.ndarray | None,
+    pos_lens: np.ndarray | None,
+    *,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int,
+) -> pa.Table:
+    n = ids.size
+    if n == 0:
+        return _empty()
+
+    run_change = np.ones(n, dtype=bool)
+    run_change[1:] = run_of_post[1:] != run_of_post[:-1]
+    run_start_idx = np.nonzero(run_change)[0]
+    run_lens = np.diff(np.append(run_start_idx, n))
+    run_start_of = np.repeat(run_start_idx, run_lens)
+    rel = np.arange(n, dtype=np.int64) - run_start_of
+    is_bstart = (rel % block_size) == 0
+    bstarts = np.nonzero(is_bstart)[0]
+    bends = np.append(bstarts[1:], n)
+
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[bstarts] = 0  # per-block restart; first doc stored absolute
+
+    doc_bytes, doc_off = varint_encode_offsets(gaps)
+    tf_bytes, tf_off = varint_encode_offsets(tfs)
+    dl_bytes, dl_off = varint_encode_offsets(dls)
+    with_pos = pos_flat is not None
+    if with_pos:
+        pos_bytes, pos_off = encode_positions_run(pos_flat, pos_lens)
+
+    wdl = bm25_wdl(tfs, dls, k1, b, avgdl)
+    bmax = np.maximum.reduceat(wdl, bstarts)
+
+    blk_run = run_of_post[bstarts]
+    blk_id = (rel[bstarts] // block_size).astype(np.int64)
+    blk_first = ids[bstarts].astype(np.int64)
+    blk_n = (bends - bstarts).astype(np.int64)
+
+    nb = bstarts.size
+    o_doc = [doc_bytes[doc_off[s] + 1 : doc_off[e]] for s, e in zip(bstarts, bends)]
+    o_tf = [tf_bytes[tf_off[s] : tf_off[e]] for s, e in zip(bstarts, bends)]
+    o_dl = [dl_bytes[dl_off[s] : dl_off[e]] for s, e in zip(bstarts, bends)]
+    if with_pos:
+        o_pos = [pos_bytes[pos_off[s] : pos_off[e]] for s, e in zip(bstarts, bends)]
+    else:
+        o_pos = [b""] * nb
+
+    return pa.table(
+        {
+            "bucket": pa.array(np.full(nb, bucket, dtype=np.int32)),
+            "term": pa.array(run_terms[blk_run], type=pa.string()),
+            "salt": pa.array(run_salts[blk_run].astype(np.int32)),
+            "block_id": pa.array(blk_id.astype(np.int32)),
+            "first_doc": pa.array(blk_first),
+            "n": pa.array(blk_n.astype(np.int32)),
+            "doc_blob": pa.array(o_doc, type=pa.large_binary()),
+            "tf_blob": pa.array(o_tf, type=pa.large_binary()),
+            "dl_blob": pa.array(o_dl, type=pa.large_binary()),
+            "pos_blob": pa.array(o_pos, type=pa.large_binary()),
+            "max_wdl": pa.array(bmax.astype(np.float32)),
+        }
+    )
 
 
 def encode_bucket(
@@ -122,35 +141,32 @@ def encode_bucket(
 
     order = pc.sort_indices(
         group,
-        sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")],
+        sort_keys=[("term", "ascending"), ("salt", "ascending"),
+                   ("doc_id", "ascending")],
     )
     t = group.take(order).combine_chunks()
 
-    salts = t["salt"].to_numpy()
-    doc_ids = t["doc_id"].to_numpy()
-    tfs = t["tf"].to_numpy().astype(np.uint64)
-    dls = t["dl"].to_numpy().astype(np.uint64)
-    bucket = int(t["bucket"][0].as_py())
-    pos_offsets, pos_values = _list_parts(t["positions"])
-    pos_values = pos_values.astype(np.uint64)
-
     term_np = t["term"].to_numpy(zero_copy_only=False)
+    salts = t["salt"].to_numpy()
     n = len(term_np)
     change = np.ones(n, dtype=bool)
     change[1:] = (term_np[1:] != term_np[:-1]) | (salts[1:] != salts[:-1])
-    run_starts = np.nonzero(change)[0]
-    run_ends = np.append(run_starts[1:], n)
+    run_of_post = np.cumsum(change) - 1
+    run_first = np.nonzero(change)[0]
 
-    w = _BlockWriter(bucket, k1, b, avgdl, block_size)
-    for rs, re_ in zip(run_starts, run_ends):
-        plists = [
-            pos_values[pos_offsets[i] : pos_offsets[i + 1]] for i in range(rs, re_)
-        ]
-        w.emit_run(
-            term_np[rs], int(salts[rs]),
-            doc_ids[rs:re_].astype(np.uint64), tfs[rs:re_], dls[rs:re_], plists,
-        )
-    return w.table()
+    pos_offsets, pos_values = _list_parts(t["positions"])
+    return _encode_flat(
+        int(t["bucket"][0].as_py()),
+        term_np[run_first],
+        salts[run_first],
+        run_of_post,
+        t["doc_id"].to_numpy().astype(np.uint64),
+        t["tf"].to_numpy().astype(np.uint64),
+        t["dl"].to_numpy().astype(np.uint64),
+        pos_values.astype(np.uint64),
+        np.diff(pos_offsets).astype(np.int64),
+        k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+    )
 
 
 def encode_bucket_segments(
@@ -174,42 +190,60 @@ def encode_bucket_segments(
     )
     t = group.take(order).combine_chunks()
 
-    salts = t["salt"].to_numpy()
-    bucket = int(t["bucket"][0].as_py())
     term_np = t["term"].to_numpy(zero_copy_only=False)
+    salts = t["salt"].to_numpy()
+    n_rows = t.num_rows
+    row_change = np.ones(n_rows, dtype=bool)
+    row_change[1:] = (term_np[1:] != term_np[:-1]) | (salts[1:] != salts[:-1])
+    run_of_row = np.cumsum(row_change) - 1
+    run_first_row = np.nonzero(row_change)[0]
 
     d_off, d_val = _list_parts(t["seg_docs"])
     tf_off, tf_val = _list_parts(t["seg_tfs"])
     dl_off, dl_val = _list_parts(t["seg_dls"])
-    pl_off, pl_val = _list_parts(t["seg_pos_lens"])
-    p_off, p_val = _list_parts(t["seg_pos"])
-    p_val = p_val.astype(np.uint64)
+    row_counts = np.diff(d_off).astype(np.int64)
+    run_of_post = np.repeat(run_of_row, row_counts)
 
-    # per-posting start offset into the flat position values, row-major:
-    # row r's positions occupy p_off[r]..p_off[r+1]; within the row, doc j
-    # starts at p_off[r] + sum(lens[:j])
-    n_rows = t.num_rows
-    change = np.ones(n_rows, dtype=bool)
-    change[1:] = (term_np[1:] != term_np[:-1]) | (salts[1:] != salts[:-1])
-    run_starts = np.nonzero(change)[0]
-    run_ends = np.append(run_starts[1:], n_rows)
+    ids = d_val.astype(np.uint64)
+    # sort postings by (run, doc_id); segments already grouped by run, so
+    # a stable sort on doc within run = lexsort
+    ordr = np.lexsort((ids, run_of_post))
+    ids = ids[ordr]
+    tfs = tf_val.astype(np.uint64)[ordr]
+    dls = dl_val.astype(np.uint64)[ordr]
+    run_of_post = run_of_post[ordr]
 
-    w = _BlockWriter(bucket, k1, b, avgdl, block_size)
-    for rs, re_ in zip(run_starts, run_ends):
-        ids = d_val[d_off[rs] : d_off[re_]].astype(np.uint64)
-        tfs = tf_val[tf_off[rs] : tf_off[re_]].astype(np.uint64)
-        dls = dl_val[dl_off[rs] : dl_off[re_]].astype(np.uint64)
-        ordr = np.argsort(ids, kind="stable")
-        ids, tfs, dls = ids[ordr], tfs[ordr], dls[ordr]
-        plists = None
-        if with_positions:
-            lens = pl_val[pl_off[rs] : pl_off[re_]].astype(np.int64)
-            starts = np.empty(lens.size + 1, dtype=np.int64)
-            starts[0] = int(p_off[rs])
-            np.cumsum(lens, out=starts[1:])
-            starts[1:] += int(p_off[rs])
-            plists = [
-                p_val[starts[j] : starts[j + 1]] for j in ordr
-            ]
-        w.emit_run(term_np[rs], int(salts[rs]), ids, tfs, dls, plists)
-    return w.table()
+    pos_flat_sorted = pos_lens_sorted = None
+    if with_positions:
+        pl_off, pl_val = _list_parts(t["seg_pos_lens"])
+        p_off, p_val = _list_parts(t["seg_pos"])
+        lens = pl_val.astype(np.int64)  # one entry per posting, row-major
+        starts = np.zeros(lens.size, dtype=np.int64)
+        if lens.size > 1:
+            np.cumsum(lens[:-1], out=starts[1:])
+        # rows are contiguous in the flat values after take/combine, so the
+        # global cumsum of per-posting lens + the array's base offset gives
+        # each posting's absolute start (per-row sums of pos_lens equal the
+        # row's seg_pos length by construction)
+        starts += int(p_off[0])
+        lens_sorted = lens[ordr]
+        starts_sorted = starts[ordr]
+        total = int(lens_sorted.sum())
+        out_excl = np.zeros(lens_sorted.size, dtype=np.int64)
+        if lens_sorted.size > 1:
+            np.cumsum(lens_sorted[:-1], out=out_excl[1:])
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(out_excl, lens_sorted)
+               + np.repeat(starts_sorted, lens_sorted))
+        pos_flat_sorted = p_val.astype(np.uint64)[idx]
+        pos_lens_sorted = lens_sorted
+
+    return _encode_flat(
+        int(t["bucket"][0].as_py()),
+        term_np[run_first_row],
+        salts[run_first_row],
+        run_of_post,
+        ids, tfs, dls,
+        pos_flat_sorted, pos_lens_sorted,
+        k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+    )

@@ -50,6 +50,72 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode; also return the byte offset of every value (length
+    n+1).  Lets a caller encode a whole posting run ONCE and slice
+    per-block byte ranges out of the stream — no per-block encode calls."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nbytes = np.ones(arr.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += arr >= t
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for k in range(maxb):
+        mask = nbytes > k
+        vals = (arr[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = vals.astype(np.uint8) | cont
+    offsets = np.empty(arr.size + 1, dtype=np.int64)
+    offsets[0] = 0
+    offsets[1:] = ends
+    return out.tobytes(), offsets
+
+
+def encode_positions_run(
+    pos_flat: np.ndarray, pos_lens: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Vectorized positions encoding for a whole run.
+
+    Stream per posting: varint(count), varint(first_pos), varint(gaps...).
+    Returns (bytes, byte_offset_per_posting[n+1]) so any block's positions
+    slice is bytes[off[a]:off[b]].  Wire-compatible with
+    encode_positions/decode_positions.
+    """
+    lens = np.ascontiguousarray(pos_lens, dtype=np.int64)
+    n = lens.size
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    flat = np.ascontiguousarray(pos_flat, dtype=np.uint64)
+    p_start = np.empty(n + 1, dtype=np.int64)
+    p_start[0] = 0
+    np.cumsum(lens, out=p_start[1:])
+    # per-position gaps with restart at each posting's first position
+    gaps = np.empty_like(flat)
+    if flat.size:
+        gaps[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=gaps[1:])
+        starts_nonempty = p_start[:-1][lens > 0]
+        gaps[starts_nonempty] = flat[starts_nonempty]
+    # interleave: out value stream has lens[i] at stream_start[i], then gaps
+    total = int(flat.size + n)
+    stream = np.empty(total, dtype=np.uint64)
+    stream_start = p_start[:-1] + np.arange(n)  # each posting adds 1 count slot
+    stream[stream_start] = lens.astype(np.uint64)
+    mask = np.ones(total, dtype=bool)
+    mask[stream_start] = False
+    stream[mask] = gaps
+    blob, val_off = varint_encode_offsets(stream)
+    # byte offset of each posting's stream start (+ final end)
+    post_off = np.empty(n + 1, dtype=np.int64)
+    post_off[:-1] = val_off[stream_start]
+    post_off[-1] = val_off[-1]
+    return blob, post_off
+
+
 def varint_decode(blob: bytes | memoryview, count: int | None = None) -> np.ndarray:
     """Decode a LEB128 stream to uint64 (vectorized)."""
     b = np.frombuffer(blob, dtype=np.uint8)

@@ -289,6 +289,88 @@ def build_index(
     return manifest
 
 
+def build_index_mem(
+    source: str | list[str] | rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    lang_col: str | None = None,
+    analyzer: str = "en",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    num_buckets: int = 16,
+    block_size: int = BLOCK_SIZE,
+    hot_terms: dict[str, int] | None = None,
+    tokenize_concurrency: int | tuple[int, int] = 2,
+):
+    """In-memory index build — S5 parity (the reference's mem index when
+    persistDir=="", bleve_glue.go:35-38; selected at index_pdfs.go:50-55).
+    Same stages as build_index but materialized to Arrow tables instead
+    of parquet; for tests and small ephemeral corpora."""
+    from .query import BM25Index
+
+    def _load() -> rd.Dataset:
+        if isinstance(source, rd.Dataset):
+            return source
+        cols = [c for c in (id_col, text_col, url_col, lang_col) if c]
+        return rd.read_parquet(source, columns=cols)
+
+    import ray
+
+    docs_tbl = pa.concat_tables(
+        ray.get(
+            _load()
+            .map_batches(_DocMeta(id_col, text_col, url_col, lang_col, True),
+                         batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+
+    stats = (
+        _load()
+        .map_batches(_TokenStats(analyzer, text_col, id_col, 1.0),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    total_dl = int(stats["total_dl"].sum())
+    n_indexed = int(stats["n_docs"].sum())
+    avgdl = (total_dl / n_indexed) if n_indexed else 1.0
+
+    tokens = _load().map_batches(
+        Tokenizer,
+        fn_constructor_kwargs=dict(
+            analyzer=analyzer, text_col=text_col, id_col=id_col,
+            num_buckets=num_buckets, hot_terms=hot_terms or {},
+            with_positions=True, combine=True,
+        ),
+        batch_format="pyarrow",
+        concurrency=tokenize_concurrency,
+    )
+
+    from ..index.build_blocks import encode_bucket_segments
+
+    def _encode(group: pa.Table) -> pa.Table:
+        return encode_bucket_segments(group, k1=k1, b=b, avgdl=avgdl,
+                                      block_size=block_size)
+
+    postings_tbl = pa.concat_tables(
+        ray.get(
+            tokens.groupby("bucket")
+            .map_groups(_encode, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    manifest = IndexManifest(
+        n_docs=int(docs_tbl.num_rows), avgdl=float(avgdl),
+        total_tokens=total_dl, analyzer=analyzer,
+        analyzer_version=ANALYZER_VERSION, k1=k1, b=b,
+        num_buckets=num_buckets, block_size=block_size,
+        salt_spec=hot_terms or {},
+    )
+    return BM25Index.from_tables(manifest, postings_tbl, docs_tbl)
+
+
 def dedup_exact(
     ds: rd.Dataset,
     hash_col: str = "hash",

@@ -186,18 +186,35 @@ class BM25Index:
     """Query-side index handle (ST3 analog).  Construct once; reuse —
     ``ReuseIndex`` semantics (index_search.go:86-91)."""
 
-    def __init__(self, index_dir: str):
-        self.index_dir = index_dir
-        self.manifest = IndexManifest.load(index_dir)
-        self.postings = pads.dataset(f"{index_dir}/postings", format="parquet")
-        self.docs = pads.dataset(f"{index_dir}/docs", format="parquet")
-        self.analyze = get_analyzer(self.manifest.analyzer)
+    def __init__(self, index_dir: str | None):
+        self._postings_mem: pa.Table | None = None
+        self._docs_mem: pa.Table | None = None
+        if index_dir is not None:
+            self.index_dir = index_dir
+            self.manifest = IndexManifest.load(index_dir)
+            self.postings = pads.dataset(f"{index_dir}/postings", format="parquet")
+            self.docs = pads.dataset(f"{index_dir}/docs", format="parquet")
+            self.analyze = get_analyzer(self.manifest.analyzer)
         self._term_cache: dict[str, list[dict]] = {}
         self._doc_rg_index: list[tuple[str, int, int, int]] | None = None
         from collections import OrderedDict
 
         self._analysis_cache: OrderedDict[int, list] = OrderedDict()
         self._analysis_cache_max = 256
+
+    @classmethod
+    def from_tables(cls, manifest: IndexManifest, postings: pa.Table,
+                    docs: pa.Table) -> "BM25Index":
+        """In-memory index handle (S5 parity: the reference's mem index
+        when persistDir=="", bleve_glue.go:35-38) — used for tests and
+        small ephemeral corpora; same scoring code paths."""
+        self = cls(None)
+        self.index_dir = None
+        self.manifest = manifest
+        self._postings_mem = postings
+        self._docs_mem = docs.sort_by("doc_id")
+        self.analyze = get_analyzer(manifest.analyzer)
+        return self
 
     def _build_doc_rg_index(self) -> list[tuple[str, int, int, int]]:
         """(file, row_group, min_doc_id, max_doc_id) from parquet footers —
@@ -231,12 +248,14 @@ class BM25Index:
             return
         nb = self.manifest.num_buckets
         buckets = sorted({fnv1a64_str(t) % nb for t in missing})
-        filt = pc.field("bucket").isin(buckets) & pc.field("term").isin(missing)
-        tbl = self.postings.to_table(
-            filter=filt,
-            columns=["term", "salt", "block_id", "first_doc", "n",
-                     "doc_blob", "tf_blob", "dl_blob", "pos_blob", "max_wdl"],
-        )
+        cols = ["term", "salt", "block_id", "first_doc", "n",
+                "doc_blob", "tf_blob", "dl_blob", "pos_blob", "max_wdl"]
+        if self._postings_mem is not None:
+            mask = pc.is_in(self._postings_mem["term"], value_set=pa.array(missing))
+            tbl = self._postings_mem.filter(mask).select(cols)
+        else:
+            filt = pc.field("bucket").isin(buckets) & pc.field("term").isin(missing)
+            tbl = self.postings.to_table(filter=filt, columns=cols)
         for t in missing:
             self._term_cache[t] = []
         if tbl.num_rows == 0:
@@ -509,9 +528,17 @@ class BM25Index:
 
         id_list = [int(i) for i in top_ids]
         cols = ["doc_id", "url"]
-        has_text = "text" in self.docs.schema.names
+        docs_schema = (self._docs_mem.schema if self._docs_mem is not None
+                       else self.docs.schema)
+        has_text = "text" in docs_schema.names
         if has_text and with_spans:
             cols.append("text")
+        if self._docs_mem is not None:
+            dtbl = self._docs_mem.filter(
+                pc.is_in(self._docs_mem["doc_id"], value_set=pa.array(id_list))
+            ).select(cols)
+            return self._hydrate_from_table(q_terms, id_list, top_sc, with_spans,
+                                            dtbl, has_text)
         if self._doc_rg_index is None:
             self._doc_rg_index = self._build_doc_rg_index()
         want = sorted(id_list)
@@ -525,6 +552,18 @@ class BM25Index:
                 t = pf.read_row_group(rg, columns=cols)
                 parts.append(t.filter(pc.is_in(t["doc_id"], value_set=pa.array(want))))
         dtbl = pa.concat_tables(parts) if parts else self.docs.schema.empty_table().select(cols)
+        return self._hydrate_from_table(q_terms, id_list, top_sc, with_spans,
+                                        dtbl, has_text)
+
+    def _hydrate_from_table(
+        self,
+        q_terms: list[str],
+        id_list: list[int],
+        top_sc: np.ndarray,
+        with_spans: bool,
+        dtbl: pa.Table,
+        has_text: bool,
+    ) -> list[Match]:
         meta: dict[int, tuple[str, str]] = {}
         texts = dtbl["text"].to_pylist() if (has_text and with_spans) else [""] * dtbl.num_rows
         for did, url, text in zip(dtbl["doc_id"].to_pylist(), dtbl["url"].to_pylist(), texts):
