@@ -76,27 +76,52 @@ class _DocMeta:
 
 
 class _TokenStats:
-    """Per-batch partial (n_docs, total_dl) over a deterministic sample."""
+    """Per-batch partials over ONE deterministic sample pass: corpus stats
+    (n_docs, total_dl) AND per-term partial df for hot-term detection —
+    the sample is tokenized once, not once per concern.
 
-    def __init__(self, analyzer: str, text_col: str, id_col: str, rate: float):
-        self.analyze = get_analyzer("en") if analyzer == "en" else get_analyzer(analyzer)
+    Output rows: term="" carries (total_dl, n_docs); term!="" carries
+    df_part.  ``track_df=False`` skips the per-term rows."""
+
+    def __init__(self, analyzer: str, text_col: str, id_col: str, rate: float,
+                 track_df: bool = False):
+        self.analyze = get_analyzer(analyzer)
         self.analyzer = analyzer
         self.text_col, self.id_col, self.rate = text_col, id_col, rate
+        self.track_df = track_df
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         mask = _sample_mask(ids, self.rate)
         total, ndocs = 0, 0
+        counts: dict[str, int] = {}
         texts = batch[self.text_col].to_pylist()
         for keep, text in zip(mask, texts):
             if not keep or not text:
                 continue
-            dl = len(self.analyze(text))
-            if dl:
-                total += dl
-                ndocs += 1
-        return pa.table({"total_dl": pa.array([total], type=pa.int64()),
-                         "n_docs": pa.array([ndocs], type=pa.int64())})
+            toks = self.analyze(text)
+            if not toks:
+                continue
+            total += len(toks)
+            ndocs += 1
+            if self.track_df:
+                for term in set(toks):
+                    counts[term] = counts.get(term, 0) + 1
+        if self.track_df and counts:
+            # only near-hot terms leave the worker: a term can't be hot
+            # globally without being frequent in most batches, so a low
+            # per-batch floor bounds driver-side rows to ~the head of the
+            # Zipf curve instead of the sample's whole vocabulary
+            floor = max(2, ndocs // 16)
+            counts = {t: c for t, c in counts.items() if c >= floor}
+        terms = [""] + list(counts.keys())
+        dfs = [0] + list(counts.values())
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "df_part": pa.array(dfs, type=pa.int64()),
+            "total_dl": pa.array([total] + [0] * len(counts), type=pa.int64()),
+            "n_docs": pa.array([ndocs] + [0] * len(counts), type=pa.int64()),
+        })
 
 
 class _HotTermSampler:
@@ -198,11 +223,14 @@ def build_index(
     t_docs = time.time()
     report(f"docs catalog written in {t_docs - t0:.1f}s")
 
-    # 2. corpus stats: N exact from docs; avgdl from (possibly sampled) pass
+    # 2+3. ONE sampled pass for corpus stats (avgdl) AND hot-term df
+    # estimates (salting); N exact from the docs catalog
     n_docs = rd.read_parquet(f"{index_dir}/docs", columns=["doc_id"]).count()
+    track_df = auto_salt and hot_terms is None
     stats = (
         _load()
-        .map_batches(_TokenStats(analyzer, text_col, id_col, sample_rate),
+        .map_batches(_TokenStats(analyzer, text_col, id_col, sample_rate,
+                                 track_df=track_df),
                      batch_format="pyarrow")
         .to_pandas()
     )
@@ -213,13 +241,10 @@ def build_index(
     total_tokens = total_dl if sample_rate >= 1.0 else int(total_dl / max(sample_rate, 1e-9))
     t_stats = time.time()
 
-    # 3. optional hot-term detection for salting
-    if auto_salt and hot_terms is None:
-        hot_terms = detect_hot_terms(
-            _load(), analyzer=analyzer, text_col=text_col, id_col=id_col,
-            sample_rate=min(sample_rate, 0.1) if sample_rate < 1.0 else 0.05,
-            hot_df_ratio=hot_df_ratio, num_salts=num_salts,
-        )
+    if track_df:
+        dfs = stats[stats["term"] != ""].groupby("term")["df_part"].sum()
+        hot = dfs[dfs >= hot_df_ratio * max(1, n_sampled)]
+        hot_terms = {t: num_salts for t in hot.index}
     hot_terms = hot_terms or {}
     t_hot = time.time()
 
