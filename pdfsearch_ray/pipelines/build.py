@@ -343,13 +343,21 @@ def build_index_mem(
 
     import ray
 
-    docs_tbl = pa.concat_tables(
-        ray.get(
-            _load()
-            .map_batches(_DocMeta(id_col, text_col, url_col, lang_col, True),
-                         batch_format="pyarrow")
-            .to_arrow_refs()
-        )
+    def _concat(refs: list, schema: pa.Schema) -> pa.Table:
+        # Ray may emit zero-row pass-through blocks carrying the *upstream*
+        # schema (e.g. an empty sort partition never reaches map_groups);
+        # drop them before concatenating.
+        tabs = [t for t in ray.get(refs) if t.num_rows > 0]
+        return pa.concat_tables(tabs) if tabs else schema.empty_table()
+
+    from ..schemas import DOCS, POSTINGS
+
+    docs_tbl = _concat(
+        _load()
+        .map_batches(_DocMeta(id_col, text_col, url_col, lang_col, True),
+                     batch_format="pyarrow")
+        .to_arrow_refs(),
+        DOCS,
     )
 
     stats = (
@@ -379,12 +387,11 @@ def build_index_mem(
         return encode_bucket_segments(group, k1=k1, b=b, avgdl=avgdl,
                                       block_size=block_size)
 
-    postings_tbl = pa.concat_tables(
-        ray.get(
-            tokens.groupby("bucket")
-            .map_groups(_encode, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
+    postings_tbl = _concat(
+        tokens.groupby("bucket")
+        .map_groups(_encode, batch_format="pyarrow")
+        .to_arrow_refs(),
+        POSTINGS,
     )
     manifest = IndexManifest(
         n_docs=int(docs_tbl.num_rows), avgdl=float(avgdl),

@@ -493,7 +493,7 @@ class BM25Index:
 
         result = MatchSet()
         result.total_matches = int(ids.size)
-        if ids.size:
+        if ids.size and max_results > 0:
             k = min(max_results, ids.size)
             # top-k, tie-break (score desc, doc_id asc); keep every row tied
             # with the k-th score so the lexsort sees all tie candidates
