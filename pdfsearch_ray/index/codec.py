@@ -32,41 +32,44 @@ _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a 1-D array of non-negative ints (vectorized)."""
-    arr = np.ascontiguousarray(values, dtype=np.uint64)
-    if arr.size == 0:
-        return b""
-    nbytes = np.ones(arr.shape, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += arr >= t
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    maxb = int(nbytes.max())
-    for k in range(maxb):
-        mask = nbytes > k
-        vals = (arr[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
-        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
-        out[starts[mask] + k] = vals.astype(np.uint8) | cont
-    return out.tobytes()
+    return varint_encode_offsets(values)[0]
 
 
 def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode; also return the byte offset of every value (length
     n+1).  Lets a caller encode a whole posting run ONCE and slice
-    per-block byte ranges out of the stream — no per-block encode calls."""
+    per-block byte ranges out of the stream — no per-block encode calls.
+
+    Bandwidth-aware: works in uint32 when every value fits (the common
+    case for positions/tf/dl — halves memory traffic; the encode stage is
+    DRAM-bound under full-node concurrency), and short-circuits to a
+    single cast when every value is < 128 (1-byte varints)."""
     arr = np.ascontiguousarray(values, dtype=np.uint64)
     if arr.size == 0:
         return b"", np.zeros(1, dtype=np.int64)
+    mx = int(arr.max())
+    if mx < 128:
+        out = arr.astype(np.uint8)
+        return out.tobytes(), np.arange(arr.size + 1, dtype=np.int64)
+    if mx < (1 << 32):
+        arr = arr.astype(np.uint32)
+        seven = np.uint32(7)
+        mask7 = np.uint32(0x7F)
+    else:
+        seven = np.uint64(7)
+        mask7 = np.uint64(0x7F)
     nbytes = np.ones(arr.shape, dtype=np.int64)
     for t in _THRESHOLDS:
-        nbytes += arr >= t
+        if int(t) > mx:
+            break
+        nbytes += arr >= arr.dtype.type(t)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
     maxb = int(nbytes.max())
     for k in range(maxb):
         mask = nbytes > k
-        vals = (arr[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        vals = (arr[mask] >> (seven * arr.dtype.type(k))) & mask7
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
         out[starts[mask] + k] = vals.astype(np.uint8) | cont
     offsets = np.empty(arr.size + 1, dtype=np.int64)
@@ -89,7 +92,10 @@ def encode_positions_run(
     n = lens.size
     if n == 0:
         return b"", np.zeros(1, dtype=np.int64)
-    flat = np.ascontiguousarray(pos_flat, dtype=np.uint64)
+    # positions are uint32 by schema: stay in 32 bits end-to-end (the
+    # positions stream is the fattest array the encode stage touches and
+    # the stage is DRAM-bandwidth-bound at full node concurrency)
+    flat = np.ascontiguousarray(pos_flat, dtype=np.uint32)
     p_start = np.empty(n + 1, dtype=np.int64)
     p_start[0] = 0
     np.cumsum(lens, out=p_start[1:])
@@ -102,9 +108,9 @@ def encode_positions_run(
         gaps[starts_nonempty] = flat[starts_nonempty]
     # interleave: out value stream has lens[i] at stream_start[i], then gaps
     total = int(flat.size + n)
-    stream = np.empty(total, dtype=np.uint64)
+    stream = np.empty(total, dtype=np.uint32)
     stream_start = p_start[:-1] + np.arange(n)  # each posting adds 1 count slot
-    stream[stream_start] = lens.astype(np.uint64)
+    stream[stream_start] = lens.astype(np.uint32)
     mask = np.ones(total, dtype=bool)
     mask[stream_start] = False
     stream[mask] = gaps

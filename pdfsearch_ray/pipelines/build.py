@@ -37,6 +37,37 @@ import pyarrow as pa
 
 import ray.data as rd
 
+# Ray's read_parquet path resolution retries
+# ``from fsspec.implementations.http import HTTPFileSystem`` on EVERY
+# call (it fails here: no aiohttp) and only catches ModuleNotFoundError.
+# With the docs stage on a driver thread, two concurrent retries race
+# the import machinery and one thread sees a partially-initialized
+# module → ImportError("cannot import name ...") → the read dies.  Stub
+# the module once so the import always succeeds; the stub class is never
+# instantiated (without aiohttp no http:// path can be used anyway) and
+# isinstance checks against it are correctly False for real filesystems.
+try:  # pragma: no cover - environment-dependent guard
+    import fsspec.implementations.http  # noqa: F401
+except Exception:
+    try:
+        import sys as _sys
+        import types as _types
+
+        import fsspec.implementations as _fsimpl
+
+        _http_stub = _types.ModuleType("fsspec.implementations.http")
+
+        class _StubHTTPFileSystem:
+            def __init__(self, *a, **k):
+                raise ImportError("fsspec http filesystem unavailable "
+                                  "(aiohttp not installed)")
+
+        _http_stub.HTTPFileSystem = _StubHTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = _http_stub
+        _fsimpl.http = _http_stub
+    except Exception:
+        pass
+
 from ..analysis.analyzer import ANALYZER_VERSION, get_analyzer
 from ..functions.hashing import content_hash, mix64
 from ..index.build_blocks import encode_bucket
@@ -202,16 +233,61 @@ def build_index(
     store_text: bool = True,
     tokenize_concurrency: int | None = None,
     tokenize_batch_size: int = 1024,
+    resume: bool = False,
     report=None,
 ) -> IndexManifest:
     """Build a BM25 inverted index at ``index_dir`` from a Parquet corpus
     (or an already-constructed Dataset, e.g. the extract checkpoint).
 
+    Every stage output (docs / token spill / postings) is written to a
+    ``.tmp`` dir and renamed on completion, so a partially-written stage
+    is invisible — the atomicity the reference approximates with
+    rollback-on-partial-write (bleve_pdf.go:342-351).  With
+    ``resume=True`` a rerun skips any stage whose final dir exists and
+    whose recorded build config matches; a killed build restarts from the
+    last completed stage (north_rule: resumable from per-partition
+    checkpoints — partition-level resume lives in the extract source,
+    stage-level here).
+
     ``report``: optional ``fn(str)`` progress callback — the reference's
     report hook (index_search.go:62-67, invoked per file at
     index_pdfs.go:160-166); here invoked per stage."""
+    import json as _json
+    import os
+    import shutil
+
     t0 = time.time()
     report = report or (lambda msg: None)
+
+    cfg_fp = {
+        "analyzer": analyzer, "k1": k1, "b": b, "num_buckets": num_buckets,
+        "block_size": block_size, "sample_rate": sample_rate,
+        "with_positions": with_positions, "store_text": store_text,
+        "auto_salt": auto_salt, "hot_terms": sorted((hot_terms or {}).items()),
+        "analyzer_version": ANALYZER_VERSION,
+    }
+    cfg_path = f"{index_dir}/.build_config.json"
+    prev_cfg = None
+    if resume and os.path.exists(cfg_path):
+        try:
+            prev_cfg = _json.load(open(cfg_path))
+        except Exception:
+            prev_cfg = None
+    resume = resume and prev_cfg == _json.loads(_json.dumps(cfg_fp))
+    os.makedirs(index_dir, exist_ok=True)
+    with open(cfg_path + ".tmp", "w") as f:
+        _json.dump(cfg_fp, f)
+    os.replace(cfg_path + ".tmp", cfg_path)
+
+    def _fresh_stage(final_dir: str) -> str | None:
+        """Return the tmp dir to write, or None if the stage is complete
+        and resumable."""
+        if resume and os.path.isdir(final_dir):
+            return None
+        tmp = final_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        return tmp
 
     def _load() -> rd.Dataset:
         if isinstance(source, rd.Dataset):
@@ -225,63 +301,107 @@ def build_index(
     # all-to-all sort buys nothing (doc_ids are partition-prefixed, so
     # block ranges are already near-disjoint) and costs a full shuffle of
     # the text payload.
-    docs = _load().map_batches(
-        _DocMeta(id_col, text_col, url_col, lang_col, store_text),
-        batch_format="pyarrow",
-    )
-    docs.map_batches(
-        lambda b: b.sort_by("doc_id"), batch_format="pyarrow"
-    ).write_parquet(f"{index_dir}/docs")
+    #
+    # The docs stage depends on nothing downstream, so it runs in a
+    # driver THREAD concurrently with stats/tokenize/encode — Ray Data
+    # executes both datasets in one session and the streaming executor
+    # interleaves their tasks; this shaves one full stage barrier off the
+    # build's width-independent floor.
+    docs_dir = f"{index_dir}/docs"
+
+    def _docs_stage() -> int:
+        tmp = _fresh_stage(docs_dir)
+        if tmp is not None:
+            docs = _load().map_batches(
+                _DocMeta(id_col, text_col, url_col, lang_col, store_text),
+                batch_format="pyarrow",
+            )
+            docs.map_batches(
+                lambda b: b.sort_by("doc_id"), batch_format="pyarrow"
+            ).write_parquet(tmp)
+            os.rename(tmp, docs_dir)
+        return int(rd.read_parquet(docs_dir, columns=["doc_id"]).count())
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pool = ThreadPoolExecutor(max_workers=1)
+    docs_future = _pool.submit(_docs_stage)
     t_docs = time.time()
-    report(f"docs catalog written in {t_docs - t0:.1f}s")
 
     # 2+3. ONE sampled pass for corpus stats (avgdl) AND hot-term df
     # estimates (salting); N exact from the docs catalog
-    n_docs = rd.read_parquet(f"{index_dir}/docs", columns=["doc_id"]).count()
-    track_df = auto_salt and hot_terms is None
-    stats = (
-        _load()
-        .map_batches(_TokenStats(analyzer, text_col, id_col, sample_rate,
-                                 track_df=track_df),
-                     batch_format="pyarrow")
-        .to_pandas()
-    )
-    report("corpus stats pass done")
-    total_dl = int(stats["total_dl"].sum())
-    n_sampled = int(stats["n_docs"].sum())
-    avgdl = (total_dl / n_sampled) if n_sampled else 1.0
-    total_tokens = total_dl if sample_rate >= 1.0 else int(total_dl / max(sample_rate, 1e-9))
-    t_stats = time.time()
+    stats_path = f"{index_dir}/.stats.json"
+    cached = None
+    if resume and os.path.exists(stats_path):
+        try:
+            cached = _json.load(open(stats_path))
+        except Exception:
+            cached = None
+    if cached is not None:
+        total_dl = cached["total_dl"]
+        n_sampled = cached["n_sampled"]
+        avgdl = cached["avgdl"]
+        total_tokens = cached["total_tokens"]
+        hot_terms = hot_terms or dict(cached["hot_terms"])
+        t_stats = t_hot = time.time()
+    else:
+        track_df = auto_salt and hot_terms is None
+        stats = (
+            _load()
+            .map_batches(_TokenStats(analyzer, text_col, id_col, sample_rate,
+                                     track_df=track_df),
+                         batch_format="pyarrow")
+            .to_pandas()
+        )
+        report("corpus stats pass done")
+        total_dl = int(stats["total_dl"].sum())
+        n_sampled = int(stats["n_docs"].sum())
+        avgdl = (total_dl / n_sampled) if n_sampled else 1.0
+        total_tokens = total_dl if sample_rate >= 1.0 else int(total_dl / max(sample_rate, 1e-9))
+        t_stats = time.time()
 
-    if track_df:
-        dfs = stats[stats["term"] != ""].groupby("term")["df_part"].sum()
-        hot = dfs[dfs >= hot_df_ratio * max(1, n_sampled)]
-        hot_terms = {t: num_salts for t in hot.index}
-    hot_terms = hot_terms or {}
-    t_hot = time.time()
+        if track_df:
+            dfs = stats[stats["term"] != ""].groupby("term")["df_part"].sum()
+            hot = dfs[dfs >= hot_df_ratio * max(1, n_sampled)]
+            hot_terms = {t: num_salts for t in hot.index}
+        hot_terms = hot_terms or {}
+        with open(stats_path + ".tmp", "w") as f:
+            _json.dump({"total_dl": total_dl, "n_sampled": n_sampled,
+                        "avgdl": avgdl, "total_tokens": total_tokens,
+                        "hot_terms": sorted(hot_terms.items())}, f)
+        os.replace(stats_path + ".tmp", stats_path)
+        t_hot = time.time()
 
-    # 4. tokenize (combined segments) → bucket groupby → encode → write.
+    # 4. tokenize (combined segments) → bucket partition spill → encode.
     # combine=True is the combiner: one (term, salt) segment row per batch
     # instead of one row per (doc, term), shrinking the shuffle by ~the
     # batch size for head terms (SURVEY §4: pre-aggregate before groupby).
+    # Default is the task-pool path (per-worker memoized Tokenizer state,
+    # zero actor-spawn warmup); pass tokenize_concurrency to pin a
+    # fixed-size actor pool instead.
     tokenizer_kwargs: dict[str, Any] = dict(
         analyzer=analyzer, text_col=text_col, id_col=id_col,
         num_buckets=num_buckets, hot_terms=hot_terms,
         with_positions=with_positions, combine=True,
     )
-    if tokenize_concurrency is None:
-        import ray
+    if tokenize_concurrency is not None:
+        tokens = _load().map_batches(
+            Tokenizer,
+            fn_constructor_kwargs=tokenizer_kwargs,
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            concurrency=tokenize_concurrency,
+        )
+    else:
+        from functools import partial
 
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        # fixed-size actor pool; leave headroom for read + shuffle stages
-        tokenize_concurrency = max(1, ncpu - 2)
-    tokens = _load().map_batches(
-        Tokenizer,
-        fn_constructor_kwargs=tokenizer_kwargs,
-        batch_format="pyarrow",
-        batch_size=tokenize_batch_size,
-        concurrency=tokenize_concurrency,
-    )
+        from ..stages.tokenize import tokenize_batch
+
+        tokens = _load().map_batches(
+            partial(tokenize_batch, cfg=tokenizer_kwargs),
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+        )
 
     # The posting shuffle is a partitioned parquet write (mapper-side hash
     # partition by bucket, no all-to-all sort) followed by one encode task
@@ -293,26 +413,29 @@ def build_index(
     # each encode task reads exactly its bucket (north_rule: partitioning
     # explicit, resumable from per-partition state).
     tokens_dir = f"{index_dir}/_tokens"
-    tokens.write_parquet(tokens_dir, partition_cols=["bucket"])
+    postings_dir = f"{index_dir}/postings"
+    postings_done = resume and os.path.isdir(postings_dir)
+    if not postings_done:
+        tmp = _fresh_stage(tokens_dir)
+        if tmp is not None:
+            tokens.write_parquet(tmp, partition_cols=["bucket"])
+            os.rename(tmp, tokens_dir)
     t_tok = time.time()
     report(f"token segments spilled in {t_tok - t_hot:.1f}s")
-
-    import os
-    import shutil
 
     from ..index.build_blocks import encode_bucket_segments
 
     bucket_dirs = sorted(
         f"{tokens_dir}/{d}" for d in os.listdir(tokens_dir)
         if d.startswith("bucket=")
-    )
+    ) if not postings_done else []
 
     def _encode_bucket_dir(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
         outs = []
         for bdir in batch["dir"].to_pylist():
-            g = pq.read_table(bdir)
+            g = pq.read_table(bdir, use_threads=False)
             bnum = int(os.path.basename(bdir).split("=")[1])
             g = g.append_column(
                 "bucket", pa.array(np.full(g.num_rows, bnum, dtype=np.int32))
@@ -325,13 +448,19 @@ def build_index(
             )
         return pa.concat_tables(outs)
 
-    postings = (
-        rd.from_items([{"dir": d} for d in bucket_dirs])
-        .repartition(max(1, len(bucket_dirs)))
-        .map_batches(_encode_bucket_dir, batch_format="pyarrow", batch_size=1)
-    )
-    postings.write_parquet(f"{index_dir}/postings")
-    shutil.rmtree(tokens_dir, ignore_errors=True)
+    if not postings_done:
+        tmp = _fresh_stage(postings_dir)
+        postings = rd.from_items(
+            [{"dir": d} for d in bucket_dirs],
+            override_num_blocks=max(1, len(bucket_dirs)),
+        ).map_batches(_encode_bucket_dir, batch_format="pyarrow",
+                      batch_size=1)
+        postings.write_parquet(tmp)
+        os.rename(tmp, postings_dir)
+        # the spill is only removable once postings are durably renamed
+        shutil.rmtree(tokens_dir, ignore_errors=True)
+    n_docs = docs_future.result()
+    _pool.shutdown()
     t_post = time.time()
     report(
         f"postings written in {t_post - t_hot:.1f}s "
@@ -460,7 +589,7 @@ def dup_loser_ids(
     ds: rd.Dataset,
     hash_col: str = "hash",
     id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int = 16,
     work_dir: str | None = None,
 ) -> np.ndarray:
     """Doc_ids of every duplicate row (all but the min-doc_id per content
@@ -491,6 +620,10 @@ def dup_loser_ids(
     (
         ds.select_columns([hash_col, id_col])
         .map_batches(_pairs, batch_format="pyarrow")
+        # pairs are ~50 bytes/doc: coalesce to num_buckets blocks before
+        # the partitioned write so the spill is num_buckets² files, not
+        # (input blocks × num_buckets) tiny ones
+        .repartition(num_buckets)
         .write_parquet(pairs_dir, partition_cols=["bucket"])
     )
     bucket_dirs = sorted(
@@ -501,7 +634,7 @@ def dup_loser_ids(
     def _losers(batch: pa.Table) -> pa.Table:
         outs = []
         for bdir in batch["dir"].to_pylist():
-            t = pq.read_table(bdir, columns=["hash", "doc_id"])
+            t = pq.read_table(bdir, columns=["hash", "doc_id"], use_threads=False)
             h = t["hash"].to_numpy(zero_copy_only=False)
             ids = t["doc_id"].to_numpy()
             order = np.lexsort((ids, h))
@@ -512,8 +645,8 @@ def dup_loser_ids(
         return pa.concat_tables(outs)
 
     loser_refs = (
-        rd.from_items([{"dir": d} for d in bucket_dirs])
-        .repartition(max(1, len(bucket_dirs)))
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
         .map_batches(_losers, batch_format="pyarrow", batch_size=1)
         .to_arrow_refs()
     )
@@ -556,7 +689,7 @@ def dedup_exact(
     ds: rd.Dataset,
     hash_col: str = "hash",
     id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int = 16,
 ) -> rd.Dataset:
     """Exact content dedup: keep the min-doc_id row per content hash —
     the dedup the reference declares but leaves inert (D2,
@@ -613,7 +746,7 @@ def build_from_pages(
         summary["sec_dedup"] = round(time.time() - t1, 3)
     manifest = build_index(
         ds, index_dir, id_col="doc_id", url_col="url", lang_col="lang",
-        **build_kwargs,
+        resume=resume, **build_kwargs,
     )
     manifest.build_metrics["extract"] = summary
     manifest.save(index_dir)

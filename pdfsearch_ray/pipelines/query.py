@@ -250,7 +250,19 @@ class BM25Index:
         if not missing:
             return
         nb = self.manifest.num_buckets
-        buckets = sorted({fnv1a64_str(t) % nb for t in missing})
+        salt_spec = self.manifest.salt_spec or {}
+        bucket_set: set[int] = set()
+        for t in missing:
+            n_salts = int(salt_spec.get(t, 0))
+            if n_salts:
+                # hot terms are sharded across buckets by salt (see
+                # Tokenizer._bucket_salted) — probe every shard bucket
+                bucket_set.update(
+                    fnv1a64_str(f"{t}#{s}") % nb for s in range(n_salts)
+                )
+            else:
+                bucket_set.add(fnv1a64_str(t) % nb)
+        buckets = sorted(bucket_set)
         cols = ["term", "salt", "block_id", "first_doc", "n",
                 "doc_blob", "tf_blob", "dl_blob", "pos_blob", "max_wdl"]
         if self._postings_mem is not None:

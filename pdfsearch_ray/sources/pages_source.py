@@ -74,8 +74,10 @@ class _ExtractPartition:
             path = batch["path"][i].as_py()
             rg = batch["row_group"][i].as_py()
             t0 = time.perf_counter()
+            # use_threads=False: many extract tasks run concurrently; a
+            # per-task thread pool would oversubscribe the node
             src = pq.ParquetFile(path).read_row_group(
-                rg, columns=["url", "html", "lang"]
+                rg, columns=["url", "html", "lang"], use_threads=False
             )
             n = src.num_rows
             src = src.append_column(
@@ -114,6 +116,18 @@ class _ExtractPartition:
         )
 
 
+_WORKER_EXTRACTORS: dict = {}
+
+
+def _extract_partition_task(batch: pa.Table, out_dir: str,
+                            lang_allow: tuple[str, ...] | None) -> pa.Table:
+    key = (out_dir, tuple(lang_allow) if lang_allow else None)
+    ex = _WORKER_EXTRACTORS.get(key)
+    if ex is None:
+        ex = _WORKER_EXTRACTORS[key] = _ExtractPartition(out_dir, lang_allow)
+    return ex(batch)
+
+
 def extract_pages(
     input_path: str | list[str],
     out_dir: str,
@@ -133,17 +147,29 @@ def extract_pages(
         "extractor_version": EXTRACTOR_VERSION,
     }
     if pending:
-        ds = rd.from_items(pending)
-        kwargs = {}
+        ds = rd.from_items(pending, override_num_blocks=len(pending))
         if concurrency:
-            kwargs["concurrency"] = concurrency
-        res = ds.map_batches(
-            _ExtractPartition,
-            fn_constructor_kwargs=dict(out_dir=out_dir, lang_allow=lang_allow),
-            batch_size=1,
-            batch_format="pyarrow",
-            concurrency=kwargs.get("concurrency", (1, 8)),
-        ).to_pandas()
+            # pinned actor pool (explicit resource sizing)
+            res = ds.map_batches(
+                _ExtractPartition,
+                fn_constructor_kwargs=dict(out_dir=out_dir,
+                                           lang_allow=lang_allow),
+                batch_size=1,
+                batch_format="pyarrow",
+                concurrency=concurrency,
+            ).to_pandas()
+        else:
+            # task pool with per-worker memoized extractor state — same
+            # once-per-worker init as an actor pool without paying actor
+            # spawn for a stage of short per-partition tasks
+            from functools import partial
+
+            res = ds.map_batches(
+                partial(_extract_partition_task, out_dir=out_dir,
+                        lang_allow=lang_allow),
+                batch_size=1,
+                batch_format="pyarrow",
+            ).to_pandas()
         summary["rows_in"] = int(res["rows_in"].sum())
         summary["rows_out"] = int(res["rows_out"].sum())
         summary["sec_per_partition_p95"] = float(res["sec"].quantile(0.95)) if len(res) else 0.0

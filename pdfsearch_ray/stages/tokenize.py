@@ -31,6 +31,36 @@ from ..functions.hashing import fnv1a64_str, mix64
 
 DEFAULT_NUM_BUCKETS = 64
 
+# Per-worker-process Tokenizer memo for the task-pool path (see
+# tokenize_batch).  Keyed by the full config so differently-configured
+# pipelines sharing a worker never collide.
+_WORKER_TOKENIZERS: dict = {}
+
+
+def _cfg_key(cfg: dict) -> tuple:
+    return tuple(
+        (k, tuple(sorted(v.items())) if isinstance(v, dict) else v)
+        for k, v in sorted(cfg.items())
+    )
+
+
+def tokenize_batch(batch: pa.Table, cfg: dict) -> pa.Table:
+    """Task-pool entry point: ``map_batches(partial(tokenize_batch, cfg=...))``.
+
+    Tokenizer state (compiled regexes, stopword set, stem cache, hot-term
+    set) is built once per worker PROCESS via a module-level memo — the
+    same once-per-worker semantics as an actor pool, without paying actor
+    startup: Ray's task workers are already warm from earlier stages,
+    while a fresh actor pool spawns+imports one process per slot before
+    the first batch runs (measured ~2x stage wall-time on a 32-cpu build).
+    Use the Tokenizer class with ``concurrency=`` when the stage needs
+    pinned resources; semantics are identical."""
+    key = _cfg_key(cfg)
+    tok = _WORKER_TOKENIZERS.get(key)
+    if tok is None:
+        tok = _WORKER_TOKENIZERS[key] = Tokenizer(**cfg)
+    return tok(batch)
+
 
 class Tokenizer:
     def __init__(
@@ -64,6 +94,18 @@ class Tokenizer:
             if len(self._bucket_cache) < (1 << 20):
                 self._bucket_cache[term] = b
         return b
+
+    def _bucket_salted(self, term: str, salt: int) -> int:
+        """Hot terms spread across buckets BY SHARD: a salted run lives in
+        bucket ``hash(term#salt)``, not ``hash(term)``.  Without this every
+        salt shard of a head term lands in the same encode bucket and the
+        fattest bucket stragglers the whole encode stage — salting must
+        balance the shuffle key, not just the group granularity.  The
+        query side recomputes shard buckets from the manifest's
+        salt_spec."""
+        if term not in self.hot_terms:
+            return self._bucket(term)
+        return fnv1a64_str(f"{term}#{salt}") % self.num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -120,8 +162,9 @@ class Tokenizer:
                     out_dl.append(dl)
                     out_pos.append(positions if self.with_positions else [])
                     s = hot.get(term, 0)
-                    out_salt.append(salt_base % s if s else 0)
-                    out_bucket.append(self._bucket(term))
+                    salt = salt_base % s if s else 0
+                    out_salt.append(salt)
+                    out_bucket.append(self._bucket_salted(term, salt))
 
         if self.combine:
             keys = sorted(seg.keys())
@@ -129,8 +172,9 @@ class Tokenizer:
                 {
                     "term": pa.array([k[0] for k in keys], type=pa.string()),
                     "salt": pa.array([k[1] for k in keys], type=pa.int32()),
-                    "bucket": pa.array([self._bucket(k[0]) for k in keys],
-                                       type=pa.int32()),
+                    "bucket": pa.array(
+                        [self._bucket_salted(k[0], k[1]) for k in keys],
+                        type=pa.int32()),
                     "seg_docs": pa.array([seg[k][0] for k in keys],
                                          type=pa.list_(pa.int64())),
                     "seg_tfs": pa.array([seg[k][1] for k in keys],
