@@ -455,7 +455,9 @@ def build_index(
             override_num_blocks=max(1, len(bucket_dirs)),
         ).map_batches(_encode_bucket_dir, batch_format="pyarrow",
                       batch_size=1)
-        postings.write_parquet(tmp)
+        # small row groups + per-rg term min/max stats: the query engine
+        # prunes to the row groups whose term range covers its terms
+        postings.write_parquet(tmp, row_group_size=1024)
         os.rename(tmp, postings_dir)
         # the spill is only removable once postings are durably renamed
         shutil.rmtree(tokens_dir, ignore_errors=True)

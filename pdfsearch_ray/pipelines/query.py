@@ -271,15 +271,36 @@ class BM25Index:
         else:
             if self._bucket_frags is None:
                 self._bucket_frags = self._build_bucket_frag_index()
-            frags = []
-            seen: set[int] = set()
-            for b in buckets:
-                for f in self._bucket_frags.get(b, ()):
-                    if id(f) not in seen:
-                        seen.add(id(f))
-                        frags.append(f)
-            filt = pc.field("bucket").isin(buckets) & pc.field("term").isin(missing)
-            parts = [f.to_table(filter=filt, columns=cols) for f in frags]
+            bucket_arr = set(buckets)
+            want = [
+                (path, rg)
+                for (path, rg, bmin, bmax, tmin, tmax) in self._bucket_frags
+                if any(bmin <= b <= bmax for b in bucket_arr)
+                and (tmin is None or any(tmin <= t <= tmax for t in missing))
+            ]
+
+            def _read_one(pr):
+                import pyarrow.parquet as pq
+
+                path, rg = pr
+                t = pq.ParquetFile(path).read_row_group(
+                    rg, columns=cols, use_threads=False
+                )
+                return t.filter(
+                    pc.is_in(t["term"], value_set=pa.array(missing))
+                )
+
+            # direct row-group reads (cheap ParquetFile open, no dataset
+            # expression machinery — measured ~10x less per-read overhead
+            # than fragment.to_table); reads release the GIL → threaded
+            if len(want) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(8, len(want))) as pool:
+                    parts = list(pool.map(_read_one, want))
+            else:
+                parts = [_read_one(pr) for pr in want]
+            parts = [p for p in parts if p.num_rows]
             tbl = (pa.concat_tables(parts) if parts
                    else self.postings.schema.empty_table().select(cols))
         for t in missing:
@@ -309,26 +330,31 @@ class BM25Index:
                 "max_wdl": float(maxw[i]),
             })
 
-    def _build_bucket_frag_index(self) -> dict[int, list]:
-        """bucket → parquet fragments containing it, from row-group footer
-        stats — read once per index handle.  The build writes one file per
-        bucket, so a query for B terms touches ~B files instead of
-        stat-scanning every fragment on every search."""
-        out: dict[int, list] = {}
+    def _build_bucket_frag_index(self) -> list[tuple]:
+        """(path, row_group, bucket_min, bucket_max, term_min, term_max)
+        per postings row group, from parquet footers — read once per index
+        handle.  The build writes one bucket per file with small row
+        groups, so a query prunes to the few row groups whose bucket AND
+        term ranges cover its terms, then reads them directly."""
+        import pyarrow.parquet as pq
+
+        out: list[tuple] = []
+        max_b = self.manifest.num_buckets - 1
         for frag in self.postings.get_fragments():
-            frag.ensure_complete_metadata()
-            lo, hi = None, None
-            for rg in frag.row_groups:
-                st = (rg.statistics or {}).get("bucket")
-                if st is None or st.get("min") is None:
-                    lo, hi = 0, self.manifest.num_buckets - 1
-                    break
-                lo = st["min"] if lo is None else min(lo, st["min"])
-                hi = st["max"] if hi is None else max(hi, st["max"])
-            if lo is None:
-                lo, hi = 0, self.manifest.num_buckets - 1
-            for b in range(int(lo), int(hi) + 1):
-                out.setdefault(b, []).append(frag)
+            md = pq.ParquetFile(frag.path).metadata
+            names = md.schema.to_arrow_schema().names
+            b_idx = names.index("bucket")
+            t_idx = names.index("term")
+            for rg in range(md.num_row_groups):
+                bst = md.row_group(rg).column(b_idx).statistics
+                tst = md.row_group(rg).column(t_idx).statistics
+                bmin, bmax = ((bst.min, bst.max)
+                              if bst is not None and bst.min is not None
+                              else (0, max_b))
+                tmin, tmax = ((tst.min, tst.max)
+                              if tst is not None and tst.min is not None
+                              else (None, None))
+                out.append((frag.path, rg, bmin, bmax, tmin, tmax))
         return out
 
     def _decode_block(self, blk: dict, idf: float) -> dict:
