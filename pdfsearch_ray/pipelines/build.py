@@ -234,6 +234,9 @@ def build_index(
     tokenize_concurrency: int | None = None,
     tokenize_batch_size: int = 1024,
     resume: bool = False,
+    stats_source: "rd.Dataset | None" = None,
+    stats_scale: float = 1.0,
+    stats_sampled: bool = False,
     report=None,
 ) -> IndexManifest:
     """Build a BM25 inverted index at ``index_dir`` from a Parquet corpus
@@ -347,7 +350,7 @@ def build_index(
     else:
         track_df = auto_salt and hot_terms is None
         stats = (
-            _load()
+            (stats_source if stats_source is not None else _load())
             .map_batches(_TokenStats(analyzer, text_col, id_col, sample_rate,
                                      track_df=track_df),
                          batch_format="pyarrow")
@@ -357,7 +360,7 @@ def build_index(
         total_dl = int(stats["total_dl"].sum())
         n_sampled = int(stats["n_docs"].sum())
         avgdl = (total_dl / n_sampled) if n_sampled else 1.0
-        total_tokens = total_dl if sample_rate >= 1.0 else int(total_dl / max(sample_rate, 1e-9))
+        total_tokens = int(total_dl * stats_scale / max(sample_rate, 1e-9))
         t_stats = time.time()
 
         if track_df:
@@ -481,7 +484,7 @@ def build_index(
         block_size=block_size,
         salt_spec=hot_terms,
         built_at=t0,
-        avgdl_exact=sample_rate >= 1.0,
+        avgdl_exact=sample_rate >= 1.0 and not stats_sampled,
         build_metrics={
             "sec_docs": round(t_docs - t0, 3),
             "sec_stats": round(t_stats - t_docs, 3),
@@ -738,14 +741,43 @@ def build_from_pages(
     )
     summary["sec_extract"] = round(time.time() - t0, 3)
     ds = extracted_dataset(extract_dir)
+    loser_ref = None
     if dedup:
         # losers are computed ONCE (eager narrow shuffle inside
-        # dedup_exact); the returned dataset re-applies only the cheap
+        # dup_loser_ids); the datasets below re-apply only the cheap
         # broadcast anti-join filter each time build_index re-scans its
         # source — no corpus rewrite, no repeated shuffle
+        import ray
+
         t1 = time.time()
-        ds = dedup_exact(ds)
+        loser_ref = ray.put(dup_loser_ids(ds))
+        ds = ds.map_batches(_DropIds(loser_ref, "doc_id"),
+                            batch_format="pyarrow")
         summary["sec_dedup"] = round(time.time() - t1, 3)
+
+    # Partition-level stats sampling: a sampled-avgdl build reads only
+    # sample_rate of the extract FILES for the stats pass instead of
+    # streaming every text byte to then discard 90% of docs — the
+    # at-scale pattern (untouched partitions cost nothing).  Per-doc
+    # hash sampling remains the behavior when build_index is called
+    # directly on an arbitrary source.
+    sample_rate = build_kwargs.get("sample_rate", 1.0)
+    if sample_rate < 1.0:
+        import glob as _glob
+
+        files = sorted(_glob.glob(f"{extract_dir}/part-*.parquet"))
+        k = max(1, round(len(files) * sample_rate))
+        step = len(files) / k
+        subset = [files[int(i * step)] for i in range(k)]
+        stats_ds = rd.read_parquet(subset)
+        if loser_ref is not None:
+            stats_ds = stats_ds.map_batches(_DropIds(loser_ref, "doc_id"),
+                                            batch_format="pyarrow")
+        build_kwargs = dict(build_kwargs, sample_rate=1.0,
+                            stats_source=stats_ds,
+                            stats_scale=len(files) / len(subset),
+                            stats_sampled=True)
+
     manifest = build_index(
         ds, index_dir, id_col="doc_id", url_col="url", lang_col="lang",
         resume=resume, **build_kwargs,
