@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_stats": q.token_count_stats,
         "doc_fingerprints": q.doc_fingerprints,
         "ann_lsh": q.ann_lsh,
+        "media_features": q.media_features,
     }
 
 

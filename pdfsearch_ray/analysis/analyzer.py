@@ -80,9 +80,40 @@ def analyze_en(text: str) -> list[Token]:
     return out
 
 
+def analyze_en_pos(text: str) -> list[tuple[str, int]]:
+    """`en` chain, (term, position) only — the indexing hot path.
+
+    Semantically identical to ``[(t.term, t.position) for t in
+    analyze_en(text)]`` (equivalence is unit-tested) but ~1.5× faster:
+    no Token allocation, no char offsets, possessive strip via slicing
+    instead of a regex sub.  Offsets are only needed at hydration time
+    for the top-k docs, never for the corpus-wide tokenize."""
+    out: list[tuple[str, int]] = []
+    pos = 0
+    stop = STOPWORDS_EN
+    for m in _TOKEN_RE.finditer(text):
+        pos += 1
+        tok = m.group().lower()
+        if tok.endswith("'s") or tok.endswith("’s"):
+            tok = tok[:-2]
+        if tok in stop:
+            continue
+        out.append((stem(tok), pos))
+    return out
+
+
 def analyze_en_terms(text: str) -> list[str]:
-    """`en` chain, terms only (query-side helper)."""
-    return [t.term for t in analyze_en(text)]
+    """`en` chain, terms only (stats/query-side helper)."""
+    stop = STOPWORDS_EN
+    out: list[str] = []
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group().lower()
+        if tok.endswith("'s") or tok.endswith("’s"):
+            tok = tok[:-2]
+        if tok in stop:
+            continue
+        out.append(stem(tok))
+    return out
 
 
 _SIMPLE_SPLIT_RE = re.compile(r"[^a-z0-9]+")

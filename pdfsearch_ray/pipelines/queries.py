@@ -353,3 +353,40 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
         "sim": pa.array(pdf["sim_r"].tolist(), type=pa.float64()),
         "rank": pa.array(pdf["rank"].tolist(), type=pa.int64()),
     })
+
+
+def media_features(sf_dir: str) -> rd.Dataset:
+    """Multimodal plumbing pipeline (rows-only check): synthetic media
+    table derived from documents → MediaDecoder actor pool (stubbed
+    decode, real schema/batching) → frame sampling (1→N) → vectorized
+    feature extraction.  Returns one feature row per image/audio item
+    and per sampled video frame."""
+    import pyarrow.parquet as pq
+
+    from ..stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        FrameSampler,
+        MediaFeatures,
+        synth_media_table,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    # real media tables arrive as many-block parquet reads; the synthetic
+    # single-table source needs an explicit split so the actor pools fan out
+    media = rd.from_arrow(synth_media_table(docs)).repartition(8)
+    # ONE pinned actor pool (the decode-shaped stage); the stateless
+    # feature stage runs as tasks — chaining multiple fixed actor pools
+    # can reserve every CPU and starve upstream tasks on small clusters
+    frames = media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(frames_per_video=4, image_hw=(32, 32)),
+        batch_format="pyarrow",
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+    feats = frames.map_batches(MediaFeatures(), batch_format="pyarrow",
+                               batch_size=DEFAULT_MEDIA_BATCH_SIZE)
+    return feats.select_columns(
+        ["media_id", "doc_id", "kind", "frame_idx", "features"]
+    )

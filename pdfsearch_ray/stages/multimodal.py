@@ -1,0 +1,243 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The reference has no media path (its only binary payloads are PDF bytes
+and flatbuffers blobs, internal/serial/offset_bbox.go); this module is
+the engine's media extension for training-data pipelines: decode →
+resize / frame-sample → feature-extract, each a stateful batch stage.
+
+The actual codec libraries (PIL / libsndfile / ffmpeg) are NOT in this
+container, so the decode backend is STUBBED: ``backend="stub"`` produces
+a deterministic fake decode (pixel/sample tensors derived from the
+payload bytes via a rolling hash — stable across runs, workers and
+cluster sizes), while ``backend="real"`` raises NotImplementedError at
+construction with the dependency it needs.  Everything Ray-side —
+schemas, batch shapes, actor signatures, fixed-shape tensor columns,
+the 1→N frame-sampling flat_map — is real and tested.
+
+Memory note (the reason these stages exist as separate actor pools):
+decoded tensors are ~100-1000× their encoded payloads, so decode stages
+must run with SMALL batch sizes (default 32) and bounded concurrency;
+callers size ``batch_size × concurrency × tensor_bytes`` to worker heap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("kind", pa.string()),        # "image" | "audio" | "video"
+        ("mime", pa.string()),
+        ("payload", pa.large_binary()),
+        ("width", pa.int32()),        # images/video
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),     # video
+        ("sample_rate", pa.int32()),  # audio
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+DEFAULT_MEDIA_BATCH_SIZE = 32
+
+
+def _stub_tensor(payload: bytes, n: int, seed: int) -> np.ndarray:
+    """Deterministic fake decode: n uint8 values derived from the payload
+    via splitmix64 over 8-byte windows.  Stable for a given payload —
+    the per-row invariant real decoders must also satisfy."""
+    h = np.frombuffer(payload.ljust(((len(payload) + 7) // 8) * 8, b"\0"),
+                      dtype=np.uint64)
+    acc = np.uint64(seed)
+    for v in h[:16]:  # bounded mixing work per row
+        acc = np.uint64((int(acc) ^ int(v)) * 0x9E3779B97F4A7C15 & (2**64 - 1))
+    rng = np.random.Generator(np.random.Philox(key=int(acc)))
+    return rng.integers(0, 256, n, dtype=np.uint8)
+
+
+class MediaDecoder:
+    """Actor-pool stage: payload → fixed-shape decoded tensor column.
+
+    Output adds ``decoded:list<uint8>`` (length w*h*3 for images, one
+    frame for video, ``n_samples`` for audio) and ``decode_ok:bool``.
+    Use as ``ds.map_batches(MediaDecoder, fn_constructor_kwargs=...,
+    batch_size=32, concurrency=N)``.
+    """
+
+    def __init__(self, backend: str = "stub", image_hw: tuple[int, int] = (32, 32),
+                 audio_samples: int = 1024):
+        if backend != "stub":
+            raise NotImplementedError(
+                f"media decode backend {backend!r} needs PIL/soundfile/ffmpeg, "
+                "not available in this environment; use backend='stub'"
+            )
+        self.backend = backend
+        self.image_hw = image_hw
+        self.audio_samples = audio_samples
+
+    def _decode_one(self, kind: str, payload: bytes) -> np.ndarray | None:
+        if payload is None or len(payload) == 0:
+            return None
+        if kind in ("image", "video"):
+            h, w = self.image_hw
+            return _stub_tensor(payload, h * w * 3, seed=1)
+        if kind == "audio":
+            return _stub_tensor(payload, self.audio_samples, seed=2)
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        decoded: list = []
+        ok: list[bool] = []
+        for kind, payload in zip(kinds, payloads):
+            try:
+                t = self._decode_one(kind, payload)
+            except Exception:
+                t = None  # poison row must not kill the block (SURVEY §4)
+            decoded.append(t if t is None else t.tolist())
+            ok.append(t is not None)
+        return batch.append_column(
+            "decoded", pa.array(decoded, type=pa.list_(pa.uint8()))
+        ).append_column("decode_ok", pa.array(ok, type=pa.bool_()))
+
+
+class ImageResize:
+    """Actor-pool stage: decoded (h,w,3) tensors → (out_h,out_w,3) by
+    nearest-neighbor sampling — vectorized gather per batch."""
+
+    def __init__(self, in_hw: tuple[int, int], out_hw: tuple[int, int]):
+        ih, iw = in_hw
+        oh, ow = out_hw
+        ys = (np.arange(oh) * ih // oh)
+        xs = (np.arange(ow) * iw // ow)
+        # flat gather index into (ih*iw*3), built once per actor
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        base = (yy * iw + xx) * 3
+        self.gather = np.stack([base, base + 1, base + 2], axis=-1).ravel()
+        self.in_n = ih * iw * 3
+        self.out_hw = out_hw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["decoded"]
+        out: list = []
+        for v in col.to_pylist():
+            if v is None or len(v) != self.in_n:
+                out.append(None)
+            else:
+                out.append(np.asarray(v, dtype=np.uint8)[self.gather].tolist())
+        return batch.set_column(
+            batch.schema.get_field_index("decoded"), "decoded",
+            pa.array(out, type=pa.list_(pa.uint8())),
+        )
+
+
+class FrameSampler:
+    """Video rows → one output row per sampled frame (1→N flat_map shape,
+    the unidoc page-iterator analog S3/unidoc_glue.go:141-261).  Non-video
+    rows pass through with frame_idx=0."""
+
+    def __init__(self, frames_per_video: int = 4, image_hw=(32, 32)):
+        self.k = frames_per_video
+        self.image_hw = image_hw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, w = self.image_hw
+        n_px = h * w * 3
+        out_rows: dict[str, list] = {
+            "media_id": [], "doc_id": [], "kind": [], "frame_idx": [],
+            "decoded": [],
+        }
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        media_ids = batch["media_id"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        n_frames = batch["n_frames"].to_pylist()
+        for mid, did, kind, payload, nf in zip(
+            media_ids, doc_ids, kinds, payloads, n_frames
+        ):
+            if kind == "video" and payload:
+                total = max(1, int(nf or 1))
+                for j in range(min(self.k, total)):
+                    frame_no = j * total // min(self.k, total)
+                    out_rows["media_id"].append(mid)
+                    out_rows["doc_id"].append(did)
+                    out_rows["kind"].append("image")
+                    out_rows["frame_idx"].append(frame_no)
+                    out_rows["decoded"].append(
+                        _stub_tensor(payload, n_px, seed=100 + frame_no).tolist()
+                    )
+            elif payload:
+                out_rows["media_id"].append(mid)
+                out_rows["doc_id"].append(did)
+                out_rows["kind"].append(kind)
+                out_rows["frame_idx"].append(0)
+                out_rows["decoded"].append(
+                    _stub_tensor(payload, n_px, seed=1).tolist()
+                )
+        return pa.table({
+            "media_id": pa.array(out_rows["media_id"], type=pa.int64()),
+            "doc_id": pa.array(out_rows["doc_id"], type=pa.int64()),
+            "kind": pa.array(out_rows["kind"], type=pa.string()),
+            "frame_idx": pa.array(out_rows["frame_idx"], type=pa.int32()),
+            "decoded": pa.array(out_rows["decoded"], type=pa.list_(pa.uint8())),
+        })
+
+
+class MediaFeatures:
+    """Decoded tensors → fixed-length float32 feature vectors (channel
+    mean/std + 8-bin histogram), vectorized per batch; the embedding
+    column feeds the ANN pipelines (pipelines/similarity.py)."""
+
+    N_FEATURES = 2 * 3 + 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["decoded"].combine_chunks()
+        feats: list = []
+        for v in col.to_pylist():
+            if v is None:
+                feats.append(None)
+                continue
+            a = np.asarray(v, dtype=np.float32)
+            ch = a.reshape(-1, 3) if a.size % 3 == 0 else a.reshape(-1, 1).repeat(3, 1)
+            hist, _ = np.histogram(a, bins=8, range=(0, 256))
+            f = np.concatenate([
+                ch.mean(axis=0), ch.std(axis=0),
+                (hist / max(1, a.size)).astype(np.float32),
+            ]).astype(np.float32)
+            feats.append(f.tolist())
+        return batch.append_column(
+            "features", pa.array(feats, type=pa.list_(pa.float32()))
+        )
+
+
+def synth_media_table(docs: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Deterministic synthetic media rows derived from a documents table
+    (round-1 rule: synthesize inputs, no external data).  Each doc yields
+    one media row; kind cycles image/audio/video by doc_id, payload is
+    the utf-8 text bytes (opaque to the decoder — exactly how real
+    pipelines treat undecoded media)."""
+    ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = docs[text_col].to_pylist()
+    kinds = [("image", "audio", "video")[int(i) % 3] for i in ids]
+    payloads = [(t or "").encode("utf-8") for t in texts]
+    n = len(ids)
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "doc_id": pa.array(ids),
+        "kind": pa.array(kinds, type=pa.string()),
+        "mime": pa.array(
+            [{"image": "image/png", "audio": "audio/wav",
+              "video": "video/mp4"}[k] for k in kinds], type=pa.string()),
+        "payload": pa.array(payloads, type=pa.large_binary()),
+        "width": pa.array(np.full(n, 32, dtype=np.int32)),
+        "height": pa.array(np.full(n, 32, dtype=np.int32)),
+        "n_frames": pa.array(
+            np.where(np.array(kinds) == "video", 12, 0).astype(np.int32)),
+        "sample_rate": pa.array(
+            np.where(np.array(kinds) == "audio", 16000, 0).astype(np.int32)),
+        "duration_ms": pa.array(np.full(n, 1000, dtype=np.int32)),
+    })

@@ -122,7 +122,7 @@ class Tokenizer:
         hot = self.hot_terms
         en = self.analyzer_name == "en"
         if en:
-            from ..analysis.analyzer import analyze_en
+            from ..analysis.analyzer import analyze_en_pos
         # combine mode: (term, salt) → [doc_ids, tfs, dls, flat_positions, pos_lens]
         seg: dict[tuple[str, int], list[list[int]]] = {}
         for text, doc_id in zip(texts, doc_ids):
@@ -131,9 +131,9 @@ class Tokenizer:
             agg: dict[str, list[int]] = {}
             dl = 0
             if en:
-                for t in analyze_en(text):
+                for term, position in analyze_en_pos(text):
                     dl += 1
-                    agg.setdefault(t.term, []).append(t.position)
+                    agg.setdefault(term, []).append(position)
             else:
                 for i, term in enumerate(self.analyze(text)):
                     dl += 1

@@ -158,3 +158,26 @@ def test_simple_matches_duckdb_expression():
 
 def test_stopwords_are_lowercase():
     assert all(w == w.lower() for w in STOPWORDS_EN)
+
+
+def test_analyze_en_pos_equivalent():
+    """The fast index-path chain must match the full chain exactly on
+    terms and positions, including possessives, stopwords and unicode
+    apostrophes."""
+    from pdfsearch_ray.analysis.analyzer import (
+        analyze_en,
+        analyze_en_pos,
+        analyze_en_terms,
+    )
+
+    cases = [
+        "The World's fastest engine, isn't it? Don't stop.",
+        "résumé naïve café's owner—paid 3.14 dollars, v1.2.3 release",
+        "IT'S A TEST'S POSSESSIVE’S CASE’s",
+        "", "   ", "the and of", "word",
+        "a'b'c x''y o’clock jack-o'-lantern",
+    ]
+    for text in cases:
+        full = [(t.term, t.position) for t in analyze_en(text)]
+        assert analyze_en_pos(text) == full, text
+        assert analyze_en_terms(text) == [t for t, _ in full], text
