@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q.doc_fingerprints,
         "ann_lsh": q.ann_lsh,
         "media_features": q.media_features,
+        "ws_token_counts": q.ws_token_counts,
     }
 
 
@@ -238,5 +239,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, sim, rank
             FROM ranked WHERE rank <= {ANN_K}
             ORDER BY query_id, rank
+        """,
+        "ws_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_ws_tokens
+            FROM documents
         """,
     }

@@ -390,3 +390,19 @@ def media_features(sf_dir: str) -> rd.Dataset:
     return feats.select_columns(
         ["media_id", "doc_id", "kind", "frame_idx", "features"]
     )
+
+
+def ws_token_counts(sf_dir: str) -> rd.Dataset:
+    """Whitespace token counts per doc — the SQL-expressible half of
+    token_count_stats, exposed separately so the driver can value-check
+    it against DuckDB (the BPE-piece counts use a lookahead regex RE2
+    cannot run and stay rows-only)."""
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_ws_tokens": pa.array(
+                [len((t or "").split()) for t in batch["text"].to_pylist()],
+                type=pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
