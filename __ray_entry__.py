@@ -67,6 +67,18 @@ def _fulltext_topk(sf_dir: str) -> Any:
     return pa.concat_tables(out).drop_columns(["spans"])
 
 
+def _windowed_event_counts(sf_dir: str):
+    from pdfsearch_ray.pipelines.events import windowed_event_counts
+
+    return windowed_event_counts(sf_dir)
+
+
+def _user_sessions(sf_dir: str):
+    from pdfsearch_ray.pipelines.events import user_sessions
+
+    return user_sessions(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdfsearch_ray.pipelines import queries as q
 
@@ -89,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q.ann_lsh,
         "media_features": q.media_features,
         "ws_token_counts": q.ws_token_counts,
+        "windowed_event_counts": _windowed_event_counts,
+        "user_sessions": _user_sessions,
     }
 
 
@@ -246,5 +260,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
                    END AS n_ws_tokens
             FROM documents
+        """,
+        "windowed_event_counts": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT *, sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
     }
