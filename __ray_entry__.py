@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q.ann_lsh,
         "media_features": q.media_features,
         "ws_token_counts": q.ws_token_counts,
+        "ann_ivf": q.ann_ivf,
         "windowed_event_counts": _windowed_event_counts,
         "user_sessions": _user_sessions,
     }

@@ -406,3 +406,9 @@ def ws_token_counts(sf_dir: str) -> rd.Dataset:
         })
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def ann_ivf(sf_dir: str) -> pa.Table:
+    from .similarity import ann_ivf_topk
+
+    return ann_ivf_topk(sf_dir, num_queries=ANN_NUM_QUERIES, k=ANN_K)

@@ -85,3 +85,27 @@ def test_ann_lsh_recall_vs_bruteforce(ray_session):
     merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
     if len(merged):
         np.testing.assert_allclose(merged["sim_a"], merged["sim_e"], atol=2e-6)
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    """IVF with n_probe/n_clusters = 1/4 of the space on RANDOM vectors
+    (no cluster structure in the fixture embeddings) must still return
+    exact sims for whatever it returns, with recall ≈ probed fraction."""
+    from pdfsearch_ray.pipelines.queries import ann_cosine_topk
+    from pdfsearch_ray.pipelines.similarity import ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_cosine_topk(sf).to_pandas()
+    approx = ann_ivf_topk(sf, n_clusters=8, n_probe=4).to_pandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        e = set(grp.vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+        # sims of overlapping ids must agree exactly (both rounded 6dp)
+        m = grp.merge(approx[approx.query_id == qid], on="vec_id",
+                      suffixes=("_e", "_a"))
+        assert (m.sim_e - m.sim_a).abs().max() <= 1e-9
+    import numpy as np
+
+    assert np.mean(recalls) >= 0.25, recalls
