@@ -80,39 +80,60 @@ def analyze_en(text: str) -> list[Token]:
     return out
 
 
+# Raw-token → final-term memo for the hot paths: one dict hit replaces
+# lower + possessive strip + stopword check + stem.  None marks a
+# stopword.  Natural-language token streams are Zipfian, so the hit rate
+# is ~1; the cap bounds worker memory against adversarial text.
+_RAW_TERM_CACHE: dict[str, str | None] = {}
+_RAW_TERM_CACHE_MAX = 1 << 20
+_MISSING = object()
+
+
+def _final_term(raw: str):
+    tok = raw.lower()
+    if tok.endswith("'s") or tok.endswith("’s"):
+        tok = tok[:-2]
+    if tok in STOPWORDS_EN:
+        term = None
+    else:
+        term = stem(tok)
+    if len(_RAW_TERM_CACHE) < _RAW_TERM_CACHE_MAX:
+        _RAW_TERM_CACHE[raw] = term
+    return term
+
+
 def analyze_en_pos(text: str) -> list[tuple[str, int]]:
     """`en` chain, (term, position) only — the indexing hot path.
 
     Semantically identical to ``[(t.term, t.position) for t in
-    analyze_en(text)]`` (equivalence is unit-tested) but ~1.5× faster:
-    no Token allocation, no char offsets, possessive strip via slicing
-    instead of a regex sub.  Offsets are only needed at hydration time
-    for the top-k docs, never for the corpus-wide tokenize."""
+    analyze_en(text)]`` (equivalence is unit-tested) but several times
+    faster: findall instead of Match objects, no char offsets, and a
+    raw-token memo collapsing the whole normalize chain to a dict hit.
+    Offsets are only needed at hydration time for the top-k docs, never
+    for the corpus-wide tokenize."""
     out: list[tuple[str, int]] = []
-    pos = 0
-    stop = STOPWORDS_EN
-    for m in _TOKEN_RE.finditer(text):
-        pos += 1
-        tok = m.group().lower()
-        if tok.endswith("'s") or tok.endswith("’s"):
-            tok = tok[:-2]
-        if tok in stop:
-            continue
-        out.append((stem(tok), pos))
+    cache_get = _RAW_TERM_CACHE.get
+    append = out.append
+    for pos, raw in enumerate(_TOKEN_RE.findall(text), 1):
+        term = cache_get(raw, _MISSING)
+        if term is _MISSING:
+            term = _final_term(raw)
+        if term is not None:
+            append((term, pos))
     return out
 
 
 def analyze_en_terms(text: str) -> list[str]:
     """`en` chain, terms only (stats/query-side helper)."""
-    stop = STOPWORDS_EN
     out: list[str] = []
-    for m in _TOKEN_RE.finditer(text):
-        tok = m.group().lower()
-        if tok.endswith("'s") or tok.endswith("’s"):
-            tok = tok[:-2]
-        if tok in stop:
-            continue
-        out.append(stem(tok))
+    cache_get = _RAW_TERM_CACHE.get
+    append = out.append
+    for raw in _TOKEN_RE.findall(text):
+        term = cache_get(raw, _MISSING)
+        if term is _MISSING:
+            term = _final_term(raw)
+        if term is not None:
+            append(term)
     return out
 
 
