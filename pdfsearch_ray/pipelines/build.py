@@ -70,7 +70,6 @@ except Exception:
 
 from ..analysis.analyzer import ANALYZER_VERSION, get_analyzer
 from ..functions.hashing import content_hash, mix64
-from ..index.build_blocks import encode_bucket
 from ..index.codec import BLOCK_SIZE
 from ..stages.tokenize import DEFAULT_NUM_BUCKETS, Tokenizer
 from ..state.manifest import IndexManifest
