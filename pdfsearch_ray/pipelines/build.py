@@ -210,6 +210,20 @@ def detect_hot_terms(
     return {t: num_salts for t in hot["term"].tolist()}
 
 
+def _dir_bytes(path: str) -> int:
+    """Total bytes under a stage dir (index-size lineage metric)."""
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def build_index(
     source: str | list[str] | rd.Dataset,
     index_dir: str,
@@ -494,6 +508,8 @@ def build_index(
             "sec_total": round(t_post - t0, 3),
             "docs_per_sec": round(int(n_docs) / max(t_post - t0, 1e-9), 2),
             "store_text": store_text,
+            "bytes_postings": _dir_bytes(postings_dir),
+            "bytes_docs": _dir_bytes(docs_dir),
         },
     )
     manifest.save(index_dir)

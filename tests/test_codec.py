@@ -71,3 +71,59 @@ def test_bm25_wdl_monotone():
     # longer docs score lower at same tf
     w2 = bm25_wdl(tf, dl * 4, k1=1.2, b=0.75, avgdl=100.0)
     assert np.all(w2 < w)
+
+
+# ---------------------------------------------------------------- property
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+def test_varint_roundtrip_property(vals):
+    from pdfsearch_ray.index.codec import varint_decode, varint_encode
+
+    arr = np.array(vals, dtype=np.uint64)
+    blob = varint_encode(arr)
+    out = varint_decode(blob, count=len(vals) if vals else None)
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=200, unique=True))
+def test_delta_roundtrip_property(vals):
+    from pdfsearch_ray.index.codec import delta_decode, delta_encode
+
+    arr = np.sort(np.array(vals, dtype=np.uint64))
+    blob = delta_encode(arr)
+    np.testing.assert_array_equal(delta_decode(blob, count=len(arr)), arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.lists(st.integers(min_value=1, max_value=2**31 - 1),
+             min_size=0, max_size=20, unique=True),
+    max_size=30,
+))
+def test_positions_roundtrip_property(lists):
+    from pdfsearch_ray.index.codec import (
+        decode_positions,
+        encode_positions,
+        encode_positions_run,
+    )
+
+    pos_lists = [np.sort(np.array(x, dtype=np.uint64)) for x in lists]
+    blob = encode_positions(pos_lists)
+    out = decode_positions(blob, len(pos_lists))
+    for a, b in zip(pos_lists, out):
+        np.testing.assert_array_equal(a, b)
+    # the vectorized whole-run encoder must be wire-compatible
+    flat = (np.concatenate(pos_lists) if pos_lists else
+            np.empty(0, dtype=np.uint64))
+    lens = np.array([len(x) for x in pos_lists], dtype=np.int64)
+    blob2, offsets = encode_positions_run(flat, lens)
+    assert blob2 == blob
+    assert offsets[-1] == len(blob)
