@@ -33,7 +33,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # cluster brings per-node NVMe/object-store bandwidth that scales with
 # nodes.  RAM-backed working dirs remove that single-disk artifact from
 # the measurement (the corpus itself is page-cached after warmup).
-BENCH_ROOT = "/dev/shm/pdfsearch_bench"
+_SHM = "/dev/shm"
+BENCH_ROOT = (f"{_SHM}/pdfsearch_bench" if os.path.isdir(_SHM)
+              else "/tmp/pdfsearch_bench")
 CORPUS_DIR = f"{BENCH_ROOT}/pages120k"
 CORPUS_ROWS = 120_000
 CORPUS_DOC_WORDS = 150
