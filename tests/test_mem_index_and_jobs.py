@@ -58,3 +58,34 @@ def test_job_clis_end_to_end(tmp_path, dummy):
     assert res.returncode == 0, res.stderr[-2000:]
     assert "total matches" in res.stdout
     assert "doc=" in res.stdout
+
+
+@pytest.mark.parametrize("dummy", [0])
+def test_demo_job_end_to_end(tmp_path, dummy):
+    """Combined build→search demo (entry point 3, pdf_search_demo.go):
+    fresh build then --reuse, both in fresh processes."""
+    from pdfsearch_ray.fixtures.gen import write_pages
+
+    corpus = str(tmp_path / "pages")
+    write_pages(corpus, 300, rows_per_file=150, row_group_size=75)
+    index_dir = str(tmp_path / "idx")
+    out = subprocess.run(
+        [sys.executable, "-m", "pdfsearch_ray.jobs.demo_job",
+         "--input", corpus, "--index-dir", index_dir,
+         "--num-cpus", "4", "quick", "brown", "fox"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dtIndex=" in out.stdout and "docs/sec" in out.stdout
+    first = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("1:")]
+
+    reuse = subprocess.run(
+        [sys.executable, "-m", "pdfsearch_ray.jobs.demo_job",
+         "--input", corpus, "--index-dir", index_dir, "--reuse",
+         "--num-cpus", "4", "quick", "brown", "fox"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert reuse.returncode == 0, reuse.stderr[-2000:]
+    reuse_first = [ln for ln in reuse.stdout.splitlines()
+                   if ln.strip().startswith("1:")]
+    assert first == reuse_first  # reuse answers identically, no rebuild
