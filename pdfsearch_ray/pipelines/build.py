@@ -378,8 +378,18 @@ def build_index(
 
         if track_df:
             dfs = stats[stats["term"] != ""].groupby("term")["df_part"].sum()
-            hot = dfs[dfs >= hot_df_ratio * max(1, n_sampled)]
-            hot_terms = {t: num_salts for t in hot.index}
+            thresh = hot_df_ratio * max(1, n_sampled)
+            hot = dfs[dfs >= thresh]
+            # adaptive shard count: salts ∝ estimated df over the hot
+            # threshold, capped at num_salts — a barely-hot term gets 2
+            # shards, a term in every doc gets ~1/hot_df_ratio.  Fewer
+            # shards than a flat num_salts for the mid-tail means fewer
+            # buckets probed per query term while encode-side balance
+            # (per-shard df ≤ threshold-ish) is preserved.
+            hot_terms = {
+                t: int(np.clip(np.ceil(df_t / thresh) + 1, 2, num_salts))
+                for t, df_t in hot.items()
+            }
         hot_terms = hot_terms or {}
         with open(stats_path + ".tmp", "w") as f:
             _json.dump({"total_dl": total_dl, "n_sampled": n_sampled,
