@@ -1,0 +1,52 @@
+"""QueryEngine actor pool must answer identically to a driver-side
+BM25Index, keep state warm across calls, and preserve input order."""
+
+SRC = "/root/testdata/sf0.001/documents.parquet"
+
+QUERIES = ["data processing pipeline", "stream window", "query engine",
+           "zzznope", "", "processing data"]
+
+
+def test_engine_pool_matches_driver(ray_session, tmp_path):
+    import ray
+
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.engine import make_engine_pool, search_many
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    d = str(tmp_path / "idx")
+    build_index(SRC, d, analyzer="en", num_buckets=8)
+    local = BM25Index(d)
+    expected = [local.search(q, max_results=10, with_spans=True)
+                for q in QUERIES]
+
+    pool = make_engine_pool(d, replicas=2)
+    try:
+        got = search_many(pool, QUERIES, max_results=10, with_spans=True)
+        assert len(got) == len(QUERIES)
+        for e, g, q in zip(expected, got, QUERIES):
+            assert g.total_matches == e.total_matches, q
+            assert [(m.doc_id, round(m.score, 12)) for m in g.matches] == \
+                   [(m.doc_id, round(m.score, 12)) for m in e.matches], q
+            assert [m.spans for m in g.matches] == [m.spans for m in e.matches]
+        # warm() returns a growing term cache — state persists in-actor
+        n1 = ray.get(pool[0].warm.remote(["engine"]))
+        n2 = ray.get(pool[0].warm.remote(["engine", "window"]))
+        assert n2 >= n1
+    finally:
+        for a in pool:
+            ray.kill(a)
+
+
+def test_search_many_ephemeral_pool(ray_session, tmp_path):
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.engine import search_many
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    d = str(tmp_path / "idx")
+    build_index(SRC, d, analyzer="en", num_buckets=8)
+    got = search_many(d, ["data", "engine"], replicas=1, max_results=5)
+    local = BM25Index(d)
+    for g, q in zip(got, ["data", "engine"]):
+        e = local.search(q, max_results=5)
+        assert [m.doc_id for m in g.matches] == [m.doc_id for m in e.matches]
