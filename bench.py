@@ -125,7 +125,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # one timed pass of each oracled pipeline at the sf dir
     for name in ("term_df", "top_terms", "doc_token_stats", "exact_dedup",
                  "quality_scores", "bm25_topk", "lang_distribution",
-                 "ann_cosine_topk"):
+                 "ann_cosine_topk", "ws_token_counts",
+                 "windowed_event_counts", "user_sessions"):
         fn = getattr(qmod, name)
         t = time.perf_counter()
         res = fn(sf_dir)

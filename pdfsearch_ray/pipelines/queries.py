@@ -412,3 +412,15 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     from .similarity import ann_ivf_topk
 
     return ann_ivf_topk(sf_dir, num_queries=ANN_NUM_QUERIES, k=ANN_K)
+
+
+def windowed_event_counts(sf_dir: str) -> rd.Dataset:
+    from .events import windowed_event_counts as _w
+
+    return _w(sf_dir)
+
+
+def user_sessions(sf_dir: str) -> rd.Dataset:
+    from .events import user_sessions as _u
+
+    return _u(sf_dir)
