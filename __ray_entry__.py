@@ -150,7 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": f"""
             WITH toks AS ({toks})
             SELECT doc_id, count(*) AS n_tokens,
-                   sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop,
+                   count(*) FILTER (WHERE term IN ({stop_list})) AS n_stop,
                    max(length(term)) AS max_token_len
             FROM toks WHERE term <> '' GROUP BY doc_id
         """,

@@ -94,6 +94,13 @@ def _encode_flat(
 
     wdl = bm25_wdl(tfs, dls, k1, b, avgdl)
     bmax = np.maximum.reduceat(wdl, bstarts)
+    # store float32 rounded UP: query-side bounds are recomputed in float64,
+    # so a round-to-nearest-down cast could store a value below the true
+    # block max and let MaxScore wrongly prune a near-tie doc
+    bmax32 = bmax.astype(np.float32)
+    under = bmax32.astype(np.float64) < bmax
+    if under.any():
+        bmax32[under] = np.nextafter(bmax32[under], np.float32(np.inf))
 
     blk_run = run_of_post[bstarts]
     blk_id = (rel[bstarts] // block_size).astype(np.int64)
@@ -121,7 +128,7 @@ def _encode_flat(
             "tf_blob": pa.array(o_tf, type=pa.large_binary()),
             "dl_blob": pa.array(o_dl, type=pa.large_binary()),
             "pos_blob": pa.array(o_pos, type=pa.large_binary()),
-            "max_wdl": pa.array(bmax.astype(np.float32)),
+            "max_wdl": pa.array(bmax32),
         }
     )
 

@@ -99,11 +99,22 @@ class _DocMeta:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         texts = batch[self.text_col].to_pylist()
-        hashes = [content_hash((t or "").encode("utf-8")) for t in texts]
+        # one identity per doc: when the source already carries a content
+        # hash (the extract checkpoint stores sha256(html), the file-level
+        # identity M1 requires — file_desc.go:51-68), pass it through so
+        # the catalog and the dedup path agree; sha256(text) is only the
+        # fallback for hash-less sources
+        if "hash" in batch.schema.names:
+            hash_arr = batch["hash"]
+        else:
+            hash_arr = pa.array(
+                [content_hash((t or "").encode("utf-8")) for t in texts],
+                type=pa.string(),
+            )
         cols: dict[str, Any] = {
             "doc_id": batch[self.id_col].cast(pa.int64()),
             "url": batch[self.url_col] if self.url_col else pa.array([""] * n),
-            "hash": pa.array(hashes, type=pa.string()),
+            "hash": hash_arr,
             "lang": batch[self.lang_col] if self.lang_col else pa.array([""] * n),
         }
         if self.store_text:
@@ -487,12 +498,20 @@ def build_index(
         os.rename(tmp, postings_dir)
         # the spill is only removable once postings are durably renamed
         shutil.rmtree(tokens_dir, ignore_errors=True)
-    n_docs = docs_future.result()
+    n_catalog = docs_future.result()
     _pool.shutdown()
+    # BM25's N must count docs that actually entered the index (>=1 token
+    # after analysis) — the reference's bleve DocCount counts indexed
+    # pages, not catalog rows.  The exact stats pass measures this
+    # directly; with sampled stats fall back to the catalog count (the
+    # relative error is the empty-doc rate, and avgdl is approximate in
+    # that mode anyway — recorded via avgdl_exact).
+    stats_exact = sample_rate >= 1.0 and not stats_sampled
+    n_docs = n_sampled if stats_exact else n_catalog
     t_post = time.time()
     report(
         f"postings written in {t_post - t_hot:.1f}s "
-        f"({int(n_docs) / max(t_post - t0, 1e-9):.0f} docs/sec overall)"
+        f"({int(n_catalog) / max(t_post - t0, 1e-9):.0f} docs/sec overall)"
     )
 
     manifest = IndexManifest(
@@ -516,7 +535,8 @@ def build_index(
             "sec_encode": round(t_post - t_tok, 3),
             "sec_postings": round(t_post - t_hot, 3),
             "sec_total": round(t_post - t0, 3),
-            "docs_per_sec": round(int(n_docs) / max(t_post - t0, 1e-9), 2),
+            "docs_per_sec": round(int(n_catalog) / max(t_post - t0, 1e-9), 2),
+            "n_docs_catalog": int(n_catalog),
             "store_text": store_text,
             "bytes_postings": _dir_bytes(postings_dir),
             "bytes_docs": _dir_bytes(docs_dir),
@@ -606,7 +626,7 @@ def build_index_mem(
         POSTINGS,
     )
     manifest = IndexManifest(
-        n_docs=int(docs_tbl.num_rows), avgdl=float(avgdl),
+        n_docs=int(n_indexed), avgdl=float(avgdl),
         total_tokens=total_dl, analyzer=analyzer,
         analyzer_version=ANALYZER_VERSION, k1=k1, b=b,
         num_buckets=num_buckets, block_size=block_size,

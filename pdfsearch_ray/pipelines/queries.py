@@ -313,7 +313,7 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
         emb = batch["embedding"].combine_chunks()
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.chunk(0)
-        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         dim = qn_.shape[1]
         m = flat.reshape(-1, dim)[mask]
         ids = ids[mask]

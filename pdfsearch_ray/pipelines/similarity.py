@@ -44,7 +44,7 @@ class _BucketSigner:
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.chunk(0)
         dim = self.planes.shape[0]
-        m = emb.values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        m = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
         mask = ids >= self.exclude_below
         ids, m = ids[mask], m[mask]
         buckets = _signs(m, self.planes)
@@ -122,7 +122,7 @@ def ann_lsh_topk(
     emb = tbl["embedding"].combine_chunks()
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.chunk(0)
-    cm = emb.values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+    cm = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
     cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
 
     out_q, out_v, out_s, out_r = [], [], [], []
@@ -186,7 +186,7 @@ class _IVFAssigner:
         emb = batch["embedding"].combine_chunks()
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.chunk(0)
-        m = emb.values.to_numpy(zero_copy_only=False).astype(
+        m = emb.flatten().to_numpy(zero_copy_only=False).astype(
             np.float64).reshape(-1, self.dim)
         mask = ids >= self.exclude_below
         ids, m = ids[mask], m[mask]
@@ -277,7 +277,7 @@ def ann_ivf_topk(
     emb = tbl["embedding"].combine_chunks()
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.chunk(0)
-    cm = emb.values.to_numpy(zero_copy_only=False).astype(
+    cm = emb.flatten().to_numpy(zero_copy_only=False).astype(
         np.float64).reshape(-1, dim)
     cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
 

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..stages.extract import EXTRACTOR_VERSION, HtmlExtractor
-from ..state.manifest import completed_partitions, write_partition_marker
+from ..state.manifest import validated_completed_partitions, write_partition_marker
 
 
 def list_partitions(input_path: str | list[str]) -> list[dict]:
@@ -65,6 +65,7 @@ class _ExtractPartition:
 
     def __init__(self, out_dir: str, lang_allow: tuple[str, ...] | None):
         self.out_dir = out_dir
+        self.lang_allow = lang_allow
         self.extractor = HtmlExtractor(lang_allow)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -99,6 +100,12 @@ class _ExtractPartition:
                     "rows_out": extracted.num_rows,
                     "doc_id_sum": int(pa.compute.sum(extracted["doc_id"]).as_py() or 0),
                     "extractor_version": EXTRACTOR_VERSION,
+                    # identity + config fields so resume can validate the
+                    # marker still describes THIS row group under THIS
+                    # config (see validated_completed_partitions)
+                    "path": path,
+                    "row_group": rg,
+                    "lang_allow": list(self.lang_allow) if self.lang_allow else None,
                     "sec": round(dt, 4),
                 },
             )
@@ -139,7 +146,14 @@ def extract_pages(
     """Run (or resume) the extract checkpoint; returns summary metrics."""
     os.makedirs(out_dir, exist_ok=True)
     descs = list_partitions(input_path)
-    done = completed_partitions(out_dir) if resume else set()
+    done = (
+        validated_completed_partitions(
+            out_dir, descs,
+            extractor_version=EXTRACTOR_VERSION, lang_allow=lang_allow,
+        )
+        if resume
+        else set()
+    )
     pending = [d for d in descs if d["partition_id"] not in done]
     summary = {
         "partitions": len(descs),

@@ -75,6 +75,43 @@ def write_partition_marker(index_dir: str, partition_id: int, info: dict[str, An
     os.replace(tmp, path)
 
 
+def validated_completed_partitions(
+    out_dir: str,
+    descs: list[dict[str, Any]],
+    *,
+    extractor_version: str,
+    lang_allow: tuple[str, ...] | None,
+) -> set[int]:
+    """Partition ids whose marker matches the CURRENT descriptor + config.
+
+    ``list_partitions`` numbers (file, row_group) pairs by enumeration
+    order, so a changed input file set shifts ids; trusting marker
+    existence alone would then reuse extractions of *different* row
+    groups.  A marker counts as done only if its recorded (path,
+    row_group, extractor_version, lang_allow) all match — mirroring
+    build_index's .build_config.json fingerprint check.  Markers from
+    before these fields existed never validate (safe re-extract).
+    """
+    want_lang = sorted(lang_allow) if lang_allow else None
+    done: set[int] = set()
+    for d in descs:
+        path = partition_marker_path(out_dir, d["partition_id"])
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            continue
+        m_lang = m.get("lang_allow")
+        if (
+            m.get("path") == d["path"]
+            and m.get("row_group") == d["row_group"]
+            and m.get("extractor_version") == extractor_version
+            and (sorted(m_lang) if m_lang else None) == want_lang
+        ):
+            done.add(d["partition_id"])
+    return done
+
+
 def completed_partitions(index_dir: str) -> set[int]:
     pdir = os.path.join(index_dir, PARTITIONS_DIR)
     if not os.path.isdir(pdir):
