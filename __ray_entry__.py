@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdfsearch_ray.pipelines import oracles as _oracles
     from pdfsearch_ray.pipelines.queries import (
         ANN_K,
         ANN_NUM_QUERIES,
@@ -126,7 +127,19 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     qvals = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
 
+    # The IVF oracle inlines centroids from the shared deterministic
+    # k-means, which needs the sf0.01 embeddings at generation time (the
+    # driver's correctness gate runs at sf0.01); degrade to a rows-only
+    # check if that table is unavailable in this process.
+    extra: dict[str, str] = {}
+    try:
+        extra["ann_ivf"] = _oracles.ann_ivf_sql(
+            "/root/testdata/sf0.01", num_queries=ANN_NUM_QUERIES, k=ANN_K)
+    except Exception:
+        pass
+
     return {
+        **extra,
         "term_df": f"""
             WITH toks AS ({toks})
             SELECT term, count(DISTINCT doc_id) AS df
@@ -255,6 +268,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= {ANN_K}
             ORDER BY query_id, rank
         """,
+        "minhash_dedup": _oracles.minhash_sql(threshold=JACCARD_THRESHOLD),
+        "ann_lsh": _oracles.ann_lsh_sql(num_queries=ANN_NUM_QUERIES, k=ANN_K,
+                                        nbits=4),
+        "token_count_stats": _oracles.token_count_sql(),
+        "langid_pred": _oracles.langid_sql(),
+        "doc_fingerprints": _oracles.fingerprints_sql(),
+        "simhash_fps": _oracles.simhash_sql(),
         "ws_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN text IS NULL OR trim(text) = '' THEN 0

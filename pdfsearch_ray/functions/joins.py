@@ -1,0 +1,196 @@
+"""Distributed equi-join and connected-components primitives.
+
+Ray Data has no native join; the engine's join is the classic
+disk-mediated hash join built from the same map-side hash-partition
+spill the posting build uses (pipelines/build.py design note):
+
+    both inputs --map_batches--> +__jb column (mix64(key) % B)
+                --write_parquet(partition_cols=[__jb])--> spill
+    one task per bucket: read both sides' bucket, Arrow (Acero) join
+
+Only the join KEY decides placement; payload moves exactly once, there
+is no all-to-all sort, and each bucket task's memory is bounded by the
+largest bucket.  Callers join on ids (hash-distributed), so bucket skew
+is bounded; non-key column names must be disjoint across sides.
+
+``min_label_propagation`` is connected components over an edge list by
+iterative min-label flooding — the scale path for near-dup clustering
+(driver-side union-find only works while the verified-pair set fits one
+machine).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .hashing import mix64
+
+
+def _with_bucket(t: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = (mix64(ids.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+    return t.append_column("__jb", pa.array(b))
+
+
+def _spill_schema(d: str) -> pa.Schema:
+    files = glob.glob(f"{d}/**/*.parquet", recursive=True)
+    if not files:
+        return pa.schema([])
+    return pq.read_schema(files[0])
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 16,
+    work_dir: str | None = None,
+) -> rd.Dataset:
+    """Distributed INNER equi-join on int64 keys via bucket-partitioned
+    spill + per-bucket Arrow joins.
+
+    Returns a lazy Dataset of joined rows (left columns then right
+    columns; when ``left_on != right_on`` both key columns survive).
+    The spill lives until process exit unless the caller passes
+    ``work_dir`` and removes it after consuming the result.
+    """
+    work_dir = work_dir or tempfile.mkdtemp(prefix="pdfsearch_join_")
+    ldir, rdir = f"{work_dir}/l", f"{work_dir}/r"
+    left.map_batches(
+        lambda t: _with_bucket(t, left_on, num_buckets), batch_format="pyarrow"
+    ).write_parquet(ldir, partition_cols=["__jb"])
+    right.map_batches(
+        lambda t: _with_bucket(t, right_on, num_buckets), batch_format="pyarrow"
+    ).write_parquet(rdir, partition_cols=["__jb"])
+    # empty-bucket blocks need the joined schema; an Acero join of two
+    # empty tables computes it exactly once here
+    lschema, rschema = _spill_schema(ldir), _spill_schema(rdir)
+    if not lschema.names or not rschema.names:
+        empty = pa.schema([]).empty_table()
+    else:
+        empty = lschema.empty_table().join(
+            rschema.empty_table(), keys=left_on, right_keys=right_on,
+            join_type="inner",
+        )
+
+    def _join_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bi in batch["b"].to_pylist():
+            lp, rp = f"{ldir}/__jb={bi}", f"{rdir}/__jb={bi}"
+            if not os.path.isdir(lp) or not os.path.isdir(rp):
+                continue
+            lt = pq.read_table(lp, use_threads=False)
+            rt = pq.read_table(rp, use_threads=False)
+            if lt.num_rows == 0 or rt.num_rows == 0:
+                continue
+            j = lt.join(rt, keys=left_on, right_keys=right_on,
+                        join_type="inner", use_threads=False)
+            if j.num_rows:
+                outs.append(j)
+        if not outs:
+            return empty
+        return pa.concat_tables(outs, promote_options="default")
+
+    return (
+        rd.from_items([{"b": i} for i in range(num_buckets)],
+                      override_num_blocks=num_buckets)
+        .map_batches(_join_bucket, batch_size=1, batch_format="pyarrow")
+    )
+
+
+def min_label_propagation(
+    pairs: pa.Table | rd.Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_buckets: int = 16,
+    max_iter: int = 32,
+) -> pa.Table:
+    """Connected components over an undirected edge list: every node ends
+    with label = min(node id in its component).  Returns (doc_id,
+    keep_id) sorted by doc_id.
+
+    Iterative min-label flooding: each round every node takes the min of
+    its own label and its neighbors' labels (one hash_join edge⋈labels +
+    one groupby-min per round); converges in O(component diameter)
+    rounds, detected by the strictly-decreasing label sum reaching a
+    fixpoint.  All state lives in Datasets — no driver-side union-find,
+    so the edge set may exceed single-machine memory.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "keep_id": pa.array([], type=pa.int64()),
+    })
+    if isinstance(pairs, pa.Table):
+        if pairs.num_rows == 0:
+            return empty
+        pairs_ds = rd.from_arrow(pairs)
+    else:
+        pairs_ds = pairs
+
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b])),
+            "v": pa.array(np.concatenate([b, a])),
+        })
+
+    edges = pairs_ds.map_batches(_both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return empty
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t["u"], "label": t["u"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        jdir = tempfile.mkdtemp(prefix="pdfsearch_lprop_")
+        try:
+            msgs = hash_join(
+                edges, labels, left_on="u", right_on="node",
+                num_buckets=num_buckets, work_dir=jdir,
+            ).map_batches(
+                lambda t: pa.table({
+                    "node": t["v"].cast(pa.int64()),
+                    "label": t["label"].cast(pa.int64()),
+                }),
+                batch_format="pyarrow",
+            )
+            labels = (
+                labels.union(msgs)
+                .groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+                .materialize()
+            )
+        finally:
+            shutil.rmtree(jdir, ignore_errors=True)
+        s = int(labels.aggregate(Sum("label", alias_name="s"))["s"])
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+
+    out = labels.sort("node").to_pandas()
+    return pa.table({
+        "doc_id": pa.array(out["node"].astype("int64").tolist(), type=pa.int64()),
+        "keep_id": pa.array(out["label"].astype("int64").tolist(), type=pa.int64()),
+    })

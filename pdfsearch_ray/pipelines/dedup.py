@@ -16,7 +16,6 @@ documented scale path being iterative min-label propagation.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -72,39 +71,93 @@ def ngram_jaccard_pairs(
     skew argument as posting-list salting); at default settings this is a
     no-op on the test tables.  Returns (doc_a, doc_b, jaccard rounded 6).
     """
-    shingles = docs.map_batches(_ShingleEmitter(n), batch_format="pyarrow")
+    import shutil
+    import tempfile
 
-    counts = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
+    from ..functions.joins import hash_join
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+    own_work = True
+    work_dir = tempfile.mkdtemp(prefix="pdfsearch_ngram_")
+    sh_dir = f"{work_dir}/shingles"
+    # shingles are consumed twice (per-doc counts + the inverted index);
+    # spill once instead of re-tokenizing the corpus
+    docs.map_batches(_ShingleEmitter(n), batch_format="pyarrow").write_parquet(sh_dir)
+    shingles = rd.read_parquet(sh_dir)
+
+    counts = (
+        shingles.groupby("doc_id")
+        .aggregate(Count(alias_name="n_sh"))
+        .materialize()  # one narrow row per doc, reused by both joins
+    )
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
         ids = np.sort(g["doc_id"].to_numpy())
         if len(ids) < 2 or len(ids) > max_shingle_df:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+            })
         a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        return pa.table({
+            "doc_a": pa.array(ids[a], type=pa.int64()),
+            "doc_b": pa.array(ids[b], type=pa.int64()),
+        })
 
     pair_rows = shingles.groupby("shingle").map_groups(
-        pairs_of_group, batch_format="pandas"
+        pairs_of_group, batch_format="pyarrow"
     )
     inter = pair_rows.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
 
-    inter_df = inter.to_pandas()
-    counts_df = counts.to_pandas()
-    if inter_df.empty:
+    # distributed threshold join: |A∩B| rows meet the per-doc shingle
+    # counts inside bucket tasks; only above-threshold pairs (a tiny,
+    # O(result) set) ever reach the driver — no O(candidate-pairs)
+    # driver materialization
+    j1 = hash_join(
+        inter,
+        counts.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "na": t["n_sh"]}),
+            batch_format="pyarrow"),
+        left_on="doc_a", right_on="doc_id", work_dir=f"{work_dir}/join_a",
+    )
+    j2 = hash_join(
+        j1,
+        counts.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "nb": t["n_sh"]}),
+            batch_format="pyarrow"),
+        left_on="doc_b", right_on="doc_id", work_dir=f"{work_dir}/join_b",
+    )
+
+    def thresh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            })
+        i = t["inter"].to_numpy().astype(np.float64)
+        na = t["na"].to_numpy().astype(np.float64)
+        nb = t["nb"].to_numpy().astype(np.float64)
+        j = np.round(i / (na + nb - i), 6)
+        keep = j >= threshold
         return pa.table({
-            "doc_a": pa.array([], type=pa.int64()),
-            "doc_b": pa.array([], type=pa.int64()),
-            "jaccard": pa.array([], type=pa.float64()),
+            "doc_a": t["doc_a"].to_numpy()[keep].astype(np.int64),
+            "doc_b": t["doc_b"].to_numpy()[keep].astype(np.int64),
+            "jaccard": pa.array(j[keep], type=pa.float64()),
         })
-    m = inter_df.merge(
-        counts_df.rename(columns={"doc_id": "doc_a", "n_sh": "na"}), on="doc_a"
-    ).merge(counts_df.rename(columns={"doc_id": "doc_b", "n_sh": "nb"}), on="doc_b")
-    m["jaccard"] = (m["inter"] / (m["na"] + m["nb"] - m["inter"])).round(6)
-    m = m[m["jaccard"] >= threshold].sort_values(["doc_a", "doc_b"])
+
+    try:
+        out = (
+            j2.map_batches(thresh, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+        )
+    finally:
+        if own_work:
+            shutil.rmtree(work_dir, ignore_errors=True)
     return pa.table({
-        "doc_a": pa.array(m["doc_a"].astype("int64").tolist(), type=pa.int64()),
-        "doc_b": pa.array(m["doc_b"].astype("int64").tolist(), type=pa.int64()),
-        "jaccard": pa.array(m["jaccard"].tolist(), type=pa.float64()),
+        "doc_a": pa.array(out["doc_a"].astype("int64").tolist(), type=pa.int64()),
+        "doc_b": pa.array(out["doc_b"].astype("int64").tolist(), type=pa.int64()),
+        "jaccard": pa.array(out["jaccard"].tolist(), type=pa.float64()),
     })
 
 
@@ -122,13 +175,26 @@ def _perm_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _hash_shingles(shingles: list[str]) -> np.ndarray:
+    """64-bit shingle hash = md5-low64 (digest bytes 8..16 little-endian),
+    exactly DuckDB's ``md5_number_lower`` — keeps the whole minhash
+    pipeline SQL-oracle-checkable."""
     import hashlib
 
     return np.array(
-        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
          for s in shingles],
         dtype=np.uint64,
     )
+
+
+def _band_hash(band: np.ndarray) -> int:
+    """Band bucket key: md5-low64 of the canonical decimal-comma string
+    of the band's minhash values, >>1 to fit int64.  String-based (not
+    raw bytes) so the SQL oracle can recompute it with string_agg."""
+    import hashlib
+
+    s = ",".join(str(int(v)) for v in band)
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little") >> 1
 
 
 def _minhash_sig(sh_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -140,51 +206,55 @@ def _minhash_sig(sh_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndar
     return np.min(np.asarray(vals, dtype=np.uint64), axis=0)
 
 
-class MinHashBander:
-    """Actor: doc → (band_id, band_hash, doc_id) rows.  Permutation
-    parameters built once per actor (seeded, identical everywhere)."""
+class MinHashSigner:
+    """Actor: doc → ONE (doc_id, sig) row; sig = num_perm uint64
+    minhashes as little-endian bytes.  Permutation parameters built once
+    per actor (seeded, identical everywhere).  Docs with no shingles
+    yield no row (never near-dup candidates)."""
 
-    def __init__(self, num_perm: int = 128, bands: int = 16, shingle_n: int = 3,
-                 seed: int = 42):
-        assert num_perm % bands == 0
-        self.r = num_perm // bands
-        self.bands = bands
+    def __init__(self, num_perm: int = 128, shingle_n: int = 3, seed: int = 42):
         self.shingle_n = shingle_n
         self.a, self.b = _perm_params(num_perm, seed)
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str) -> np.ndarray | None:
         toks = analyze_simple(text or "")
         sh = _hash_shingles(sorted(_word_ngrams(toks, self.shingle_n)))
+        if sh.size == 0:
+            return None
         return _minhash_sig(sh, self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
+        ids, sigs = [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if not text:
+            sig = self.signature(text)
+            if sig is None:
                 continue
-            toks = analyze_simple(text)
-            sh = _hash_shingles(sorted(_word_ngrams(toks, self.shingle_n)))
-            if sh.size == 0:
-                continue  # no shingles → never a near-dup candidate
-            sig = _minhash_sig(sh, self.a, self.b)
-            sig_bytes = sig.tobytes()
-            for bi in range(self.bands):
-                band = sig[bi * self.r : (bi + 1) * self.r]
-                import hashlib
-
-                bh = int.from_bytes(
-                    hashlib.blake2b(band.tobytes(), digest_size=8).digest(), "big"
-                ) >> 1  # fit int64
-                ids.append(did)
-                band_ids.append(bi)
-                band_hashes.append(bh)
-                sigs.append(sig_bytes)
+            ids.append(did)
+            sigs.append(sig.tobytes())
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.int64()),
             "sig": pa.array(sigs, type=pa.large_binary()),
         })
+
+
+def _band_row_table(batch: pa.Table, *, bands: int, r: int) -> pa.Table:
+    """(doc_id, sig) → (band_id, band_hash, doc_id) rows — the ONLY
+    columns the LSH shuffle moves (the full signature stays in the sig
+    table; shipping it on every band row would inflate the shuffle
+    ``bands``×)."""
+    ids, band_ids, hashes = [], [], []
+    for did, sig_bytes in zip(batch["doc_id"].to_pylist(),
+                              batch["sig"].to_pylist()):
+        sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+        for bi in range(bands):
+            ids.append(did)
+            band_ids.append(bi)
+            hashes.append(_band_hash(sig[bi * r : (bi + 1) * r]))
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "band_id": pa.array(band_ids, type=pa.int32()),
+        "band_hash": pa.array(hashes, type=pa.int64()),
+    })
 
 
 def minhash_lsh_dedup(
@@ -195,105 +265,136 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_bucket: int = 2000,
+    work_dir: str | None = None,
 ) -> pa.Table:
-    """MinHash+LSH near-dup clusters.
+    """MinHash+LSH near-dup clusters, fully distributed (SQL-oracled).
 
-    shingle→minhash→band rows → groupby(band_id, band_hash) → candidate
-    pairs (star-shaped for oversize buckets: members of a huge bucket are
-    near-identical, so (min, other) edges suffice for clustering) →
-    verify estimated Jaccard = signature agreement ≥ threshold →
-    union-find → (doc_id, keep_id) rows for docs in clusters.
+    1. signature pass → (doc_id, sig) parquet spill (consumed 2×)
+    2. band rows (doc_id, band_id, band_hash) — 20 bytes/row, NOT the
+       1 KB signature → groupby(band) → candidate pairs (star-shaped for
+       oversize buckets: members of a huge bucket are near-identical,
+       so (min, other) edges suffice for clustering)
+    3. distinct pairs ⋈ sig table twice (hash_join: bucket-partitioned
+       spill join) → verify est. Jaccard = signature agreement ≥
+       threshold inside the join tasks
+    4. min-label propagation (functions/joins.py) → (doc_id, keep_id);
+       no driver-side union-find, no O(corpus) driver gather.
     """
-    band_rows = docs.map_batches(
-        MinHashBander,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   shingle_n=shingle_n),
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from ..functions.joins import hash_join, min_label_propagation
+
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    own_work = work_dir is None
+    work_dir = work_dir or tempfile.mkdtemp(prefix="pdfsearch_minhash_")
+    sig_dir = f"{work_dir}/sigs"
+
+    docs.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
         batch_format="pyarrow",
         concurrency=(1, 8),
+    ).write_parquet(sig_dir)
+    sigs = rd.read_parquet(sig_dir)
+
+    from functools import partial
+
+    band_rows = sigs.map_batches(
+        partial(_band_row_table, bands=bands, r=r), batch_format="pyarrow"
     )
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy()
+    def candidates(g: pa.Table) -> pa.Table:
+        ids = np.unique(g["doc_id"].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "sig_a": [], "sig_b": []})
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+            })
         if len(ids) > max_bucket:
             a_idx = np.zeros(len(ids) - 1, dtype=np.int64)
             b_idx = np.arange(1, len(ids))
         else:
             a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({
-            "doc_a": ids[a_idx], "doc_b": ids[b_idx],
-            "sig_a": sigs[a_idx], "sig_b": sigs[b_idx],
+        return pa.table({
+            "doc_a": pa.array(ids[a_idx], type=pa.int64()),
+            "doc_b": pa.array(ids[b_idx], type=pa.int64()),
         })
 
-    pair_rows = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        candidates, batch_format="pandas"
-    )
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if batch.empty:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        keep_a, keep_b, est = [], [], []
-        for a_id, b_id, sa, sb in zip(batch["doc_a"], batch["doc_b"],
-                                      batch["sig_a"], batch["sig_b"]):
-            va = np.frombuffer(sa, dtype=np.uint64)
-            vb = np.frombuffer(sb, dtype=np.uint64)
-            j = float((va == vb).mean())
-            if j >= threshold:
-                keep_a.append(int(a_id)); keep_b.append(int(b_id)); est.append(j)
-        return pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b, "est_jaccard": est})
-
-    verified = pair_rows.map_batches(verify, batch_format="pandas")
-    # distinct pairs (same pair can fire in several bands)
     pairs = (
-        verified.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
-        .to_pandas()
+        band_rows.groupby(["band_id", "band_hash"])
+        .map_groups(candidates, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
     )
 
-    # union-find on the driver: the verified-pair set is tiny relative to
-    # the corpus (scale path: iterative min-label propagation via groupby)
-    parent: dict[int, int] = {}
+    with_a = hash_join(
+        pairs, sigs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "sig_a": t["sig"]}),
+            batch_format="pyarrow"),
+        left_on="doc_a", right_on="doc_id",
+        work_dir=f"{work_dir}/join_a",
+    )
+    with_both = hash_join(
+        with_a, sigs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "sig_b": t["sig"]}),
+            batch_format="pyarrow"),
+        left_on="doc_b", right_on="doc_id",
+        work_dir=f"{work_dir}/join_b",
+    )
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    def verify(batch: pa.Table) -> pa.Table:
+        keep_a, keep_b, est = [], [], []
+        if batch.num_rows:
+            for a_id, b_id, sa, sb in zip(
+                batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+                batch["sig_a"].to_pylist(), batch["sig_b"].to_pylist(),
+            ):
+                va = np.frombuffer(sa, dtype=np.uint64)
+                vb = np.frombuffer(sb, dtype=np.uint64)
+                j = float((va == vb).mean())
+                if j >= threshold:
+                    keep_a.append(int(a_id))
+                    keep_b.append(int(b_id))
+                    est.append(j)
+        return pa.table({
+            "doc_a": pa.array(keep_a, type=pa.int64()),
+            "doc_b": pa.array(keep_b, type=pa.int64()),
+            "est_jaccard": pa.array(est, type=pa.float64()),
+        })
 
-    for a_id, b_id in zip(pairs.get("doc_a", []), pairs.get("doc_b", [])):
-        ra, rb = find(int(a_id)), find(int(b_id))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    members = sorted({int(x) for x in pairs.get("doc_a", [])}
-                     | {int(x) for x in pairs.get("doc_b", [])})
-    return pa.table({
-        "doc_id": pa.array(members, type=pa.int64()),
-        "keep_id": pa.array([find(m) for m in members], type=pa.int64()),
-    })
+    verified = with_both.map_batches(verify, batch_format="pyarrow").materialize()
+    try:
+        return min_label_propagation(verified)
+    finally:
+        if own_work:
+            shutil.rmtree(work_dir, ignore_errors=True)
 
 
 # ------------------------------------------------------------------ simhash
 
 
 class SimHasher:
-    """Actor: doc → 64-bit simhash over simple-analyzer tokens."""
+    """Actor: doc → 64-bit simhash over simple-analyzer tokens.
+
+    The per-token 64-bit hash is the LOW half of md5 (digest bytes 8..16,
+    little-endian) — exactly DuckDB's ``md5_number_lower``, so the whole
+    fingerprint is SQL-oracle-checkable (see __ray_entry__.oracle_sql)."""
 
     def __init__(self):
         import hashlib
 
-        self._h = hashlib.blake2b
+        self._md5 = hashlib.md5
 
     def fingerprint(self, text: str) -> int:
         toks = analyze_simple(text or "")
         if not toks:
             return 0
         hs = np.array(
-            [int.from_bytes(self._h(t.encode(), digest_size=8).digest(), "big")
+            [int.from_bytes(self._md5(t.encode()).digest()[8:16], "little")
              for t in toks],
             dtype=np.uint64,
         )
@@ -348,25 +449,34 @@ def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3) -> pa.Table:
             "simhash": pa.array(out_h, type=pa.int64()),
         })
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    def candidates(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order]
+        hs = g["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        uniq = np.ones(ids.size, dtype=bool)
+        uniq[1:] = ids[1:] != ids[:-1]
+        ids, hs = ids[uniq], hs[uniq]
+        empty = pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64()),
+        })
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return empty
         a, b = np.triu_indices(len(ids), k=1)
         x = hs[a] ^ hs[b]
         ham = np.array([bin(int(v)).count("1") for v in x])
         keep = ham <= max_hamming
-        return pd.DataFrame({
-            "doc_a": ids[a][keep], "doc_b": ids[b][keep],
-            "hamming": ham[keep].astype("int64"),
+        return pa.table({
+            "doc_a": pa.array(ids[a][keep], type=pa.int64()),
+            "doc_b": pa.array(ids[b][keep], type=pa.int64()),
+            "hamming": pa.array(ham[keep].astype(np.int64), type=pa.int64()),
         })
 
     pair_rows = (
         fps.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band_id", "band_val"])
-        .map_groups(candidates, batch_format="pandas")
+        .map_groups(candidates, batch_format="pyarrow")
     )
     pairs = (
         pair_rows.groupby(["doc_a", "doc_b"])

@@ -1,0 +1,406 @@
+"""DuckDB oracle-SQL generators for the value-checked pipelines.
+
+Each generator returns ANSI-ish SQL (DuckDB dialect) that recomputes a
+pipeline's result from the SAME registered parquet views the driver
+uses.  Parameters shared with the Ray pipelines (language profiles,
+minhash permutation constants, LSH hyperplanes, the BPE pattern) are
+imported from the pipeline modules and inlined as SQL literals — one
+source of truth, two independent execution engines.
+
+Hash parity notes:
+* 64-bit token/content hashes are md5-low64: ``int.from_bytes(
+  md5(x).digest()[8:16], 'little')`` == DuckDB ``md5_number_lower(x)``
+  (verified empirically; DuckDB interprets the digest halves
+  little-endian).
+* Wrapping uint64 arithmetic (numpy) is replicated with HUGEINT math
+  mod 2^64: ``(a*b) mod 2^64`` summed ``mod 2^64`` is congruent to
+  numpy's element-wise wrap + wrapping sum.
+* Scores compared against thresholds are exact-integer-valued doubles
+  (counts < 2^53), so cross-engine float equality is exact.
+"""
+
+from __future__ import annotations
+
+U64 = 1 << 64
+I63 = 1 << 63
+
+# the simple-analyzer tokenization, shared by several oracles
+TOKS = (
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+    "FROM documents"
+)
+
+
+def _sq(s: str) -> str:
+    """Escape a string for a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+def token_count_sql() -> str:
+    from .textstats import BPE_PATTERN
+
+    pat = _sq(BPE_PATTERN)
+    return rf"""
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS n_ws_tokens,
+               len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS n_bpe_pieces
+        FROM documents
+    """
+
+
+def langid_sql() -> str:
+    """Trigram-profile language ID: per-language score = sum over profile
+    trigrams of (non-overlapping substring count × rank weight),
+    normalized by (text length × profile size); strict-> comparisons in
+    en,de,fr order replicate the Python loop's first-wins tie behavior."""
+    from .textstats import _LANG_PROFILES, LanguageId
+
+    min_score = LanguageId().min_score
+    score_exprs = {}
+    for lang, tris in _LANG_PROFILES.items():
+        terms = []
+        for i, tri in enumerate(tris):
+            w = len(tris) - i
+            esc = _sq(tri)
+            terms.append(
+                f"(length(t) - length(replace(t, '{esc}', ''))) / {len(tri)} * {w}"
+            )
+        score_exprs[lang] = (
+            "(" + " + ".join(terms) + f") / (CAST(greatest(n, 1) AS DOUBLE) * {len(tris)})"
+        )
+    return f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   ' ' || regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') || ' ' AS t
+            FROM documents
+        ),
+        base AS (SELECT doc_id, t, length(t) - 2 AS n FROM norm),
+        scored AS (
+            SELECT doc_id, n,
+                   {score_exprs['en']} AS s_en,
+                   {score_exprs['de']} AS s_de,
+                   {score_exprs['fr']} AS s_fr
+            FROM base
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN n <= 0 THEN 'und'
+                 WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr
+                   THEN (CASE WHEN s_en >= {min_score} THEN 'en' ELSE 'und' END)
+                 WHEN s_de > s_en AND s_de >= s_fr
+                   THEN (CASE WHEN s_de >= {min_score} THEN 'de' ELSE 'und' END)
+                 WHEN s_fr > s_en AND s_fr > s_de
+                   THEN (CASE WHEN s_fr >= {min_score} THEN 'fr' ELSE 'und' END)
+                 ELSE 'und'
+               END AS lang_pred
+        FROM scored
+    """
+
+
+def fingerprints_sql() -> str:
+    """Byte-stream polynomial rolling hash (window 64, base FNV prime,
+    wrapping uint64) minimized over windows, plus md5-low64 content hash.
+    Assumes ASCII text (true for the synthetic tables): unicode(char) ==
+    byte value."""
+    from .textstats import _FP_BASE, _FP_WINDOW
+
+    base = int(_FP_BASE)
+    powers = []
+    p = 1
+    for j in range(_FP_WINDOW):
+        powers.append((j, p))
+        p = (p * base) % U64
+    vals = ", ".join(f"({j}, CAST('{p}' AS HUGEINT))" for j, p in powers)
+    return f"""
+        WITH pw(j, p) AS (VALUES {vals}),
+        d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        meta AS (
+            SELECT doc_id, text, length(text) AS len,
+                   least(length(text), {_FP_WINDOW}) AS wsize,
+                   greatest(length(text) - {_FP_WINDOW} + 1, 1) AS nwin
+            FROM d WHERE length(text) > 0
+        ),
+        pos AS (SELECT doc_id, text, unnest(range(1, len + 1)) AS i FROM meta),
+        b AS (
+            SELECT doc_id, i,
+                   unicode(substr(text, CAST(i AS INTEGER), 1)) AS byte
+            FROM pos
+        ),
+        starts AS (SELECT doc_id, wsize, unnest(range(1, nwin + 1)) AS s FROM meta),
+        wh AS (
+            SELECT st.doc_id, st.s,
+                   CAST(sum((CAST(b.byte AS HUGEINT) * pw.p) % {U64}) % {U64} AS UBIGINT) AS h
+            FROM starts st
+            JOIN b ON b.doc_id = st.doc_id AND b.i >= st.s AND b.i < st.s + st.wsize
+            JOIN pw ON pw.j = b.i - st.s
+            GROUP BY st.doc_id, st.s
+        ),
+        fp AS (SELECT doc_id, min(h) AS mh FROM wh GROUP BY doc_id),
+        ch AS (
+            SELECT doc_id,
+                   CAST(CAST(md5_number_lower(text) AS HUGEINT) - {I63} AS BIGINT) AS content_hash
+            FROM d WHERE length(text) > 0
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(CAST(fp.mh AS HUGEINT) - {I63}, 0) AS BIGINT) AS fingerprint,
+               coalesce(ch.content_hash, 0) AS content_hash
+        FROM d
+        LEFT JOIN fp ON d.doc_id = fp.doc_id
+        LEFT JOIN ch ON d.doc_id = ch.doc_id
+    """
+
+
+def minhash_sql(
+    *,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """Full MinHash+LSH near-dup clustering in SQL: md5-low64 shingle
+    hashes → exact (a·x+b) mod (2^61-1) minhashes (HUGEINT arithmetic ==
+    numpy exact-object arithmetic) → banded bucket keys → candidate
+    pairs → signature-agreement verify → connected components via a
+    recursive CTE (min reachable label == the pipeline's min-label
+    propagation).  Permutation constants come from the SAME seeded
+    generator the pipeline uses."""
+    from .dedup import _MERSENNE, _perm_params
+
+    assert shingle_n == 3, "oracle writes the 3-token shingle join"
+    a, b = _perm_params(num_perm)
+    r = num_perm // bands
+    perm_vals = ", ".join(
+        f"({k}, CAST('{int(a[k])}' AS HUGEINT), CAST('{int(b[k])}' AS HUGEINT))"
+        for k in range(num_perm)
+    )
+    return f"""
+        WITH RECURSIVE arr AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS ts
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS term
+            FROM arr
+        ),
+        sh AS (
+            SELECT DISTINCT a.doc_id,
+                   a.term || ' ' || b.term || ' ' || c.term AS shingle
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        ),
+        shh AS (SELECT doc_id, md5_number_lower(shingle) AS x FROM sh),
+        perms(k, pa, pb) AS (VALUES {perm_vals}),
+        sigs AS (
+            SELECT doc_id, k,
+                   min((CAST(x AS HUGEINT) * pa + pb) % {_MERSENNE}) AS mh
+            FROM shh CROSS JOIN perms
+            GROUP BY doc_id, k
+        ),
+        bands AS (
+            SELECT doc_id, k // {r} AS band_id,
+                   CAST(md5_number_lower(
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)
+                   ) // 2 AS BIGINT) AS band_hash
+            FROM sigs GROUP BY doc_id, k // {r}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.doc_a
+            JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.k = sa.k
+            GROUP BY c.doc_a, c.doc_b
+            HAVING avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END)
+                   >= {threshold}
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM ver
+            UNION ALL
+            SELECT doc_b, doc_a FROM ver
+        ),
+        reach(node, lab) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.lab FROM reach JOIN edges e ON e.v = reach.node
+        )
+        SELECT node AS doc_id, min(lab) AS keep_id
+        FROM reach GROUP BY node
+    """
+
+
+def _cosine_rank_tail(k: int) -> str:
+    """Shared tail: dot products per (query, candidate), double-precision
+    cosine, round 6, (sim desc, vec_id asc) rank ≤ k."""
+    return f"""
+        dotsim AS (
+            SELECT c.query_id, c.vec_id, sum(q.v * t.v) AS dot
+            FROM cand c
+            JOIN be q ON q.vec_id = c.query_id
+            JOIN be t ON t.vec_id = c.vec_id AND t.j = q.j
+            GROUP BY c.query_id, c.vec_id
+        ),
+        sims AS (
+            SELECT d.query_id, d.vec_id,
+                   round(d.dot / (nq.nrm * nb.nrm), 6) AS sim
+            FROM dotsim d
+            JOIN norms nq ON nq.vec_id = d.query_id
+            JOIN norms nb ON nb.vec_id = d.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS rank
+            FROM sims
+        )
+        SELECT query_id, vec_id, sim, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def ann_lsh_sql(*, num_queries: int = 5, k: int = 10, nbits: int = 4,
+                seed: int = 42, dim: int = 64) -> str:
+    """LSH ANN oracle: the seeded hyperplanes are inlined as literals;
+    DuckDB independently recomputes every vector's bucket (sign bits),
+    the multi-probe set (bucket XOR single-bit flips), and candidate
+    cosine ranking."""
+    from .similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits, seed)
+    plane_vals = ", ".join(
+        "(" + ", ".join([str(j)] + [repr(float(planes[j, b]))
+                                    for b in range(nbits)]) + ")"
+        for j in range(dim)
+    )
+    pcols = ", ".join(f"p{b}" for b in range(nbits))
+    dcols = ", ".join(f"sum(v * p{b}) AS d{b}" for b in range(nbits))
+    bucket_expr = " + ".join(
+        f"(CASE WHEN d{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(nbits)
+    )
+    flip_vals = ", ".join(["(0)"] + [f"({1 << b})" for b in range(nbits)])
+    return f"""
+        WITH planes(j, {pcols}) AS (VALUES {plane_vals}),
+        be AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT vec_id, {dcols}
+            FROM be JOIN planes USING (j) GROUP BY vec_id
+        ),
+        bk AS (SELECT vec_id, {bucket_expr} AS bucket FROM dots),
+        flips(f) AS (VALUES {flip_vals}),
+        qprobes AS (
+            SELECT b.vec_id AS query_id, xor(b.bucket, f.f) AS pb
+            FROM bk b CROSS JOIN flips f WHERE b.vec_id < {num_queries}
+        ),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM be GROUP BY vec_id),
+        cand AS (
+            SELECT qp.query_id, b.vec_id
+            FROM qprobes qp
+            JOIN bk b ON b.bucket = qp.pb AND b.vec_id >= {num_queries}
+        ),
+        {_cosine_rank_tail(k)}
+    """
+
+
+def ann_ivf_sql(sf_dir: str, *, num_queries: int = 5, k: int = 10,
+                n_clusters: int = 16, n_probe: int = 4) -> str:
+    """IVF ANN oracle: centroids from the SAME deterministic k-means the
+    pipeline runs (training shared by construction — it is a model, not
+    data); cluster ASSIGNMENT (argmax dot, first-max tie), query probe
+    ranking (dot desc, cluster asc) and candidate cosine ranking are all
+    recomputed independently by DuckDB."""
+    from .similarity import ivf_centroids
+
+    cents = ivf_centroids(sf_dir, num_queries=num_queries,
+                          n_clusters=n_clusters)
+    dim = cents.shape[1]
+    cent_vals = ", ".join(
+        f"({c}, {j}, {repr(float(cents[c, j]))})"
+        for c in range(n_clusters) for j in range(dim)
+    )
+    return f"""
+        WITH cents(c, j, w) AS (VALUES {cent_vals}),
+        be AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM be GROUP BY vec_id),
+        cdots AS (
+            SELECT b.vec_id, c.c, sum(b.v * c.w) AS dot
+            FROM be b JOIN cents c ON c.j = b.j
+            GROUP BY b.vec_id, c.c
+        ),
+        assign AS (
+            SELECT vec_id, c AS cluster FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dot DESC, c ASC
+                       ) AS rn
+                FROM cdots WHERE vec_id >= {num_queries}
+            ) WHERE rn = 1
+        ),
+        qprobes AS (
+            SELECT vec_id AS query_id, c AS cluster FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dot DESC, c ASC
+                       ) AS rn
+                FROM cdots WHERE vec_id < {num_queries}
+            ) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+            SELECT qp.query_id, a.vec_id
+            FROM qprobes qp JOIN assign a ON a.cluster = qp.cluster
+        ),
+        {_cosine_rank_tail(k)}
+    """
+
+
+def simhash_sql() -> str:
+    """64-bit simhash: per-token md5-low64 hash, per-bit majority vote
+    over tokens WITH multiplicity, bit set iff ones*2 > n, shifted into
+    int64 by subtracting 2^63 (docs with no tokens → fp 0 → -2^63)."""
+    bitvals = ", ".join(f"({i}, CAST('{1 << i}' AS HUGEINT))" for i in range(64))
+    return f"""
+        WITH pw2(bit, p) AS (VALUES {bitvals}),
+        toks AS ({TOKS}),
+        tok AS (
+            SELECT doc_id, md5_number_lower(term) AS h
+            FROM toks WHERE term <> ''
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        bits AS (
+            SELECT doc_id, p.bit,
+                   sum(CAST((CAST(h AS HUGEINT) // p.p) % 2 AS BIGINT)) AS ones
+            FROM tok CROSS JOIN pw2 p
+            GROUP BY doc_id, p.bit
+        ),
+        fp AS (
+            SELECT bits.doc_id,
+                   sum(CASE WHEN 2 * bits.ones > cnt.n THEN p.p ELSE CAST(0 AS HUGEINT) END) AS f
+            FROM bits
+            JOIN cnt USING (doc_id)
+            JOIN pw2 p ON p.bit = bits.bit
+            GROUP BY bits.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(fp.f, CAST(0 AS HUGEINT)) - {I63} AS BIGINT) AS simhash
+        FROM documents d
+        LEFT JOIN fp ON d.doc_id = fp.doc_id
+    """

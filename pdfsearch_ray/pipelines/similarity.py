@@ -3,17 +3,32 @@
 * Brute-force cosine top-k — pipelines/queries.py:ann_cosine_topk
   (broadcast query matrix, numpy matmul per batch, partial top-k, driver
   merge).  Exact; the correctness baseline.
-* LSH-bucketed cosine top-k (this module) — the scale path: random
-  hyperplane signatures partition vectors into buckets; a query probes
-  its own bucket plus all hamming≤1 neighbors (multi-probe), brute-forces
-  only the candidates.  Recall < 1 by design; tested against the
-  brute-force baseline.
+* LSH-bucketed cosine top-k — random-hyperplane signatures partition the
+  base vectors into a PERSISTED bucket-partitioned parquet layout (the
+  index); a query probes its own bucket plus all hamming≤1 neighbors
+  (multi-probe), and candidates are scored INSIDE per-bucket tasks —
+  only per-(bucket, query) top-k rows (O(k·probes), not O(candidates))
+  reach the driver.  Recall < 1 by design; tested against brute force.
+* IVF cosine top-k — k-means centroids trained on a deterministic
+  sample (driver), broadcast via ``ray.put``; base vectors live in a
+  persisted cluster-partitioned layout; a query brute-forces only its
+  ``n_probe`` nearest clusters, again scored in-task.
+
+Both approximate variants are SQL-oracled: the hyperplanes / centroids
+are deterministic parameters injected into the oracle SQL as literals,
+so DuckDB independently recomputes assignment, probing and scoring
+(see pipelines/oracles.py).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -31,11 +46,33 @@ def _signs(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits.astype(np.int64) @ weights
 
 
-class _BucketSigner:
-    """Actor: embedding rows → (bucket, vec_id, embedding) rows."""
+def _embed_matrix(col, dim: int) -> np.ndarray:
+    """Offset-safe float64 matrix from a list<float> column."""
+    emb = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(-1, dim)
 
-    def __init__(self, dim: int, nbits: int, seed: int, exclude_below: int):
-        self.planes = _hyperplanes(dim, nbits, seed)
+
+def _read_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", num_queries)],
+    )
+    q_ids = qt["vec_id"].to_numpy()
+    qm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in qt["embedding"].to_pylist()])
+    return q_ids, qm
+
+
+class _PartitionAssigner:
+    """Actor: embedding rows → (part, vec_id, embedding) rows; the
+    assignment function (LSH signs or IVF nearest-centroid) is built once
+    per actor from broadcast parameters."""
+
+    def __init__(self, params_ref, mode: str, dim: int, exclude_below: int):
+        self.params = ray.get(params_ref)
+        self.mode = mode
+        self.dim = dim
         self.exclude_below = exclude_below
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -43,16 +80,135 @@ class _BucketSigner:
         emb = batch["embedding"].combine_chunks()
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.chunk(0)
-        dim = self.planes.shape[0]
-        m = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        m = _embed_matrix(emb, self.dim)
         mask = ids >= self.exclude_below
         ids, m = ids[mask], m[mask]
-        buckets = _signs(m, self.planes)
+        if self.mode == "lsh":
+            parts = _signs(m, self.params)
+        else:  # ivf: first-max argmax over centroid dots (scaling-invariant)
+            parts = np.argmax(m @ self.params.T, axis=1)
         return pa.table({
-            "bucket": pa.array(buckets, type=pa.int64()),
+            "part": pa.array(parts, type=pa.int64()),
             "vec_id": pa.array(ids, type=pa.int64()),
             "embedding": emb.take(pa.array(np.nonzero(mask)[0], type=pa.int32())),
         })
+
+
+def build_partitioned_embeddings(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    mode: str,
+    params: np.ndarray,
+    dim: int,
+    exclude_below: int,
+) -> None:
+    """One map_batches pass assigns every base vector its partition and
+    writes the PERSISTED partition-per-bucket layout — the ANN index.
+    At scale this is built once and reused by every query batch; a
+    failed build re-runs cheaply (single narrow pass, partitioned
+    output)."""
+    params_ref = ray.put(params)
+    rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        _PartitionAssigner,
+        fn_constructor_kwargs=dict(params_ref=params_ref, mode=mode, dim=dim,
+                                   exclude_below=exclude_below),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).write_parquet(out_dir, partition_cols=["part"])
+
+
+def _probe_topk(
+    parts_dir: str,
+    q_ids: np.ndarray,
+    qn: np.ndarray,
+    probe_sets: list[set[int]],
+    dim: int,
+    k: int,
+) -> pa.Table:
+    """Score probes inside per-partition tasks: each task reads ONE
+    partition dir, scores it against exactly the queries that probe it,
+    and returns that partition's per-query top-k (ordered by
+    (round(sim,6) desc, vec_id asc) — the same key as the global merge,
+    so per-partition top-k is an exact prefix filter).  The driver then
+    merges O(k · probes) rows, never the candidate set."""
+    all_probes = sorted(set().union(*probe_sets)) if probe_sets else []
+    dirs = [b for b in all_probes if os.path.isdir(f"{parts_dir}/part={b}")]
+    bcast = ray.put((q_ids, qn, probe_sets))
+
+    def score_partition(batch: pa.Table) -> pa.Table:
+        q_ids_, qn_, probe_sets_ = ray.get(bcast)
+        out_q, out_v, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            t = pq.read_table(f"{parts_dir}/part={part}",
+                              columns=["vec_id", "embedding"],
+                              use_threads=False)
+            if t.num_rows == 0:
+                continue
+            ids = t["vec_id"].to_numpy()
+            m = _embed_matrix(t["embedding"], dim)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            for j, qid in enumerate(q_ids_):
+                if part not in probe_sets_[j]:
+                    continue
+                sims6 = np.round(mn @ qn_[j], 6)
+                top = np.lexsort((ids, -sims6))[:k]
+                out_q += [int(qid)] * len(top)
+                out_v += [int(x) for x in ids[top]]
+                out_s += [float(x) for x in sims6[top]]
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
+
+    empty = pa.table({
+        "query_id": pa.array([], type=pa.int64()),
+        "vec_id": pa.array([], type=pa.int64()),
+        "sim": pa.array([], type=pa.float64()),
+        "rank": pa.array([], type=pa.int64()),
+    })
+    if not dirs:
+        return empty
+    cand = (
+        rd.from_items([{"part": b} for b in dirs], override_num_blocks=len(dirs))
+        .map_batches(score_partition, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    if not len(cand):
+        return empty
+    # tiny driver merge: same ordering key as the per-partition selection
+    qs = cand["query_id"].to_numpy()
+    vs = cand["vec_id"].to_numpy()
+    ss = cand["sim"].to_numpy()
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for qid in sorted(set(int(x) for x in qs)):
+        sel = qs == qid
+        order = np.lexsort((vs[sel], -ss[sel]))[:k]
+        for r, oi in enumerate(order, start=1):
+            out_q.append(qid)
+            out_v.append(int(vs[sel][oi]))
+            out_s.append(float(ss[sel][oi]))
+            out_r.append(r)
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "sim": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })
+
+
+def lsh_probe_sets(q_buckets: np.ndarray, nbits: int) -> list[set[int]]:
+    """Multi-probe: own bucket + each single-bit flip (hamming ≤ 1)."""
+    probe_sets = []
+    for qb in q_buckets:
+        probes = {int(qb)}
+        for b in range(nbits):
+            probes.add(int(qb) ^ (1 << b))
+        probe_sets.append(probes)
+    return probe_sets
 
 
 def ann_lsh_topk(
@@ -62,89 +218,28 @@ def ann_lsh_topk(
     k: int = 10,
     nbits: int = 8,
     seed: int = 42,
+    index_dir: str | None = None,
 ) -> pa.Table:
-    """Approximate cosine top-k via hyperplane LSH + multi-probe.
-
-    Build: one map_batches pass assigns every base vector a bucket.  The
-    bucketed table is the persistent index at scale (groupby(bucket) →
-    write partition per bucket); a query reads only its probe buckets.
-    Here the bucketed Dataset stays in the object store and probing
-    filters it per query batch.
-    """
-    import pyarrow.parquet as pq
-
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", num_queries)],
-    )
-    q_ids = qt["vec_id"].to_numpy()
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    """Approximate cosine top-k via hyperplane LSH + multi-probe over a
+    persisted bucket-partitioned index (see module docstring)."""
+    q_ids, qm = _read_queries(sf_dir, num_queries)
     dim = qm.shape[1]
     planes = _hyperplanes(dim, nbits, seed)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    q_buckets = _signs(qm, planes)
-    # multi-probe: own bucket + flip each bit once
-    probe_sets = []
-    for qb in q_buckets:
-        probes = {int(qb)}
-        for b in range(nbits):
-            probes.add(int(qb) ^ (1 << b))
-        probe_sets.append(probes)
-    all_probes = sorted(set().union(*probe_sets))
+    probe_sets = lsh_probe_sets(_signs(qm, planes), nbits)
 
-    bucketed = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(
-        _BucketSigner,
-        fn_constructor_kwargs=dict(dim=dim, nbits=nbits, seed=seed,
-                                   exclude_below=num_queries),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-
-    import pyarrow.compute as pc
-
-    cand = bucketed.map_batches(
-        lambda t: t.filter(pc.is_in(t["bucket"], value_set=pa.array(all_probes))),
-        batch_format="pyarrow",
-    ).to_arrow_refs()
-    tables = [ray.get(r) for r in cand]
-    tbl = pa.concat_tables([t for t in tables if t.num_rows]) if tables else None
-    if tbl is None or tbl.num_rows == 0:
-        return pa.table({
-            "query_id": pa.array([], type=pa.int64()),
-            "vec_id": pa.array([], type=pa.int64()),
-            "sim": pa.array([], type=pa.float64()),
-            "rank": pa.array([], type=pa.int64()),
-        })
-    c_ids = tbl["vec_id"].to_numpy()
-    c_buckets = tbl["bucket"].to_numpy()
-    emb = tbl["embedding"].combine_chunks()
-    if isinstance(emb, pa.ChunkedArray):
-        emb = emb.chunk(0)
-    cm = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
-    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-
-    out_q, out_v, out_s, out_r = [], [], [], []
-    for j, qid in enumerate(q_ids):
-        probe = probe_sets[j]
-        sel = np.array([b in probe for b in c_buckets])
-        if not sel.any():
-            continue
-        sims = cn[sel] @ qn[j]
-        ids = c_ids[sel]
-        order = np.lexsort((ids, -np.round(sims, 6)))[:k]
-        for r, oi in enumerate(order):
-            out_q.append(int(qid))
-            out_v.append(int(ids[oi]))
-            out_s.append(float(round(sims[oi], 6)))
-            out_r.append(r + 1)
-    return pa.table({
-        "query_id": pa.array(out_q, type=pa.int64()),
-        "vec_id": pa.array(out_v, type=pa.int64()),
-        "sim": pa.array(out_s, type=pa.float64()),
-        "rank": pa.array(out_r, type=pa.int64()),
-    })
+    own = index_dir is None
+    index_dir = index_dir or tempfile.mkdtemp(prefix="pdfsearch_lsh_")
+    try:
+        if not os.path.isdir(f"{index_dir}/parts"):
+            build_partitioned_embeddings(
+                sf_dir, f"{index_dir}/parts", mode="lsh", params=planes,
+                dim=dim, exclude_below=num_queries,
+            )
+        return _probe_topk(f"{index_dir}/parts", q_ids, qn, probe_sets, dim, k)
+    finally:
+        if own:
+            shutil.rmtree(index_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------- IVF
@@ -172,32 +267,41 @@ def _kmeans(train: np.ndarray, n_clusters: int, iters: int,
     return cents
 
 
-class _IVFAssigner:
-    """Actor: embedding rows → (cluster, vec_id, embedding); centroids
-    fetched once per actor from the object store (broadcast)."""
+def ivf_centroids(
+    sf_dir: str,
+    *,
+    num_queries: int = 5,
+    n_clusters: int = 16,
+    train_rows: int = 2048,
+    iters: int = 5,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic IVF model: k-means over the first ``train_rows``
+    base vectors (normalized).  Shared by the pipeline AND the SQL
+    oracle (which inlines the resulting centroids as literals — the
+    training is shared, assignment/probe/scoring are independently
+    recomputed by DuckDB)."""
+    tt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", num_queries),
+                 ("vec_id", "<", num_queries + train_rows)],
+    )
+    tm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in tt["embedding"].to_pylist()])
+    tm = tm / np.maximum(np.linalg.norm(tm, axis=1, keepdims=True), 1e-12)
+    return _kmeans(tm, n_clusters, iters, seed)
 
-    def __init__(self, cents_ref, dim: int, exclude_below: int):
-        self.cents = ray.get(cents_ref)
-        self.dim = dim
-        self.exclude_below = exclude_below
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
-        emb = batch["embedding"].combine_chunks()
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.chunk(0)
-        m = emb.flatten().to_numpy(zero_copy_only=False).astype(
-            np.float64).reshape(-1, self.dim)
-        mask = ids >= self.exclude_below
-        ids, m = ids[mask], m[mask]
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        assign = np.argmax(mn @ self.cents.T, axis=1)
-        return pa.table({
-            "cluster": pa.array(assign, type=pa.int64()),
-            "vec_id": pa.array(ids, type=pa.int64()),
-            "embedding": emb.take(
-                pa.array(np.nonzero(mask)[0], type=pa.int32())),
-        })
+def ivf_probe_sets(qn: np.ndarray, cents: np.ndarray,
+                   n_probe: int) -> list[set[int]]:
+    """Deterministic probe ranking: (-dot, cluster-id) lexicographic —
+    ties (measure-zero with real data) break toward the smaller id,
+    matching the SQL oracle's ORDER BY dot DESC, c ASC."""
+    probe_sets: list[set[int]] = []
+    for row in qn @ cents.T:
+        order = np.lexsort((np.arange(len(row)), -row))[:n_probe]
+        probe_sets.append({int(c) for c in order})
+    return probe_sets
 
 
 def ann_ivf_topk(
@@ -210,92 +314,27 @@ def ann_ivf_topk(
     train_rows: int = 2048,
     iters: int = 5,
     seed: int = 7,
+    index_dir: str | None = None,
 ) -> pa.Table:
-    """Approximate cosine top-k via IVF (inverted file): k-means
-    centroids trained on a sampled slice (driver), broadcast via
-    ``ray.put``; one map_batches pass assigns every base vector its
-    cluster (the persistent partition key at scale — write one partition
-    per cluster); a query brute-forces only its ``n_probe`` nearest
-    clusters.  Same output schema as ann_lsh_topk / ann_cosine_topk."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", num_queries)],
-    )
-    q_ids = qt["vec_id"].to_numpy()
-    qm = np.stack([np.asarray(v, dtype=np.float64)
-                   for v in qt["embedding"].to_pylist()])
+    """Approximate cosine top-k via IVF over a persisted
+    cluster-partitioned index; probes scored in-task (module docstring)."""
+    q_ids, qm = _read_queries(sf_dir, num_queries)
     dim = qm.shape[1]
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    cents = ivf_centroids(sf_dir, num_queries=num_queries,
+                          n_clusters=n_clusters, train_rows=train_rows,
+                          iters=iters, seed=seed)
+    probe_sets = ivf_probe_sets(qn, cents, n_probe)
 
-    # deterministic training sample: first train_rows base vectors
-    tt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", ">=", num_queries),
-                 ("vec_id", "<", num_queries + train_rows)],
-    )
-    tm = np.stack([np.asarray(v, dtype=np.float64)
-                   for v in tt["embedding"].to_pylist()])
-    tm = tm / np.maximum(np.linalg.norm(tm, axis=1, keepdims=True), 1e-12)
-    cents = _kmeans(tm, n_clusters, iters, seed)
-    cents_ref = ray.put(cents)
-
-    assigned = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(
-        _IVFAssigner,
-        fn_constructor_kwargs=dict(cents_ref=cents_ref, dim=dim,
-                                   exclude_below=num_queries),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-
-    probe_sets = []
-    q_cents = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
-    for row in q_cents:
-        probe_sets.append(set(int(c) for c in row))
-    all_probes = sorted(set().union(*probe_sets))
-
-    cand_refs = assigned.map_batches(
-        lambda t: t.filter(pc.is_in(t["cluster"],
-                                    value_set=pa.array(all_probes))),
-        batch_format="pyarrow",
-    ).to_arrow_refs()
-    tables = [t for t in (ray.get(r) for r in cand_refs) if t.num_rows]
-    if not tables:
-        return pa.table({
-            "query_id": pa.array([], type=pa.int64()),
-            "vec_id": pa.array([], type=pa.int64()),
-            "sim": pa.array([], type=pa.float64()),
-            "rank": pa.array([], type=pa.int64()),
-        })
-    tbl = pa.concat_tables(tables)
-    c_ids = tbl["vec_id"].to_numpy()
-    c_clusters = tbl["cluster"].to_numpy()
-    emb = tbl["embedding"].combine_chunks()
-    if isinstance(emb, pa.ChunkedArray):
-        emb = emb.chunk(0)
-    cm = emb.flatten().to_numpy(zero_copy_only=False).astype(
-        np.float64).reshape(-1, dim)
-    cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
-
-    out_q, out_v, out_s, out_r = [], [], [], []
-    for j, qid in enumerate(q_ids):
-        in_probe = np.isin(c_clusters, list(probe_sets[j]))
-        ids_j = c_ids[in_probe]
-        sims = cn[in_probe] @ qn[j]
-        sims6 = np.round(sims, 6)
-        order = np.lexsort((ids_j, -sims6))[:k]
-        for r, idx in enumerate(order, start=1):
-            out_q.append(int(qid))
-            out_v.append(int(ids_j[idx]))
-            out_s.append(float(sims6[idx]))
-            out_r.append(r)
-    return pa.table({
-        "query_id": pa.array(out_q, type=pa.int64()),
-        "vec_id": pa.array(out_v, type=pa.int64()),
-        "sim": pa.array(out_s, type=pa.float64()),
-        "rank": pa.array(out_r, type=pa.int64()),
-    })
+    own = index_dir is None
+    index_dir = index_dir or tempfile.mkdtemp(prefix="pdfsearch_ivf_")
+    try:
+        if not os.path.isdir(f"{index_dir}/parts"):
+            build_partitioned_embeddings(
+                sf_dir, f"{index_dir}/parts", mode="ivf", params=cents,
+                dim=dim, exclude_below=num_queries,
+            )
+        return _probe_topk(f"{index_dir}/parts", q_ids, qn, probe_sets, dim, k)
+    finally:
+        if own:
+            shutil.rmtree(index_dir, ignore_errors=True)

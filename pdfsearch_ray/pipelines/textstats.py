@@ -66,10 +66,18 @@ def language_id(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 8))
 
 
-# BPE-ish pre-tokenizer: the GPT-2-style regex (public), counting pieces
+# BPE-ish pre-tokenizer: the GPT-2-style regex (public) with the
+# trailing-whitespace lookahead branch dropped so the pattern is
+# RE2-compatible and the piece COUNT is SQL-checkable via DuckDB's
+# regexp_extract_all.  The lookahead only re-splits a whitespace run
+# before a word into (run-1)+(1 attached) — the piece count is identical
+# either way (verified against Python re on adversarial strings), only
+# token identity differs, and this operator reports counts.
 _BPE_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 )
+# the exact pattern string the SQL oracle uses (keep in sync with _BPE_RE)
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
 class TokenCounter:
@@ -102,8 +110,13 @@ _FP_WINDOW = 64
 class Fingerprinter:
     """Actor: rolling-hash (Rabin-Karp style) document fingerprint — the
     minimum of window hashes over the byte stream (winnowing-lite), plus
-    a full-content FNV hash.  Deterministic; used for container-level
-    near-dup prefiltering."""
+    a full-content hash.  Deterministic; used for container-level
+    near-dup prefiltering.
+
+    The content hash is md5-low64 (digest bytes 8..16 little-endian =
+    DuckDB ``md5_number_lower``) and the window hash is a polynomial
+    rolling hash mod 2^64 with public powers — both replicated by the
+    SQL oracle in __ray_entry__.oracle_sql."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps, full = [], []
@@ -117,7 +130,7 @@ class Fingerprinter:
 
             arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
             full.append(
-                int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+                int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
                 - (1 << 63)
             )
             if len(arr) < _FP_WINDOW:

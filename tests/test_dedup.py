@@ -9,7 +9,7 @@ import ray.data as rd
 
 from pdfsearch_ray.analysis.analyzer import analyze_simple
 from pdfsearch_ray.pipelines.dedup import (
-    MinHashBander,
+    MinHashSigner,
     _word_ngrams,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -74,7 +74,7 @@ def test_ngram_jaccard_exact(docs_ds):
 
 
 def test_minhash_signature_estimates_jaccard():
-    b = MinHashBander(num_perm=256, bands=32)
+    b = MinHashSigner(num_perm=256)
     s1 = b.signature(BASE)
     s2 = b.signature(BASE.replace("lazy", "sleepy"))
     est = float((s1 == s2).mean())
