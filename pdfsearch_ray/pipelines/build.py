@@ -261,6 +261,7 @@ def build_index(
     stats_source: "rd.Dataset | None" = None,
     stats_scale: float = 1.0,
     stats_sampled: bool = False,
+    audit_unique: bool = False,
     report=None,
 ) -> IndexManifest:
     """Build a BM25 inverted index at ``index_dir`` from a Parquet corpus
@@ -500,6 +501,17 @@ def build_index(
         shutil.rmtree(tokens_dir, ignore_errors=True)
     n_catalog = docs_future.result()
     _pool.shutdown()
+    if audit_unique:
+        # J2 bimap audit (CheckConsistency analog): a duplicate doc_id
+        # from an id-assignment collision would silently corrupt
+        # postings.  Narrow id-only shuffle; opt-in because uniqueness is
+        # structural for the extract source (see duplicate_doc_ids).
+        dups = duplicate_doc_ids(rd.read_parquet(docs_dir, columns=["doc_id"]))
+        if dups.size:
+            raise BuildConsistencyError(
+                f"docs catalog has {dups.size} duplicate doc_id(s); "
+                f"first few: {dups[:5].tolist()}"
+            )
     # BM25's N must count docs that actually entered the index (>=1 token
     # after analysis) — the reference's bleve DocCount counts indexed
     # pages, not catalog rows.  The exact stats pass measures this
@@ -633,6 +645,71 @@ def build_index_mem(
         salt_spec=hot_terms or {},
     )
     return BM25Index.from_tables(manifest, postings_tbl, docs_tbl)
+
+
+class BuildConsistencyError(RuntimeError):
+    """Raised when the docs catalog violates an index invariant (J2
+    bimap audit analog — the reference's CheckConsistency,
+    internal/doclib/bleve_pdf.go:177-223)."""
+
+
+def duplicate_doc_ids(ds: rd.Dataset, id_col: str = "doc_id",
+                      num_buckets: int = 16) -> np.ndarray:
+    """Doc_ids appearing more than once, via the NARROW bucket-spill
+    shuffle (only the 8-byte id column moves).  doc_id uniqueness is
+    structural for the extract source ((partition_id << 32) | row with
+    validated markers); this audit is the explicit check for arbitrary
+    sources, where a colliding id would silently corrupt postings."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.hashing import mix64
+
+    work_dir = tempfile.mkdtemp(prefix="pdfsearch_audit_")
+
+    def _ids(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (mix64(ids.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "bucket": pa.array(b),
+        })
+
+    ids_dir = f"{work_dir}/ids"
+    (
+        ds.map_batches(_ids, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .write_parquet(ids_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{ids_dir}/{d}" for d in os.listdir(ids_dir) if d.startswith("bucket=")
+    )
+
+    def _dups(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bdir in batch["dir"].to_pylist():
+            ids = np.sort(
+                pq.read_table(bdir, columns=["doc_id"],
+                              use_threads=False)["doc_id"].to_numpy())
+            dup = ids[1:][ids[1:] == ids[:-1]]
+            outs.append(pa.table({"doc_id": pa.array(np.unique(dup))}))
+        return pa.concat_tables(outs)
+
+    refs = (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(_dups, batch_format="pyarrow", batch_size=1)
+        .to_arrow_refs()
+    )
+    tabs = [t for t in ray.get(refs) if t.num_rows > 0]
+    shutil.rmtree(work_dir, ignore_errors=True)
+    if not tabs:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(pa.concat_tables(tabs)["doc_id"].to_numpy())
 
 
 def dup_loser_ids(
@@ -772,10 +849,15 @@ def build_from_pages(
     dedup: bool = True,
     resume: bool = True,
     extract_concurrency: int | None = None,
+    strict: bool = False,
     **build_kwargs,
 ) -> IndexManifest:
     """Full pipeline over a PAGES corpus (input_hint shape): checkpointed
-    extract → optional exact dedup → index build (SURVEY §3.4 build path)."""
+    extract → optional exact dedup → index build (SURVEY §3.4 build path).
+
+    ``strict=True`` surfaces extractor errors instead of skip-and-count
+    (ExposeErrors analog); either way the skip counters land in
+    ``manifest.build_metrics['extract']``."""
     from ..sources.pages_source import extract_pages, extracted_dataset
 
     t0 = time.time()
@@ -783,6 +865,7 @@ def build_from_pages(
     summary = extract_pages(
         input_path, extract_dir,
         lang_allow=lang_allow, resume=resume, concurrency=extract_concurrency,
+        strict=strict,
     )
     summary["sec_extract"] = round(time.time() - t0, 3)
     ds = extracted_dataset(extract_dir)

@@ -21,7 +21,6 @@ Partitioning notes (scale):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -32,7 +31,11 @@ SESSION_GAP_MINUTES = 30
 
 
 def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from ..functions.tables import strip_schema_metadata
+
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    )
 
 
 def windowed_event_counts(sf_dir: str) -> rd.Dataset:
@@ -69,32 +72,92 @@ def windowed_event_counts(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(round6, batch_format="pyarrow")
 
 
-def user_sessions(sf_dir: str) -> rd.Dataset:
+def sessionize_block(t: pa.Table, gap_us: int) -> pa.Table:
+    """ONE vectorized pass sessionizing a whole (user-complete) block:
+    lexsort by (user_id, ts, event_id), session breaks at user changes or
+    gaps > ``gap_us``, then reduceat over the break offsets — no
+    per-user Python dispatch."""
+    if t.num_rows == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "session_start": pa.array([], type=pa.timestamp("us")),
+            "session_end": pa.array([], type=pa.timestamp("us")),
+            "n_events": pa.array([], type=pa.int64()),
+            "sum_value": pa.array([], type=pa.float64()),
+        })
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((eid, ts, uid))
+    uid, ts, val = uid[order], ts[order], val[order]
+    new_s = np.ones(len(uid), dtype=bool)
+    if len(uid) > 1:
+        new_s[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+    starts = np.nonzero(new_s)[0]
+    ends = np.append(starts[1:], len(uid)) - 1
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+        "session_end": pa.array(ts[ends]).cast(pa.timestamp("us")),
+        "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+        "sum_value": pa.array(
+            np.round(np.add.reduceat(val, starts), 6), type=pa.float64()),
+    })
+
+
+def user_sessions(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
     """Gap-based sessionization: consecutive events of a user belong to
     one session while the gap stays ≤ SESSION_GAP_MINUTES.  Emits one row
-    per session with start/end, count and value sum."""
-    gap = np.timedelta64(SESSION_GAP_MINUTES * 60 * 1_000_000, "us")
+    per session with start/end, count and value sum.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        new_s = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new_s[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new_s)
-        out = g.groupby(sid).agg(
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-            sum_value=("value", "sum"),
-        ).reset_index(drop=True)
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        out["sum_value"] = out["sum_value"].round(6)
-        return out
+    Partitioning: a map-side hash spill on ``mix64(user_id) % B`` (the
+    posting build's shuffle pattern — no all-to-all sort, each user's
+    events land wholly in one bucket file), then ONE vectorized
+    sessionize pass per bucket (``sessionize_block``).  This replaces
+    the per-user ``map_groups`` call (one pandas dispatch per user —
+    per-key Python at web scale); ``num_buckets`` bounds per-task memory
+    at corpus_events/B rows of 4 narrow columns."""
+    import tempfile
+
+    from ..functions.hashing import mix64
+
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    work_dir = tempfile.mkdtemp(prefix="pdfsearch_sessions_")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (mix64(uid.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    (
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        # rows are 4 narrow columns: coalesce to num_buckets blocks before
+        # the partitioned write so the spill is num_buckets² files, not
+        # (input blocks × num_buckets) tiny ones (same as dup_loser_ids)
+        .repartition(num_buckets)
+        .write_parquet(work_dir, partition_cols=["bucket"])
+    )
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    bucket_dirs = sorted(
+        f"{work_dir}/{d}" for d in os.listdir(work_dir) if d.startswith("bucket=")
+    )
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        outs = [
+            sessionize_block(
+                pq.read_table(bdir, use_threads=False), gap_us)
+            for bdir in batch["dir"].to_pylist()
+        ]
+        return pa.concat_tables(outs)
 
     return (
-        _events(sf_dir, ["event_id", "user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
     )

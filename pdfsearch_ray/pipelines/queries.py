@@ -23,13 +23,10 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
-
-from ..stages.tokenize import Tokenizer
+from ray.data.aggregate import Count, Min, Sum
 
 # Small fixed stopword list shared verbatim with the SQL oracle.
 QUALITY_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
@@ -41,48 +38,112 @@ BM25_B = 0.75
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..functions.tables import strip_schema_metadata
+
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
 
 
 def _simple_tokens(sf_dir: str) -> rd.Dataset:
-    """One row per (doc_id, term) with tf and dl (simple analyzer)."""
+    """One row per (doc_id, term) with tf and dl (simple analyzer);
+    task-pool tokenize (per-worker memoized state, no actor cap)."""
+    from functools import partial
+
+    from ..stages.tokenize import tokenize_batch
+
     return _docs(sf_dir).map_batches(
-        Tokenizer,
-        fn_constructor_kwargs=dict(
+        partial(tokenize_batch, cfg=dict(
             analyzer="simple", text_col="text", id_col="doc_id",
             with_positions=False, num_buckets=16,
-        ),
+        )),
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=(1, 4),
     )
 
 
 # ---------------------------------------------------------------- SQL-oracled
 
 
-def term_df(sf_dir: str) -> rd.Dataset:
-    """Document frequency per term (the A1 shuffle, aggregation-only view)."""
-    return (
-        _simple_tokens(sf_dir)
+class _TermAgg:
+    """Per-batch COMBINER for term statistics: one (term, df_part,
+    tf_part) row per distinct term per batch instead of one row per
+    (doc, term) — the shuffle entering the term groupby carries
+    batch-vocabulary rows, not corpus-token rows (SURVEY §4:
+    pre-aggregate before groupby)."""
+
+    def __init__(self):
+        from ..analysis.analyzer import analyze_simple
+
+        self.analyze = analyze_simple
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df: dict[str, int] = {}
+        tf: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            toks = self.analyze(text or "")
+            if not toks:
+                continue
+            seen: dict[str, int] = {}
+            for t in toks:
+                seen[t] = seen.get(t, 0) + 1
+            for t, c in seen.items():
+                df[t] = df.get(t, 0) + 1
+                tf[t] = tf.get(t, 0) + c
+        terms = list(df.keys())
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "df_part": pa.array([df[t] for t in terms], type=pa.int64()),
+            "tf_part": pa.array([tf[t] for t in terms], type=pa.int64()),
+        })
+
+
+_TERM_STATS_CACHE: dict[str, pa.Table] = {}
+
+
+def _term_stats(sf_dir: str) -> pa.Table:
+    """ONE tokenize+combine pass yielding the full (term, df, tf) table
+    (vocabulary-sized — small by Heaps' law, safe to hold).  Shared by
+    term_df and top_terms via a per-process memo so the driver's
+    back-to-back calls tokenize the corpus once, not twice."""
+    cached = _TERM_STATS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    agg = (
+        _docs(sf_dir)
+        .map_batches(_TermAgg, batch_format="pyarrow", batch_size=512,
+                     concurrency=(1, 8))
         .groupby("term")
-        .aggregate(Count(alias_name="df"))
+        .aggregate(Sum("df_part", alias_name="df"),
+                   Sum("tf_part", alias_name="tf"))
     )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    _TERM_STATS_CACHE[sf_dir] = tbl
+    return tbl
 
 
-def top_terms(sf_dir: str) -> rd.Dataset:
+def term_df(sf_dir: str) -> pa.Table:
+    """Document frequency per term (the A1 shuffle, aggregation-only
+    view) — combiner-aggregated (see _TermAgg)."""
+    t = _term_stats(sf_dir)
+    return pa.table({
+        "term": t["term"],
+        "df": t["df"].cast(pa.int64()),
+    })
+
+
+def top_terms(sf_dir: str) -> pa.Table:
     """Top-100 terms by collection frequency, tie-break term asc (T1/T3)."""
-    return (
-        _simple_tokens(sf_dir)
-        .map_batches(
-            lambda t: pa.table({"term": t["term"], "tf": t["tf"].cast(pa.int64())}),
-            batch_format="pyarrow",
-        )
-        .groupby("term")
-        .aggregate(Sum("tf", alias_name="tf"))
-        .sort(["tf", "term"], descending=[True, False])
-        .limit(100)
-    )
+    t = _term_stats(sf_dir)
+    import pandas as pd  # noqa: F401
+
+    df = t.select(["term", "tf"]).to_pandas()
+    df = df.sort_values(["tf", "term"], ascending=[False, True],
+                        kind="mergesort").head(100)
+    return pa.table({
+        "term": pa.array(df["term"].tolist(), type=pa.string()),
+        "tf": pa.array(df["tf"].astype("int64").tolist(), type=pa.int64()),
+    })
 
 
 def doc_token_stats(sf_dir: str) -> rd.Dataset:
@@ -159,52 +220,84 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(q, batch_format="pyarrow")
 
 
+class _BM25Scan:
+    """ONE streaming tokenize pass for the bm25_topk projection: emits
+    per-batch corpus-stat partials (term="" rows: tf=docs, dl=Σdl) AND
+    query-term hit rows (doc_id, term, tf, dl).  Nothing resembling the
+    full token table is ever materialized — the pass's output is
+    O(matching docs), not O(corpus tokens)."""
+
+    def __init__(self, qterms: tuple[str, ...]):
+        from ..analysis.analyzer import analyze_simple
+
+        self.analyze = analyze_simple
+        self.qset = set(qterms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, terms, tfs, dls = [], [], [], []
+        n_part = 0
+        dl_part = 0
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = self.analyze(text or "")
+            if not toks:
+                continue
+            dl = len(toks)
+            n_part += 1
+            dl_part += dl
+            cnt: dict[str, int] = {}
+            for t in toks:
+                if t in self.qset:
+                    cnt[t] = cnt.get(t, 0) + 1
+            for t, c in cnt.items():
+                ids.append(did)
+                terms.append(t)
+                tfs.append(c)
+                dls.append(dl)
+        ids.append(-1)
+        terms.append("")
+        tfs.append(n_part)
+        dls.append(dl_part)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+            "dl": pa.array(dls, type=pa.int64()),
+        })
+
+
 def bm25_topk(sf_dir: str) -> pa.Table:
-    """BM25 disjunctive top-k over `documents` for a fixed query, built and
-    scored entirely in Ray (distributed tf/df/dl aggregation), rounded to
-    6 dp with (score desc, doc_id asc) tie-break.
+    """BM25 disjunctive top-k over `documents` for a fixed query, built
+    and scored in one streaming Ray pass (stats partials + query-term
+    hits; see _BM25Scan), rounded to 6 dp with (score desc, doc_id asc)
+    tie-break.
 
     This is the SQL-checkable projection of the flagship engine: same
     formula (Lucene-style idf), same determinism contract, but the simple
     analyzer so DuckDB can replicate tokenization."""
-    tokens = _simple_tokens(sf_dir).materialize()
+    scan = _docs(sf_dir).map_batches(
+        _BM25Scan(BM25_QUERY_TERMS), batch_format="pyarrow", batch_size=512,
+    ).to_pandas()
 
-    # dl table + corpus stats (docs with >=1 token, as the engine indexes)
-    # one row per (doc,term) already → dl is on every row; take per-doc first
-    from ray.data.aggregate import Mean
+    stats = scan[scan["term"] == ""]
+    n = int(stats["tf"].sum())
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64()),
+        })
+    avgdl = float(stats["dl"].sum()) / n
 
-    dl_tbl = (
-        tokens.map_batches(
-            lambda t: pa.table({"doc_id": t["doc_id"], "dl": t["dl"].cast(pa.int64())}),
-            batch_format="pyarrow",
-        )
-        .groupby("doc_id")
-        .aggregate(Max("dl", alias_name="dl"))  # dl identical per doc; Max = the value
-    )
-    stats = dl_tbl.aggregate(Count(alias_name="n"), Sum("dl", alias_name="total_dl"))
-    n = int(stats["n"])
-    avgdl = float(stats["total_dl"]) / n
-
-    qterms = list(BM25_QUERY_TERMS)
-    hits = tokens.map_batches(
-        lambda t: t.filter(pc.is_in(t["term"], value_set=pa.array(qterms))),
-        batch_format="pyarrow",
-    ).materialize()
-
-    # df per query term (rows are unique (doc,term))
-    df_tbl = hits.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
-    dfs = dict(zip(df_tbl["term"], df_tbl["df"]))
-
-    # score per (doc, term) then sum per doc — the per-doc term set is tiny
-    # (≤3), so finish on the driver deterministically in sorted term order.
-    h = hits.select_columns(["term", "doc_id", "tf", "dl"]).to_pandas()
+    h = scan[scan["term"] != ""]
+    dfs = h.groupby("term").size().to_dict()
     if h.empty:
         return pa.table({
             "doc_id": pa.array([], type=pa.int64()),
             "score": pa.array([], type=pa.float64()),
             "rank": pa.array([], type=pa.int64()),
         })
-    h = h.sort_values(["term", "doc_id"], kind="mergesort")
+    h = h.sort_values(["term", "doc_id"], kind="mergesort").copy()
     idf = h["term"].map(
         lambda t: float(np.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)))
     )
@@ -357,12 +450,10 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
 
 def media_features(sf_dir: str) -> rd.Dataset:
     """Multimodal plumbing pipeline (rows-only check): synthetic media
-    table derived from documents → MediaDecoder actor pool (stubbed
-    decode, real schema/batching) → frame sampling (1→N) → vectorized
-    feature extraction.  Returns one feature row per image/audio item
-    and per sampled video frame."""
-    import pyarrow.parquet as pq
-
+    rows synthesized INSIDE map_batches over the distributed documents
+    read (no driver-side table load) → frame sampling (1→N, fixed-shape
+    tensor column) → vectorized feature extraction.  Returns one feature
+    row per image/audio item and per sampled video frame."""
     from ..stages.multimodal import (
         DEFAULT_MEDIA_BATCH_SIZE,
         FrameSampler,
@@ -370,11 +461,12 @@ def media_features(sf_dir: str) -> rd.Dataset:
         synth_media_table,
     )
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    # real media tables arrive as many-block parquet reads; the synthetic
-    # single-table source needs an explicit split so the actor pools fan out
-    media = rd.from_arrow(synth_media_table(docs)).repartition(8)
+    # the synthetic single-file source reads as few blocks; split so the
+    # decode-shaped actor pool fans out (real media tables arrive as
+    # many-block reads and skip this)
+    media = _docs(sf_dir).repartition(8).map_batches(
+        synth_media_table, batch_format="pyarrow",
+    )
     # ONE pinned actor pool (the decode-shaped stage); the stateless
     # feature stage runs as tasks — chaining multiple fixed actor pools
     # can reserve every CPU and starve upstream tasks on small clusters

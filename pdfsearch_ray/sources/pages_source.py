@@ -33,8 +33,17 @@ from ..stages.extract import EXTRACTOR_VERSION, HtmlExtractor
 from ..state.manifest import validated_completed_partitions, write_partition_marker
 
 
+_PARALLEL_LIST_THRESHOLD = 64
+
+
 def list_partitions(input_path: str | list[str]) -> list[dict]:
-    """Enumerate (file, row_group) partitions from parquet metadata."""
+    """Enumerate (file, row_group) partitions from parquet metadata.
+
+    Partition ids are assigned in sorted (path, row_group) order — the
+    id assignment itself is deterministic and cheap; the metadata READS
+    (one footer per file) are the O(files) cost and are fanned out as
+    Ray tasks beyond ``_PARALLEL_LIST_THRESHOLD`` files, so footer
+    enumeration is not a serial driver loop over 10^6+ files."""
     if isinstance(input_path, str):
         if os.path.isdir(input_path):
             files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
@@ -42,34 +51,69 @@ def list_partitions(input_path: str | list[str]) -> list[dict]:
             files = [input_path]
     else:
         files = sorted(input_path)
+
+    if len(files) < _PARALLEL_LIST_THRESHOLD:
+        per_file = [(f, _file_row_groups(f)) for f in files]
+    else:
+        def read_meta(batch: pa.Table) -> pa.Table:
+            paths, rgs, rows = [], [], []
+            for f in batch["path"].to_pylist():
+                for rg, n in enumerate(_file_row_groups(f)):
+                    paths.append(f)
+                    rgs.append(rg)
+                    rows.append(n)
+            return pa.table({
+                "path": pa.array(paths, type=pa.string()),
+                "row_group": pa.array(rgs, type=pa.int64()),
+                "n_rows": pa.array(rows, type=pa.int64()),
+            })
+
+        meta = (
+            rd.from_items([{"path": f} for f in files],
+                          override_num_blocks=min(len(files), 256))
+            .map_batches(read_meta, batch_format="pyarrow")
+            .to_pandas()
+        )
+        meta = meta.sort_values(["path", "row_group"], kind="mergesort")
+        grouped: dict[str, list[int]] = {}
+        for p, n in zip(meta["path"], meta["n_rows"]):
+            grouped.setdefault(p, []).append(int(n))
+        per_file = [(f, grouped.get(f, [])) for f in files]
+
     descs = []
     pid = 0
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        for rg in range(md.num_row_groups):
-            descs.append(
-                {
-                    "partition_id": pid,
-                    "path": f,
-                    "row_group": rg,
-                    "n_rows": md.row_group(rg).num_rows,
-                }
-            )
+    for f, row_counts in per_file:
+        for rg, n in enumerate(row_counts):
+            descs.append({
+                "partition_id": pid,
+                "path": f,
+                "row_group": rg,
+                "n_rows": n,
+            })
             pid += 1
     return descs
+
+
+def _file_row_groups(path: str) -> list[int]:
+    md = pq.ParquetFile(path).metadata
+    return [md.row_group(rg).num_rows for rg in range(md.num_row_groups)]
 
 
 class _ExtractPartition:
     """Task body: descriptor rows → extracted parquet + marker; emits one
     summary row per partition (the lineage record)."""
 
-    def __init__(self, out_dir: str, lang_allow: tuple[str, ...] | None):
+    def __init__(self, out_dir: str, lang_allow: tuple[str, ...] | None,
+                 strict: bool = False):
         self.out_dir = out_dir
         self.lang_allow = lang_allow
-        self.extractor = HtmlExtractor(lang_allow)
+        self.extractor = HtmlExtractor(lang_allow, strict=strict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_rows = {"partition_id": [], "rows_in": [], "rows_out": [], "sec": []}
+        out_rows: dict[str, list] = {
+            "partition_id": [], "rows_in": [], "rows_out": [], "sec": [],
+            "lang_filtered": [], "empty_or_error": [], "worker_pid": [],
+        }
         for i in range(batch.num_rows):
             pid = batch["partition_id"][i].as_py()
             path = batch["path"][i].as_py()
@@ -106,6 +150,10 @@ class _ExtractPartition:
                     "path": path,
                     "row_group": rg,
                     "lang_allow": list(self.lang_allow) if self.lang_allow else None,
+                    # skip-and-count lineage (reference prints its skipped
+                    # count, index_pdfs.go:108-113; we persist per partition)
+                    "lang_filtered": self.extractor.last_counts.get("lang_filtered", 0),
+                    "empty_or_error": self.extractor.last_counts.get("empty_or_error", 0),
                     "sec": round(dt, 4),
                 },
             )
@@ -113,12 +161,20 @@ class _ExtractPartition:
             out_rows["rows_in"].append(n)
             out_rows["rows_out"].append(extracted.num_rows)
             out_rows["sec"].append(dt)
+            out_rows["lang_filtered"].append(
+                self.extractor.last_counts.get("lang_filtered", 0))
+            out_rows["empty_or_error"].append(
+                self.extractor.last_counts.get("empty_or_error", 0))
+            out_rows["worker_pid"].append(os.getpid())
         return pa.table(
             {
                 "partition_id": pa.array(out_rows["partition_id"], type=pa.int64()),
                 "rows_in": pa.array(out_rows["rows_in"], type=pa.int64()),
                 "rows_out": pa.array(out_rows["rows_out"], type=pa.int64()),
                 "sec": pa.array(out_rows["sec"], type=pa.float64()),
+                "lang_filtered": pa.array(out_rows["lang_filtered"], type=pa.int64()),
+                "empty_or_error": pa.array(out_rows["empty_or_error"], type=pa.int64()),
+                "worker_pid": pa.array(out_rows["worker_pid"], type=pa.int64()),
             }
         )
 
@@ -127,12 +183,35 @@ _WORKER_EXTRACTORS: dict = {}
 
 
 def _extract_partition_task(batch: pa.Table, out_dir: str,
-                            lang_allow: tuple[str, ...] | None) -> pa.Table:
-    key = (out_dir, tuple(lang_allow) if lang_allow else None)
+                            lang_allow: tuple[str, ...] | None,
+                            strict: bool = False) -> pa.Table:
+    key = (out_dir, tuple(lang_allow) if lang_allow else None, strict)
     ex = _WORKER_EXTRACTORS.get(key)
     if ex is None:
-        ex = _WORKER_EXTRACTORS[key] = _ExtractPartition(out_dir, lang_allow)
+        ex = _WORKER_EXTRACTORS[key] = _ExtractPartition(out_dir, lang_allow,
+                                                         strict=strict)
     return ex(batch)
+
+
+def worker_profiles(res, wall_sec: float) -> list[dict]:
+    """Per-worker utilization report, busiest first — the reference's
+    sorted worker profile print (index_pdfs.go:253-291): docs, busy
+    seconds, docs/sec and idle share of the stage wall per worker."""
+    out = []
+    for pid, grp in res.groupby("worker_pid"):
+        busy = float(grp["sec"].sum())
+        docs = int(grp["rows_out"].sum())
+        out.append({
+            "worker_pid": int(pid),
+            "partitions": int(len(grp)),
+            "docs": docs,
+            "busy_sec": round(busy, 3),
+            "docs_per_sec": round(docs / busy, 1) if busy > 0 else 0.0,
+            "idle_frac": round(max(0.0, 1.0 - busy / wall_sec), 3)
+            if wall_sec > 0 else 0.0,
+        })
+    out.sort(key=lambda d: (-d["busy_sec"], d["worker_pid"]))
+    return out
 
 
 def extract_pages(
@@ -142,8 +221,13 @@ def extract_pages(
     lang_allow: tuple[str, ...] | None = ("en",),
     resume: bool = True,
     concurrency: int | None = None,
+    strict: bool = False,
 ) -> dict:
-    """Run (or resume) the extract checkpoint; returns summary metrics."""
+    """Run (or resume) the extract checkpoint; returns summary metrics.
+
+    ``strict=True`` is the ExposeErrors/Debug analog
+    (index_search.go:190-194): extractor exceptions propagate and fail
+    the build instead of skip-and-count."""
     os.makedirs(out_dir, exist_ok=True)
     descs = list_partitions(input_path)
     done = (
@@ -161,13 +245,15 @@ def extract_pages(
         "extractor_version": EXTRACTOR_VERSION,
     }
     if pending:
+        t_run = time.perf_counter()
         ds = rd.from_items(pending, override_num_blocks=len(pending))
         if concurrency:
             # pinned actor pool (explicit resource sizing)
             res = ds.map_batches(
                 _ExtractPartition,
                 fn_constructor_kwargs=dict(out_dir=out_dir,
-                                           lang_allow=lang_allow),
+                                           lang_allow=lang_allow,
+                                           strict=strict),
                 batch_size=1,
                 batch_format="pyarrow",
                 concurrency=concurrency,
@@ -180,13 +266,17 @@ def extract_pages(
 
             res = ds.map_batches(
                 partial(_extract_partition_task, out_dir=out_dir,
-                        lang_allow=lang_allow),
+                        lang_allow=lang_allow, strict=strict),
                 batch_size=1,
                 batch_format="pyarrow",
             ).to_pandas()
+        wall = time.perf_counter() - t_run
         summary["rows_in"] = int(res["rows_in"].sum())
         summary["rows_out"] = int(res["rows_out"].sum())
+        summary["lang_filtered"] = int(res["lang_filtered"].sum())
+        summary["empty_or_error"] = int(res["empty_or_error"].sum())
         summary["sec_per_partition_p95"] = float(res["sec"].quantile(0.95)) if len(res) else 0.0
+        summary["worker_profiles"] = worker_profiles(res, wall)
     # write a stage-level manifest listing completion state
     with open(os.path.join(out_dir, "_extract_summary.json"), "w") as f:
         json.dump(summary, f)

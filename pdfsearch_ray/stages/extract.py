@@ -92,7 +92,12 @@ class HtmlExtractor:
                  strict: bool = False):
         self.lang_allow = set(lang_allow) if lang_allow else None
         self.strict = strict
-        self.n_errors = 0  # skip-and-count (A7-style counter)
+        # skip-and-count (continueOnFailure, index_pdfs.go:108-113):
+        # cumulative per worker, and per-call in last_counts so the
+        # partition marker/manifest can surface them (the reference
+        # prints its skipped-file count; we persist ours)
+        self.n_errors = 0
+        self.last_counts: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.hashing import content_hash
@@ -103,19 +108,23 @@ class HtmlExtractor:
         pids = batch["partition_id"].to_pylist()
         rows = batch["row_offset"].to_pylist()
 
+        n_lang = n_empty = 0
         out = {"doc_id": [], "url": [], "hash": [], "text": [], "lang": []}
         for url, html, lang, pid, row in zip(urls, htmls, langs, pids, rows):
             if self.lang_allow is not None and lang not in self.lang_allow:
+                n_lang += 1
                 continue  # corpus filter (M12 CleanCorpus analog)
             text = extract_text(html, self.strict) if html else ""
             if not text:
+                n_empty += 1
                 self.n_errors += 1
-                continue  # empty-page filter (bleve_pdf.go:309-312)
+                continue  # empty/error-page filter (bleve_pdf.go:309-312)
             out["doc_id"].append((pid << 32) | row)
             out["url"].append(url)
             out["hash"].append(content_hash(html))
             out["text"].append(text)
             out["lang"].append(lang)
+        self.last_counts = {"lang_filtered": n_lang, "empty_or_error": n_empty}
         return pa.table(
             {
                 "doc_id": pa.array(out["doc_id"], type=pa.int64()),

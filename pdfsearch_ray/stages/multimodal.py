@@ -121,7 +121,15 @@ class ImageResize:
         self.out_hw = out_hw
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch["decoded"]
+        col = batch["decoded"].combine_chunks()
+        m = _fixed_matrix(col)
+        if m is not None and m.shape[1] == self.in_n:
+            # fixed-shape fast path: ONE fancy-gather for the whole batch
+            out_m = m[:, self.gather]
+            arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(out_m.ravel(), type=pa.uint8()), out_m.shape[1])
+            return batch.set_column(
+                batch.schema.get_field_index("decoded"), "decoded", arr)
         out: list = []
         for v in col.to_pylist():
             if v is None or len(v) != self.in_n:
@@ -137,7 +145,14 @@ class ImageResize:
 class FrameSampler:
     """Video rows → one output row per sampled frame (1→N flat_map shape,
     the unidoc page-iterator analog S3/unidoc_glue.go:141-261).  Non-video
-    rows pass through with frame_idx=0."""
+    rows pass through with frame_idx=0.
+
+    The decoded column is a FIXED-SHAPE tensor column
+    (``fixed_size_list<uint8>[h*w*3]`` backed by one contiguous uint8
+    buffer), so downstream stages reshape it zero-copy to a (rows, n_px)
+    matrix instead of round-tripping per-row Python lists.  The stub
+    decode itself is per-row (a real codec would be too); everything
+    around it is batch-level."""
 
     def __init__(self, frames_per_video: int = 4, image_hw=(32, 32)):
         self.k = frames_per_video
@@ -146,10 +161,11 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         h, w = self.image_hw
         n_px = h * w * 3
-        out_rows: dict[str, list] = {
-            "media_id": [], "doc_id": [], "kind": [], "frame_idx": [],
-            "decoded": [],
-        }
+        mids: list[int] = []
+        dids: list[int] = []
+        kinds_out: list[str] = []
+        fidx: list[int] = []
+        tensors: list[np.ndarray] = []
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
         media_ids = batch["media_id"].to_pylist()
@@ -162,54 +178,88 @@ class FrameSampler:
                 total = max(1, int(nf or 1))
                 for j in range(min(self.k, total)):
                     frame_no = j * total // min(self.k, total)
-                    out_rows["media_id"].append(mid)
-                    out_rows["doc_id"].append(did)
-                    out_rows["kind"].append("image")
-                    out_rows["frame_idx"].append(frame_no)
-                    out_rows["decoded"].append(
-                        _stub_tensor(payload, n_px, seed=100 + frame_no).tolist()
-                    )
+                    mids.append(mid)
+                    dids.append(did)
+                    kinds_out.append("image")
+                    fidx.append(frame_no)
+                    tensors.append(_stub_tensor(payload, n_px, seed=100 + frame_no))
             elif payload:
-                out_rows["media_id"].append(mid)
-                out_rows["doc_id"].append(did)
-                out_rows["kind"].append(kind)
-                out_rows["frame_idx"].append(0)
-                out_rows["decoded"].append(
-                    _stub_tensor(payload, n_px, seed=1).tolist()
-                )
+                mids.append(mid)
+                dids.append(did)
+                kinds_out.append(kind)
+                fidx.append(0)
+                tensors.append(_stub_tensor(payload, n_px, seed=1))
+        flat = (np.concatenate(tensors) if tensors
+                else np.empty(0, dtype=np.uint8))
+        decoded = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, type=pa.uint8()), n_px)
         return pa.table({
-            "media_id": pa.array(out_rows["media_id"], type=pa.int64()),
-            "doc_id": pa.array(out_rows["doc_id"], type=pa.int64()),
-            "kind": pa.array(out_rows["kind"], type=pa.string()),
-            "frame_idx": pa.array(out_rows["frame_idx"], type=pa.int32()),
-            "decoded": pa.array(out_rows["decoded"], type=pa.list_(pa.uint8())),
+            "media_id": pa.array(mids, type=pa.int64()),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "kind": pa.array(kinds_out, type=pa.string()),
+            "frame_idx": pa.array(fidx, type=pa.int32()),
+            "decoded": decoded,
         })
+
+
+def _fixed_matrix(col) -> np.ndarray | None:
+    """Zero-copy (rows, n) uint8 matrix from a fixed_size_list column, or
+    None if the column is variable-length / has nulls."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not pa.types.is_fixed_size_list(arr.type) or arr.null_count:
+        return None
+    n = arr.type.list_size
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, n)
 
 
 class MediaFeatures:
     """Decoded tensors → fixed-length float32 feature vectors (channel
-    mean/std + 8-bin histogram), vectorized per batch; the embedding
-    column feeds the ANN pipelines (pipelines/similarity.py)."""
+    mean/std + 8-bin histogram).  Fixed-shape tensor columns take the
+    fully-vectorized path (one reshape + reduction per batch, histogram
+    via a single bincount); variable-length columns (raw MediaDecoder
+    output with mixed image/audio lengths) fall back to per-row numpy."""
 
     N_FEATURES = 2 * 3 + 8
 
+    def _features_one(self, a: np.ndarray) -> np.ndarray:
+        af = a.astype(np.float32)
+        ch = af.reshape(-1, 3) if af.size % 3 == 0 else af.reshape(-1, 1).repeat(3, 1)
+        hist, _ = np.histogram(af, bins=8, range=(0, 256))
+        return np.concatenate([
+            ch.mean(axis=0), ch.std(axis=0),
+            (hist / max(1, af.size)).astype(np.float32),
+        ]).astype(np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch["decoded"].combine_chunks()
-        feats: list = []
+        m = _fixed_matrix(col)
+        if m is not None and m.size:
+            rows, n = m.shape
+            mf = m.astype(np.float32)
+            ch = mf.reshape(rows, -1, 3) if n % 3 == 0 else mf[:, :, None].repeat(3, 2)
+            means = ch.mean(axis=1)
+            stds = ch.std(axis=1)
+            # 8-bin histogram over [0,256) for ALL rows in one bincount:
+            # bin = value // 32 (uint8 < 256 → bins 0..7)
+            bin_idx = (m >> 5).astype(np.int64) + \
+                (np.arange(rows, dtype=np.int64) * 8)[:, None]
+            hist = np.bincount(bin_idx.ravel(), minlength=rows * 8) \
+                .reshape(rows, 8).astype(np.float32) / n
+            feats = np.concatenate([means, stds, hist], axis=1).astype(np.float32)
+            farr = pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float32()), self.N_FEATURES)
+            return batch.append_column("features", farr.cast(
+                pa.list_(pa.float32())))
+        feats_list: list = []
         for v in col.to_pylist():
             if v is None:
-                feats.append(None)
-                continue
-            a = np.asarray(v, dtype=np.float32)
-            ch = a.reshape(-1, 3) if a.size % 3 == 0 else a.reshape(-1, 1).repeat(3, 1)
-            hist, _ = np.histogram(a, bins=8, range=(0, 256))
-            f = np.concatenate([
-                ch.mean(axis=0), ch.std(axis=0),
-                (hist / max(1, a.size)).astype(np.float32),
-            ]).astype(np.float32)
-            feats.append(f.tolist())
+                feats_list.append(None)
+            else:
+                feats_list.append(
+                    self._features_one(np.asarray(v, dtype=np.uint8)).tolist())
         return batch.append_column(
-            "features", pa.array(feats, type=pa.list_(pa.float32()))
+            "features", pa.array(feats_list, type=pa.list_(pa.float32()))
         )
 
 
@@ -219,14 +269,19 @@ def synth_media_table(docs: pa.Table, text_col: str = "text",
     (round-1 rule: synthesize inputs, no external data).  Each doc yields
     one media row; kind cycles image/audio/video by doc_id, payload is
     the utf-8 text bytes (opaque to the decoder — exactly how real
-    pipelines treat undecoded media)."""
+    pipelines treat undecoded media).
+
+    ``media_id`` is the doc_id (globally unique and BATCH-LOCAL to
+    compute), so this function is safe inside ``map_batches`` over a
+    distributed read — the synthesis itself is distributed, no
+    driver-side table load (pipelines/queries.py:media_features)."""
     ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     texts = docs[text_col].to_pylist()
     kinds = [("image", "audio", "video")[int(i) % 3] for i in ids]
     payloads = [(t or "").encode("utf-8") for t in texts]
     n = len(ids)
     return pa.table({
-        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "media_id": pa.array(ids),
         "doc_id": pa.array(ids),
         "kind": pa.array(kinds, type=pa.string()),
         "mime": pa.array(
