@@ -65,7 +65,13 @@ def _encode_flat(
     b: float,
     avgdl: float,
     block_size: int,
+    pre_encoded_pos: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pa.Table:
+    """``pre_encoded_pos`` = (uint8 byte stream, int64 per-posting byte
+    offsets[n+1]) in POSTING order — the wire format
+    ``encode_positions_run`` produces; suppliers that carry positions
+    already varint-encoded (the combine-mode spill) pass it instead of
+    pos_flat/pos_lens and skip the whole re-encode."""
     n = ids.size
     if n == 0:
         return _empty()
@@ -88,8 +94,10 @@ def _encode_flat(
     doc_bytes, doc_off = varint_encode_offsets(gaps)
     tf_bytes, tf_off = varint_encode_offsets(tfs)
     dl_bytes, dl_off = varint_encode_offsets(dls)
-    with_pos = pos_flat is not None
-    if with_pos:
+    with_pos = pos_flat is not None or pre_encoded_pos is not None
+    if pre_encoded_pos is not None:
+        pos_bytes, pos_off = pre_encoded_pos
+    elif with_pos:
         pos_bytes, pos_off = encode_positions_run(pos_flat, pos_lens)
 
     wdl = bm25_wdl(tfs, dls, k1, b, avgdl)
@@ -168,9 +176,9 @@ def encode_bucket(
         salts[run_first],
         run_of_post,
         t["doc_id"].to_numpy().astype(np.uint64),
-        t["tf"].to_numpy().astype(np.uint64),
-        t["dl"].to_numpy().astype(np.uint64),
-        pos_values.astype(np.uint64),
+        t["tf"].to_numpy(),
+        t["dl"].to_numpy(),
+        pos_values,
         np.diff(pos_offsets).astype(np.int64),
         k1=k1, b=b, avgdl=avgdl, block_size=block_size,
     )
@@ -216,34 +224,49 @@ def encode_bucket_segments(
     # a stable sort on doc within run = lexsort
     ordr = np.lexsort((ids, run_of_post))
     ids = ids[ordr]
-    tfs = tf_val.astype(np.uint64)[ordr]
-    dls = dl_val.astype(np.uint64)[ordr]
+    # tf/dl/positions stay uint32 end-to-end: the codec consumes uint32
+    # directly and the encode stage is DRAM-bandwidth-bound — every
+    # avoided upcast copy is wall-time under full-node concurrency
+    tfs = tf_val[ordr]
+    dls = dl_val[ordr]
     run_of_post = run_of_post[ordr]
 
-    pos_flat_sorted = pos_lens_sorted = None
+    pre_pos = None
     if with_positions:
-        pl_off, pl_val = _list_parts(t["seg_pos_lens"])
-        p_off, p_val = _list_parts(t["seg_pos"])
-        lens = pl_val.astype(np.int64)  # one entry per posting, row-major
-        starts = np.zeros(lens.size, dtype=np.int64)
-        if lens.size > 1:
-            np.cumsum(lens[:-1], out=starts[1:])
-        # rows are contiguous in the flat values after take/combine, so the
-        # global cumsum of per-posting lens + the array's base offset gives
-        # each posting's absolute start (per-row sums of pos_lens equal the
-        # row's seg_pos length by construction)
-        starts += int(p_off[0])
-        lens_sorted = lens[ordr]
+        # Positions arrive ALREADY varint-encoded as per-posting byte
+        # streams (tokenize-side encode, stages/tokenize.py): the only
+        # work here is permuting byte slices into the sorted posting
+        # order — ~1.3 B/position of gather traffic instead of 4 B
+        # uint32 + a full re-encode, in the DRAM-bound stage.
+        bl_off, bl_val = _list_parts(t["seg_pos_blen"])
+        blob_col = t["seg_pos_blob"]
+        chunk = (blob_col.combine_chunks()
+                 if isinstance(blob_col, pa.ChunkedArray) else blob_col)
+        boffs = np.frombuffer(chunk.buffers()[1], dtype=np.int64)
+        boffs = boffs[chunk.offset: chunk.offset + len(chunk) + 1]
+        data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+        # per-posting absolute byte start: rows are contiguous after
+        # take/combine, so the array base offset + the global exclusive
+        # cumsum of per-posting byte lengths is each posting's start
+        total_b = int(boffs[-1] - boffs[0])
+        it = np.int32 if total_b < (1 << 31) else np.int64
+        bl = bl_val.astype(it)
+        starts = np.zeros(bl.size, dtype=it)
+        if bl.size > 1:
+            np.cumsum(bl[:-1], out=starts[1:])
+        starts += it(boffs[0])
+        bl_sorted = bl[ordr]
         starts_sorted = starts[ordr]
-        total = int(lens_sorted.sum())
-        out_excl = np.zeros(lens_sorted.size, dtype=np.int64)
-        if lens_sorted.size > 1:
-            np.cumsum(lens_sorted[:-1], out=out_excl[1:])
-        idx = (np.arange(total, dtype=np.int64)
-               - np.repeat(out_excl, lens_sorted)
-               + np.repeat(starts_sorted, lens_sorted))
-        pos_flat_sorted = p_val.astype(np.uint64)[idx]
-        pos_lens_sorted = lens_sorted
+        out_excl = np.zeros(bl_sorted.size, dtype=it)
+        if bl_sorted.size > 1:
+            np.cumsum(bl_sorted[:-1], out=out_excl[1:])
+        idx = (np.arange(total_b, dtype=it)
+               - np.repeat(out_excl, bl_sorted)
+               + np.repeat(starts_sorted, bl_sorted))
+        pos_bytes_sorted = data[idx].tobytes()
+        post_off_sorted = np.zeros(bl_sorted.size + 1, dtype=np.int64)
+        post_off_sorted[1:] = np.cumsum(bl_sorted, dtype=np.int64)
+        pre_pos = (pos_bytes_sorted, post_off_sorted)
 
     return _encode_flat(
         int(t["bucket"][0].as_py()),
@@ -251,6 +274,7 @@ def encode_bucket_segments(
         salts[run_first_row],
         run_of_post,
         ids, tfs, dls,
-        pos_flat_sorted, pos_lens_sorted,
+        None, None,
         k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+        pre_encoded_pos=pre_pos,
     )

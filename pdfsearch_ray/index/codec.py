@@ -42,9 +42,14 @@ def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 
     Bandwidth-aware: works in uint32 when every value fits (the common
     case for positions/tf/dl — halves memory traffic; the encode stage is
-    DRAM-bound under full-node concurrency), and short-circuits to a
-    single cast when every value is < 128 (1-byte varints)."""
-    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    DRAM-bound under full-node concurrency), accepts uint32 input
+    WITHOUT a round-trip through uint64 (no full-array upcast copy), and
+    short-circuits to a single cast when every value is < 128 (1-byte
+    varints)."""
+    if values.dtype == np.uint32:
+        arr = np.ascontiguousarray(values)
+    else:
+        arr = np.ascontiguousarray(values, dtype=np.uint64)
     if arr.size == 0:
         return b"", np.zeros(1, dtype=np.int64)
     mx = int(arr.max())
@@ -52,18 +57,25 @@ def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         out = arr.astype(np.uint8)
         return out.tobytes(), np.arange(arr.size + 1, dtype=np.int64)
     if mx < (1 << 32):
-        arr = arr.astype(np.uint32)
+        if arr.dtype != np.uint32:
+            arr = arr.astype(np.uint32)
         seven = np.uint32(7)
         mask7 = np.uint32(0x7F)
     else:
         seven = np.uint64(7)
         mask7 = np.uint64(0x7F)
-    nbytes = np.ones(arr.shape, dtype=np.int64)
+    # int32 internals while the stream fits (always, for per-bucket
+    # runs): the scatter loop's index temporaries are the stage's
+    # biggest allocations, and halving them is wall-time under
+    # full-node concurrency
+    small = arr.size * 10 < (1 << 31)
+    idx_t = np.int32 if small else np.int64
+    nbytes = np.ones(arr.shape, dtype=np.int8)
     for t in _THRESHOLDS:
         if int(t) > mx:
             break
         nbytes += arr >= arr.dtype.type(t)
-    ends = np.cumsum(nbytes)
+    ends = np.cumsum(nbytes, dtype=idx_t)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
     maxb = int(nbytes.max())

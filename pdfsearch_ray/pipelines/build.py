@@ -261,6 +261,7 @@ def build_index(
     stats_source: "rd.Dataset | None" = None,
     stats_scale: float = 1.0,
     stats_sampled: bool = False,
+    stats_precomputed: dict | None = None,
     audit_unique: bool = False,
     report=None,
 ) -> IndexManifest:
@@ -365,7 +366,24 @@ def build_index(
             cached = _json.load(open(stats_path))
         except Exception:
             cached = None
-    if cached is not None:
+    if stats_precomputed is not None:
+        # stats were fused into an upstream pass (the extract markers,
+        # sources/pages_source.py:_ExtractPartition._partition_stats):
+        # no stats read pass, no barrier — one read of the corpus total
+        total_dl = int(stats_precomputed["total_dl"])
+        n_sampled = int(stats_precomputed["n_sampled"])
+        avgdl = (total_dl / n_sampled) if n_sampled else 1.0
+        total_tokens = int(total_dl * stats_scale / max(sample_rate, 1e-9))
+        if auto_salt and hot_terms is None:
+            hot_df = stats_precomputed.get("hot_df", {})
+            thresh = hot_df_ratio * max(1, n_sampled)
+            hot_terms = {
+                t: int(np.clip(np.ceil(df_t / thresh) + 1, 2, num_salts))
+                for t, df_t in hot_df.items() if df_t >= thresh
+            }
+        hot_terms = hot_terms or {}
+        t_stats = t_hot = time.time()
+    elif cached is not None:
         total_dl = cached["total_dl"]
         n_sampled = cached["n_sampled"]
         avgdl = cached["avgdl"]
@@ -858,53 +876,71 @@ def build_from_pages(
     ``strict=True`` surfaces extractor errors instead of skip-and-count
     (ExposeErrors analog); either way the skip counters land in
     ``manifest.build_metrics['extract']``."""
-    from ..sources.pages_source import extract_pages, extracted_dataset
+    from ..sources.pages_source import (
+        dup_loser_ids_from_extract,
+        extract_pages,
+        extracted_dataset,
+        marker_stats,
+    )
 
     t0 = time.time()
     extract_dir = extract_dir or f"{index_dir}/extracted"
+    # Fused extract (ONE read of the raw corpus): text extraction + the
+    # exact-dedup pair spill + (sampled builds) the corpus-stats pass all
+    # happen while each partition's rows are in memory — two fewer
+    # full-corpus reads and two fewer pipeline barriers than running
+    # them as separate stages.
+    sample_rate = build_kwargs.get("sample_rate", 1.0)
+    fuse_stats = sample_rate < 1.0
+    analyzer = build_kwargs.get("analyzer", "en")
     summary = extract_pages(
         input_path, extract_dir,
         lang_allow=lang_allow, resume=resume, concurrency=extract_concurrency,
         strict=strict,
+        pairs=dedup,
+        stats_analyzer=analyzer if fuse_stats else None,
+        stats_rate=sample_rate,
     )
     summary["sec_extract"] = round(time.time() - t0, 3)
     ds = extracted_dataset(extract_dir)
     loser_ref = None
     if dedup:
-        # losers are computed ONCE (eager narrow shuffle inside
-        # dup_loser_ids); the datasets below re-apply only the cheap
-        # broadcast anti-join filter each time build_index re-scans its
-        # source — no corpus rewrite, no repeated shuffle
+        # losers come from the extract-fused pairs spill (hash-sorted
+        # per-partition files, range-pruned reduce tasks): no corpus
+        # re-read, no separate shuffle job.  The broadcast anti-join
+        # below is re-applied cheaply each time build_index re-scans.
         import ray
 
         t1 = time.time()
-        loser_ref = ray.put(dup_loser_ids(ds))
+        loser_ref = ray.put(dup_loser_ids_from_extract(extract_dir))
         ds = ds.map_batches(_DropIds(loser_ref, "doc_id"),
                             batch_format="pyarrow")
         summary["sec_dedup"] = round(time.time() - t1, 3)
 
-    # Partition-level stats sampling: a sampled-avgdl build reads only
-    # sample_rate of the extract FILES for the stats pass instead of
-    # streaming every text byte to then discard 90% of docs — the
-    # at-scale pattern (untouched partitions cost nothing).  Per-doc
-    # hash sampling remains the behavior when build_index is called
-    # directly on an arbitrary source.
-    sample_rate = build_kwargs.get("sample_rate", 1.0)
-    if sample_rate < 1.0:
-        import glob as _glob
+    if fuse_stats:
+        ms = marker_stats(extract_dir)
+        if ms is not None and ms.get("analyzer") == analyzer:
+            build_kwargs = dict(build_kwargs, sample_rate=1.0,
+                                stats_precomputed=ms,
+                                stats_scale=1.0 / max(sample_rate, 1e-9),
+                                stats_sampled=True)
+        else:
+            # markers predate stats fusion (or analyzer changed):
+            # fall back to the file-sampled stats pass
+            import glob as _glob
 
-        files = sorted(_glob.glob(f"{extract_dir}/part-*.parquet"))
-        k = max(1, round(len(files) * sample_rate))
-        step = len(files) / k
-        subset = [files[int(i * step)] for i in range(k)]
-        stats_ds = rd.read_parquet(subset)
-        if loser_ref is not None:
-            stats_ds = stats_ds.map_batches(_DropIds(loser_ref, "doc_id"),
-                                            batch_format="pyarrow")
-        build_kwargs = dict(build_kwargs, sample_rate=1.0,
-                            stats_source=stats_ds,
-                            stats_scale=len(files) / len(subset),
-                            stats_sampled=True)
+            files = sorted(_glob.glob(f"{extract_dir}/part-*.parquet"))
+            k = max(1, round(len(files) * sample_rate))
+            step = len(files) / k
+            subset = [files[int(i * step)] for i in range(k)]
+            stats_ds = rd.read_parquet(subset)
+            if loser_ref is not None:
+                stats_ds = stats_ds.map_batches(_DropIds(loser_ref, "doc_id"),
+                                                batch_format="pyarrow")
+            build_kwargs = dict(build_kwargs, sample_rate=1.0,
+                                stats_source=stats_ds,
+                                stats_scale=len(files) / len(subset),
+                                stats_sampled=True)
 
     manifest = build_index(
         ds, index_dir, id_col="doc_id", url_col="url", lang_col="lang",

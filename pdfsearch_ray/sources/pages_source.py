@@ -101,13 +101,76 @@ def _file_row_groups(path: str) -> list[int]:
 
 class _ExtractPartition:
     """Task body: descriptor rows → extracted parquet + marker; emits one
-    summary row per partition (the lineage record)."""
+    summary row per partition (the lineage record).
+
+    Fused side-work while the partition's text is ALREADY in memory
+    (one read, one pass — each fused stage removes a full corpus re-read
+    and a pipeline barrier downstream):
+    * ``pairs``: a (hash, doc_id) parquet sorted by hash with small row
+      groups — the map side of the exact-dedup shuffle; loser tasks
+      later prune by hash range (dup_loser_ids_from_extract).
+    * ``stats_*``: sampled corpus statistics (docs, total token count,
+      near-hot per-term df partials) under the build's analyzer,
+      recorded in the marker — the build's avgdl/hot-term stats pass
+      reads markers instead of re-reading text."""
 
     def __init__(self, out_dir: str, lang_allow: tuple[str, ...] | None,
-                 strict: bool = False):
+                 strict: bool = False,
+                 pairs: bool = False,
+                 stats_analyzer: str | None = None,
+                 stats_rate: float = 0.1):
         self.out_dir = out_dir
         self.lang_allow = lang_allow
         self.extractor = HtmlExtractor(lang_allow, strict=strict)
+        self.pairs = pairs
+        self.stats_analyzer = stats_analyzer
+        self.stats_rate = stats_rate
+        if stats_analyzer:
+            from ..analysis.analyzer import get_analyzer
+
+            self._analyze = get_analyzer(stats_analyzer)
+
+    def _partition_stats(self, extracted: pa.Table) -> dict:
+        """Sampled (doc-hash-deterministic) token stats for this
+        partition: analyzed ONCE here, summed from markers at build time."""
+        import numpy as np
+
+        from ..pipelines.build import _sample_mask
+
+        ids = extracted["doc_id"].to_numpy()
+        mask = _sample_mask(ids, self.stats_rate)
+        total = ndocs = 0
+        counts: dict[str, int] = {}
+        for keep, text in zip(mask, extracted["text"].to_pylist()):
+            if not keep or not text:
+                continue
+            toks = self._analyze(text)
+            if not toks:
+                continue
+            total += len(toks)
+            ndocs += 1
+            for term in set(toks):
+                counts[term] = counts.get(term, 0) + 1
+        # only near-hot terms enter the marker (bounded size; a globally
+        # hot term must be frequent in most partitions)
+        floor = max(2, ndocs // 16)
+        hot = {t: c for t, c in counts.items() if c >= floor}
+        return {"n_docs": ndocs, "total_dl": total, "df_top": hot,
+                "rate": self.stats_rate, "analyzer": self.stats_analyzer}
+
+    def _write_pairs(self, extracted: pa.Table, pid: int) -> None:
+        import pyarrow.compute as pc
+
+        pairs = pa.table({
+            "hash": extracted["hash"],
+            "doc_id": extracted["doc_id"],
+        })
+        order = pc.sort_indices(pairs, sort_keys=[("hash", "ascending")])
+        pairs = pairs.take(order)
+        final = os.path.join(self.out_dir, f"pairs-{pid:06d}.parquet")
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(pairs, tmp, row_group_size=8192)
+        os.replace(tmp, final)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows: dict[str, list] = {
@@ -135,6 +198,10 @@ class _ExtractPartition:
             tmp = final + f".tmp.{os.getpid()}"
             pq.write_table(extracted, tmp)
             os.replace(tmp, final)  # atomic commit
+            if self.pairs:
+                self._write_pairs(extracted, pid)
+            stats = (self._partition_stats(extracted)
+                     if self.stats_analyzer else None)
             dt = time.perf_counter() - t0
             write_partition_marker(
                 self.out_dir,
@@ -142,6 +209,8 @@ class _ExtractPartition:
                 {
                     "rows_in": n,
                     "rows_out": extracted.num_rows,
+                    "stats": stats,
+                    "pairs": self.pairs,
                     "doc_id_sum": int(pa.compute.sum(extracted["doc_id"]).as_py() or 0),
                     "extractor_version": EXTRACTOR_VERSION,
                     # identity + config fields so resume can validate the
@@ -184,12 +253,17 @@ _WORKER_EXTRACTORS: dict = {}
 
 def _extract_partition_task(batch: pa.Table, out_dir: str,
                             lang_allow: tuple[str, ...] | None,
-                            strict: bool = False) -> pa.Table:
-    key = (out_dir, tuple(lang_allow) if lang_allow else None, strict)
+                            strict: bool = False,
+                            pairs: bool = False,
+                            stats_analyzer: str | None = None,
+                            stats_rate: float = 0.1) -> pa.Table:
+    key = (out_dir, tuple(lang_allow) if lang_allow else None, strict,
+           pairs, stats_analyzer, stats_rate)
     ex = _WORKER_EXTRACTORS.get(key)
     if ex is None:
-        ex = _WORKER_EXTRACTORS[key] = _ExtractPartition(out_dir, lang_allow,
-                                                         strict=strict)
+        ex = _WORKER_EXTRACTORS[key] = _ExtractPartition(
+            out_dir, lang_allow, strict=strict, pairs=pairs,
+            stats_analyzer=stats_analyzer, stats_rate=stats_rate)
     return ex(batch)
 
 
@@ -222,18 +296,28 @@ def extract_pages(
     resume: bool = True,
     concurrency: int | None = None,
     strict: bool = False,
+    pairs: bool = False,
+    stats_analyzer: str | None = None,
+    stats_rate: float = 0.1,
 ) -> dict:
     """Run (or resume) the extract checkpoint; returns summary metrics.
 
     ``strict=True`` is the ExposeErrors/Debug analog
     (index_search.go:190-194): extractor exceptions propagate and fail
-    the build instead of skip-and-count."""
+    the build instead of skip-and-count.  ``pairs``/``stats_analyzer``
+    fuse the dedup pair-spill and the sampled corpus-stats pass into
+    this single read (see _ExtractPartition); resume validates the fused
+    config so a rerun with different stats settings re-extracts."""
     os.makedirs(out_dir, exist_ok=True)
     descs = list_partitions(input_path)
     done = (
         validated_completed_partitions(
             out_dir, descs,
             extractor_version=EXTRACTOR_VERSION, lang_allow=lang_allow,
+            extra={"pairs": pairs,
+                   **({"stats": {"analyzer": stats_analyzer,
+                                 "rate": stats_rate}}
+                      if stats_analyzer else {})},
         )
         if resume
         else set()
@@ -253,7 +337,9 @@ def extract_pages(
                 _ExtractPartition,
                 fn_constructor_kwargs=dict(out_dir=out_dir,
                                            lang_allow=lang_allow,
-                                           strict=strict),
+                                           strict=strict, pairs=pairs,
+                                           stats_analyzer=stats_analyzer,
+                                           stats_rate=stats_rate),
                 batch_size=1,
                 batch_format="pyarrow",
                 concurrency=concurrency,
@@ -266,7 +352,9 @@ def extract_pages(
 
             res = ds.map_batches(
                 partial(_extract_partition_task, out_dir=out_dir,
-                        lang_allow=lang_allow, strict=strict),
+                        lang_allow=lang_allow, strict=strict, pairs=pairs,
+                        stats_analyzer=stats_analyzer,
+                        stats_rate=stats_rate),
                 batch_size=1,
                 batch_format="pyarrow",
             ).to_pandas()
@@ -285,3 +373,85 @@ def extract_pages(
 
 def extracted_dataset(out_dir: str) -> rd.Dataset:
     return rd.read_parquet(sorted(glob.glob(os.path.join(out_dir, "part-*.parquet"))))
+
+
+def dup_loser_ids_from_extract(out_dir: str, num_buckets: int = 16):
+    """Exact-dedup losers from the extract-fused pairs spill — no corpus
+    re-read, no map-side shuffle job (extract already wrote one sorted
+    (hash, doc_id) file per partition).  Each of ``num_buckets`` tasks
+    owns a hash range and reads only the row groups whose hash
+    statistics intersect it (files are hash-sorted with small row
+    groups), i.e. ~1/B of each file — the reduce side of a merge
+    shuffle with footer-level pruning."""
+    import numpy as np
+    import ray
+
+    files = sorted(glob.glob(os.path.join(out_dir, "pairs-*.parquet")))
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    # hex-string hash space split into B lexicographic ranges
+    bounds = [format(int(i * 16**4 / num_buckets), "04x")
+              for i in range(num_buckets + 1)]
+
+    def _losers(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in batch["b"].to_pylist():
+            lo, hi = bounds[i], bounds[i + 1]
+            filt = ([("hash", ">=", lo), ("hash", "<", hi)]
+                    if i + 1 < num_buckets else [("hash", ">=", lo)])
+            t = pq.read_table(files, columns=["hash", "doc_id"],
+                              filters=filt, use_threads=False)
+            if t.num_rows == 0:
+                continue
+            h = t["hash"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy()
+            order = np.lexsort((ids, h))
+            hs = h[order]
+            keep_first = np.ones(hs.size, dtype=bool)
+            keep_first[1:] = hs[1:] != hs[:-1]
+            outs.append(pa.table({
+                "doc_id": pa.array(ids[order][~keep_first])}))
+        if not outs:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        return pa.concat_tables(outs)
+
+    refs = (
+        rd.from_items([{"b": i} for i in range(num_buckets)],
+                      override_num_blocks=num_buckets)
+        .map_batches(_losers, batch_format="pyarrow", batch_size=1)
+        .to_arrow_refs()
+    )
+    tabs = [t for t in ray.get(refs) if t.num_rows > 0]
+    if not tabs:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(pa.concat_tables(tabs)["doc_id"].to_numpy())
+
+
+def marker_stats(out_dir: str) -> dict | None:
+    """Aggregate the extract-fused sampled corpus stats from the
+    partition markers: returns {n_sampled, total_dl, hot_df: {term: df},
+    rate, analyzer} or None if any marker lacks stats (older run)."""
+    from ..state.manifest import PARTITIONS_DIR
+
+    pdir = os.path.join(out_dir, PARTITIONS_DIR)
+    if not os.path.isdir(pdir):
+        return None
+    n = total = 0
+    hot: dict[str, int] = {}
+    rate = analyzer = None
+    for name in sorted(os.listdir(pdir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(pdir, name)) as f:
+            m = json.load(f)
+        s = m.get("stats")
+        if not s:
+            return None
+        n += s["n_docs"]
+        total += s["total_dl"]
+        for t, c in s.get("df_top", {}).items():
+            hot[t] = hot.get(t, 0) + c
+        rate = s.get("rate")
+        analyzer = s.get("analyzer")
+    return {"n_sampled": n, "total_dl": total, "hot_df": hot,
+            "rate": rate, "analyzer": analyzer}

@@ -81,6 +81,7 @@ def validated_completed_partitions(
     *,
     extractor_version: str,
     lang_allow: tuple[str, ...] | None,
+    extra: dict[str, Any] | None = None,
 ) -> set[int]:
     """Partition ids whose marker matches the CURRENT descriptor + config.
 
@@ -102,12 +103,33 @@ def validated_completed_partitions(
         except (OSError, ValueError):
             continue
         m_lang = m.get("lang_allow")
-        if (
+        if not (
             m.get("path") == d["path"]
             and m.get("row_group") == d["row_group"]
             and m.get("extractor_version") == extractor_version
             and (sorted(m_lang) if m_lang else None) == want_lang
         ):
+            continue
+        # fused-stage REQUIREMENTS (pairs spill / sampled stats): a
+        # marker satisfies this run if it provides at least what the run
+        # needs — a marker with extra fused outputs is still valid, a
+        # marker missing a required one (or with mismatched stats
+        # config) forces re-extract
+        ok = True
+        for k, want in (extra or {}).items():
+            if want in (False, None):
+                continue  # not required by this run
+            have = m.get(k)
+            if isinstance(want, dict):
+                if not isinstance(have, dict) or any(
+                    have.get(kk) != vv for kk, vv in want.items()
+                ):
+                    ok = False
+                    break
+            elif have != want:
+                ok = False
+                break
+        if ok:
             done.add(d["partition_id"])
     return done
 
