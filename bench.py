@@ -241,9 +241,21 @@ def main():
             best[w] = max((run_child(w, "scale_build") for _ in range(2)),
                           key=lambda r: r["docs_per_sec"])
         queries = {}
+        stage_detail = {}
         for w in widths:
             queries[f"build_sec_{w}cpu"] = best[w]["build_sec"]
             queries[f"docs_per_sec_{w}cpu"] = best[w]["docs_per_sec"]
+            # per-stage walls per width: the evidence behind any scaling
+            # claim (which stage stopped scaling, at which width)
+            s = best[w].get("stage_sec", {})
+            e = s.get("extract", {}) if isinstance(s.get("extract"), dict) else {}
+            stage_detail[str(w)] = {
+                "extract": e.get("sec_extract"),
+                "dedup": e.get("sec_dedup"),
+                "stats": s.get("sec_stats"),
+                "tokenize": s.get("sec_tokenize"),
+                "encode": s.get("sec_encode"),
+            }
         eff_4_16 = (best[16]["docs_per_sec"] / best[4]["docs_per_sec"]) / 4
         eff_8_32 = (best[32]["docs_per_sec"] / best[8]["docs_per_sec"]) / 4
         queries["efficiency_4_to_16"] = round(eff_4_16, 3)
@@ -253,6 +265,7 @@ def main():
             "value": round(eff_4_16, 3),
             "unit": "ratio",
             "queries": queries,
+            "stage_sec_per_width": stage_detail,
             "scale_corpus": {"rows": SCALE_ROWS, "doc_words": SCALE_DOC_WORDS},
             "sf": sf_dir,
             "num_cpus": 32,

@@ -70,7 +70,8 @@ class _TermAgg:
     tf_part) row per distinct term per batch instead of one row per
     (doc, term) — the shuffle entering the term groupby carries
     batch-vocabulary rows, not corpus-token rows (SURVEY §4:
-    pre-aggregate before groupby)."""
+    pre-aggregate before groupby).  Run as a task pool (plain function
+    below) — the stage is too short to amortize actor-pool spawn."""
 
     def __init__(self):
         from ..analysis.analyzer import analyze_simple
@@ -98,6 +99,15 @@ class _TermAgg:
         })
 
 
+_TERM_AGG: list = []
+
+
+def _term_agg_task(batch: pa.Table) -> pa.Table:
+    if not _TERM_AGG:
+        _TERM_AGG.append(_TermAgg())
+    return _TERM_AGG[0](batch)
+
+
 _TERM_STATS_CACHE: dict[str, pa.Table] = {}
 
 
@@ -111,8 +121,7 @@ def _term_stats(sf_dir: str) -> pa.Table:
         return cached
     agg = (
         _docs(sf_dir)
-        .map_batches(_TermAgg, batch_format="pyarrow", batch_size=512,
-                     concurrency=(1, 8))
+        .map_batches(_term_agg_task, batch_format="pyarrow", batch_size=512)
         .groupby("term")
         .aggregate(Sum("df_part", alias_name="df"),
                    Sum("tf_part", alias_name="tf"))
