@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features,
         "ws_token_counts": q.ws_token_counts,
         "ann_ivf": q.ann_ivf,
+        "embedding_dup_pairs": q.embedding_dup_pairs,
         "windowed_event_counts": _windowed_event_counts,
         "user_sessions": _user_sessions,
     }
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
     from pdfsearch_ray.pipelines.queries import (
         ANN_K,
         ANN_NUM_QUERIES,
+        EMB_DUP_THRESHOLD,
         BM25_B,
         BM25_K,
         BM25_K1,
@@ -271,6 +273,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _oracles.minhash_sql(threshold=JACCARD_THRESHOLD),
         "ann_lsh": _oracles.ann_lsh_sql(num_queries=ANN_NUM_QUERIES, k=ANN_K,
                                         nbits=4),
+        "embedding_dup_pairs": _oracles.embedding_dup_sql(
+            threshold=EMB_DUP_THRESHOLD),
         "token_count_stats": _oracles.token_count_sql(),
         "langid_pred": _oracles.langid_sql(),
         "doc_fingerprints": _oracles.fingerprints_sql(),

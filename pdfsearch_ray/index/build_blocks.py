@@ -124,6 +124,16 @@ def _encode_flat(
     else:
         o_pos = [b""] * nb
 
+    # per-block integrity framing: crc32 chained over the four payload
+    # blobs (F2 parity — doc_positions.go:140-153 CRC-frames page blobs)
+    from zlib import crc32
+
+    o_crc = np.fromiter(
+        (crc32(p, crc32(dl, crc32(tf, crc32(d))))
+         for d, tf, dl, p in zip(o_doc, o_tf, o_dl, o_pos)),
+        dtype=np.int64, count=nb,
+    )
+
     return pa.table(
         {
             "bucket": pa.array(np.full(nb, bucket, dtype=np.int32)),
@@ -137,6 +147,7 @@ def _encode_flat(
             "dl_blob": pa.array(o_dl, type=pa.large_binary()),
             "pos_blob": pa.array(o_pos, type=pa.large_binary()),
             "max_wdl": pa.array(bmax32),
+            "crc": pa.array(o_crc),
         }
     )
 

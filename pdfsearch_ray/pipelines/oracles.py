@@ -372,6 +372,35 @@ def ann_ivf_sql(sf_dir: str, *, num_queries: int = 5, k: int = 10,
     """
 
 
+def embedding_dup_sql(*, threshold: float = 0.4) -> str:
+    """Exact embedding-cosine near-dup pairs: double-precision cosine
+    over every (a < b) pair, rounded to 6 dp, thresholded — DuckDB
+    recomputes the full similarity matrix independently."""
+    return f"""
+        WITH be AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM be GROUP BY vec_id),
+        dots AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+            FROM be a JOIN be b ON a.j = b.j AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT d.vec_a, d.vec_b,
+                   round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.vec_a
+            JOIN norms nb ON nb.vec_id = d.vec_b
+        )
+        SELECT vec_a, vec_b, cos FROM sims
+        WHERE cos >= {threshold}
+        ORDER BY vec_a, vec_b
+    """
+
+
 def simhash_sql() -> str:
     """64-bit simhash: per-token md5-low64 hash, per-bit majority vote
     over tokens WITH multiplicity, bit set iff ones*2 > n, shifted into

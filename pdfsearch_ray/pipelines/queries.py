@@ -515,6 +515,15 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     return ann_ivf_topk(sf_dir, num_queries=ANN_NUM_QUERIES, k=ANN_K)
 
 
+EMB_DUP_THRESHOLD = 0.4
+
+
+def embedding_dup_pairs(sf_dir: str) -> pa.Table:
+    from .similarity import embedding_dup_pairs as _e
+
+    return _e(sf_dir, threshold=EMB_DUP_THRESHOLD)
+
+
 def windowed_event_counts(sf_dir: str) -> rd.Dataset:
     from .events import windowed_event_counts as _w
 

@@ -183,13 +183,29 @@ class MatchSet:
 # ---------------------------------------------------------------- engine
 
 
+class CorruptIndexError(RuntimeError):
+    """A posting block failed its crc32 integrity check (F2 framing —
+    the reference CRC-frames its page blobs, doc_positions.go:140-153)."""
+
+
 class BM25Index:
     """Query-side index handle (ST3 analog).  Construct once; reuse —
     ``ReuseIndex`` semantics (index_search.go:86-91)."""
 
-    def __init__(self, index_dir: str | None):
+    def __init__(self, index_dir: str | None, *,
+                 verify_checksums: bool = False):
         self._postings_mem: pa.Table | None = None
         self._docs_mem: pa.Table | None = None
+        self.verify_checksums = verify_checksums
+        # open-handle / read accounting (F7 parity: the reference counts
+        # open file handles, utils/fileio.go:131-193)
+        self.io_stats: dict[str, int] = {
+            "postings_files_opened": 0,
+            "postings_row_groups_read": 0,
+            "docs_files_opened": 0,
+            "docs_row_groups_read": 0,
+            "blocks_verified": 0,
+        }
         if index_dir is not None:
             self.index_dir = index_dir
             self.manifest = IndexManifest.load(index_dir)
@@ -265,6 +281,12 @@ class BM25Index:
         buckets = sorted(bucket_set)
         cols = ["term", "salt", "block_id", "first_doc", "n",
                 "doc_blob", "tf_blob", "dl_blob", "pos_blob", "max_wdl"]
+        schema_names = (self._postings_mem.schema.names
+                        if self._postings_mem is not None
+                        else self.postings.schema.names)
+        check_crc = self.verify_checksums and "crc" in schema_names
+        if check_crc:
+            cols = cols + ["crc"]
         if self._postings_mem is not None:
             mask = pc.is_in(self._postings_mem["term"], value_set=pa.array(missing))
             tbl = self._postings_mem.filter(mask).select(cols)
@@ -300,6 +322,8 @@ class BM25Index:
                     parts = list(pool.map(_read_one, want))
             else:
                 parts = [_read_one(pr) for pr in want]
+            self.io_stats["postings_files_opened"] += len({p for p, _ in want})
+            self.io_stats["postings_row_groups_read"] += len(want)
             parts = [p for p in parts if p.num_rows]
             tbl = (pa.concat_tables(parts) if parts
                    else self.postings.schema.empty_table().select(cols))
@@ -318,6 +342,20 @@ class BM25Index:
         tf_b = tbl["tf_blob"].to_pylist()
         dl_b = tbl["dl_blob"].to_pylist()
         pos_b = tbl["pos_blob"].to_pylist()
+        if check_crc:
+            from zlib import crc32
+
+            crcs = tbl["crc"].to_numpy()
+            for i in range(len(terms_np)):
+                got = crc32(pos_b[i],
+                            crc32(dl_b[i], crc32(tf_b[i], crc32(doc_b[i]))))
+                if got != int(crcs[i]):
+                    raise CorruptIndexError(
+                        f"posting block checksum mismatch for term "
+                        f"{terms_np[i]!r} block {i}: stored {int(crcs[i])}, "
+                        f"computed {got}"
+                    )
+            self.io_stats["blocks_verified"] += len(terms_np)
         for i, term in enumerate(terms_np):
             self._term_cache[term].append({
                 "salt": int(salts[i]),
@@ -672,7 +710,9 @@ class BM25Index:
                 pf = open_files.get(path)
                 if pf is None:
                     pf = open_files[path] = pq.ParquetFile(path)
+                    self.io_stats["docs_files_opened"] += 1
                 t = pf.read_row_group(rg, columns=cols)
+                self.io_stats["docs_row_groups_read"] += 1
                 parts.append(t.filter(pc.is_in(t["doc_id"], value_set=pa.array(want))))
         dtbl = pa.concat_tables(parts) if parts else self.docs.schema.empty_table().select(cols)
         return self._hydrate_from_table(q_terms, id_list, top_sc, with_spans,

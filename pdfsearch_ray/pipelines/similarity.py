@@ -242,6 +242,61 @@ def ann_lsh_topk(
             shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def embedding_dup_pairs(
+    sf_dir: str,
+    *,
+    threshold: float = 0.4,
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: (vec_a < vec_b,
+    round(cos, 6) ≥ threshold) over the whole embeddings table — the
+    exact baseline of embedding-space dedup (SQL-oracled).
+
+    Shape: the normalized matrix is broadcast once (``ray.put``; the
+    "small side" — embeddings are ~dim×4 bytes/row); each batch computes
+    its rows × all columns block of the similarity matrix and emits only
+    its above-threshold pairs (a < b dedupes the symmetric half).  The
+    result is O(near-dup mass).  At 10^12-vector scale the broadcast
+    side no longer fits: the LSH/IVF partitioned layouts above become
+    the candidate prefilter and this kernel verifies bucket-local pairs
+    — same per-batch math, partitioned candidates."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids_all = t["vec_id"].to_numpy()
+    dim = len(t["embedding"][0])
+    m = _embed_matrix(t["embedding"], dim)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, mn))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all_, mn_ = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        bm = _embed_matrix(batch["embedding"], dim)
+        bn = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        s = np.round(bn @ mn_.T, 6)  # (batch, all)
+        lt = ids[:, None] < ids_all_[None, :]
+        hit = (s >= threshold) & lt
+        r, c = np.nonzero(hit)
+        return pa.table({
+            "vec_a": pa.array(ids[r], type=pa.int64()),
+            "vec_b": pa.array(ids_all_[c], type=pa.int64()),
+            "cos": pa.array(s[r, c], type=pa.float64()),
+        })
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .map_batches(pairs, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+    )
+    return pa.table({
+        "vec_a": pa.array(out["vec_a"].astype("int64").tolist(), type=pa.int64()),
+        "vec_b": pa.array(out["vec_b"].astype("int64").tolist(), type=pa.int64()),
+        "cos": pa.array(out["cos"].tolist(), type=pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------- IVF
 
 

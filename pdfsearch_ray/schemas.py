@@ -58,6 +58,11 @@ POSTINGS = pa.schema(
         ("dl_blob", pa.large_binary()),
         ("pos_blob", pa.large_binary()),
         ("max_wdl", pa.float32()),
+        # crc32 over doc|tf|dl|pos blobs — explicit per-block integrity
+        # framing (F2 parity: the reference CRC-frames its page blobs,
+        # doc_positions.go:140-153); verified on read when the query
+        # handle is opened with verify_checksums=True
+        ("crc", pa.int64()),
     ]
 )
 

@@ -76,3 +76,43 @@ def test_run_query_set_writes_parquet(ray_session, tmp_path):
     assert t.num_rows > 0
     assert pq.read_table(out_path).num_rows == t.num_rows
     assert idx.doc_count() == 500
+
+
+def test_crc_framing_and_io_stats(ray_session, tmp_path):
+    """F2/F7 parity: per-block crc32 verified on read; a flipped payload
+    byte is detected; read/open accounting is surfaced."""
+    import glob
+
+    import pyarrow as pa
+    import pytest
+
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index, CorruptIndexError
+
+    d = str(tmp_path / "idx_crc")
+    build_index("/root/testdata/sf0.001/documents.parquet", d,
+                analyzer="simple", num_buckets=8)
+
+    idx = BM25Index(d, verify_checksums=True)
+    r = idx.search("data stream", max_results=5)
+    assert r.total_matches > 0
+    assert idx.io_stats["blocks_verified"] > 0
+    assert idx.io_stats["postings_row_groups_read"] > 0
+    assert idx.io_stats["docs_row_groups_read"] > 0
+
+    # corrupt one posting payload byte in-place; a verifying handle must
+    # refuse, a non-verifying one silently decodes garbage (reference
+    # behavior without CRC framing)
+    f = sorted(glob.glob(f"{d}/postings/*.parquet"))[0]
+    t = pq.read_table(f)
+    blobs = t["tf_blob"].to_pylist()
+    k = next(i for i, b in enumerate(blobs) if len(b) > 0)
+    blobs[k] = bytes([blobs[k][0] ^ 0xFF]) + blobs[k][1:]
+    t = t.set_column(t.schema.get_field_index("tf_blob"), "tf_blob",
+                     pa.array(blobs, type=pa.large_binary()))
+    pq.write_table(t, f)
+
+    bad = BM25Index(d, verify_checksums=True)
+    corrupted_term = t["term"][k].as_py()
+    with pytest.raises(CorruptIndexError, match="checksum mismatch"):
+        bad._load_terms([corrupted_term])
