@@ -326,8 +326,11 @@ def bm25_topk(sf_dir: str) -> pa.Table:
 
 
 def lang_distribution(sf_dir: str) -> rd.Dataset:
+    from ..functions.tables import strip_schema_metadata
+
     return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]))
         .groupby("lang")
         .aggregate(Count(alias_name="n"))
     )
@@ -440,8 +443,11 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
             "sim": pa.array(out_s, type=pa.float64()),
         })
 
-    part = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"]) \
+    from ..functions.tables import strip_schema_metadata
+
+    part = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])) \
         .map_batches(sims, batch_format="pyarrow", batch_size=4096)
     pdf = part.to_pandas()
     pdf["sim_r"] = pdf["sim"].round(6)

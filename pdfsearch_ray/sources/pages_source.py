@@ -323,6 +323,25 @@ def extract_pages(
         else set()
     )
     pending = [d for d in descs if d["partition_id"] not in done]
+    if len(pending) > 1:
+        # T4/T5 analog (path_utils.go:55-101): schedule big row groups
+        # first with a deterministically shuffled head, so the long
+        # partitions can't land in the last wave (a measured scaling
+        # cost, BASELINE.md) and re-runs see the identical order.
+        # Thresholds are relative to the mean row-group size because
+        # webtext row groups, unlike the reference's PDF files, are
+        # written to a uniform target size.
+        from ..functions.paths import size_banded_order
+
+        mean_rows = sum(d["n_rows"] for d in pending) / len(pending)
+        pending = size_banded_order(
+            pending,
+            size_of=lambda d: d["n_rows"],
+            key=lambda d: f'{d["path"]}#{d["row_group"]}',
+            big_size=2.0 * mean_rows,
+            small_size=0.5 * mean_rows,
+            head=min(100, len(pending)),
+        )
     summary = {
         "partitions": len(descs),
         "skipped": len(descs) - len(pending),
