@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q.doc_fingerprints,
         "ann_lsh": q.ann_lsh,
         "media_features": q.media_features,
+        "media_inventory": q.media_inventory,
         "ws_token_counts": q.ws_token_counts,
         "ann_ivf": q.ann_ivf,
         "embedding_dup_pairs": q.embedding_dup_pairs,
@@ -279,6 +280,32 @@ def oracle_sql() -> dict[str, str]:
         "langid_pred": _oracles.langid_sql(),
         "doc_fingerprints": _oracles.fingerprints_sql(),
         "simhash_fps": _oracles.simhash_sql(),
+        # media_inventory mirrors stages/multimodal.py exactly: kind
+        # cycles image/audio/video by doc_id % 3; docs with empty text
+        # synthesize an empty payload and are dropped; videos carry
+        # n_frames=12 and FrameSampler picks j*12//4 = 0,3,6,9 (emitted
+        # as kind 'image'); image/audio emit one row at frame_idx 0.
+        "media_inventory": """
+            WITH m AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 3 AS INTEGER)
+                            WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            frames AS (
+                SELECT doc_id, kind, 0 AS frame_idx FROM m WHERE kind <> 'video'
+                UNION ALL
+                SELECT m.doc_id, 'image' AS kind, f.frame_idx
+                FROM m, (SELECT unnest([0, 3, 6, 9]) AS frame_idx) f
+                WHERE m.kind = 'video'
+            )
+            SELECT doc_id AS media_id, doc_id, kind,
+                   CAST(frame_idx AS BIGINT) AS frame_idx
+            FROM frames
+        """,
         "ws_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN text IS NULL OR trim(text) = '' THEN 0

@@ -34,6 +34,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -557,6 +558,8 @@ def build_index(
         salt_spec=hot_terms,
         built_at=t0,
         avgdl_exact=sample_rate >= 1.0 and not stats_sampled,
+        total_dl=int(total_dl),
+        with_positions=with_positions,
         build_metrics={
             "sec_docs": round(t_docs - t0, 3),
             "sec_stats": round(t_stats - t_docs, 3),
@@ -774,7 +777,9 @@ def dup_loser_ids(
     bucket_dirs = sorted(
         f"{pairs_dir}/{d}" for d in os.listdir(pairs_dir)
         if d.startswith("bucket=")
-    )
+    ) if os.path.isdir(pairs_dir) else []  # empty input writes no dir
+    if not bucket_dirs:
+        return np.empty(0, dtype=np.int64)
 
     def _losers(batch: pa.Table) -> pa.Table:
         outs = []
@@ -856,6 +861,331 @@ def dedup_exact(
     return ds.map_batches(
         _DropIds(ref, id_col), batch_format="pyarrow"
     )
+
+
+def _committed_doc_files(index_dir: str, m) -> list[str]:
+    """Parquet files of every manifest-committed docs catalog."""
+    import glob as _glob
+
+    dirs = [f"{index_dir}/docs"] + [
+        f"{index_dir}/segments/{s['name']}/docs"
+        for s in m.segments if s["name"] != "base"
+    ]
+    return [f for d in dirs for f in sorted(_glob.glob(f"{d}/*.parquet"))]
+
+
+def _load_tombstones(index_dir: str, m) -> np.ndarray:
+    """Sorted int64 doc_ids from the manifest-committed tombstone files."""
+    import pyarrow.parquet as pq
+
+    if not m.tombstones:
+        return np.empty(0, dtype=np.int64)
+    parts = [
+        pq.read_table(f"{index_dir}/tombstones/{f}",
+                      columns=["doc_id"])["doc_id"].to_numpy()
+        for f in m.tombstones
+    ]
+    return np.unique(np.concatenate(parts)).astype(np.int64)
+
+
+def delete_docs(
+    index_dir: str,
+    *,
+    doc_ids=None,
+    hashes=None,
+) -> dict:
+    """Tombstone documents in an existing index — the catalog-remove
+    analog (bleve_pdf.go:166-175) with Lucene/scorch lazy-delete
+    semantics: queries exclude the docs immediately, but BM25 corpus
+    stats (N, df, avgdl) stay pre-delete until ``compact_index``
+    physically drops the rows.
+
+    Accepts doc_ids and/or content hashes (hashes resolve to doc_ids
+    via a NARROW (hash, doc_id) scan of the committed catalogs).  The
+    tombstone set is written as a new parquet under
+    ``<index_dir>/tombstones/`` and committed by the atomic manifest
+    save; a crash before the save leaves an unlisted (invisible) file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import IndexManifest
+
+    m = IndexManifest.load(index_dir)
+    ids = {int(i) for i in (doc_ids or [])}
+    if hashes:
+        hs = pa.array(sorted(set(hashes)), type=pa.string())
+        cat = (
+            rd.read_parquet(_committed_doc_files(index_dir, m),
+                            columns=["hash", "doc_id"])
+            .map_batches(
+                lambda t: t.filter(pc.is_in(t["hash"], value_set=hs)),
+                batch_format="pyarrow")
+            .to_pandas()
+        )
+        ids.update(int(i) for i in cat["doc_id"])
+    existing = _load_tombstones(index_dir, m)
+    new = np.array(sorted(ids), dtype=np.int64)
+    new = new[~np.isin(new, existing)]
+    if new.size == 0:
+        return {"n_new": 0, "n_deleted_total": int(existing.size)}
+    tdir = f"{index_dir}/tombstones"
+    os.makedirs(tdir, exist_ok=True)
+    fname = f"t-{len(m.tombstones):04d}.parquet"
+    tmp = f"{tdir}/.{fname}.tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(new, type=pa.int64())}), tmp)
+    os.replace(tmp, f"{tdir}/{fname}")
+    m.tombstones = list(m.tombstones) + [fname]
+    m.build_metrics = dict(
+        m.build_metrics,
+        n_deleted=int(existing.size + new.size),
+    )
+    m.save(index_dir)  # commit
+    return {"n_new": int(new.size),
+            "n_deleted_total": int(existing.size + new.size)}
+
+
+def compact_index(
+    index_dir: str,
+    *,
+    resume: bool = False,
+    report=None,
+) -> IndexManifest:
+    """Merge append segments and purge tombstones by rebuilding the
+    index from its own stored docs catalogs — the scorch segment-merge
+    analog, run as an explicit distributed job instead of a background
+    thread.
+
+    Requires ``store_text=True`` catalogs.  Corpus stats (N, avgdl) are
+    recomputed over the surviving docs, so the compacted index scores
+    IDENTICALLY to a from-scratch build over the same rows (tested).
+    The rebuild happens at ``<index_dir>.compact.tmp`` and is swapped in
+    with two renames; the old tree is removed after the swap.  The
+    parent's salt_spec is reused so bucket placement stays stable."""
+    import os
+    import shutil
+
+    from ..state.manifest import IndexManifest
+
+    m = IndexManifest.load(index_dir)
+    if not m.build_metrics.get("store_text", True):
+        raise ValueError("compact_index requires store_text=True catalogs")
+    doc_files = _committed_doc_files(index_dir, m)
+    ds = rd.read_parquet(doc_files)
+    tomb = _load_tombstones(index_dir, m)
+    if tomb.size:
+        import ray
+
+        ref = ray.put(tomb)
+        ds = ds.map_batches(_DropIds(ref, "doc_id"), batch_format="pyarrow")
+    tmp_dir = index_dir.rstrip("/") + ".compact.tmp"
+    if not resume:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    mnew = build_index(
+        ds, tmp_dir,
+        text_col="text", id_col="doc_id", url_col="url", lang_col="lang",
+        analyzer=m.analyzer, k1=m.k1, b=m.b,
+        num_buckets=m.num_buckets, block_size=m.block_size,
+        hot_terms=dict(m.salt_spec or {}), auto_salt=False,
+        with_positions=m.with_positions, store_text=True,
+        resume=resume, report=report,
+    )
+    old_dir = index_dir.rstrip("/") + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(index_dir, old_dir)
+    os.rename(tmp_dir, index_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return mnew
+
+
+class _AppendFilter:
+    """Drop rows whose content hash is already indexed (the reference's
+    open-existing-index skip: addFile reuses the catalog entry when the
+    file hash is known, bleve_pdf.go:300-341) and attach the computed
+    ``hash`` column so the docs stage and intra-delta dedup agree on the
+    identity without recomputing it."""
+
+    def __init__(self, known_ref, text_col: str):
+        self.known_ref = known_ref
+        self.text_col = text_col
+        self._known = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._known is None:
+            self._known = ray.get(self.known_ref)
+        texts = batch[self.text_col].to_pylist()
+        if "hash" in batch.schema.names:
+            hashes = batch["hash"]
+        else:
+            hashes = pa.array(
+                [content_hash((t or "").encode("utf-8")) for t in texts],
+                type=pa.string(),
+            )
+            batch = batch.append_column("hash", hashes)
+        keep = pc.invert(pc.is_in(hashes, value_set=self._known))
+        return batch.filter(keep)
+
+
+def append_index(
+    source: str | list[str] | rd.Dataset,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    lang_col: str | None = None,
+    dedup: bool = True,
+    resume: bool = True,
+    audit_unique: bool = False,
+    tokenize_batch_size: int = 1024,
+    report=None,
+) -> dict:
+    """Incrementally add new documents to an EXISTING index — the
+    reference's forceCreate=false reopen-and-append path
+    (bleve_glue.go:16-29, index_pdfs.go:35-66), re-expressed as a
+    segment build:
+
+    1. rows whose content hash is already indexed are skipped
+       (bleve_pdf.go:300-341 addFile-reuse semantics); the known-hash
+       set is a NARROW read of the docs catalogs (hash column only),
+       broadcast once via ``ray.put``.  Scale note: when the indexed
+       corpus outgrows a broadcastable hash set, swap the broadcast for
+       the same hash-partitioned anti-join ``dedup_exact`` uses — the
+       comparison stays narrow either way.
+    2. the surviving delta is (optionally) exact-deduped within itself,
+       then built as a NEW SEGMENT at ``<index_dir>/segments/seg-NNN``
+       with the parent's analyzer/buckets/salt config and — crucially —
+       the GLOBAL avgdl over old + new docs, so freshly-encoded
+       block-max bounds are exact under the updated statistics.
+    3. the parent manifest's segment list, n_docs, total_dl and avgdl
+       are updated and atomically saved — the commit point.  A crash
+       before the save leaves an un-listed (invisible) segment dir;
+       re-running the same append resumes its completed stages and
+       commits.
+
+    Query-side consistency: postings store raw tf/dl (avgdl enters only
+    at decode), so exact TAAT over the appended index reproduces a
+    from-scratch rebuild over the union BITWISE (same N, df, avgdl ⇒
+    same idf and wdl) — tested in tests/test_append.py.  Older
+    segments' stored block-max metadata was encoded under a smaller
+    avgdl; BM25Index scales those bounds by avgdl_now/avgdl_baked
+    (a valid upper-bound envelope: wdl is increasing in avgdl with
+    ratio ≤ avgdl'/avgdl), keeping MaxScore pruning sound.
+
+    Returns a summary dict (segment name, docs added, dup-skips…)."""
+    import ray
+
+    from ..state.manifest import IndexManifest
+
+    t0 = time.time()
+    report = report or (lambda msg: None)
+    m = IndexManifest.load(index_dir)
+
+    def _load() -> rd.Dataset:
+        if isinstance(source, rd.Dataset):
+            return source
+        cols = [c for c in (id_col, text_col, url_col, lang_col) if c]
+        return rd.read_parquet(source, columns=cols)
+
+    # 1. known-hash set: narrow scan of every committed docs catalog
+    doc_dirs = [f"{index_dir}/docs"] + [
+        f"{index_dir}/segments/{s['name']}/docs"
+        for s in m.segments if s["name"] != "base"
+    ]
+    import glob as _glob
+
+    doc_files = [f for d in doc_dirs
+                 for f in sorted(_glob.glob(f"{d}/*.parquet"))]
+    known_df = (
+        rd.read_parquet(doc_files, columns=["hash", "doc_id"])
+        .to_pandas()
+    )
+    # a tombstoned doc's content may legitimately be re-added (Lucene
+    # delete-then-add); exclude deleted rows from the skip set
+    tomb = _load_tombstones(index_dir, m)
+    if tomb.size:
+        known_df = known_df[~known_df["doc_id"].isin(tomb)]
+    known = known_df["hash"].to_numpy()
+    known_ref = ray.put(pa.array(np.unique(known), type=pa.string()))
+    delta = _load().map_batches(
+        _AppendFilter(known_ref, text_col), batch_format="pyarrow",
+    )
+    if dedup:
+        delta = dedup_exact(delta, hash_col="hash", id_col=id_col,
+                            num_buckets=m.num_buckets)
+
+    # 2. delta corpus stats (exact) → combined global stats
+    stats = delta.map_batches(
+        _TokenStats(m.analyzer, text_col, id_col, 1.0, track_df=False),
+        batch_format="pyarrow",
+    ).to_pandas()
+    delta_dl = int(stats["total_dl"].sum()) if len(stats) else 0
+    delta_n = int(stats["n_docs"].sum()) if len(stats) else 0
+    report(f"append: delta has {delta_n} new docs ({delta_dl} tokens)")
+    if delta_n == 0:
+        return {"segment": None, "n_added": 0, "n_docs": m.n_docs,
+                "avgdl": m.avgdl, "sec_total": round(time.time() - t0, 3)}
+
+    old_dl = int(m.total_dl) if m.total_dl else int(round(m.avgdl * m.n_docs))
+    new_n = m.n_docs + delta_n
+    new_dl = old_dl + delta_dl
+    new_avgdl = new_dl / max(new_n, 1)
+
+    # 3. build the delta as a segment under the parent's config
+    seg_name = "seg-%03d" % (
+        len([s for s in m.segments if s["name"] != "base"]) + 1)
+    seg_dir = f"{index_dir}/segments/{seg_name}"
+    seg_manifest = build_index(
+        delta, seg_dir,
+        text_col=text_col, id_col=id_col, url_col=url_col,
+        lang_col=lang_col,
+        analyzer=m.analyzer, k1=m.k1, b=m.b,
+        num_buckets=m.num_buckets, block_size=m.block_size,
+        hot_terms=dict(m.salt_spec or {}), auto_salt=False,
+        with_positions=m.with_positions,
+        store_text=m.build_metrics.get("store_text", True),
+        stats_precomputed={"total_dl": new_dl, "n_sampled": new_n},
+        tokenize_batch_size=tokenize_batch_size,
+        resume=resume, report=report,
+    )
+
+    # 4. commit: parent manifest update (atomic save)
+    if not m.segments:
+        m.segments.append({"name": "base", "n_docs": m.n_docs,
+                           "total_dl": old_dl, "avgdl_baked": m.avgdl})
+    m.segments = [s for s in m.segments if s["name"] != seg_name]
+    m.segments.append({"name": seg_name, "n_docs": delta_n,
+                       "total_dl": delta_dl, "avgdl_baked": new_avgdl})
+    m.n_docs = new_n
+    m.total_dl = new_dl
+    m.avgdl = new_avgdl
+    m.total_tokens = new_dl
+    m.build_metrics = dict(
+        m.build_metrics,
+        appends=int(m.build_metrics.get("appends", 0)) + 1,
+        last_append_sec=round(time.time() - t0, 3),
+        last_append_docs=delta_n,
+    )
+    m.save(index_dir)
+    if audit_unique:
+        all_doc_files = doc_files + sorted(
+            _glob.glob(f"{seg_dir}/docs/*.parquet"))
+        dups = duplicate_doc_ids(
+            rd.read_parquet(all_doc_files, columns=["doc_id"]))
+        if dups.size:
+            raise BuildConsistencyError(
+                f"appended index has {dups.size} duplicate doc_id(s); "
+                f"first few: {dups[:5].tolist()}")
+    return {
+        "segment": seg_name,
+        "n_added": delta_n,
+        "n_docs": new_n,
+        "avgdl": new_avgdl,
+        "segment_metrics": seg_manifest.build_metrics,
+        "sec_total": round(time.time() - t0, 3),
+    }
 
 
 def build_from_pages(

@@ -499,6 +499,41 @@ def media_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+def media_inventory(sf_dir: str) -> rd.Dataset:
+    """SQL-checkable projection of the multimodal plumbing: the same
+    synth → FrameSampler stages as media_features, but returning only
+    the metadata columns (media identity, output kind, sampled
+    frame_idx).  This puts the 1→N frame expansion and the kind-cycle
+    synthesis under the driver's hard value-hash gate; the tensor
+    features stay rows-only (media_features)."""
+    from ..stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        FrameSampler,
+        synth_media_table,
+    )
+
+    media = _docs(sf_dir).repartition(8).map_batches(
+        synth_media_table, batch_format="pyarrow",
+    )
+    frames = media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(frames_per_video=4, image_hw=(8, 8)),
+        batch_format="pyarrow",
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+
+    def meta(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": t["media_id"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "kind": t["kind"],
+            "frame_idx": t["frame_idx"].cast(pa.int64()),
+        })
+
+    return frames.map_batches(meta, batch_format="pyarrow")
+
+
 def ws_token_counts(sf_dir: str) -> rd.Dataset:
     """Whitespace token counts per doc — the SQL-expressible half of
     token_count_stats, exposed separately so the driver can value-check

@@ -196,6 +196,7 @@ class BM25Index:
                  verify_checksums: bool = False):
         self._postings_mem: pa.Table | None = None
         self._docs_mem: pa.Table | None = None
+        self._deleted: np.ndarray | None = None  # sorted tombstoned ids
         self.verify_checksums = verify_checksums
         # open-handle / read accounting (F7 parity: the reference counts
         # open file handles, utils/fileio.go:131-193)
@@ -209,9 +210,44 @@ class BM25Index:
         if index_dir is not None:
             self.index_dir = index_dir
             self.manifest = IndexManifest.load(index_dir)
-            self.postings = pads.dataset(f"{index_dir}/postings", format="parquet")
-            self.docs = pads.dataset(f"{index_dir}/docs", format="parquet")
+            # Segment-aware open (append_index, the forceCreate=false
+            # analog): only manifest-COMMITTED segment dirs are read, so
+            # a crashed append's half-written segment is invisible.
+            # Per-dir avgdl_baked drives the block-max bound correction
+            # in _build_bucket_frag_index.
+            seg_dirs = [("base", index_dir, self.manifest.avgdl)]
+            for s in self.manifest.segments:
+                if s["name"] == "base":
+                    seg_dirs[0] = ("base", index_dir,
+                                   float(s["avgdl_baked"]))
+                else:
+                    seg_dirs.append((
+                        s["name"], f"{index_dir}/segments/{s['name']}",
+                        float(s["avgdl_baked"])))
+            self._seg_dirs = seg_dirs
+            import glob as _glob
+
+            post_files, doc_files = [], []
+            self._post_file_seg: dict[str, tuple[int, float]] = {}
+            for si, (_, d, baked) in enumerate(seg_dirs):
+                pf = sorted(_glob.glob(f"{d}/postings/*.parquet"))
+                post_files.extend(pf)
+                for p in pf:
+                    self._post_file_seg[p] = (si, baked)
+                doc_files.extend(sorted(_glob.glob(f"{d}/docs/*.parquet")))
+            self.postings = pads.dataset(post_files, format="parquet")
+            self.docs = pads.dataset(doc_files, format="parquet")
             self.analyze = get_analyzer(self.manifest.analyzer)
+            if self.manifest.tombstones:
+                import pyarrow.parquet as _pq
+
+                dels = [
+                    _pq.read_table(f"{index_dir}/tombstones/{f}",
+                                   columns=["doc_id"])["doc_id"].to_numpy()
+                    for f in self.manifest.tombstones
+                ]
+                self._deleted = np.unique(
+                    np.concatenate(dels)).astype(np.uint64)
         self._term_cache: dict[str, list[dict]] = {}
         self._doc_rg_index: list[tuple[str, int, int, int]] | None = None
         self._pf_cache: dict[str, Any] = {}
@@ -295,8 +331,9 @@ class BM25Index:
                 self._bucket_frags = self._build_bucket_frag_index()
             bucket_arr = set(buckets)
             want = [
-                (path, rg)
-                for (path, rg, bmin, bmax, tmin, tmax) in self._bucket_frags
+                (path, rg, seg, bf)
+                for (path, rg, bmin, bmax, tmin, tmax, seg, bf)
+                in self._bucket_frags
                 if any(bmin <= b <= bmax for b in bucket_arr)
                 and (tmin is None or any(tmin <= t <= tmax for t in missing))
             ]
@@ -304,13 +341,23 @@ class BM25Index:
             def _read_one(pr):
                 import pyarrow.parquet as pq
 
-                path, rg = pr
+                path, rg, seg, bf = pr
                 t = pq.ParquetFile(path).read_row_group(
                     rg, columns=cols, use_threads=False
                 )
-                return t.filter(
+                t = t.filter(
                     pc.is_in(t["term"], value_set=pa.array(missing))
                 )
+                # block-max bounds were encoded under that segment's
+                # avgdl; scaling by max(1, avgdl_now/avgdl_baked) keeps
+                # them valid upper bounds (wdl ratio <= avgdl'/avgdl).
+                # Cast unconditionally so all fragments concat-compatible.
+                t = t.set_column(
+                    t.schema.get_field_index("max_wdl"), "max_wdl",
+                    pc.multiply(t["max_wdl"].cast(pa.float64()), bf))
+                return t.append_column(
+                    "seg", pa.array(np.full(t.num_rows, seg,
+                                            dtype=np.int32)))
 
             # direct row-group reads (cheap ParquetFile open, no dataset
             # expression machinery — measured ~10x less per-read overhead
@@ -322,7 +369,8 @@ class BM25Index:
                     parts = list(pool.map(_read_one, want))
             else:
                 parts = [_read_one(pr) for pr in want]
-            self.io_stats["postings_files_opened"] += len({p for p, _ in want})
+            self.io_stats["postings_files_opened"] += len(
+                {p for p, *_ in want})
             self.io_stats["postings_row_groups_read"] += len(want)
             parts = [p for p in parts if p.num_rows]
             tbl = (pa.concat_tables(parts) if parts
@@ -331,10 +379,15 @@ class BM25Index:
             self._term_cache[t] = []
         if tbl.num_rows == 0:
             return
+        if "seg" not in tbl.schema.names:  # mem index: single segment
+            tbl = tbl.append_column(
+                "seg", pa.array(np.zeros(tbl.num_rows, dtype=np.int32)))
         tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending"),
+                           ("seg", "ascending"),
                            ("block_id", "ascending")]).combine_chunks()
         terms_np = tbl["term"].to_pylist()
         salts = tbl["salt"].to_numpy()
+        segs = tbl["seg"].to_numpy()
         firsts = tbl["first_doc"].to_numpy()
         ns = tbl["n"].to_numpy()
         maxw = tbl["max_wdl"].to_numpy()
@@ -359,6 +412,7 @@ class BM25Index:
         for i, term in enumerate(terms_np):
             self._term_cache[term].append({
                 "salt": int(salts[i]),
+                "seg": int(segs[i]),
                 "first_doc": int(firsts[i]),
                 "n": int(ns[i]),
                 "doc_blob": doc_b[i],
@@ -369,16 +423,24 @@ class BM25Index:
             })
 
     def _build_bucket_frag_index(self) -> list[tuple]:
-        """(path, row_group, bucket_min, bucket_max, term_min, term_max)
-        per postings row group, from parquet footers — read once per index
-        handle.  The build writes one bucket per file with small row
-        groups, so a query prunes to the few row groups whose bucket AND
-        term ranges cover its terms, then reads them directly."""
+        """(path, row_group, bucket_min, bucket_max, term_min, term_max,
+        seg, bound_factor) per postings row group, from parquet footers —
+        read once per index handle.  The build writes one bucket per file
+        with small row groups, so a query prunes to the few row groups
+        whose bucket AND term ranges cover its terms, then reads them
+        directly.  ``seg`` identifies the append segment the file belongs
+        to (MaxScore scores each (term, salt, seg) run independently —
+        doc ids are only sorted WITHIN a segment); ``bound_factor`` is
+        the max(1, avgdl_now/avgdl_baked) block-max correction."""
         import pyarrow.parquet as pq
 
+        avgdl_now = self.manifest.avgdl
+        file_seg = getattr(self, "_post_file_seg", {})
         out: list[tuple] = []
         max_b = self.manifest.num_buckets - 1
         for frag in self.postings.get_fragments():
+            seg, baked = file_seg.get(frag.path, (0, avgdl_now))
+            bf = max(1.0, avgdl_now / baked) if baked > 0 else 1.0
             md = pq.ParquetFile(frag.path).metadata
             names = md.schema.to_arrow_schema().names
             b_idx = names.index("bucket")
@@ -392,7 +454,7 @@ class BM25Index:
                 tmin, tmax = ((tst.min, tst.max)
                               if tst is not None and tst.min is not None
                               else (None, None))
-                out.append((frag.path, rg, bmin, bmax, tmin, tmax))
+                out.append((frag.path, rg, bmin, bmax, tmin, tmax, seg, bf))
         return out
 
     def _decode_block(self, blk: dict, idf: float) -> dict:
@@ -492,6 +554,9 @@ class BM25Index:
         uniq, inv = np.unique(all_ids, return_inverse=True)
         scores = np.zeros(uniq.size)
         np.add.at(scores, inv, all_sc)
+        if self._deleted is not None and uniq.size:
+            keep = ~np.isin(uniq, self._deleted)
+            uniq, scores = uniq[keep], scores[keep]
         return uniq, scores
 
     def _score_maxscore(
@@ -523,11 +588,16 @@ class BM25Index:
             idf = self._idf(t)
             if idf == 0.0:
                 continue
-            # group blocks into salt runs (blocks arrive salt-major)
-            by_salt: dict[int, list[dict]] = {}
+            # group blocks into (salt, segment) runs (blocks arrive
+            # salt-then-segment-major): docID order — which the cursor
+            # walk and the probe binary search both rely on — only holds
+            # WITHIN one append segment, and a doc lives in exactly one
+            # (salt, seg) run, so each is an independent disjunct
+            by_salt: dict[tuple[int, int], list[dict]] = {}
             for b in blocks:
-                by_salt.setdefault(b["salt"], []).append(b)
-            for salt, bl in by_salt.items():
+                by_salt.setdefault((b["salt"], b.get("seg", 0)),
+                                   []).append(b)
+            for _run_key, bl in by_salt.items():
                 firsts = np.array([b["first_doc"] for b in bl], dtype=np.int64)
                 ub = idf * max(b["max_wdl"] for b in bl)
                 runs.append({"idf": idf, "blocks": bl, "firsts": firsts, "ub": ub})
@@ -595,6 +665,11 @@ class BM25Index:
                     if int(blk["ids"][c[1]]) == d:
                         score += float(blk["scores"][c[1]])
                         advance(ri)
+            dele = self._deleted
+            if dele is not None:
+                j = int(np.searchsorted(dele, np.uint64(d)))
+                if j < dele.size and int(dele[j]) == d:
+                    continue  # tombstoned: cursors advanced, no scoring
             # probe non-essential runs, best bound first, early exit
             rem = float(prefix[boundary - 1]) if boundary > 0 else 0.0
             for ri in range(boundary - 1, -1, -1):

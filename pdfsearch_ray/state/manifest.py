@@ -44,6 +44,27 @@ class IndexManifest:
     built_at: float = 0.0
     build_metrics: dict[str, Any] = field(default_factory=dict)
     avgdl_exact: bool = True
+    # Incremental append (the reference's forceCreate=false reopen path,
+    # bleve_glue.go:16-29): exact total token count (total_dl), whether
+    # positions are stored, and the committed segment list.  Each entry
+    # is {"name", "n_docs", "total_dl", "avgdl_baked"}; "base" denotes
+    # the original build at <index_dir>/{docs,postings}, other names
+    # live at <index_dir>/segments/<name>/.  A segment dir not listed
+    # here is INVISIBLE to queries — the manifest save is the append's
+    # atomic commit point.  avgdl_baked is the avgdl its block-max
+    # metadata was encoded with; the query engine scales those bounds by
+    # max(1, avgdl_now/avgdl_baked) to keep them valid upper bounds.
+    total_dl: int = 0
+    with_positions: bool = True
+    segments: list[dict[str, Any]] = field(default_factory=list)
+    # Lazy deletes (the catalog-tombstone analog of bleve_pdf.go:166-175
+    # remove()): committed tombstone parquet files under
+    # <index_dir>/tombstones/.  Queries exclude tombstoned doc_ids;
+    # BM25 stats (N, df, avgdl) intentionally stay pre-delete until
+    # compact_index physically drops the rows — Lucene/scorch delete
+    # semantics.  A tombstone file not listed here is invisible (the
+    # manifest save is the commit point, same rule as segments).
+    tombstones: list[str] = field(default_factory=list)
 
     def save(self, index_dir: str) -> None:
         os.makedirs(index_dir, exist_ok=True)
