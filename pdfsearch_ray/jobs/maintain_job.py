@@ -1,0 +1,89 @@
+"""Index maintenance job: append / delete / compact.
+
+The lifecycle counterpart of build_job — the reference reaches these
+through the forceCreate=false reopen path (bleve_glue.go:16-29) and the
+catalog remove (bleve_pdf.go:166-175); here each is an explicit
+distributed job over an existing index dir:
+
+    python -m pdfsearch_ray.jobs.maintain_job append \
+        --index-dir /idx --input new_docs.parquet
+    python -m pdfsearch_ray.jobs.maintain_job delete \
+        --index-dir /idx --doc-ids 5,9,12     # or --hashes a1b2...
+    python -m pdfsearch_ray.jobs.maintain_job compact --index-dir /idx
+
+The script owns the Ray session (guarded init, per the driver
+contract); the library never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Index maintenance")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ap = sub.add_parser("append", help="add new docs as a segment")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--input", required=True,
+                    help="parquet file/dir of new docs (doc_id, text, ...)")
+    ap.add_argument("--lang-col", default=None)
+    ap.add_argument("--url-col", default=None)
+    ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--audit-unique", action="store_true")
+
+    dp = sub.add_parser("delete", help="tombstone docs (lazy delete)")
+    dp.add_argument("--index-dir", required=True)
+    dp.add_argument("--doc-ids", default="",
+                    help="comma-separated doc ids")
+    dp.add_argument("--hashes", default="",
+                    help="comma-separated content hashes")
+
+    cp = sub.add_parser("compact",
+                        help="merge segments and purge tombstones")
+    cp.add_argument("--index-dir", required=True)
+    cp.add_argument("--resume", action="store_true")
+
+    for q in (ap, dp, cp):
+        q.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+
+    from pdfsearch_ray.pipelines import build as b
+
+    if args.cmd == "append":
+        out = b.append_index(
+            args.input, args.index_dir,
+            lang_col=args.lang_col, url_col=args.url_col,
+            dedup=not args.no_dedup, audit_unique=args.audit_unique,
+            report=lambda m: print(m, file=sys.stderr),
+        )
+    elif args.cmd == "delete":
+        out = b.delete_docs(
+            args.index_dir,
+            doc_ids=[int(x) for x in args.doc_ids.split(",") if x],
+            hashes=[x for x in args.hashes.split(",") if x] or None,
+        )
+    else:
+        m = b.compact_index(args.index_dir, resume=args.resume,
+                            report=lambda m: print(m, file=sys.stderr))
+        out = {"n_docs": m.n_docs, "avgdl": m.avgdl,
+               "build_metrics": m.build_metrics}
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
