@@ -35,6 +35,15 @@ class QueryEngine:
             self.idx.search(q, max_results=1, with_spans=False)
         return len(self.idx._term_cache)
 
+    def reload(self) -> float:
+        """Re-open the index handle — picks up appended segments and
+        tombstones committed since construction (append/delete only
+        ever ADD manifest-listed files, so a reload is always safe
+        mid-serving).  Returns the manifest built_at."""
+        self.idx = BM25Index(self.idx.index_dir,
+                             verify_checksums=self.idx.verify_checksums)
+        return self.idx.manifest.built_at
+
 
 def make_engine_pool(index_dir: str, replicas: int = 2,
                      num_cpus: float = 1.0) -> list:

@@ -50,3 +50,48 @@ def test_search_many_ephemeral_pool(ray_session, tmp_path):
     for g, q in zip(got, ["data", "engine"]):
         e = local.search(q, max_results=5)
         assert [m.doc_id for m in g.matches] == [m.doc_id for m in e.matches]
+
+
+def test_engine_reload_picks_up_append_and_delete(ray_session, tmp_path):
+    """A serving actor reload() sees segments/tombstones committed after
+    it was constructed."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.build import (
+        append_index,
+        build_index,
+        delete_docs,
+    )
+    from pdfsearch_ray.pipelines.engine import make_engine_pool
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    t = pq.read_table(SRC)
+    cut = int(t.num_rows * 0.7)
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(t.slice(0, cut)), d, analyzer="en",
+                num_buckets=8, lang_col="lang")
+    pool = make_engine_pool(d, replicas=1)
+    try:
+        before = ray.get(pool[0].search.remote(
+            "data processing pipeline", max_results=5, with_spans=False))
+        append_index(rd.from_arrow(t.slice(cut)), d, lang_col="lang")
+        victim = before.matches[0].doc_id
+        delete_docs(d, doc_ids=[victim])
+        # stale handle still serves the old view
+        stale = ray.get(pool[0].search.remote(
+            "data processing pipeline", max_results=5, with_spans=False))
+        assert victim in [m.doc_id for m in stale.matches]
+        ray.get(pool[0].reload.remote())
+        fresh = ray.get(pool[0].search.remote(
+            "data processing pipeline", max_results=5, with_spans=False))
+        local = BM25Index(d)
+        want = local.search("data processing pipeline", max_results=5,
+                            with_spans=False)
+        assert [(m.doc_id, m.score) for m in fresh.matches] == [
+            (m.doc_id, m.score) for m in want.matches]
+        assert victim not in [m.doc_id for m in fresh.matches]
+    finally:
+        for a in pool:
+            ray.kill(a)
