@@ -140,6 +140,25 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         results[name] = round(time.perf_counter() - t, 3)
 
     total = round(sum(results.values()), 3)
+
+    # lifecycle: append the sf documents table as a delta segment (ids
+    # don't collide: pages doc_ids are partition-prefixed), then measure
+    # query latency against the multi-segment index.  Recorded OUTSIDE
+    # `queries` so `value` stays comparable across rounds.
+    from pdfsearch_ray.pipelines.build import append_index
+
+    t = time.perf_counter()
+    app = append_index(f"{sf_dir}/documents.parquet", index_dir,
+                       lang_col="lang")
+    append_sec = round(time.perf_counter() - t, 3)
+    idx2 = BM25Index(index_dir)
+    lat2: list[float] = []
+    for q in QUERY_SET:
+        t = time.perf_counter()
+        idx2.search(q, max_results=10, with_spans=True)
+        lat2.append(time.perf_counter() - t)
+    lat2.sort()
+
     return {
         "metric": "pages_build+query+sf_pipelines",
         "value": total,
@@ -149,6 +168,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "num_cpus": ncpu,
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "n_docs_indexed": n_docs,
+        "append_sec": append_sec,
+        "append_docs": app["n_added"],
+        "query_p50_appended": round(statistics.median(lat2), 4),
     }
 
 
