@@ -79,6 +79,18 @@ def _user_sessions(sf_dir: str):
     return user_sessions(sf_dir)
 
 
+def _ft_simple_queries():
+    from pdfsearch_ray.pipelines.queries import FT_SIMPLE_QUERIES
+
+    return FT_SIMPLE_QUERIES
+
+
+def _ft_simple_k():
+    from pdfsearch_ray.pipelines.queries import FT_SIMPLE_K
+
+    return FT_SIMPLE_K
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdfsearch_ray.pipelines import queries as q
 
@@ -92,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": q.lang_distribution,
         "ann_cosine_topk": q.ann_cosine_topk,
         "fulltext_topk": _fulltext_topk,
+        "fulltext_topk_simple": q.fulltext_topk_simple,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -271,6 +284,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= {ANN_K}
             ORDER BY query_id, rank
         """,
+        # the ENGINE path (build → codec → shuffle → decode → BM25)
+        # under the hash gate: DuckDB recomputes BM25 from raw text
+        "fulltext_topk_simple": _oracles.fulltext_simple_sql(
+            _ft_simple_queries(), k=_ft_simple_k()),
         "minhash_dedup": _oracles.minhash_sql(threshold=JACCARD_THRESHOLD),
         "ann_lsh": _oracles.ann_lsh_sql(num_queries=ANN_NUM_QUERIES, k=ANN_K,
                                         nbits=4),

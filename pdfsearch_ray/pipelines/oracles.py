@@ -433,3 +433,53 @@ def simhash_sql() -> str:
         FROM documents d
         LEFT JOIN fp ON d.doc_id = fp.doc_id
     """
+
+
+def fulltext_simple_sql(queries, *, k: int = 10,
+                        k1: float = 1.2, b: float = 0.75) -> str:
+    """End-to-end BM25 oracle for the ``simple``-analyzer ENGINE path
+    (pipelines/queries.py:fulltext_topk_simple): DuckDB recomputes
+    tokenization, corpus stats, idf and the tf normalization from raw
+    text — independently of the index codec — per query in the fixed
+    set.  Shared stats CTEs; one scores CTE per query (query terms are
+    inlined as the engine's own simple-analysis of the query string)."""
+    from ..analysis.analyzer import analyze_simple
+
+    parts = [
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        "tok AS (SELECT * FROM toks WHERE term <> ''),",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),
+        tfs{qi} AS (
+            SELECT t.doc_id, t.term, count(*) AS tf
+            FROM tok t JOIN q{qi} USING (term) GROUP BY t.doc_id, t.term
+        ),
+        dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+        sc{qi} AS (
+            SELECT tfs{qi}.doc_id,
+                   sum(ln(1 + (stats.n - dfs{qi}.df + 0.5) / (dfs{qi}.df + 0.5))
+                       * tfs{qi}.tf / (tfs{qi}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                   ) AS s
+            FROM tfs{qi}
+            CROSS JOIN stats
+            JOIN dfs{qi} ON tfs{qi}.term = dfs{qi}.term
+            JOIN dl ON tfs{qi}.doc_id = dl.doc_id
+            GROUP BY tfs{qi}.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")

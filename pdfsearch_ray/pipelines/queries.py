@@ -499,6 +499,55 @@ def media_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+FT_SIMPLE_QUERIES = ("data processing pipeline", "stream window merge",
+                     "information")
+FT_SIMPLE_K = 10
+
+
+def fulltext_topk_simple(sf_dir: str) -> pa.Table:
+    """The FLAGSHIP ENGINE under the SQL value-hash gate: build a real
+    on-disk index (docs catalog, bucket hash-shuffle, varint posting
+    blocks) with the ``simple`` analyzer — whose tokenization DuckDB can
+    reproduce exactly, unlike Porter — and answer a fixed query set
+    through the standard TAAT search path.  The oracle recomputes BM25
+    end-to-end from raw text, so a bug anywhere in tokenize → shuffle →
+    encode → decode → score flips the hash.
+
+    Ranks are assigned on the 6-dp ROUNDED score in BOTH implementations
+    so float noise beyond the comparison precision cannot flip orders;
+    ``max_results`` is oversized then cut at K after re-ranking so
+    boundary ties resolve identically."""
+    import tempfile
+
+    from .build import build_index
+    from .query import BM25Index
+
+    d = tempfile.mkdtemp(prefix="ft_simple_")
+    build_index(f"{sf_dir}/documents.parquet", d, analyzer="simple",
+                lang_col="lang", num_buckets=16, sample_rate=1.0)
+    idx = BM25Index(d)
+    out_q, out_d, out_s = [], [], []
+    for q in FT_SIMPLE_QUERIES:
+        ms = idx.search(q, max_results=FT_SIMPLE_K + 50, with_spans=False)
+        for m in ms.matches:
+            out_q.append(q)
+            out_d.append(m.doc_id)
+            out_s.append(round(m.score, 6))
+    import pandas as pd
+
+    df = pd.DataFrame({"query": out_q, "doc_id": out_d, "score": out_s})
+    df = df.sort_values(["query", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query", sort=True).cumcount() + 1
+    df = df[df["rank"] <= FT_SIMPLE_K]
+    return pa.table({
+        "query": pa.array(df["query"].tolist(), type=pa.string()),
+        "doc_id": pa.array(df["doc_id"].tolist(), type=pa.int64()),
+        "score": pa.array(df["score"].tolist(), type=pa.float64()),
+        "rank": pa.array(df["rank"].tolist(), type=pa.int64()),
+    })
+
+
 def media_inventory(sf_dir: str) -> rd.Dataset:
     """SQL-checkable projection of the multimodal plumbing: the same
     synth → FrameSampler stages as media_features, but returning only
