@@ -79,6 +79,12 @@ def _user_sessions(sf_dir: str):
     return user_sessions(sf_dir)
 
 
+def _asof_join_events(sf_dir: str):
+    from pdfsearch_ray.pipelines.events import asof_join_events
+
+    return asof_join_events(sf_dir)
+
+
 def _ft_simple_queries():
     from pdfsearch_ray.pipelines.queries import FT_SIMPLE_QUERIES
 
@@ -119,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "windowed_event_counts": _windowed_event_counts,
         "user_sessions": _user_sessions,
+        "asof_join_events": _asof_join_events,
     }
 
 
@@ -337,6 +344,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # reference rows pre-deduped to one per (user, ts) by max
+        # event_id — the same tie rule asof_block applies — so DuckDB's
+        # native ASOF JOIN resolves ties identically
+        "asof_join_events": """
+            WITH r AS (
+                SELECT user_id, ts, max(event_id) AS ref_event_id
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            ),
+            r2 AS (
+                SELECT r.user_id, r.ts, r.ref_event_id,
+                       e.value AS ref_value
+                FROM r JOIN events e ON e.event_id = r.ref_event_id
+            )
+            SELECT a.event_id, a.user_id, a.ts,
+                   COALESCE(b.ref_event_id, -1) AS ref_event_id,
+                   round(COALESCE(b.ref_value, -1.0), 6) AS ref_value
+            FROM events a
+            ASOF LEFT JOIN r2 b
+                ON a.user_id = b.user_id AND a.ts >= b.ts
         """,
         "user_sessions": """
             WITH o AS (

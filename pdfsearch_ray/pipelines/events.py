@@ -161,3 +161,124 @@ def user_sessions(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
                       override_num_blocks=max(1, len(bucket_dirs)))
         .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
     )
+
+
+ASOF_REF_TYPE = "purchase"
+
+
+def asof_block(t: pa.Table, ref_type: str) -> pa.Table:
+    """Vectorized per-partition as-of join: each event gets the most
+    recent (ts <= event ts, inclusive) reference-type event of the SAME
+    user.  Reference rows are deduped to one per (user, ts) by max
+    event_id first, so ties resolve identically to the SQL oracle's
+    ``max(event_id) GROUP BY user_id, ts`` pre-aggregation.
+
+    The composite search key packs (dense user index << 46 | Δts_us)
+    into one int64 — Δts spans decades before touching bit 46 — so ONE
+    ``np.searchsorted`` resolves every row against the reference
+    timeline with no per-user Python loop."""
+    if t.num_rows == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "ref_event_id": pa.array([], type=pa.int64()),
+            "ref_value": pa.array([], type=pa.float64()),
+        })
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    etype = np.asarray(t["event_type"].to_pylist())
+    val = t["value"].to_numpy(zero_copy_only=False)
+
+    uniq_users, udense = np.unique(uid, return_inverse=True)
+    dt = ts - ts.min()
+    assert int(dt.max()) < (1 << 46), "timestamp span exceeds key packing"
+    key = (udense.astype(np.int64) << 46) | dt
+
+    is_ref = etype == ref_type
+    r_key = key[is_ref]
+    r_eid = eid[is_ref]
+    r_val = val[is_ref]
+    # dedupe (user, ts): keep max event_id — sort by (key, event_id)
+    # then take the LAST row of each key group
+    order = np.lexsort((r_eid, r_key))
+    r_key, r_eid, r_val = r_key[order], r_eid[order], r_val[order]
+    last = np.ones(r_key.size, dtype=bool)
+    if r_key.size > 1:
+        last[:-1] = r_key[1:] != r_key[:-1]
+    r_key, r_eid, r_val = r_key[last], r_eid[last], r_val[last]
+
+    idx = np.searchsorted(r_key, key, side="right") - 1
+    # a hit only counts within the same user's segment of the keyline
+    ok = idx >= 0
+    if r_key.size:
+        same_user = np.zeros(key.size, dtype=bool)
+        same_user[ok] = (r_key[idx[ok]] >> 46) == (key[ok] >> 46)
+        ok &= same_user
+    else:
+        ok[:] = False
+    # no-match sentinels (-1 / -1.0) instead of nulls: NaN==NaN is
+    # false in every comparison layer, which makes null-bearing float
+    # columns un-hash-comparable; the oracle COALESCEs identically
+    ref_eid = np.where(ok, r_eid[np.clip(idx, 0, None)]
+                       if r_key.size else 0, -1).astype(np.int64)
+    ref_v = np.where(ok, r_val[np.clip(idx, 0, None)]
+                     if r_key.size else 0.0, -1.0).astype(np.float64)
+    return pa.table({
+        "event_id": pa.array(eid),
+        "user_id": pa.array(uid),
+        "ts": t["ts"],
+        "ref_event_id": pa.array(ref_eid, type=pa.int64()),
+        "ref_value": pa.array(np.round(ref_v, 6), type=pa.float64()),
+    })
+
+
+def asof_join_events(sf_dir: str, *, ref_type: str = ASOF_REF_TYPE,
+                     num_buckets: int = 32) -> rd.Dataset:
+    """Distributed AS-OF JOIN (the canonical time-series enrichment the
+    Dataset API lacks): every event is annotated with the most recent
+    reference-type event of the same user.  Same partitioning scheme as
+    sessionization — a map-side hash spill on ``mix64(user_id) % B``
+    co-locates each user's full timeline in one bucket, then one
+    vectorized ``asof_block`` pass per bucket.  The shuffle moves five
+    narrow columns; no all-to-all sort, no per-user dispatch.  Oracle:
+    DuckDB's native ``ASOF LEFT JOIN`` over the same pre-deduped
+    reference table (__ray_entry__.oracle_sql)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import mix64
+
+    work_dir = tempfile.mkdtemp(prefix="pdfsearch_asof_")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (mix64(uid.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    (
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .write_parquet(work_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{work_dir}/{d}" for d in os.listdir(work_dir)
+        if d.startswith("bucket=")
+    )
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        outs = [
+            asof_block(pq.read_table(bdir, use_threads=False), ref_type)
+            for bdir in batch["dir"].to_pylist()
+        ]
+        return pa.concat_tables(outs)
+
+    return (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+    )

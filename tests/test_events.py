@@ -63,3 +63,51 @@ def test_sessionization_gap_edges(ray_session, tmp_path):
     u2 = df[df.user_id == 2]
     assert len(u2) == 1 and int(u2.n_events.iloc[0]) == 1
     assert u2.session_start.iloc[0] == u2.session_end.iloc[0]
+
+
+def test_asof_block_semantics():
+    """Hand-checked as-of edges: inclusive ts match, (user,ts) tie by max
+    event_id, per-user isolation, no-match sentinel."""
+    import pyarrow as pa
+
+    from pdfsearch_ray.pipelines.events import asof_block
+
+    ts = pa.array([100, 200, 200, 300, 150], type=pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 9], type=pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(
+            ["purchase", "purchase", "purchase", "view", "view"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], type=pa.float64()),
+    })
+    out = asof_block(t, "purchase")
+    by_eid = {r["event_id"]: r for r in out.to_pylist()}
+    # event 1 at ts=100 matches itself (inclusive >=)
+    assert by_eid[1]["ref_event_id"] == 1
+    # events 2,3 share ts=200: tie resolves to max event_id (3)
+    assert by_eid[2]["ref_event_id"] == 3
+    assert by_eid[3]["ref_event_id"] == 3
+    # event 4 at ts=300: most recent purchase is the deduped ts=200 -> 3
+    assert by_eid[4]["ref_event_id"] == 3 and by_eid[4]["ref_value"] == 3.0
+    # user 9 has no purchases: sentinel
+    assert by_eid[5]["ref_event_id"] == -1 and by_eid[5]["ref_value"] == -1.0
+
+
+def test_asof_join_events_distributed_matches_block(ray_session):
+    """The bucketed distributed pass equals one asof_block over the whole
+    table (partitioning by user is lossless for a user-keyed asof)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.events import asof_block, asof_join_events
+
+    sf = "/root/testdata/sf0.001"
+    whole = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    want = asof_block(whole, "purchase").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    got = asof_join_events(sf).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert want.equals(got[want.columns.tolist()])
