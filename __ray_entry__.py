@@ -85,6 +85,18 @@ def _asof_join_events(sf_dir: str):
     return asof_join_events(sf_dir)
 
 
+def _sample_rate():
+    from pdfsearch_ray.pipelines.queries import SAMPLE_RATE
+
+    return SAMPLE_RATE
+
+
+def _top_per_lang_k():
+    from pdfsearch_ray.pipelines.queries import TOP_PER_LANG_K
+
+    return TOP_PER_LANG_K
+
+
 def _ft_simple_queries():
     from pdfsearch_ray.pipelines.queries import FT_SIMPLE_QUERIES
 
@@ -126,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_event_counts": _windowed_event_counts,
         "user_sessions": _user_sessions,
         "asof_join_events": _asof_join_events,
+        "corpus_sample": q.corpus_sample,
+        "top_docs_per_lang": q.top_docs_per_lang,
     }
 
 
@@ -295,6 +309,16 @@ def oracle_sql() -> dict[str, str]:
         # under the hash gate: DuckDB recomputes BM25 from raw text
         "fulltext_topk_simple": _oracles.fulltext_simple_sql(
             _ft_simple_queries(), k=_ft_simple_k()),
+        "corpus_sample": _oracles.sample_sql(rate=_sample_rate()),
+        "top_docs_per_lang": f"""
+            SELECT lang, doc_id, n_chars, rank FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS rank
+                FROM documents
+            ) WHERE rank <= {_top_per_lang_k()}
+        """,
         "minhash_dedup": _oracles.minhash_sql(threshold=JACCARD_THRESHOLD),
         "ann_lsh": _oracles.ann_lsh_sql(num_queries=ANN_NUM_QUERIES, k=ANN_K,
                                         nbits=4),

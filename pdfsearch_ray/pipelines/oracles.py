@@ -483,3 +483,37 @@ def fulltext_simple_sql(queries, *, k: int = 10,
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")
+
+
+def sample_sql(*, rate: float, mod: int = 1 << 16) -> str:
+    """Deterministic corpus sampling oracle: DuckDB reproduces the
+    engine's splitmix64 finalizer (functions/hashing.py:mix64) bit-for-
+    bit via 32-bit-limb multiplication mod 2^64 (a full INT128 product
+    of two 64-bit values overflows HUGEINT), then applies the identical
+    ``mix64(doc_id) % mod < rate*mod`` keep rule (build.py:_sample_mask).
+    """
+    U32 = 1 << 32
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    thresh = int(rate * mod)
+    return f"""
+        WITH m0 AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(doc_id AS HUGEINT) AS x
+            FROM documents
+        ),
+        m1 AS (SELECT doc_id, lang, n_chars,
+                      {mulmod('xor(x, x >> 30)', C1)} AS x FROM m0),
+        m2 AS (SELECT doc_id, lang, n_chars,
+                      {mulmod('xor(x, x >> 27)', C2)} AS x FROM m1),
+        m3 AS (SELECT doc_id, lang, n_chars,
+                      xor(x, x >> 31) AS x FROM m2)
+        SELECT doc_id, lang, n_chars
+        FROM m3 WHERE x % {mod} < {thresh}
+    """

@@ -499,6 +499,67 @@ def media_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+SAMPLE_RATE = 0.25
+TOP_PER_LANG_K = 10
+
+
+def corpus_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash sampling — the training-data subsetting
+    primitive: keep rows where ``mix64(doc_id) % 2^16 < rate·2^16``
+    (the exact rule the build's sampled-stats pass uses,
+    build.py:_sample_mask).  Membership is a pure function of doc_id,
+    so every stage/retry/cluster-size sees the same sample — unlike
+    ``ds.random_sample`` there is no seed plumbing and re-runs are
+    reproducible by construction.  Pure per-batch filter: no shuffle."""
+    from .build import _sample_mask
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_sample_mask(ids, SAMPLE_RATE)))
+
+    from ..functions.tables import strip_schema_metadata
+
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+    ).map_batches(f, batch_format="pyarrow")
+
+
+def top_docs_per_lang(sf_dir: str) -> pa.Table:
+    """Grouped top-k without a global sort: each batch keeps only its
+    own top-K rows per lang (partial top-k combiner), so the driver
+    merge sees at most K × langs × blocks rows instead of the corpus —
+    the standard scale shape for 'best N per group' selection.  Order:
+    n_chars DESC, doc_id ASC."""
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(TOP_PER_LANG_K),
+            preserve_index=False)
+
+    parts = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["lang", "n_chars", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    out = parts.groupby("lang", sort=True).head(TOP_PER_LANG_K).copy()
+    out["rank"] = out.groupby("lang", sort=True).cumcount() + 1
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), type=pa.string()),
+        "doc_id": pa.array(out["doc_id"].tolist(), type=pa.int64()),
+        "n_chars": pa.array(out["n_chars"].tolist(), type=pa.int64()),
+        "rank": pa.array(out["rank"].tolist(), type=pa.int64()),
+    })
+
+
 FT_SIMPLE_QUERIES = ("data processing pipeline", "stream window merge",
                      "information")
 FT_SIMPLE_K = 10
