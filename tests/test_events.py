@@ -111,3 +111,46 @@ def test_asof_join_events_distributed_matches_block(ray_session):
     got = asof_join_events(sf).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     assert want.equals(got[want.columns.tolist()])
+
+
+def test_asof_block_property_vs_bruteforce():
+    """Property: asof_block equals the O(n²) definition on random event
+    tables (ties, duplicate timestamps, users with no refs, empty)."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdfsearch_ray.pipelines.events import asof_block
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 3),          # user
+                  st.integers(0, 20),         # ts (us, small => many ties)
+                  st.booleans()),             # is reference type
+        min_size=0, max_size=40))
+    def check(rows):
+        n = len(rows)
+        eid = list(range(1, n + 1))
+        t = pa.table({
+            "event_id": pa.array(eid, type=pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array(
+                ["purchase" if r[2] else "view" for r in rows]),
+            "value": pa.array([float(i) for i in eid], type=pa.float64()),
+        })
+        got = {r["event_id"]: (r["ref_event_id"], r["ref_value"])
+               for r in asof_block(t, "purchase").to_pylist()}
+        for i, (u, ts, _) in enumerate(rows):
+            # brute force: among purchase rows of the same user with
+            # ts' <= ts, pick max ts'; tie -> max event_id
+            cands = [(ts2, j + 1) for j, (u2, ts2, p2) in enumerate(rows)
+                     if p2 and u2 == u and ts2 <= ts]
+            if cands:
+                want_eid = max(cands)[1]
+                assert got[i + 1] == (want_eid, float(want_eid)), (rows, i)
+            else:
+                assert got[i + 1] == (-1, -1.0), (rows, i)
+
+    check()
