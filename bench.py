@@ -127,6 +127,20 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     results["query_p50"] = round(statistics.median(lat), 4)
     results["query_p95"] = round(lat[int(0.95 * len(lat)) - 1], 4)
 
+    # the scale serving path: block-max MaxScore (same ranks/scores,
+    # skips exhaustive per-doc aggregation; no total_matches)
+    lat_ms: list[float] = []
+    for _ in range(QUERY_REPEATS):
+        for q in QUERY_SET:
+            t = time.perf_counter()
+            idx.search(q, max_results=10, with_spans=True,
+                       method="maxscore")
+            lat_ms.append(time.perf_counter() - t)
+    lat_ms.sort()
+    results["query_p50_maxscore"] = round(statistics.median(lat_ms), 4)
+    results["query_p95_maxscore"] = round(
+        lat_ms[int(0.95 * len(lat_ms)) - 1], 4)
+
     # one timed pass of each oracled pipeline at the sf dir
     for name in ("term_df", "top_terms", "doc_token_stats", "exact_dedup",
                  "quality_scores", "bm25_topk", "lang_distribution",

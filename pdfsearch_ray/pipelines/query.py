@@ -562,134 +562,133 @@ class BM25Index:
     def _score_maxscore(
         self, uniq_terms: list[str], k: int
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Block-max MaxScore top-k (doc-at-a-time with pruning).
+        """Vectorized block-max MaxScore top-k (term-at-a-time pruning,
+        Buckley & Lewit 1985 / Turtle & Flood MaxScore).
 
-        Scoring units are (term, salt) RUNS: a salted hot term's postings
-        are S independent docID-sorted runs (stages/tokenize.py) and a doc
-        lives in exactly one, so each run is an independent disjunct with
-        upper bound idf × max(block max_wdl).  Runs are sorted by bound;
-        once the heap holds k docs with threshold θ, runs whose cumulative
-        bound prefix ≤ θ become non-essential: they are only probed by
-        binary search (block firsts → block, decode on demand) for docs
-        surfaced by the essential runs, and probing stops early when the
-        remaining bound cannot lift a doc above θ.  Skipped blocks are
-        never decoded (the point of the per-block max_wdl metadata).
+        Scoring units are (term, salt, segment) RUNS: a salted hot
+        term\'s postings are independent docID-sorted runs
+        (stages/tokenize.py), docID order only holds within one append
+        segment, and a doc lives in exactly one run per term — so each
+        run is an independent disjunct with upper bound
+        idf × max(block max_wdl).  Runs are processed in DESCENDING
+        bound order in two phases:
 
-        Produces the same top-k, scores and tie order as exhaustive TAAT
-        (doc order is ascending, so a later doc can never displace an
-        equal-scored incumbent under the (score desc, doc_id asc) rule);
-        does NOT produce total-match counts.
+        * GROW — runs are bulk-decoded and aggregated fully vectorized
+          (exactly TAAT) while an unseen doc could still enter the top
+          k, i.e. while suffix_ub(i) >= θ (θ = k-th best partial so
+          far; >= keeps boundary ties eligible, preserving the
+          (score desc, doc_id asc) tie rule).
+        * PROBE — once suffix_ub(i) < θ no unseen doc can reach the
+          heap, so each remaining run is probed ONLY at the surviving
+          candidates: one searchsorted over block firsts finds each
+          candidate\'s block, only touched blocks are decoded, one
+          searchsorted per touched block resolves membership.
+          Candidates whose score + remaining bound < θ retire as runs
+          advance.  The heavy low-idf runs (the largest postings) sort
+          LAST and are never fully decoded — the point of the
+          per-block max_wdl metadata.
+
+        Produces the same top-k, scores and tie order as exhaustive
+        TAAT (every emitted candidate carries its exact final score and
+        the final selection uses the same lexsort); does NOT produce
+        total-match counts.
         """
-        import heapq
-
         runs = []
         for t in uniq_terms:
             blocks = self._term_cache.get(t, [])
             idf = self._idf(t)
             if idf == 0.0:
                 continue
-            # group blocks into (salt, segment) runs (blocks arrive
-            # salt-then-segment-major): docID order — which the cursor
-            # walk and the probe binary search both rely on — only holds
-            # WITHIN one append segment, and a doc lives in exactly one
-            # (salt, seg) run, so each is an independent disjunct
-            by_salt: dict[tuple[int, int], list[dict]] = {}
+            by_key: dict[tuple[int, int], list[dict]] = {}
             for b in blocks:
-                by_salt.setdefault((b["salt"], b.get("seg", 0)),
-                                   []).append(b)
-            for _run_key, bl in by_salt.items():
-                firsts = np.array([b["first_doc"] for b in bl], dtype=np.int64)
+                by_key.setdefault((b["salt"], b.get("seg", 0)),
+                                  []).append(b)
+            for _key, bl in by_key.items():
+                firsts = np.array([b["first_doc"] for b in bl],
+                                  dtype=np.uint64)
                 ub = idf * max(b["max_wdl"] for b in bl)
-                runs.append({"idf": idf, "blocks": bl, "firsts": firsts, "ub": ub})
+                runs.append({"idf": idf, "blocks": bl, "firsts": firsts,
+                             "ub": ub})
         if not runs:
             return np.empty(0, dtype=np.uint64), np.empty(0)
+        runs.sort(key=lambda r: -r["ub"])
+        ubs = np.array([r["ub"] for r in runs])
+        suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
+        deleted = self._deleted
 
-        runs.sort(key=lambda r: r["ub"])
-        prefix = np.cumsum([r["ub"] for r in runs])
-        total_ub = float(prefix[-1])
+        cand_ids = np.empty(0, dtype=np.uint64)
+        cand_sc = np.empty(0)
+        theta = -np.inf
 
-        # cursors: (block_idx, offset) per run; None = exhausted
-        cursors = [[0, 0] for _ in runs]
+        def _theta(sc: np.ndarray) -> float:
+            if sc.size < k:
+                return -np.inf
+            return float(np.partition(sc, sc.size - k)[sc.size - k])
 
-        def cur_doc(ri: int) -> int | None:
-            c = cursors[ri]
-            if c is None:
-                return None
-            blk = runs[ri]["blocks"][c[0]]
-            self._decode_block(blk, runs[ri]["idf"])
-            return int(blk["ids"][c[1]])
+        i = 0
+        while i < len(runs) and suffix[i] >= theta:
+            r = runs[i]
+            self._decode_blocks_bulk(r["blocks"], r["idf"])
+            ids_new = np.concatenate([b["ids"] for b in r["blocks"]])
+            sc_new = np.concatenate([b["scores"] for b in r["blocks"]])
+            if deleted is not None and ids_new.size:
+                # tombstoned docs must not inflate θ (they would prune
+                # live docs); drop them before they become candidates
+                live = ~np.isin(ids_new, deleted)
+                ids_new, sc_new = ids_new[live], sc_new[live]
+            all_ids = np.concatenate([cand_ids, ids_new])
+            all_sc = np.concatenate([cand_sc, sc_new])
+            cand_ids, inv = np.unique(all_ids, return_inverse=True)
+            sums = np.zeros(cand_ids.size)
+            np.add.at(sums, inv, all_sc)
+            cand_sc = sums
+            theta = _theta(cand_sc)
+            i += 1
 
-        def advance(ri: int) -> None:
-            c = cursors[ri]
-            blocks = runs[ri]["blocks"]
-            c[1] += 1
-            if c[1] >= blocks[c[0]]["n"]:
-                c[0] += 1
-                c[1] = 0
-                if c[0] >= len(blocks):
-                    cursors[ri] = None
-
-        def probe(ri: int, d: int) -> float:
-            """Binary-search run ri for doc d; 0.0 if absent."""
-            r = runs[ri]
-            bi = int(np.searchsorted(r["firsts"], d, side="right")) - 1
-            if bi < 0:
-                return 0.0
-            blk = self._decode_block(r["blocks"][bi], r["idf"])
-            j = int(np.searchsorted(blk["ids"], np.uint64(d)))
-            if j < blk["n"] and int(blk["ids"][j]) == d:
-                return float(blk["scores"][j])
-            return 0.0
-
-        heap: list[tuple[float, int]] = []  # (score, -doc_id): top = worst
-        theta = 0.0
-        n_runs = len(runs)
-        boundary = 0  # runs[:boundary] are non-essential
-
-        while True:
-            if boundary >= n_runs or total_ub <= theta:
+        for j in range(i, len(runs)):
+            if cand_ids.size == 0:
                 break
-            # next candidate = min current doc over essential runs
-            d = None
-            for ri in range(boundary, n_runs):
-                cd = cur_doc(ri)
-                if cd is not None and (d is None or cd < d):
-                    d = cd
-            if d is None:
-                break
-            score = 0.0
-            for ri in range(boundary, n_runs):
-                if cursors[ri] is not None:
-                    c = cursors[ri]
-                    blk = runs[ri]["blocks"][c[0]]
-                    if int(blk["ids"][c[1]]) == d:
-                        score += float(blk["scores"][c[1]])
-                        advance(ri)
-            dele = self._deleted
-            if dele is not None:
-                j = int(np.searchsorted(dele, np.uint64(d)))
-                if j < dele.size and int(dele[j]) == d:
-                    continue  # tombstoned: cursors advanced, no scoring
-            # probe non-essential runs, best bound first, early exit
-            rem = float(prefix[boundary - 1]) if boundary > 0 else 0.0
-            for ri in range(boundary - 1, -1, -1):
-                if score + rem <= theta:
+            if np.isfinite(theta):
+                # retire candidates that cannot reach θ even with every
+                # remaining bound (>= keeps exact-θ ties alive)
+                keep = cand_sc + suffix[j] >= theta
+                cand_ids, cand_sc = cand_ids[keep], cand_sc[keep]
+                if cand_ids.size == 0:
                     break
-                contrib = probe(ri, d)
-                score += contrib
-                rem -= runs[ri]["ub"]
-            if len(heap) < k:
-                heapq.heappush(heap, (score, -d))
-            elif score > heap[0][0]:
-                heapq.heapreplace(heap, (score, -d))
-            if len(heap) >= k and heap[0][0] > theta:
-                theta = heap[0][0]
-                boundary = int(np.searchsorted(prefix, theta, side="right"))
+            r = runs[j]
+            bi = np.searchsorted(r["firsts"], cand_ids,
+                                 side="right").astype(np.int64) - 1
+            valid = bi >= 0
+            if not valid.any():
+                continue
+            touched = np.unique(bi[valid])
+            bl = [r["blocks"][int(x)] for x in touched]
+            self._decode_blocks_bulk(bl, r["idf"])
+            for x in touched:
+                blk = r["blocks"][int(x)]
+                sel = valid & (bi == x)
+                ids_q = cand_ids[sel]
+                pos = np.searchsorted(blk["ids"], ids_q)
+                pos = np.minimum(pos, blk["n"] - 1)
+                hit = blk["ids"][pos] == ids_q
+                if hit.any():
+                    add = np.zeros(ids_q.size)
+                    add[hit] = blk["scores"][pos[hit]]
+                    cand_sc[sel] += add
+            theta = max(theta, _theta(cand_sc))
 
-        out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
-        ids = np.array([d for _, d in out], dtype=np.uint64)
-        scores = np.array([s for s, _ in out])
-        return ids, scores
+        if cand_ids.size == 0:
+            return cand_ids, cand_sc
+        kk = min(k, cand_ids.size)
+        if cand_ids.size > kk * 8:
+            kth = np.partition(cand_sc, cand_ids.size - kk)[
+                cand_ids.size - kk]
+            m = cand_sc >= kth
+            sel_ids, sel_sc = cand_ids[m], cand_sc[m]
+        else:
+            sel_ids, sel_sc = cand_ids, cand_sc
+        order = np.lexsort((sel_ids, -sel_sc))[:kk]
+        return sel_ids[order], sel_sc[order]
 
     # -- public API ----------------------------------------------------
 
