@@ -126,6 +126,31 @@ def line_number(text: str, offset: int, starts: np.ndarray | None = None
     return ln + 1, text[int(starts[ln]) : end]
 
 
+def _aggregate_scores(all_ids: np.ndarray,
+                      all_sc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Group-sum scores by doc id.
+
+    Large inputs use pandas ``factorize`` (hash table, O(n)) instead of
+    ``np.unique`` (argsort, O(n log n)) — measured ~2× on the 1-2M-row
+    aggregations behind heavy-query p95 — and ``np.bincount`` instead of
+    the buffered ``np.add.at``.  Both paths accumulate in input order,
+    so float rounding is identical and the rank-identity contract holds;
+    the returned ids are NOT sorted (no caller needs them sorted — top-k
+    selection lexsorts explicitly)."""
+    if all_ids.size == 0:
+        return all_ids, all_sc
+    if all_ids.size > 65536:
+        import pandas as pd
+
+        codes, uniq = pd.factorize(all_ids, sort=False)
+        scores = np.bincount(codes, weights=all_sc, minlength=len(uniq))
+        return np.asarray(uniq, dtype=all_ids.dtype), scores
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.zeros(uniq.size)
+    np.add.at(scores, inv, all_sc)
+    return uniq, scores
+
+
 @dataclass
 class Match:
     doc_id: int
@@ -551,9 +576,7 @@ class BM25Index:
             return np.empty(0, dtype=np.uint64), np.empty(0)
         all_ids = np.concatenate(id_parts)
         all_sc = np.concatenate(sc_parts)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        scores = np.zeros(uniq.size)
-        np.add.at(scores, inv, all_sc)
+        uniq, scores = _aggregate_scores(all_ids, all_sc)
         if self._deleted is not None and uniq.size:
             keep = ~np.isin(uniq, self._deleted)
             uniq, scores = uniq[keep], scores[keep]
@@ -636,12 +659,9 @@ class BM25Index:
                 # live docs); drop them before they become candidates
                 live = ~np.isin(ids_new, deleted)
                 ids_new, sc_new = ids_new[live], sc_new[live]
-            all_ids = np.concatenate([cand_ids, ids_new])
-            all_sc = np.concatenate([cand_sc, sc_new])
-            cand_ids, inv = np.unique(all_ids, return_inverse=True)
-            sums = np.zeros(cand_ids.size)
-            np.add.at(sums, inv, all_sc)
-            cand_sc = sums
+            cand_ids, cand_sc = _aggregate_scores(
+                np.concatenate([cand_ids, ids_new]),
+                np.concatenate([cand_sc, sc_new]))
             theta = _theta(cand_sc)
             i += 1
 
