@@ -88,6 +88,35 @@ def _sample_mask(doc_ids: np.ndarray, rate: float) -> np.ndarray:
     return (mix64(doc_ids.astype(np.uint64)) % np.uint64(_SAMPLE_MOD)) < thresh
 
 
+def _source_columns(source, cols: list[str]) -> list[str]:
+    """Extend a parquet projection with the source's ``hash`` column when
+    it carries one: _DocMeta passes a source hash through to the catalog
+    (the extract checkpoint stores sha256(html)), and append_index's
+    known-content skip compares against the SAME identity — dropping the
+    column here would silently recompute sha256(text) and never match."""
+    import glob as _g
+    import os
+
+    import pyarrow.parquet as _pq
+
+    first = None
+    if isinstance(source, str):
+        if os.path.isdir(source):
+            first = next(iter(sorted(
+                _g.glob(os.path.join(source, "*.parquet")))), None)
+        else:
+            first = source
+    elif isinstance(source, (list, tuple)) and source:
+        first = source[0]
+    if first:
+        try:
+            if "hash" in _pq.read_schema(first).names:
+                return cols + ["hash"]
+        except Exception:
+            pass
+    return cols
+
+
 class _DocMeta:
     """Per-batch doc catalog rows (createFileDesc analog, file_desc.go:51-68)."""
 
@@ -295,6 +324,14 @@ def build_index(
         "with_positions": with_positions, "store_text": store_text,
         "auto_salt": auto_salt, "hot_terms": sorted((hot_terms or {}).items()),
         "analyzer_version": ANALYZER_VERSION,
+        # Precomputed-stats identity: a resumed append segment must not
+        # reuse stage dirs built from a DIFFERENT delta under the same
+        # config (append_index computes these from old+delta totals, so
+        # distinct batches virtually always fingerprint differently).
+        "stats_precomputed": (
+            {k: stats_precomputed[k] for k in ("total_dl", "n_sampled")
+             if k in stats_precomputed}
+            if stats_precomputed is not None else None),
     }
     cfg_path = f"{index_dir}/.build_config.json"
     prev_cfg = None
@@ -322,7 +359,8 @@ def build_index(
     def _load() -> rd.Dataset:
         if isinstance(source, rd.Dataset):
             return source
-        cols = [c for c in (id_col, text_col, url_col, lang_col) if c]
+        cols = _source_columns(
+            source, [c for c in (id_col, text_col, url_col, lang_col) if c])
         return rd.read_parquet(source, columns=cols)
 
     # 1. docs catalog (cheap pass, no tokenization).  Sorted per block, not
@@ -603,7 +641,8 @@ def build_index_mem(
     def _load() -> rd.Dataset:
         if isinstance(source, rd.Dataset):
             return source
-        cols = [c for c in (id_col, text_col, url_col, lang_col) if c]
+        cols = _source_columns(
+            source, [c for c in (id_col, text_col, url_col, lang_col) if c])
         return rd.read_parquet(source, columns=cols)
 
     import ray
@@ -949,6 +988,7 @@ def compact_index(
     index_dir: str,
     *,
     resume: bool = False,
+    remove_old: bool = True,
     report=None,
 ) -> IndexManifest:
     """Merge append segments and purge tombstones by rebuilding the
@@ -960,13 +1000,23 @@ def compact_index(
     recomputed over the surviving docs, so the compacted index scores
     IDENTICALLY to a from-scratch build over the same rows (tested).
     The rebuild happens at ``<index_dir>.compact.tmp`` and is swapped in
-    with two renames; the old tree is removed after the swap.  The
+    with two renames; a crash between them is recovered on the next
+    compact_index call (the displaced ``.old`` tree is restored before
+    anything else).  ``remove_old=False`` keeps ``<index_dir>.old`` on
+    disk so warm serving replicas can keep answering until they
+    reload() — with the default True, reload every replica FIRST.  The
     parent's salt_spec is reused so bucket placement stays stable."""
     import os
     import shutil
 
     from ..state.manifest import IndexManifest
 
+    old_dir = index_dir.rstrip("/") + ".old"
+    if not os.path.isdir(index_dir) and os.path.isdir(old_dir):
+        # crash recovery: a previous compact died between its two swap
+        # renames (index_dir moved away, replacement not yet moved in).
+        # Restore the old tree and redo the compaction from it.
+        os.rename(old_dir, index_dir)
     m = IndexManifest.load(index_dir)
     if not m.build_metrics.get("store_text", True):
         raise ValueError("compact_index requires store_text=True catalogs")
@@ -990,11 +1040,16 @@ def compact_index(
         with_positions=m.with_positions, store_text=True,
         resume=resume, report=report,
     )
-    old_dir = index_dir.rstrip("/") + ".old"
     shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(index_dir, old_dir)
     os.rename(tmp_dir, index_dir)
-    shutil.rmtree(old_dir, ignore_errors=True)
+    if remove_old:
+        # NOTE serving: warm BM25Index/QueryEngine handles still hold
+        # row-group references into the old tree — call reload() on
+        # every replica BEFORE compacting with remove_old=True, or pass
+        # remove_old=False and delete <index_dir>.old after the fleet
+        # has reloaded.
+        shutil.rmtree(old_dir, ignore_errors=True)
     return mnew
 
 
@@ -1086,18 +1141,12 @@ def append_index(
     def _load() -> rd.Dataset:
         if isinstance(source, rd.Dataset):
             return source
-        cols = [c for c in (id_col, text_col, url_col, lang_col) if c]
+        cols = _source_columns(
+            source, [c for c in (id_col, text_col, url_col, lang_col) if c])
         return rd.read_parquet(source, columns=cols)
 
     # 1. known-hash set: narrow scan of every committed docs catalog
-    doc_dirs = [f"{index_dir}/docs"] + [
-        f"{index_dir}/segments/{s['name']}/docs"
-        for s in m.segments if s["name"] != "base"
-    ]
-    import glob as _glob
-
-    doc_files = [f for d in doc_dirs
-                 for f in sorted(_glob.glob(f"{d}/*.parquet"))]
+    doc_files = _committed_doc_files(index_dir, m)
     known_df = (
         rd.read_parquet(doc_files, columns=["hash", "doc_id"])
         .to_pandas()
@@ -1170,6 +1219,8 @@ def append_index(
     )
     m.save(index_dir)
     if audit_unique:
+        import glob as _glob
+
         all_doc_files = doc_files + sorted(
             _glob.glob(f"{seg_dir}/docs/*.parquet"))
         dups = duplicate_doc_ids(

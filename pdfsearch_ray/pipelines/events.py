@@ -173,9 +173,10 @@ def asof_block(t: pa.Table, ref_type: str) -> pa.Table:
     event_id first, so ties resolve identically to the SQL oracle's
     ``max(event_id) GROUP BY user_id, ts`` pre-aggregation.
 
-    The composite search key packs (dense user index << 46 | Δts_us)
-    into one int64 — Δts spans decades before touching bit 46 — so ONE
-    ``np.searchsorted`` resolves every row against the reference
+    The composite search key packs dense (user, ts) RANKS into one
+    int64 (rank widths sum to <= 62 bits for any block size, so the
+    packing cannot overflow for any user count or timestamp span) and
+    ONE ``np.searchsorted`` resolves every row against the reference
     timeline with no per-user Python loop."""
     if t.num_rows == 0:
         return pa.table({
@@ -191,10 +192,19 @@ def asof_block(t: pa.Table, ref_type: str) -> pa.Table:
     etype = np.asarray(t["event_type"].to_pylist())
     val = t["value"].to_numpy(zero_copy_only=False)
 
-    uniq_users, udense = np.unique(uid, return_inverse=True)
-    dt = ts - ts.min()
-    assert int(dt.max()) < (1 << 46), "timestamp span exceeds key packing"
-    key = (udense.astype(np.int64) << 46) | dt
+    _, udense = np.unique(uid, return_inverse=True)
+    # pack (user, ts) into ONE int64 with dense ranks on BOTH fields so
+    # the packing can never overflow regardless of user count or
+    # timestamp span: n_users + n_distinct_ts are each <= block rows
+    # (<= 2^31), so rank_bits + user_bits <= 62 always fits.  (A fixed
+    # 46-bit ts field silently cross-matched users past 2^18 distinct
+    # users per block.)
+    _, trank = np.unique(ts, return_inverse=True)
+    ts_bits = max(1, int(trank.max()).bit_length()) if trank.size else 1
+    if udense.size:
+        assert (int(udense.max()).bit_length() + ts_bits) <= 62, \
+            "asof key packing overflow"
+    key = (udense.astype(np.int64) << ts_bits) | trank.astype(np.int64)
 
     is_ref = etype == ref_type
     r_key = key[is_ref]
@@ -214,7 +224,8 @@ def asof_block(t: pa.Table, ref_type: str) -> pa.Table:
     ok = idx >= 0
     if r_key.size:
         same_user = np.zeros(key.size, dtype=bool)
-        same_user[ok] = (r_key[idx[ok]] >> 46) == (key[ok] >> 46)
+        same_user[ok] = ((r_key[idx[ok]] >> ts_bits)
+                         == (key[ok] >> ts_bits))
         ok &= same_user
     else:
         ok[:] = False

@@ -264,15 +264,11 @@ class BM25Index:
             self.docs = pads.dataset(doc_files, format="parquet")
             self.analyze = get_analyzer(self.manifest.analyzer)
             if self.manifest.tombstones:
-                import pyarrow.parquet as _pq
+                from .build import _load_tombstones
 
-                dels = [
-                    _pq.read_table(f"{index_dir}/tombstones/{f}",
-                                   columns=["doc_id"])["doc_id"].to_numpy()
-                    for f in self.manifest.tombstones
-                ]
-                self._deleted = np.unique(
-                    np.concatenate(dels)).astype(np.uint64)
+                tomb = _load_tombstones(index_dir, self.manifest)
+                if tomb.size:
+                    self._deleted = tomb.astype(np.uint64)
         self._term_cache: dict[str, list[dict]] = {}
         self._doc_rg_index: list[tuple[str, int, int, int]] | None = None
         self._pf_cache: dict[str, Any] = {}
@@ -634,6 +630,7 @@ class BM25Index:
                              "ub": ub})
         if not runs:
             return np.empty(0, dtype=np.uint64), np.empty(0)
+        runs_term_order = list(runs)  # term-major, (salt, seg) order
         runs.sort(key=lambda r: -r["ub"])
         ubs = np.array([r["ub"] for r in runs])
         suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
@@ -699,16 +696,45 @@ class BM25Index:
 
         if cand_ids.size == 0:
             return cand_ids, cand_sc
+        # Final selection: pick a slack'd candidate head by the phased
+        # sums, then RECOMPUTE those docs' scores by probing every run
+        # in term-major order — the exact accumulation order TAAT uses —
+        # so the returned floats are bitwise identical to _score's (the
+        # phased sums add runs in descending-bound order, which can
+        # differ by ulps and flip near-ties).  A doc is in exactly one
+        # run per term, and adding 0.0 for absent runs is exact, so the
+        # per-doc addition sequence matches TAAT's bincount order.
         kk = min(k, cand_ids.size)
-        if cand_ids.size > kk * 8:
-            kth = np.partition(cand_sc, cand_ids.size - kk)[
-                cand_ids.size - kk]
+        slack = min(cand_ids.size, kk * 4 + 16)
+        if cand_ids.size > slack:
+            kth = np.partition(cand_sc, cand_ids.size - slack)[
+                cand_ids.size - slack]
             m = cand_sc >= kth
-            sel_ids, sel_sc = cand_ids[m], cand_sc[m]
+            sel_ids = cand_ids[m]
         else:
-            sel_ids, sel_sc = cand_ids, cand_sc
-        order = np.lexsort((sel_ids, -sel_sc))[:kk]
-        return sel_ids[order], sel_sc[order]
+            sel_ids = cand_ids
+        exact = np.zeros(sel_ids.size)
+        for r in runs_term_order:
+            bi = np.searchsorted(r["firsts"], sel_ids,
+                                 side="right").astype(np.int64) - 1
+            valid = bi >= 0
+            if not valid.any():
+                continue
+            contrib = np.zeros(sel_ids.size)
+            for x in np.unique(bi[valid]):
+                blk = r["blocks"][int(x)]
+                self._decode_blocks_bulk([blk], r["idf"])
+                sel = valid & (bi == x)
+                ids_q = sel_ids[sel]
+                pos = np.searchsorted(blk["ids"], ids_q)
+                pos = np.minimum(pos, blk["n"] - 1)
+                hit = blk["ids"][pos] == ids_q
+                c = np.zeros(ids_q.size)
+                c[hit] = blk["scores"][pos[hit]]
+                contrib[sel] = c
+            exact += contrib
+        order = np.lexsort((sel_ids, -exact))[:kk]
+        return sel_ids[order], exact[order]
 
     # -- public API ----------------------------------------------------
 

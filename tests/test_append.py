@@ -174,3 +174,33 @@ def test_append_salted_parent(ray_session, tmp_path):
                            method=method)
             assert [(m.doc_id, m.score) for m in a.matches] == [
                 (m.doc_id, m.score) for m in b.matches], (q, method)
+
+
+def test_append_respects_source_hash_column(ray_session, tmp_path):
+    """Regression: a PATH source whose parquet carries a ``hash`` column
+    (the extract checkpoint shape) must keep that column through
+    append's projection — the known-content skip compares catalog
+    hashes, which are passthroughs of the same column.  Dropping it
+    recomputed sha256(text) and never matched, silently duplicating
+    every doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.build import append_index, build_index
+    from pdfsearch_ray.state.manifest import IndexManifest
+
+    src = str(tmp_path / "src.parquet")
+    t = pq.read_table(SF).select(["doc_id", "text", "lang"])
+    custom_hash = pa.array([f"h{int(i):06d}" for i in t["doc_id"].to_pylist()],
+                           type=pa.string())
+    pq.write_table(t.append_column("hash", custom_hash), src)
+
+    d = str(tmp_path / "idx")
+    build_index(src, d, num_buckets=8, analyzer="en", lang_col="lang")
+    # catalog carries the custom hash (passthrough, not sha256(text))
+    cat = pq.read_table(f"{d}/docs", columns=["hash"])["hash"].to_pylist()
+    assert cat[0].startswith("h")
+    # re-appending the same path source is a no-op
+    res = append_index(src, d, lang_col="lang")
+    assert res["segment"] is None and res["n_added"] == 0
+    assert IndexManifest.load(d).segments == []

@@ -154,3 +154,25 @@ def test_asof_block_property_vs_bruteforce():
                 assert got[i + 1] == (-1, -1.0), (rows, i)
 
     check()
+
+
+def test_asof_block_many_users_no_cross_match():
+    """Regression: >2^18 distinct users in one block must not cross-match
+    (the old fixed-46-bit key packing overflowed int64 and silently
+    joined user 2^18 to user 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdfsearch_ray.pipelines.events import asof_block
+
+    n = (1 << 18) + 4
+    t = pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), type=pa.int64()),
+        "user_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(np.full(n, 1000), type=pa.timestamp("us")),
+        "event_type": pa.array(["purchase"] + ["view"] * (n - 1)),
+        "value": pa.array(np.ones(n), type=pa.float64()),
+    })
+    out = asof_block(t, "purchase").to_pylist()
+    assert out[0]["ref_event_id"] == 1
+    assert all(r["ref_event_id"] == -1 for r in out[1:])
