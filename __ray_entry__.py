@@ -140,7 +140,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": _asof_join_events,
         "corpus_sample": q.corpus_sample,
         "top_docs_per_lang": q.top_docs_per_lang,
+        "pricing_summary": _pricing_summary,
+        "orders_by_nation": _orders_by_nation,
     }
+
+
+def _pricing_summary(sf_dir: str):
+    from pdfsearch_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _orders_by_nation(sf_dir: str):
+    from pdfsearch_ray.pipelines.relational import orders_by_nation
+
+    return orders_by_nation(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -309,6 +323,28 @@ def oracle_sql() -> dict[str, str]:
         # under the hash gate: DuckDB recomputes BM25 from raw text
         "fulltext_topk_simple": _oracles.fulltext_simple_sql(
             _ft_simple_queries(), k=_ft_simple_k()),
+        # money sums rounded to 2dp on both sides: float64 summation
+        # order differs engine-vs-DuckDB; ~1e9 sums carry ~1e-3 noise
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59.999999'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name, count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
         "corpus_sample": _oracles.sample_sql(rate=_sample_rate()),
         "top_docs_per_lang": f"""
             SELECT lang, doc_id, n_chars, rank FROM (

@@ -1,0 +1,155 @@
+"""Relational pipelines over the TPC-H-ish tables — the generic
+aggregate/join capability of the engine, exercised on the full testdata
+table set (lineitem / orders / customer / nation) and value-checked
+against DuckDB.
+
+Scale shapes on display:
+* ``pricing_summary`` — the classic combiner: each batch pre-aggregates
+  to one row per (returnflag, linestatus) before the groupby, so the
+  shuffle moves O(groups × blocks) rows (groups = 6 here) instead of
+  the table.  Derived columns (averages) are computed AFTER the global
+  sums, exactly as SQL's ``avg`` decomposes into sum/count.
+* ``orders_by_nation`` — the two join regimes in one pipeline: a
+  distributed hash equi-join (bucket-partitioned spill, per-bucket
+  Acero join — functions/joins.py) for the big⋈medium side
+  (orders ⋈ customer) and a broadcast map-join (``ray.put`` once, dict
+  lookup inside map_batches) for the tiny dimension (nation, 25 rows).
+
+Money sums are rounded to 2 decimals on BOTH sides: float64 summation
+order differs between the engine and DuckDB, and ~1e9-magnitude sums
+carry ~1e-3 absolute noise — well inside a 2-decimal comparison, far
+outside 6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+PRICING_CUTOFF = "1998-09-02"  # l_shipdate <= cutoff (Q1 shape)
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    from ..functions.tables import strip_schema_metadata
+
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    )
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1 shape: per (l_returnflag, l_linestatus) over lineitem
+    rows shipped on/before the cutoff — sums, averages and row count."""
+    cutoff = np.datetime64(PRICING_CUTOFF + "T23:59:59.999999")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship <= cutoff
+        if not keep.any():
+            return pa.table({
+                "l_returnflag": pa.array([], type=pa.string()),
+                "l_linestatus": pa.array([], type=pa.string()),
+                "sum_qty": pa.array([], type=pa.float64()),
+                "sum_base_price": pa.array([], type=pa.float64()),
+                "sum_disc_price": pa.array([], type=pa.float64()),
+                "n_rows": pa.array([], type=pa.int64()),
+            })
+        flag = np.asarray(t["l_returnflag"].to_pylist())[keep]
+        status = np.asarray(t["l_linestatus"].to_pylist())[keep]
+        qty = t["l_quantity"].to_numpy()[keep]
+        price = t["l_extendedprice"].to_numpy()[keep]
+        disc = t["l_discount"].to_numpy()[keep]
+        combo = np.char.add(np.char.add(flag, "|"), status)
+        uniq, inv = np.unique(combo, return_inverse=True)
+        n = uniq.size
+        return pa.table({
+            "l_returnflag": pa.array([u.split("|")[0] for u in uniq]),
+            "l_linestatus": pa.array([u.split("|")[1] for u in uniq]),
+            "sum_qty": pa.array(np.bincount(inv, weights=qty, minlength=n)),
+            "sum_base_price": pa.array(
+                np.bincount(inv, weights=price, minlength=n)),
+            "sum_disc_price": pa.array(
+                np.bincount(inv, weights=price * (1.0 - disc), minlength=n)),
+            "n_rows": pa.array(
+                np.bincount(inv, minlength=n).astype(np.int64)),
+        })
+
+    agg = (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_base_price", alias_name="sum_base_price"),
+                   Sum("sum_disc_price", alias_name="sum_disc_price"),
+                   Sum("n_rows", alias_name="n_rows"))
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+    )
+    return pa.table({
+        "l_returnflag": pa.array(agg["l_returnflag"].tolist()),
+        "l_linestatus": pa.array(agg["l_linestatus"].tolist()),
+        "sum_qty": pa.array(np.round(agg["sum_qty"].to_numpy(), 2)),
+        "sum_base_price": pa.array(
+            np.round(agg["sum_base_price"].to_numpy(), 2)),
+        "sum_disc_price": pa.array(
+            np.round(agg["sum_disc_price"].to_numpy(), 2)),
+        "avg_qty": pa.array(np.round(
+            agg["sum_qty"].to_numpy() / agg["n_rows"].to_numpy(), 6)),
+        "n_rows": pa.array(agg["n_rows"].astype("int64").tolist(),
+                           type=pa.int64()),
+    })
+
+
+def orders_by_nation(sf_dir: str) -> pa.Table:
+    """Orders per customer nation: orders ⋈ customer via the
+    distributed hash join, then nation resolved by broadcast lookup;
+    group by nation name with count + rounded revenue sum."""
+    import ray
+
+    from ..functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, cust, left_on="o_custkey",
+                       right_on="c_custkey", num_buckets=8)
+
+    import pyarrow.parquet as pq
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nt["n_nationkey"].to_pylist(),
+                                nt["n_name"].to_pylist())))
+
+    def tag(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        nk = t["c_nationkey"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([nmap[int(k)] for k in nk],
+                               type=pa.string()),
+            "o_totalprice": t["o_totalprice"],
+        })
+
+    from ray.data.aggregate import Count
+
+    out = (
+        joined.map_batches(tag, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+        .sort_values("n_name")
+    )
+    return pa.table({
+        "n_name": pa.array(out["n_name"].tolist(), type=pa.string()),
+        "n_orders": pa.array(out["n_orders"].astype("int64").tolist(),
+                             type=pa.int64()),
+        "revenue": pa.array(
+            np.round(out["revenue"].to_numpy(), 2), type=pa.float64()),
+    })

@@ -1,0 +1,61 @@
+"""Relational pipelines over the TPC-H-ish tables vs DuckDB."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("lineitem", "orders", "customer", "nation")
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    yield c
+    c.close()
+
+
+def test_pricing_summary_matches_duckdb(ray_session, con):
+    from pdfsearch_ray.pipelines.relational import pricing_summary
+
+    got = pricing_summary(SF).to_pandas()
+    want = con.execute("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               round(sum(l_quantity) / count(*), 6) AS avg_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59.999999'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """).df()
+    got = got.sort_values(["l_returnflag", "l_linestatus"]).reset_index(
+        drop=True)
+    want = want.reset_index(drop=True)
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
+    for col in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+        assert got[col].tolist() == pytest.approx(want[col].tolist(),
+                                                  abs=1e-6), col
+
+
+def test_orders_by_nation_matches_duckdb(ray_session, con):
+    from pdfsearch_ray.pipelines.relational import orders_by_nation
+
+    got = orders_by_nation(SF).to_pandas().reset_index(drop=True)
+    want = con.execute("""
+        SELECT n.n_name, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """).df().reset_index(drop=True)
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["n_orders"].tolist() == want["n_orders"].tolist()
+    assert got["revenue"].tolist() == pytest.approx(want["revenue"].tolist(),
+                                                    abs=1e-4)
