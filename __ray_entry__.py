@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q.top_docs_per_lang,
         "pricing_summary": _pricing_summary,
         "orders_by_nation": _orders_by_nation,
+        "region_part_revenue": _region_part_revenue,
     }
 
 
@@ -155,6 +156,12 @@ def _orders_by_nation(sf_dir: str):
     from pdfsearch_ray.pipelines.relational import orders_by_nation
 
     return orders_by_nation(sf_dir)
+
+
+def _region_part_revenue(sf_dir: str):
+    from pdfsearch_ray.pipelines.relational import region_part_revenue
+
+    return region_part_revenue(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -344,6 +351,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "region_part_revenue": """
+            SELECT r.r_name, round(sum(
+                       l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE p.p_size < 20
+            GROUP BY r.r_name
         """,
         "corpus_sample": _oracles.sample_sql(rate=_sample_rate()),
         "top_docs_per_lang": f"""

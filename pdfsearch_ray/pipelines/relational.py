@@ -153,3 +153,81 @@ def orders_by_nation(sf_dir: str) -> pa.Table:
         "revenue": pa.array(
             np.round(out["revenue"].to_numpy(), 2), type=pa.float64()),
     })
+
+
+PART_SIZE_MAX = 20  # p_size < threshold (Q2/Q9-ish selective dim filter)
+
+
+def region_part_revenue(sf_dir: str) -> pa.Table:
+    """Revenue per supplier region for small parts — the Q9-ish
+    multi-dimension star join done the at-scale way: the FACT table
+    (lineitem) never shuffles.  part (filter → keep-set), supplier →
+    nation → region (two-hop key map) are all broadcast once via
+    ``ray.put``; one map_batches pass filters fact rows on the part
+    keep-set, maps suppkey → region name and pre-aggregates per batch;
+    the final groupby moves O(regions × blocks) rows."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_size"])
+    keep_parts = pt.filter(
+        pc.less(pt["p_size"], PART_SIZE_MAX))["p_partkey"].to_numpy()
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_nationkey"])
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_regionkey"])
+    rt = pq.read_table(f"{sf_dir}/region.parquet",
+                       columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nt["n_nationkey"].to_pylist(),
+                   nt["n_regionkey"].to_pylist()))
+    r2n = dict(zip(rt["r_regionkey"].to_pylist(), rt["r_name"].to_pylist()))
+    supp_region = {int(s): r2n[n2r[int(n)]]
+                   for s, n in zip(st["s_suppkey"].to_pylist(),
+                                   st["s_nationkey"].to_pylist())}
+    bc = ray.put((np.sort(keep_parts), supp_region))
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts_sorted, s2r = ray.get(bc)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.searchsorted(parts_sorted, pk)
+        pos = np.minimum(pos, parts_sorted.size - 1)
+        keep = parts_sorted[pos] == pk if parts_sorted.size else \
+            np.zeros(pk.size, dtype=bool)
+        if not keep.any():
+            return pa.table({
+                "r_name": pa.array([], type=pa.string()),
+                "revenue": pa.array([], type=pa.float64()),
+                "n_items": pa.array([], type=pa.int64()),
+            })
+        sk = t["l_suppkey"].to_numpy()[keep]
+        rev = (t["l_extendedprice"].to_numpy()[keep]
+               * (1.0 - t["l_discount"].to_numpy()[keep]))
+        rnames = np.asarray([s2r[int(s)] for s in sk])
+        uniq, inv = np.unique(rnames, return_inverse=True)
+        return pa.table({
+            "r_name": pa.array(uniq.tolist(), type=pa.string()),
+            "revenue": pa.array(
+                np.bincount(inv, weights=rev, minlength=uniq.size)),
+            "n_items": pa.array(
+                np.bincount(inv, minlength=uniq.size).astype(np.int64)),
+        })
+
+    out = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+        .sort_values("r_name")
+    )
+    return pa.table({
+        "r_name": pa.array(out["r_name"].tolist(), type=pa.string()),
+        "revenue": pa.array(np.round(out["revenue"].to_numpy(), 2),
+                            type=pa.float64()),
+        "n_items": pa.array(out["n_items"].astype("int64").tolist(),
+                            type=pa.int64()),
+    })

@@ -59,3 +59,33 @@ def test_orders_by_nation_matches_duckdb(ray_session, con):
     assert got["n_orders"].tolist() == want["n_orders"].tolist()
     assert got["revenue"].tolist() == pytest.approx(want["revenue"].tolist(),
                                                     abs=1e-4)
+
+
+def test_region_part_revenue_matches_duckdb(ray_session, con):
+    import duckdb as _d
+
+    from pdfsearch_ray.pipelines.relational import region_part_revenue
+
+    c = _d.connect()
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    got = region_part_revenue(SF).to_pandas().reset_index(drop=True)
+    want = c.execute("""
+        SELECT r.r_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size < 20
+        GROUP BY r.r_name ORDER BY r.r_name
+    """).df().reset_index(drop=True)
+    c.close()
+    assert got["r_name"].tolist() == want["r_name"].tolist()
+    assert got["n_items"].tolist() == want["n_items"].tolist()
+    assert got["revenue"].tolist() == pytest.approx(
+        want["revenue"].tolist(), abs=1e-4)
