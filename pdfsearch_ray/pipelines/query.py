@@ -38,6 +38,10 @@ from ..index.codec import bm25_wdl, varint_decode
 from ..state.manifest import IndexManifest
 
 DEFAULT_MAX_RESULTS = 10  # DefaultMaxResults (index_search.go:54-59)
+# method="auto" crossover: below this many candidate postings the
+# vectorized exhaustive pass beats pruning's bookkeeping (measured
+# crossover ~10^5-10^6 at sf0.1; conservative toward exact counts)
+AUTO_MAXSCORE_POSTINGS = 300_000
 
 
 # ---------------------------------------------------------------- phrase kernels
@@ -749,8 +753,11 @@ class BM25Index:
         """Analyzed OR-of-terms BM25 top-k (SearchBleveIndex analog).
 
         ``method``: "taat" (exhaustive, exact total_matches — the oracle
-        path) or "maxscore" (block-max pruned top-k, same ranks/scores,
-        total_matches reported as -1/unknown — the scale path)."""
+        path), "maxscore" (block-max pruned top-k, same ranks/scores,
+        total_matches reported as -1/unknown — the scale path), or
+        "auto" (taat while the query's posting mass is small enough
+        that exhaustive scoring is the faster path, maxscore beyond —
+        total_matches is then exact only for the cheap queries)."""
         import time as _time
 
         t0 = _time.perf_counter()
@@ -760,6 +767,11 @@ class BM25Index:
             q_terms = self.analyze(query)
         uniq_terms = sorted(set(q_terms))
         self._load_terms(uniq_terms)
+        if method == "auto":
+            postings = sum(b["n"] for t in uniq_terms
+                           for b in self._term_cache.get(t, ()))
+            method = "maxscore" if postings > AUTO_MAXSCORE_POSTINGS \
+                else "taat"
         if method == "maxscore":
             top_i, top_s = self._score_maxscore(uniq_terms, max(max_results, 1))
             result = MatchSet()

@@ -104,3 +104,16 @@ def test_bulk_decode_equals_per_block():
         np.testing.assert_array_equal(ba["tf"], bb["tf"])
         np.testing.assert_array_equal(ba["dl"], bb["dl"])
         np.testing.assert_array_equal(ba["scores"], bb["scores"])
+
+
+def test_auto_method_rank_identical(indexes):
+    """method='auto' must return the same ranks/scores as both explicit
+    methods regardless of which side of the crossover a query lands."""
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(indexes["plain"])
+    for q in QUERIES:
+        a = idx.search(q, max_results=10, with_spans=False, method="taat")
+        c = idx.search(q, max_results=10, with_spans=False, method="auto")
+        assert [(m.doc_id, m.score) for m in a.matches] == [
+            (m.doc_id, m.score) for m in c.matches], q
