@@ -330,15 +330,21 @@ def oracle_sql() -> dict[str, str]:
         # under the hash gate: DuckDB recomputes BM25 from raw text
         "fulltext_topk_simple": _oracles.fulltext_simple_sql(
             _ft_simple_queries(), k=_ft_simple_k()),
-        # money sums rounded to 2dp on both sides: float64 summation
-        # order differs engine-vs-DuckDB; ~1e9 sums carry ~1e-3 noise
+        # money sums are EXACT integer cents (and cent×percent units
+        # for discounted revenue): the 2-decimal source data makes the
+        # aggregation order-independent and rounding-mode-free, so the
+        # value-hash cannot flake on float summation noise
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS sum_disc_price,
-                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                       AS BIGINT) AS sum_disc_price_e4,
+                   round(CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                              AS DOUBLE) / count(*), 6) AS avg_qty,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59.999999'
@@ -346,16 +352,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_by_nation": """
             SELECT n.n_name, count(*) AS n_orders,
-                   round(sum(o.o_totalprice), 2) AS revenue
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_cents
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
         "region_part_revenue": """
-            SELECT r.r_name, round(sum(
-                       l.l_extendedprice * (1 - l.l_discount)), 2)
-                       AS revenue,
+            SELECT r.r_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_e4,
                    count(*) AS n_items
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey

@@ -102,8 +102,13 @@ def _source_columns(source, cols: list[str]) -> list[str]:
     first = None
     if isinstance(source, str):
         if os.path.isdir(source):
+            # include partitioned layouts (write_parquet with
+            # partition_cols nests files in key=value subdirs)
             first = next(iter(sorted(
-                _g.glob(os.path.join(source, "*.parquet")))), None)
+                _g.glob(os.path.join(source, "*.parquet")))), None) \
+                or next(iter(sorted(
+                    _g.glob(os.path.join(source, "**", "*.parquet"),
+                            recursive=True))), None)
         else:
             first = source
     elif isinstance(source, (list, tuple)) and source:

@@ -15,10 +15,14 @@ Scale shapes on display:
   (orders ⋈ customer) and a broadcast map-join (``ray.put`` once, dict
   lookup inside map_batches) for the tiny dimension (nation, 25 rows).
 
-Money sums are rounded to 2 decimals on BOTH sides: float64 summation
-order differs between the engine and DuckDB, and ~1e9-magnitude sums
-carry ~1e-3 absolute noise — well inside a 2-decimal comparison, far
-outside 6.
+Money aggregation is EXACT integer arithmetic: the synthetic prices
+carry 2 decimals and discounts 2 decimals, so sums are computed over
+integer cents (and cent×percent = 1e-4-dollar units for discounted
+revenue).  Integer sums are order-independent and rounding-mode-free,
+so the driver's exact value-hash can never flake on a half-cent
+boundary or a numpy-half-even vs DuckDB-half-away tie — float sums
+rounded to N decimals can (summation-order noise ~1e-3 at 1e9
+magnitude sits exactly at the 2-decimal boundary).
 """
 
 from __future__ import annotations
@@ -53,27 +57,32 @@ def pricing_summary(sf_dir: str) -> pa.Table:
             return pa.table({
                 "l_returnflag": pa.array([], type=pa.string()),
                 "l_linestatus": pa.array([], type=pa.string()),
-                "sum_qty": pa.array([], type=pa.float64()),
-                "sum_base_price": pa.array([], type=pa.float64()),
-                "sum_disc_price": pa.array([], type=pa.float64()),
+                "sum_qty": pa.array([], type=pa.int64()),
+                "sum_base_price_cents": pa.array([], type=pa.int64()),
+                "sum_disc_price_e4": pa.array([], type=pa.int64()),
                 "n_rows": pa.array([], type=pa.int64()),
             })
         flag = np.asarray(t["l_returnflag"].to_pylist())[keep]
         status = np.asarray(t["l_linestatus"].to_pylist())[keep]
-        qty = t["l_quantity"].to_numpy()[keep]
-        price = t["l_extendedprice"].to_numpy()[keep]
-        disc = t["l_discount"].to_numpy()[keep]
+        qty = np.round(t["l_quantity"].to_numpy()[keep]).astype(np.int64)
+        cents = np.round(
+            t["l_extendedprice"].to_numpy()[keep] * 100).astype(np.int64)
+        pct = np.round(
+            (1.0 - t["l_discount"].to_numpy()[keep]) * 100).astype(np.int64)
         combo = np.char.add(np.char.add(flag, "|"), status)
         uniq, inv = np.unique(combo, return_inverse=True)
         n = uniq.size
+        # bincount over float64 weights of integer values <= ~6e12 is
+        # exact (< 2^53); cast back to int64 after
         return pa.table({
             "l_returnflag": pa.array([u.split("|")[0] for u in uniq]),
             "l_linestatus": pa.array([u.split("|")[1] for u in uniq]),
-            "sum_qty": pa.array(np.bincount(inv, weights=qty, minlength=n)),
-            "sum_base_price": pa.array(
-                np.bincount(inv, weights=price, minlength=n)),
-            "sum_disc_price": pa.array(
-                np.bincount(inv, weights=price * (1.0 - disc), minlength=n)),
+            "sum_qty": pa.array(np.bincount(
+                inv, weights=qty, minlength=n).astype(np.int64)),
+            "sum_base_price_cents": pa.array(np.bincount(
+                inv, weights=cents, minlength=n).astype(np.int64)),
+            "sum_disc_price_e4": pa.array(np.bincount(
+                inv, weights=cents * pct, minlength=n).astype(np.int64)),
             "n_rows": pa.array(
                 np.bincount(inv, minlength=n).astype(np.int64)),
         })
@@ -85,20 +94,27 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                   Sum("sum_base_price", alias_name="sum_base_price"),
-                   Sum("sum_disc_price", alias_name="sum_disc_price"),
+                   Sum("sum_base_price_cents",
+                       alias_name="sum_base_price_cents"),
+                   Sum("sum_disc_price_e4",
+                       alias_name="sum_disc_price_e4"),
                    Sum("n_rows", alias_name="n_rows"))
         .to_pandas()
         .sort_values(["l_returnflag", "l_linestatus"])
     )
+    # avg from identical integer inputs: both engines divide the same
+    # two ints in float64, so the quotient (and its rounding) match
     return pa.table({
         "l_returnflag": pa.array(agg["l_returnflag"].tolist()),
         "l_linestatus": pa.array(agg["l_linestatus"].tolist()),
-        "sum_qty": pa.array(np.round(agg["sum_qty"].to_numpy(), 2)),
-        "sum_base_price": pa.array(
-            np.round(agg["sum_base_price"].to_numpy(), 2)),
-        "sum_disc_price": pa.array(
-            np.round(agg["sum_disc_price"].to_numpy(), 2)),
+        "sum_qty": pa.array(agg["sum_qty"].astype("int64").tolist(),
+                            type=pa.int64()),
+        "sum_base_price_cents": pa.array(
+            agg["sum_base_price_cents"].astype("int64").tolist(),
+            type=pa.int64()),
+        "sum_disc_price_e4": pa.array(
+            agg["sum_disc_price_e4"].astype("int64").tolist(),
+            type=pa.int64()),
         "avg_qty": pa.array(np.round(
             agg["sum_qty"].to_numpy() / agg["n_rows"].to_numpy(), 6)),
         "n_rows": pa.array(agg["n_rows"].astype("int64").tolist(),
@@ -130,10 +146,12 @@ def orders_by_nation(sf_dir: str) -> pa.Table:
     def tag(t: pa.Table) -> pa.Table:
         nmap = ray.get(nmap_ref)
         nk = t["c_nationkey"].to_pylist()
+        cents = np.round(
+            t["o_totalprice"].to_numpy() * 100).astype(np.int64)
         return pa.table({
             "n_name": pa.array([nmap[int(k)] for k in nk],
                                type=pa.string()),
-            "o_totalprice": t["o_totalprice"],
+            "price_cents": pa.array(cents, type=pa.int64()),
         })
 
     from ray.data.aggregate import Count
@@ -142,7 +160,7 @@ def orders_by_nation(sf_dir: str) -> pa.Table:
         joined.map_batches(tag, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="revenue"))
+                   Sum("price_cents", alias_name="revenue_cents"))
         .to_pandas()
         .sort_values("n_name")
     )
@@ -150,8 +168,9 @@ def orders_by_nation(sf_dir: str) -> pa.Table:
         "n_name": pa.array(out["n_name"].tolist(), type=pa.string()),
         "n_orders": pa.array(out["n_orders"].astype("int64").tolist(),
                              type=pa.int64()),
-        "revenue": pa.array(
-            np.round(out["revenue"].to_numpy(), 2), type=pa.float64()),
+        "revenue_cents": pa.array(
+            out["revenue_cents"].astype("int64").tolist(),
+            type=pa.int64()),
     })
 
 
@@ -198,18 +217,21 @@ def region_part_revenue(sf_dir: str) -> pa.Table:
         if not keep.any():
             return pa.table({
                 "r_name": pa.array([], type=pa.string()),
-                "revenue": pa.array([], type=pa.float64()),
+                "revenue_e4": pa.array([], type=pa.int64()),
                 "n_items": pa.array([], type=pa.int64()),
             })
         sk = t["l_suppkey"].to_numpy()[keep]
-        rev = (t["l_extendedprice"].to_numpy()[keep]
-               * (1.0 - t["l_discount"].to_numpy()[keep]))
+        cents = np.round(
+            t["l_extendedprice"].to_numpy()[keep] * 100).astype(np.int64)
+        pct = np.round(
+            (1.0 - t["l_discount"].to_numpy()[keep]) * 100).astype(np.int64)
         rnames = np.asarray([s2r[int(s)] for s in sk])
         uniq, inv = np.unique(rnames, return_inverse=True)
         return pa.table({
             "r_name": pa.array(uniq.tolist(), type=pa.string()),
-            "revenue": pa.array(
-                np.bincount(inv, weights=rev, minlength=uniq.size)),
+            "revenue_e4": pa.array(np.bincount(
+                inv, weights=cents * pct,
+                minlength=uniq.size).astype(np.int64)),
             "n_items": pa.array(
                 np.bincount(inv, minlength=uniq.size).astype(np.int64)),
         })
@@ -219,15 +241,15 @@ def region_part_revenue(sf_dir: str) -> pa.Table:
               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("r_name")
-        .aggregate(Sum("revenue", alias_name="revenue"),
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
                    Sum("n_items", alias_name="n_items"))
         .to_pandas()
         .sort_values("r_name")
     )
     return pa.table({
         "r_name": pa.array(out["r_name"].tolist(), type=pa.string()),
-        "revenue": pa.array(np.round(out["revenue"].to_numpy(), 2),
-                            type=pa.float64()),
+        "revenue_e4": pa.array(out["revenue_e4"].astype("int64").tolist(),
+                               type=pa.int64()),
         "n_items": pa.array(out["n_items"].astype("int64").tolist(),
                             type=pa.int64()),
     })

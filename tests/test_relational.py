@@ -23,11 +23,15 @@ def test_pricing_summary_matches_duckdb(ray_session, con):
     got = pricing_summary(SF).to_pandas()
     want = con.execute("""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   AS sum_disc_price,
-               round(sum(l_quantity) / count(*), 6) AS avg_qty,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                   AS BIGINT) AS sum_disc_price_e4,
+               round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                     / count(*), 6) AS avg_qty,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59.999999'
@@ -37,10 +41,11 @@ def test_pricing_summary_matches_duckdb(ray_session, con):
     got = got.sort_values(["l_returnflag", "l_linestatus"]).reset_index(
         drop=True)
     want = want.reset_index(drop=True)
-    assert got["n_rows"].tolist() == want["n_rows"].tolist()
-    for col in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
-        assert got[col].tolist() == pytest.approx(want[col].tolist(),
-                                                  abs=1e-6), col
+    # integer money units: EXACT equality, no approx
+    for col in ("n_rows", "sum_qty", "sum_base_price_cents",
+                "sum_disc_price_e4"):
+        assert got[col].tolist() == want[col].tolist(), col
+    assert got["avg_qty"].tolist() == want["avg_qty"].tolist()
 
 
 def test_orders_by_nation_matches_duckdb(ray_session, con):
@@ -49,7 +54,8 @@ def test_orders_by_nation_matches_duckdb(ray_session, con):
     got = orders_by_nation(SF).to_pandas().reset_index(drop=True)
     want = con.execute("""
         SELECT n.n_name, count(*) AS n_orders,
-               round(sum(o.o_totalprice), 2) AS revenue
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_cents
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -57,8 +63,7 @@ def test_orders_by_nation_matches_duckdb(ray_session, con):
     """).df().reset_index(drop=True)
     assert got["n_name"].tolist() == want["n_name"].tolist()
     assert got["n_orders"].tolist() == want["n_orders"].tolist()
-    assert got["revenue"].tolist() == pytest.approx(want["revenue"].tolist(),
-                                                    abs=1e-4)
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
 
 
 def test_region_part_revenue_matches_duckdb(ray_session, con):
@@ -73,8 +78,9 @@ def test_region_part_revenue_matches_duckdb(ray_session, con):
     got = region_part_revenue(SF).to_pandas().reset_index(drop=True)
     want = c.execute("""
         SELECT r.r_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                   AS revenue,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_e4,
                count(*) AS n_items
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -87,5 +93,4 @@ def test_region_part_revenue_matches_duckdb(ray_session, con):
     c.close()
     assert got["r_name"].tolist() == want["r_name"].tolist()
     assert got["n_items"].tolist() == want["n_items"].tolist()
-    assert got["revenue"].tolist() == pytest.approx(
-        want["revenue"].tolist(), abs=1e-4)
+    assert got["revenue_e4"].tolist() == want["revenue_e4"].tolist()
