@@ -146,3 +146,25 @@ def test_deleted_content_can_be_reappended(built):
     got = [m.doc_id for m in idx2.search(Q, max_results=10,
                                          with_spans=False).matches]
     assert new_id in got and victim.doc_id not in got
+
+
+def test_compact_recovers_interrupted_swap(built):
+    """A crash between compact's two swap renames leaves only the .old
+    tree; the next compact_index call must restore and complete."""
+    import os
+    import shutil
+
+    from pdfsearch_ray.pipelines.build import compact_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    before = BM25Index(built).search(Q, max_results=5, with_spans=False)
+    # simulate the crash window: index_dir moved away, tmp half-present
+    os.rename(built, built + ".old")
+    os.makedirs(built + ".compact.tmp/docs", exist_ok=True)
+    m = compact_index(built)
+    assert m.n_docs > 0
+    assert not os.path.exists(built + ".old")
+    after = BM25Index(built).search(Q, max_results=5, with_spans=False)
+    assert [(x.doc_id, x.score) for x in before.matches] == [
+        (x.doc_id, x.score) for x in after.matches]
+    shutil.rmtree(built + ".compact.tmp", ignore_errors=True)
