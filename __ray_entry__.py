@@ -4,11 +4,14 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
-the driver against DuckDB at sf0.01 (row-count + schema + value-hash);
-the fulltext/en-analyzer pipelines have no SQL equivalent in this sandbox
-(DuckDB cannot load a stemmer extension offline) and are pinned instead by
-golden pytest fixtures (tests/) — they appear without oracle entries and
-get the rows-only check.
+the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
+28 of 30 queries carry an oracle — including ``fulltext_topk_simple``,
+which runs the REAL engine (build → codec → shuffle → decode → BM25)
+under the hash gate via the SQL-reproducible ``simple`` analyzer.  The
+two rows-only entries are pinned by golden pytest fixtures instead:
+``fulltext_topk`` (the Porter stemmer has no SQL equivalent in this
+offline DuckDB) and ``media_features`` (model-like tensor features from
+the stub decoder).
 """
 
 from __future__ import annotations
