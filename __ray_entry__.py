@@ -5,7 +5,7 @@ here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
 the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
-28 of 30 queries carry an oracle — including ``fulltext_topk_simple``,
+29 of 31 queries carry an oracle — including ``fulltext_topk_simple``,
 which runs the REAL engine (build → codec → shuffle → decode → BM25)
 under the hash gate via the SQL-reproducible ``simple`` analyzer.  The
 two rows-only entries are pinned by golden pytest fixtures instead:
@@ -88,6 +88,12 @@ def _asof_join_events(sf_dir: str):
     return asof_join_events(sf_dir)
 
 
+def _sliding_event_counts(sf_dir: str):
+    from pdfsearch_ray.pipelines.events import sliding_event_counts
+
+    return sliding_event_counts(sf_dir)
+
+
 def _sample_rate():
     from pdfsearch_ray.pipelines.queries import SAMPLE_RATE
 
@@ -141,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_event_counts": _windowed_event_counts,
         "user_sessions": _user_sessions,
         "asof_join_events": _asof_join_events,
+        "sliding_event_counts": _sliding_event_counts,
         "corpus_sample": q.corpus_sample,
         "top_docs_per_lang": q.top_docs_per_lang,
         "pricing_summary": _pricing_summary,
@@ -432,7 +439,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
             FROM events
             GROUP BY 1, 2
         """,
@@ -457,6 +465,26 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN r2 b
                 ON a.user_id = b.user_id AND a.ts >= b.ts
         """,
+        # every event fans out to size/hop = 4 overlapping windows;
+        # window starts are epoch-floor multiples of the 15-min hop
+        "sliding_event_counts": """
+            WITH e AS (
+                SELECT ts, event_type, value,
+                       ts - (epoch_us(ts) % 900000000)
+                            * INTERVAL '1 microsecond' AS b
+                FROM events
+            ),
+            w AS (
+                SELECT e.event_type, e.value,
+                       e.b - i.i * INTERVAL '15 minutes' AS window_start
+                FROM e, (SELECT unnest(range(0, 4)) AS i) i
+            )
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM w GROUP BY 1, 2
+        """,
         "user_sessions": """
             WITH o AS (
                 SELECT user_id, event_id, ts, value,
@@ -476,7 +504,8 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) AS session_end,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
             FROM s GROUP BY user_id, sid
         """,
     }

@@ -47,29 +47,25 @@ def windowed_event_counts(sf_dir: str) -> rd.Dataset:
     def assign(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()
         win = (ts // win_us) * win_us
+        # exact integer cents (the synthetic values carry 2 decimals):
+        # float sums depend on Ray's nondeterministic block arrival
+        # order and can flip a 6-dp rounding boundary between runs;
+        # integer sums are order-independent, so the driver's exact
+        # value-hash cannot flake
+        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
         return pa.table({
             "window_start": pa.array(win).cast(pa.timestamp("us")),
             "event_type": batch["event_type"],
-            "value": batch["value"],
+            "value_cents": pa.array(cents, type=pa.int64()),
         })
 
-    agg = (
+    return (
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(assign, batch_format="pyarrow")
         .groupby(["window_start", "event_type"])
         .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="sum_value"))
+                   Sum("value_cents", alias_name="sum_value_cents"))
     )
-
-    def round6(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.set_column(
-            batch.schema.get_field_index("sum_value"), "sum_value",
-            pc.round(batch["sum_value"], ndigits=6),
-        )
-
-    return agg.map_batches(round6, batch_format="pyarrow")
 
 
 def sessionize_block(t: pa.Table, gap_us: int) -> pa.Table:
@@ -83,12 +79,13 @@ def sessionize_block(t: pa.Table, gap_us: int) -> pa.Table:
             "session_start": pa.array([], type=pa.timestamp("us")),
             "session_end": pa.array([], type=pa.timestamp("us")),
             "n_events": pa.array([], type=pa.int64()),
-            "sum_value": pa.array([], type=pa.float64()),
+            "sum_value_cents": pa.array([], type=pa.int64()),
         })
     uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     ts = t["ts"].cast(pa.int64()).to_numpy()
     eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    val = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    val = np.round(t["value"].to_numpy(zero_copy_only=False)
+                   * 100).astype(np.int64)
     order = np.lexsort((eid, ts, uid))
     uid, ts, val = uid[order], ts[order], val[order]
     new_s = np.ones(len(uid), dtype=bool)
@@ -101,8 +98,9 @@ def sessionize_block(t: pa.Table, gap_us: int) -> pa.Table:
         "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
         "session_end": pa.array(ts[ends]).cast(pa.timestamp("us")),
         "n_events": pa.array((ends - starts + 1).astype(np.int64)),
-        "sum_value": pa.array(
-            np.round(np.add.reduceat(val, starts), 6), type=pa.float64()),
+        # reduceat over int64 is exact; cents keep the hash stable
+        "sum_value_cents": pa.array(
+            np.add.reduceat(val, starts).astype(np.int64), type=pa.int64()),
     })
 
 
@@ -292,4 +290,43 @@ def asof_join_events(sf_dir: str, *, ref_type: str = ASOF_REF_TYPE,
         rd.from_items([{"dir": d} for d in bucket_dirs],
                       override_num_blocks=max(1, len(bucket_dirs)))
         .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+    )
+
+
+SLIDE_SIZE_MINUTES = 60
+SLIDE_HOP_MINUTES = 15
+
+
+def sliding_event_counts(sf_dir: str) -> rd.Dataset:
+    """Sliding-window aggregate (size 60 min, hop 15 min): every event
+    contributes to size/hop = 4 overlapping windows.  The expansion is a
+    vectorized ``np.repeat`` inside map_batches — each event row fans
+    out to its 4 covering window keys before the aggregate — so, as with
+    the tumbling windows, the only shuffle is the tiny
+    (window, event_type) groupby; the raw events never move.  Window
+    starts are epoch-floor multiples of the hop, matching the SQL
+    oracle's arithmetic exactly."""
+    size_us = SLIDE_SIZE_MINUTES * 60 * 1_000_000
+    hop_us = SLIDE_HOP_MINUTES * 60 * 1_000_000
+    k = size_us // hop_us
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        base = (ts // hop_us) * hop_us
+        offsets = np.arange(k, dtype=np.int64) * hop_us
+        win = (np.repeat(base, k).reshape(-1, k) - offsets).ravel()
+        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "window_start": pa.array(win).cast(pa.timestamp("us")),
+            "event_type": pa.array(
+                np.repeat(np.asarray(batch["event_type"].to_pylist()), k)),
+            "value_cents": pa.array(np.repeat(cents, k), type=pa.int64()),
+        })
+
+    return (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_cents", alias_name="sum_value_cents"))
     )

@@ -36,7 +36,7 @@ def test_tumbling_windows(ray_session, tmp_path):
     assert len(df) == 3
     w0 = df[(df.event_type == "click") &
             (df.window_start == pd.Timestamp("2024-01-01T00:00:00"))]
-    assert int(w0.n_events.iloc[0]) == 2 and float(w0.sum_value.iloc[0]) == 3.0
+    assert int(w0.n_events.iloc[0]) == 2 and int(w0.sum_value_cents.iloc[0]) == 300
     w1 = df[(df.event_type == "click") &
             (df.window_start == pd.Timestamp("2024-01-01T01:00:00"))]
     assert int(w1.n_events.iloc[0]) == 1
@@ -58,7 +58,7 @@ def test_sessionization_gap_edges(ray_session, tmp_path):
         ["user_id", "session_start"]).reset_index(drop=True)
     u1 = df[df.user_id == 1]
     assert len(u1) == 2
-    assert int(u1.n_events.iloc[0]) == 2 and float(u1.sum_value.iloc[0]) == 3.0
+    assert int(u1.n_events.iloc[0]) == 2 and int(u1.sum_value_cents.iloc[0]) == 300
     assert int(u1.n_events.iloc[1]) == 1
     u2 = df[df.user_id == 2]
     assert len(u2) == 1 and int(u2.n_events.iloc[0]) == 1
