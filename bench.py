@@ -155,6 +155,32 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
 
     total = round(sum(results.values()), 3)
 
+    # round-2 additions, timed under a SEPARATE key so `value` stays
+    # comparable with earlier rounds' totals
+    extra: dict[str, float] = {}
+    from pdfsearch_ray.pipelines import relational as rel
+    from pdfsearch_ray.pipelines.events import (
+        asof_join_events,
+        sliding_event_counts,
+    )
+
+    for name, fn in (
+        ("sliding_event_counts", sliding_event_counts),
+        ("asof_join_events", asof_join_events),
+        ("pricing_summary", rel.pricing_summary),
+        ("orders_by_nation", rel.orders_by_nation),
+        ("region_part_revenue", rel.region_part_revenue),
+        ("corpus_sample", qmod.corpus_sample),
+        ("top_docs_per_lang", qmod.top_docs_per_lang),
+        ("media_inventory", qmod.media_inventory),
+        ("embedding_dup_pairs", qmod.embedding_dup_pairs),
+    ):
+        t = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        extra[name] = round(time.perf_counter() - t, 3)
+
     # lifecycle: append the sf documents table as a delta segment (ids
     # don't collide: pages doc_ids are partition-prefixed), then measure
     # query latency against the multi-segment index.  Recorded OUTSIDE
@@ -186,6 +212,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "append_sec": append_sec,
         "append_docs": app["n_added"],
         "query_p50_appended": round(statistics.median(lat2), 4),
+        "extra_queries": extra,
     }
 
 
