@@ -642,15 +642,25 @@ class BM25Index:
 
         cand_ids = np.empty(0, dtype=np.uint64)
         cand_sc = np.empty(0)
-        theta = -np.inf
 
         def _theta(sc: np.ndarray) -> float:
             if sc.size < k:
                 return -np.inf
             return float(np.partition(sc, sc.size - k)[sc.size - k])
 
+        # GROW with a CHEAP θ lower bound so candidate parts are
+        # aggregated exactly ONCE (per-run incremental merges made heavy
+        # queries O(runs × candidates) — measured slower than TAAT).  A
+        # doc's final score is ≥ any single contribution, so the k-th
+        # largest single contribution seen so far lower-bounds the true
+        # θ; stopping only when suffix < θ_lower is therefore always
+        # conservative (never stops earlier than the true rule).
+        pend_ids: list[np.ndarray] = []
+        pend_sc: list[np.ndarray] = []
+        best_contrib = np.empty(0)
+        theta_lower = -np.inf
         i = 0
-        while i < len(runs) and suffix[i] >= theta:
+        while i < len(runs) and suffix[i] >= theta_lower:
             r = runs[i]
             self._decode_blocks_bulk(r["blocks"], r["idf"])
             ids_new = np.concatenate([b["ids"] for b in r["blocks"]])
@@ -660,11 +670,23 @@ class BM25Index:
                 # live docs); drop them before they become candidates
                 live = ~np.isin(ids_new, deleted)
                 ids_new, sc_new = ids_new[live], sc_new[live]
-            cand_ids, cand_sc = _aggregate_scores(
-                np.concatenate([cand_ids, ids_new]),
-                np.concatenate([cand_sc, sc_new]))
-            theta = _theta(cand_sc)
+            pend_ids.append(ids_new)
+            pend_sc.append(sc_new)
+            if sc_new.size:
+                top = (np.partition(sc_new, sc_new.size - k)[sc_new.size - k:]
+                       if sc_new.size > k else sc_new)
+                best_contrib = np.concatenate([best_contrib, top])
+                if best_contrib.size > k:
+                    best_contrib = np.partition(
+                        best_contrib,
+                        best_contrib.size - k)[best_contrib.size - k:]
+                if best_contrib.size >= k:
+                    theta_lower = float(best_contrib.min())
             i += 1
+        if pend_ids:
+            cand_ids, cand_sc = _aggregate_scores(
+                np.concatenate(pend_ids), np.concatenate(pend_sc))
+        theta = _theta(cand_sc)
 
         for j in range(i, len(runs)):
             if cand_ids.size == 0:
@@ -677,25 +699,50 @@ class BM25Index:
                 if cand_ids.size == 0:
                     break
             r = runs[j]
+            run_n = sum(b["n"] for b in r["blocks"])
+            if cand_ids.size > 2 * run_n:
+                # probing dominates when candidates outnumber the run's
+                # postings — decoding the whole run and intersecting is
+                # strictly cheaper.  Docs of this run that are NOT
+                # candidates stay excluded: by the probe-phase invariant
+                # any doc first seen now can total at most suffix[j] < θ
+                # and can never enter the top k.
+                self._decode_blocks_bulk(r["blocks"], r["idf"])
+                rids = np.concatenate([b["ids"] for b in r["blocks"]])
+                rsc = np.concatenate([b["scores"] for b in r["blocks"]])
+                pos = np.searchsorted(rids, cand_ids)
+                pos = np.minimum(pos, rids.size - 1)
+                hit = rids[pos] == cand_ids
+                if hit.any():
+                    cand_sc[hit] += rsc[pos[hit]]
+                theta = max(theta, _theta(cand_sc))
+                continue
             bi = np.searchsorted(r["firsts"], cand_ids,
                                  side="right").astype(np.int64) - 1
             valid = bi >= 0
             if not valid.any():
                 continue
-            touched = np.unique(bi[valid])
+            # group candidates by block via ONE stable sort + slices —
+            # a per-block boolean mask would cost
+            # O(candidates × touched blocks)
+            vpos = np.nonzero(valid)[0]
+            order = np.argsort(bi[vpos], kind="stable")
+            vidx = vpos[order]
+            bsorted = bi[vidx]
+            touched = np.unique(bsorted)
             bl = [r["blocks"][int(x)] for x in touched]
             self._decode_blocks_bulk(bl, r["idf"])
-            for x in touched:
+            starts = np.searchsorted(bsorted, touched, side="left")
+            ends = np.searchsorted(bsorted, touched, side="right")
+            for x, s0, s1 in zip(touched, starts, ends):
                 blk = r["blocks"][int(x)]
-                sel = valid & (bi == x)
-                ids_q = cand_ids[sel]
+                ci = vidx[s0:s1]
+                ids_q = cand_ids[ci]
                 pos = np.searchsorted(blk["ids"], ids_q)
                 pos = np.minimum(pos, blk["n"] - 1)
                 hit = blk["ids"][pos] == ids_q
                 if hit.any():
-                    add = np.zeros(ids_q.size)
-                    add[hit] = blk["scores"][pos[hit]]
-                    cand_sc[sel] += add
+                    cand_sc[ci[hit]] += blk["scores"][pos[hit]]
             theta = max(theta, _theta(cand_sc))
 
         if cand_ids.size == 0:
@@ -718,7 +765,24 @@ class BM25Index:
         else:
             sel_ids = cand_ids
         exact = np.zeros(sel_ids.size)
+        # the tie-safe >= selection is unbounded when scores mass-tie
+        # (degenerate small-vocabulary corpora): for large selections,
+        # probe whole runs vectorized (one searchsorted over the run's
+        # concatenated docID stream) instead of per-block — the blocks
+        # are already decoded in exactly those scenarios
+        big_sel = sel_ids.size > 1024
         for r in runs_term_order:
+            if big_sel:
+                self._decode_blocks_bulk(r["blocks"], r["idf"])
+                rids = np.concatenate([b["ids"] for b in r["blocks"]])
+                rsc = np.concatenate([b["scores"] for b in r["blocks"]])
+                pos = np.searchsorted(rids, sel_ids)
+                pos = np.minimum(pos, rids.size - 1)
+                hit = rids[pos] == sel_ids
+                contrib = np.zeros(sel_ids.size)
+                contrib[hit] = rsc[pos[hit]]
+                exact += contrib
+                continue
             bi = np.searchsorted(r["firsts"], sel_ids,
                                  side="right").astype(np.int64) - 1
             valid = bi >= 0
