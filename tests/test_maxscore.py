@@ -117,3 +117,38 @@ def test_auto_method_rank_identical(indexes):
         c = idx.search(q, max_results=10, with_spans=False, method="auto")
         assert [(m.doc_id, m.score) for m in a.matches] == [
             (m.doc_id, m.score) for m in c.matches], q
+
+
+def test_maxscore_mass_tie_corpus(ray_session, tmp_path):
+    """Degenerate corpus: every doc contains every query term with the
+    same tf, so scores mass-tie (the 1M-doc smoke's shape).  Guards the
+    scale paths: unbounded tie selection in the exact-recompute tail and
+    per-block probe masks were quadratic here.  MaxScore must stay
+    rank/score-identical to TAAT, with ties resolved by doc_id asc."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    n = 3000
+    text = "alpha beta gamma " * 5
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "text": pa.array([text + f"w{i % 7}" for i in range(n)]),
+    })
+    d = str(tmp_path / "tie")
+    build_index(rd.from_arrow(t), d, analyzer="simple", num_buckets=8)
+    idx = BM25Index(d)
+    for q in ("alpha beta gamma", "alpha", "alpha w3"):
+        a = idx.search(q, max_results=10, with_spans=False, method="taat")
+        b = idx.search(q, max_results=10, with_spans=False,
+                       method="maxscore")
+        assert [(m.doc_id, m.score) for m in a.matches] == [
+            (m.doc_id, m.score) for m in b.matches], q
+    # mass tie resolves to the smallest doc_ids
+    ms = idx.search("alpha beta gamma", max_results=5, with_spans=False,
+                    method="maxscore")
+    assert [m.doc_id for m in ms.matches] == sorted(
+        m.doc_id for m in ms.matches)
