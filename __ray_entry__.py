@@ -5,7 +5,7 @@ here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
 the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
-29 of 31 queries carry an oracle — including ``fulltext_topk_simple``,
+30 of 32 queries carry an oracle — including ``fulltext_topk_simple``,
 which runs the REAL engine (build → codec → shuffle → decode → BM25)
 under the hash gate via the SQL-reproducible ``simple`` analyzer.  The
 two rows-only entries are pinned by golden pytest fixtures instead:
@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_counts": _sliding_event_counts,
         "corpus_sample": q.corpus_sample,
         "top_docs_per_lang": q.top_docs_per_lang,
+        "doc_length_quantiles": q.doc_length_quantiles,
         "pricing_summary": _pricing_summary,
         "orders_by_nation": _orders_by_nation,
         "region_part_revenue": _region_part_revenue,
@@ -382,6 +383,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE p.p_size < 20
             GROUP BY r.r_name
+        """,
+        "doc_length_quantiles": """
+            SELECT CAST(0.5 AS DOUBLE) AS p,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars
+            FROM documents
+            UNION ALL SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+            FROM documents
+            UNION ALL SELECT 0.99,
+                   CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
+            FROM documents
+            UNION ALL SELECT 0.999,
+                   CAST(quantile_disc(n_chars, 0.999) AS BIGINT)
+            FROM documents
         """,
         "corpus_sample": _oracles.sample_sql(rate=_sample_rate()),
         "top_docs_per_lang": f"""

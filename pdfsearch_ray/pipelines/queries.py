@@ -501,6 +501,52 @@ def media_features(sf_dir: str) -> rd.Dataset:
 
 SAMPLE_RATE = 0.25
 TOP_PER_LANG_K = 10
+QUANTILE_PS = (0.5, 0.9, 0.99, 0.999)
+
+
+def doc_length_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT discrete quantiles of doc length (n_chars) WITHOUT a
+    distributed sort: each batch emits a sparse (value, count)
+    histogram partial — integers over a bounded domain — and the merge
+    is a tiny value-keyed sum + one cumulative scan on the driver.
+    O(distinct values) moves instead of O(rows); the standard shape for
+    distribution stats over 10^12 rows (quantile_disc semantics: the
+    smallest value with cumulative count >= ceil(p·n))."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy()
+        vals, counts = np.unique(v, return_counts=True)
+        return pa.table({
+            "v": pa.array(vals.astype(np.int64)),
+            "c": pa.array(counts.astype(np.int64)),
+        })
+
+    from ..functions.tables import strip_schema_metadata
+
+    hist = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["n_chars"]))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    vals = hist["v"].to_numpy()
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for p in QUANTILE_PS:
+        rank = int(np.ceil(p * n))
+        j = int(np.searchsorted(cum, max(rank, 1)))
+        out_p.append(p)
+        out_v.append(int(vals[min(j, len(vals) - 1)]))
+    return pa.table({
+        "p": pa.array(out_p, type=pa.float64()),
+        "n_chars": pa.array(out_v, type=pa.int64()),
+    })
 
 
 def corpus_sample(sf_dir: str) -> rd.Dataset:
