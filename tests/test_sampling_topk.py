@@ -70,3 +70,20 @@ def test_fulltext_topk_simple_matches_sql_oracle(ray_session):
     assert got["score"].tolist() == pytest.approx(want["score"].tolist(),
                                                   abs=2e-6)
     assert got["rank"].tolist() == want["rank"].tolist()
+
+
+def test_doc_length_quantiles_matches_duckdb(ray_session):
+    from pdfsearch_ray.pipelines.queries import doc_length_quantiles
+
+    got = doc_length_quantiles(SF).to_pandas().sort_values("p")
+    want = duckdb.sql(f"""
+        SELECT 0.5 AS p, quantile_disc(n_chars, 0.5) AS v
+        FROM read_parquet('{SF}/documents.parquet')
+        UNION ALL SELECT 0.9, quantile_disc(n_chars, 0.9)
+        FROM read_parquet('{SF}/documents.parquet')
+        UNION ALL SELECT 0.99, quantile_disc(n_chars, 0.99)
+        FROM read_parquet('{SF}/documents.parquet')
+        UNION ALL SELECT 0.999, quantile_disc(n_chars, 0.999)
+        FROM read_parquet('{SF}/documents.parquet')
+    """).df().sort_values("p")
+    assert got["n_chars"].tolist() == want["v"].astype("int64").tolist()
