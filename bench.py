@@ -172,6 +172,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("region_part_revenue", rel.region_part_revenue),
         ("corpus_sample", qmod.corpus_sample),
         ("top_docs_per_lang", qmod.top_docs_per_lang),
+        ("doc_length_quantiles", qmod.doc_length_quantiles),
         ("media_inventory", qmod.media_inventory),
         ("embedding_dup_pairs", qmod.embedding_dup_pairs),
     ):

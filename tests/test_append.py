@@ -204,3 +204,42 @@ def test_append_respects_source_hash_column(ray_session, tmp_path):
     res = append_index(src, d, lang_col="lang")
     assert res["segment"] is None and res["n_added"] == 0
     assert IndexManifest.load(d).segments == []
+
+
+def test_two_appends_match_full_rebuild(ray_session, tmp_path):
+    """Three segments (base + seg-001 + seg-002), each encoded under a
+    different global avgdl, must still reproduce the from-scratch build
+    bitwise — two distinct block-max bound corrections active at once."""
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.build import append_index, build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    t = pq.read_table(SF)
+    c1, c2 = int(t.num_rows * 0.4), int(t.num_rows * 0.7)
+
+    full_dir = str(tmp_path / "full")
+    build_index(rd.from_arrow(t), full_dir, num_buckets=8,
+                analyzer="en", lang_col="lang")
+    inc_dir = str(tmp_path / "inc")
+    build_index(rd.from_arrow(t.slice(0, c1)), inc_dir, num_buckets=8,
+                analyzer="en", lang_col="lang")
+    s1 = append_index(rd.from_arrow(t.slice(c1, c2 - c1)), inc_dir,
+                      lang_col="lang")
+    s2 = append_index(rd.from_arrow(t.slice(c2)), inc_dir, lang_col="lang")
+    assert (s1["segment"], s2["segment"]) == ("seg-001", "seg-002")
+
+    full = BM25Index(full_dir)
+    inc = BM25Index(inc_dir)
+    assert len(inc.manifest.segments) == 3
+    bakes = {s["name"]: s["avgdl_baked"] for s in inc.manifest.segments}
+    assert len(set(bakes.values())) == 3  # three distinct corrections
+    assert inc.manifest.avgdl == full.manifest.avgdl
+    for q in QUERIES:
+        for method in ("taat", "maxscore"):
+            a = full.search(q, max_results=10, with_spans=False,
+                            method=method)
+            b = inc.search(q, max_results=10, with_spans=False,
+                           method=method)
+            assert [(m.doc_id, m.score) for m in a.matches] == [
+                (m.doc_id, m.score) for m in b.matches], (q, method)
