@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="merge segments and purge tombstones")
     cp.add_argument("--index-dir", required=True)
     cp.add_argument("--resume", action="store_true")
+    cp.add_argument("--keep-old", action="store_true",
+                    help="leave <index-dir>.old on disk so warm serving "
+                         "replicas can drain before reload()")
 
     for q in (ap, dp, cp):
         q.add_argument("--num-cpus", type=int, default=None)
@@ -77,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         m = b.compact_index(args.index_dir, resume=args.resume,
+                            remove_old=not args.keep_old,
                             report=lambda m: print(m, file=sys.stderr))
         out = {"n_docs": m.n_docs, "avgdl": m.avgdl,
                "build_metrics": m.build_metrics}
