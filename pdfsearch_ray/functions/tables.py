@@ -2,9 +2,52 @@
 
 from __future__ import annotations
 
+import glob
+import os
+
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray.data as rd
+
+
+def _first_parquet_file(paths: str | list[str]) -> str:
+    if isinstance(paths, (list, tuple)):
+        return _first_parquet_file(paths[0])
+    if os.path.isdir(paths):
+        hits = sorted(glob.glob(os.path.join(paths, "**", "*.parquet"),
+                                recursive=True))
+        if hits:
+            return hits[0]
+    return paths
+
+
+def read_parquet_nometa(
+    paths: str | list[str],
+    *,
+    columns: list[str] | None = None,
+    **kwargs,
+) -> rd.Dataset:
+    """``ray.data.read_parquet`` with a metadata-free schema.
+
+    Parquet written by pandas embeds a ``pandas`` schema-metadata dict;
+    in this pyarrow version a schema carrying that metadata is UNHASHABLE,
+    so Ray's block-schema dedup inside the fused ``ReadParquet->SplitBlocks``
+    operator logs "Failed to hash the schemas (for deduplication)" per read
+    task — at web scale that is one warning line per input fragment.
+    Passing an explicit metadata-free (column-pruned) schema to the read
+    silences it at the source and removes the need for a downstream 1:1
+    strip stage.  Falls back to a plain read + strip when the footer is
+    unreadable (e.g. glob patterns).
+    """
+    try:
+        schema = pq.read_schema(_first_parquet_file(paths)).remove_metadata()
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+    except (OSError, KeyError, pa.ArrowInvalid):
+        return strip_schema_metadata(
+            rd.read_parquet(paths, columns=columns, **kwargs))
+    return rd.read_parquet(paths, columns=columns, schema=schema, **kwargs)
 
 
 def strip_schema_metadata(ds: rd.Dataset) -> rd.Dataset:

@@ -366,7 +366,8 @@ def build_index(
             return source
         cols = _source_columns(
             source, [c for c in (id_col, text_col, url_col, lang_col) if c])
-        return rd.read_parquet(source, columns=cols)
+        from ..functions.tables import read_parquet_nometa
+        return read_parquet_nometa(source, columns=cols)
 
     # 1. docs catalog (cheap pass, no tokenization).  Sorted per block, not
     # globally: hydration prunes by row-group min/max footer stats, which
@@ -648,7 +649,8 @@ def build_index_mem(
             return source
         cols = _source_columns(
             source, [c for c in (id_col, text_col, url_col, lang_col) if c])
-        return rd.read_parquet(source, columns=cols)
+        from ..functions.tables import read_parquet_nometa
+        return read_parquet_nometa(source, columns=cols)
 
     import ray
 
@@ -1148,7 +1150,8 @@ def append_index(
             return source
         cols = _source_columns(
             source, [c for c in (id_col, text_col, url_col, lang_col) if c])
-        return rd.read_parquet(source, columns=cols)
+        from ..functions.tables import read_parquet_nometa
+        return read_parquet_nometa(source, columns=cols)
 
     # 1. known-hash set: narrow scan of every committed docs catalog
     doc_files = _committed_doc_files(index_dir, m)

@@ -31,11 +31,10 @@ SESSION_GAP_MINUTES = 30
 
 
 def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
-    return strip_schema_metadata(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
-    )
+    return read_parquet_nometa(
+        f"{sf_dir}/events.parquet", columns=columns)
 
 
 def windowed_event_counts(sf_dir: str) -> rd.Dataset:

@@ -38,11 +38,10 @@ BM25_B = 0.75
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
-    return strip_schema_metadata(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    )
+    return read_parquet_nometa(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def _simple_tokens(sf_dir: str) -> rd.Dataset:
@@ -326,11 +325,10 @@ def bm25_topk(sf_dir: str) -> pa.Table:
 
 
 def lang_distribution(sf_dir: str) -> rd.Dataset:
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
     return (
-        strip_schema_metadata(
-            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]))
+        read_parquet_nometa(f"{sf_dir}/documents.parquet", columns=["lang"])
         .groupby("lang")
         .aggregate(Count(alias_name="n"))
     )
@@ -443,11 +441,11 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
             "sim": pa.array(out_s, type=pa.float64()),
         })
 
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
-    part = strip_schema_metadata(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])) \
+    part = read_parquet_nometa(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"]) \
         .map_batches(sims, batch_format="pyarrow", batch_size=4096)
     pdf = part.to_pandas()
     pdf["sim_r"] = pdf["sim"].round(6)
@@ -522,12 +520,11 @@ def doc_length_quantiles(sf_dir: str) -> pa.Table:
             "c": pa.array(counts.astype(np.int64)),
         })
 
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
     hist = (
-        strip_schema_metadata(
-            rd.read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["n_chars"]))
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["n_chars"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("v")
         .aggregate(Sum("c", alias_name="c"))
@@ -563,11 +560,11 @@ def corpus_sample(sf_dir: str) -> rd.Dataset:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(_sample_mask(ids, SAMPLE_RATE)))
 
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
-    return strip_schema_metadata(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "lang", "n_chars"])
+    return read_parquet_nometa(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
     ).map_batches(f, batch_format="pyarrow")
 
 
@@ -577,7 +574,7 @@ def top_docs_per_lang(sf_dir: str) -> pa.Table:
     merge sees at most K × langs × blocks rows instead of the corpus —
     the standard scale shape for 'best N per group' selection.  Order:
     n_chars DESC, doc_id ASC."""
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -589,9 +586,9 @@ def top_docs_per_lang(sf_dir: str) -> pa.Table:
             df.groupby("lang", sort=False).head(TOP_PER_LANG_K),
             preserve_index=False)
 
-    parts = strip_schema_metadata(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "lang", "n_chars"])
+    parts = read_parquet_nometa(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
     ).map_batches(partial, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["lang", "n_chars", "doc_id"],
                               ascending=[True, False, True],

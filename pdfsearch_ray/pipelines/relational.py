@@ -38,11 +38,10 @@ PRICING_CUTOFF = "1998-09-02"  # l_shipdate <= cutoff (Q1 shape)
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
-    return strip_schema_metadata(
-        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-    )
+    return read_parquet_nometa(
+        f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def pricing_summary(sf_dir: str) -> pa.Table:

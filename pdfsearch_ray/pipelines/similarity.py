@@ -108,12 +108,12 @@ def build_partitioned_embeddings(
     At scale this is built once and reused by every query batch; a
     failed build re-runs cheaply (single narrow pass, partitioned
     output)."""
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
     params_ref = ray.put(params)
-    strip_schema_metadata(rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )).map_batches(
+    read_parquet_nometa(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+    ).map_batches(
         _PartitionAssigner,
         fn_constructor_kwargs=dict(params_ref=params_ref, mode=mode, dim=dim,
                                    exclude_below=exclude_below),
@@ -285,12 +285,11 @@ def embedding_dup_pairs(
             "cos": pa.array(s[r, c], type=pa.float64()),
         })
 
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import read_parquet_nometa
 
     out = (
-        strip_schema_metadata(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding"]))
+        read_parquet_nometa(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
         .map_batches(pairs, batch_format="pyarrow", batch_size=batch_size)
         .to_pandas()
         .sort_values(["vec_a", "vec_b"])
