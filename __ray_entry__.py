@@ -5,7 +5,7 @@ here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
 the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
-30 of 32 queries carry an oracle — including ``fulltext_topk_simple``,
+32 of 34 queries carry an oracle — including ``fulltext_topk_simple``,
 which runs the REAL engine (build → codec → shuffle → decode → BM25)
 under the hash gate via the SQL-reproducible ``simple`` analyzer.  The
 two rows-only entries are pinned by golden pytest fixtures instead:
@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _pricing_summary,
         "orders_by_nation": _orders_by_nation,
         "region_part_revenue": _region_part_revenue,
+        "chunk_dedup": q.chunk_dedup_docs,
+        "gopher_quality": q.gopher_quality_flags,
     }
 
 
@@ -522,4 +524,23 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_cents
             FROM s GROUP BY user_id, sid
         """,
+        "chunk_dedup": _oracles.chunk_dedup_sql(
+            words_per_chunk=_chunk_words()),
+        "gopher_quality": _gopher_oracle(),
     }
+
+
+def _chunk_words() -> int:
+    from pdfsearch_ray.pipelines.dedup import CHUNK_WORDS
+
+    return CHUNK_WORDS
+
+
+def _gopher_oracle() -> str:
+    from pdfsearch_ray.pipelines import oracles as _oracles
+    from pdfsearch_ray.pipelines import textstats as ts
+
+    return _oracles.gopher_sql(
+        min_words=ts.GOPHER_MIN_WORDS, max_words=ts.GOPHER_MAX_WORDS,
+        min_mean_wl=ts.GOPHER_MIN_MEAN_WL, max_mean_wl=ts.GOPHER_MAX_MEAN_WL,
+        max_word_len=ts.GOPHER_MAX_WORD_LEN)

@@ -175,6 +175,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("doc_length_quantiles", qmod.doc_length_quantiles),
         ("media_inventory", qmod.media_inventory),
         ("embedding_dup_pairs", qmod.embedding_dup_pairs),
+        ("chunk_dedup", qmod.chunk_dedup_docs),
+        ("gopher_quality", qmod.gopher_quality_flags),
     ):
         t = time.perf_counter()
         res = fn(sf_dir)

@@ -489,3 +489,132 @@ def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3) -> pa.Table:
         "doc_b": pa.array(pairs["doc_b"].astype("int64").tolist(), type=pa.int64()),
         "hamming": pa.array(pairs["hamming"].astype("int64").tolist(), type=pa.int64()),
     })
+
+
+# ------------------------------------------------------- chunk-level dedup
+
+
+CHUNK_WORDS = 8  # non-overlapping words per dedup segment
+
+
+def _doc_chunks(text: str, w: int) -> list[str]:
+    """Non-overlapping ``w``-word segments; the final segment may be
+    shorter.  ``''.split(' ')`` is ``['']`` (one 1-word chunk), matching
+    DuckDB ``string_split``."""
+    words = text.split(" ")
+    return [" ".join(words[i:i + w]) for i in range(0, len(words), w)]
+
+
+def _md5_pair(s: str) -> tuple[int, int]:
+    """Full 128-bit md5 as two signed int64 groupby keys — the SAME
+    equivalence classes as the oracle's ``PARTITION BY md5(chunk)``."""
+    import hashlib
+
+    h = np.frombuffer(hashlib.md5(s.encode("utf-8")).digest(), dtype="<i8")
+    return int(h[0]), int(h[1])
+
+
+def chunk_dedup(
+    docs: rd.Dataset,
+    *,
+    words_per_chunk: int = CHUNK_WORDS,
+    work_dir: str | None = None,
+) -> rd.Dataset:
+    """Corpus-level sequence dedup (C4 / "Deduplicating Training Data
+    Makes Language Models Better"-style): split every doc into
+    non-overlapping ``words_per_chunk``-word segments, keep exactly ONE
+    copy of each distinct full-length segment across the whole corpus
+    (winner = lexicographically least (doc_id, chunk_idx)), drop the
+    rest, and reassemble each doc from its surviving segments.
+    Short final segments never participate in dedup.
+
+    Scale shape (text is never shuffled):
+    1. election — narrow (md5_hi, md5_lo, doc_id, chunk_idx) rows,
+       groupby full 128-bit hash, emit LOSER rows only;
+    2. the loser table (one narrow row per dropped segment) is
+       range-partitioned by doc_id (sort + parquet row-group stats);
+    3. reassembly re-reads the original docs and re-derives segments
+       locally; each batch loads only the loser row groups overlapping
+       its own doc_id range (docs arrive doc_id-clustered from the
+       source, so the pruned read is O(batch's own losers)).
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    w = words_per_chunk
+
+    def election(batch: pa.Table) -> pa.Table:
+        hi, lo, ids, idxs = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for ci, chunk in enumerate(_doc_chunks(text or "", w)):
+                if chunk.count(" ") != w - 1:  # short final segment
+                    continue
+                a, b = _md5_pair(chunk)
+                hi.append(a)
+                lo.append(b)
+                ids.append(did)
+                idxs.append(ci)
+        return pa.table({
+            "h_hi": pa.array(hi, type=pa.int64()),
+            "h_lo": pa.array(lo, type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "chunk_idx": pa.array(idxs, type=pa.int64()),
+        })
+
+    def losers(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        idxs = g["chunk_idx"].to_numpy()
+        order = np.lexsort((idxs, ids))  # winner = min (doc_id, chunk_idx)
+        drop = order[1:]
+        return pa.table({
+            "doc_id": pa.array(ids[drop], type=pa.int64()),
+            "chunk_idx": pa.array(idxs[drop], type=pa.int64()),
+        })
+
+    loser_dir = work_dir or tempfile.mkdtemp(prefix="chunk_dedup_")
+    (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(election, batch_format="pyarrow")
+        .groupby(["h_hi", "h_lo"])
+        .map_groups(losers, batch_format="pyarrow")
+        .sort("doc_id")
+        .write_parquet(loser_dir, row_group_size=16384)
+    )
+    loser_files = sorted(
+        f for f in os.listdir(loser_dir) if f.endswith(".parquet"))
+    loser_paths = [os.path.join(loser_dir, f) for f in loser_files]
+
+    def reassemble(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dropped: dict[int, set[int]] = {}
+        if len(ids) and loser_paths:
+            lo_id, hi_id = int(ids.min()), int(ids.max())
+            flt = [("doc_id", ">=", lo_id), ("doc_id", "<=", hi_id)]
+            for p in loser_paths:
+                t = pq.read_table(p, filters=flt)
+                for d, c in zip(t["doc_id"].to_pylist(),
+                                t["chunk_idx"].to_pylist()):
+                    dropped.setdefault(d, set()).add(c)
+        out_text, out_kept, out_drop = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            chunks = _doc_chunks(text or "", w)
+            gone = dropped.get(did, ())
+            kept = [c for i, c in enumerate(chunks) if i not in gone]
+            out_text.append(" ".join(kept))
+            out_kept.append(len(kept))
+            out_drop.append(len(chunks) - len(kept))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_dedup": pa.array(out_text, type=pa.string()),
+            "n_kept": pa.array(out_kept, type=pa.int64()),
+            "n_dropped": pa.array(out_drop, type=pa.int64()),
+        })
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(reassemble, batch_format="pyarrow")
+    )

@@ -517,3 +517,60 @@ def sample_sql(*, rate: float, mod: int = 1 << 16) -> str:
         SELECT doc_id, lang, n_chars
         FROM m3 WHERE x % {mod} < {thresh}
     """
+
+
+def chunk_dedup_sql(*, words_per_chunk: int = 8) -> str:
+    """Oracle for pipelines/dedup.py:chunk_dedup.  PARTITION BY md5(chunk)
+    builds exactly the equivalence classes the Ray side keys by (the full
+    128-bit digest as two int64s); winner = min (doc_id, chunk_idx);
+    short final segments never participate."""
+    w = int(words_per_chunk)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i // {w} AS chunk_idx,
+         string_agg(w, ' ' ORDER BY i) AS chunk,
+         count(*) AS n_words
+  FROM words GROUP BY doc_id, i // {w}
+), keep AS (
+  SELECT doc_id, chunk_idx, chunk,
+    (n_words < {w}
+     OR row_number() OVER (PARTITION BY md5(chunk)
+                           ORDER BY doc_id, chunk_idx) = 1) AS kept
+  FROM chunks
+)
+SELECT doc_id,
+  coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE kept),
+           '') AS text_dedup,
+  count(*) FILTER (WHERE kept) AS n_kept,
+  count(*) FILTER (WHERE NOT kept) AS n_dropped
+FROM keep GROUP BY doc_id
+"""
+
+
+def gopher_sql(*, min_words: int, max_words: int, min_mean_wl: int,
+               max_mean_wl: int, max_word_len: int) -> str:
+    """Oracle for pipelines/textstats.py:gopher_quality — all-integer
+    Gopher-rule stats; thresholds inlined from the pipeline constants."""
+    return f"""
+SELECT doc_id,
+  len(string_split(text, ' '))::BIGINT AS n_words,
+  length(replace(text, ' ', ''))::BIGINT AS n_word_chars,
+  list_max(list_transform(string_split(text, ' '),
+                          x -> length(x)))::BIGINT AS max_word_len,
+  (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash_chars,
+  (CASE WHEN len(string_split(text, ' '))
+             BETWEEN {min_words} AND {max_words}
+         AND {min_mean_wl} * len(string_split(text, ' '))
+             <= length(replace(text, ' ', ''))
+         AND length(replace(text, ' ', ''))
+             <= {max_mean_wl} * len(string_split(text, ' '))
+         AND list_max(list_transform(string_split(text, ' '),
+                                     x -> length(x))) <= {max_word_len}
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM documents
+"""

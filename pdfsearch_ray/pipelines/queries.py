@@ -728,3 +728,19 @@ def user_sessions(sf_dir: str) -> rd.Dataset:
     from .events import user_sessions as _u
 
     return _u(sf_dir)
+
+
+def chunk_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """C4-style corpus-level sequence dedup over documents (dedup.py:
+    chunk_dedup): one surviving copy of each distinct full-length
+    8-word segment, docs reassembled from kept segments."""
+    from .dedup import chunk_dedup
+
+    return chunk_dedup(_docs(sf_dir))
+
+
+def gopher_quality_flags(sf_dir: str) -> rd.Dataset:
+    """Gopher-rule quality stats + keep flag per doc (integer-exact)."""
+    from .textstats import gopher_quality
+
+    return gopher_quality(_docs(sf_dir))

@@ -150,3 +150,61 @@ class Fingerprinter:
 
 def fingerprints(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ------------------------------------------------- Gopher-style quality gate
+
+# Integer thresholds (Gopher / MassiveText rules, Rae et al. 2021,
+# public): word-count bounds, mean-word-length band expressed as two
+# exact integer inequalities, and a max-word-length cap.  All outputs
+# are int64 so the DuckDB oracle hash-matches bit-for-bit.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3   # keep iff 3*n_words <= n_word_chars
+GOPHER_MAX_MEAN_WL = 10  # keep iff n_word_chars <= 10*n_words
+GOPHER_MAX_WORD_LEN = 30
+
+
+def _gopher_batch(batch: pa.Table) -> pa.Table:
+    n_words, n_chars, max_wl, n_hash = [], [], [], []
+    for text in batch["text"].to_pylist():
+        t = text or ""
+        words = t.split(" ")  # parity: DuckDB string_split(text, ' ')
+        n_words.append(len(words))
+        n_chars.append(len(t.replace(" ", "")))
+        max_wl.append(max(len(w) for w in words))
+        n_hash.append(t.count("#"))
+    nw = np.asarray(n_words, dtype=np.int64)
+    nc = np.asarray(n_chars, dtype=np.int64)
+    mw = np.asarray(max_wl, dtype=np.int64)
+    keep = ((nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+            & (GOPHER_MIN_MEAN_WL * nw <= nc)
+            & (nc <= GOPHER_MAX_MEAN_WL * nw)
+            & (mw <= GOPHER_MAX_WORD_LEN))
+    return pa.table({
+        "doc_id": batch["doc_id"].cast(pa.int64()),
+        "n_words": pa.array(nw, type=pa.int64()),
+        "n_word_chars": pa.array(nc, type=pa.int64()),
+        "max_word_len": pa.array(mw, type=pa.int64()),
+        "n_hash_chars": pa.array(n_hash, type=pa.int64()),
+        "keep": pa.array(keep.astype(np.int64), type=pa.int64()),
+    })
+
+
+def gopher_quality(docs: rd.Dataset) -> rd.Dataset:
+    """Per-doc Gopher-rule quality stats + keep decision (1/0)."""
+    return docs.map_batches(_gopher_batch, batch_format="pyarrow")
+
+
+def gopher_filter(docs: rd.Dataset) -> rd.Dataset:
+    """The actual corpus filter: docs that pass the Gopher gate.
+
+    Streams: the flag computation and the filter fuse into the read —
+    no shuffle, no materialization."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        flags = _gopher_batch(batch)
+        return batch.filter(pc.equal(flags["keep"], 1))
+
+    return docs.map_batches(f, batch_format="pyarrow")

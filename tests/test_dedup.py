@@ -115,3 +115,56 @@ def test_exact_dedup_stage(ray_session):
     })
     out = dedup_exact(rd.from_arrow(tbl)).to_pandas().sort_values("hash")
     assert out["doc_id"].tolist() == [1, 2]
+
+
+def test_chunk_dedup_drops_cross_doc_segments(ray_session):
+    from pdfsearch_ray.pipelines.dedup import chunk_dedup
+
+    seg = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    other = "one two three four five six seven eight"      # exactly 8 words
+    texts = [
+        seg + " " + other,        # doc 0: owns both segments
+        seg + " tail words",      # doc 1: dup of seg + short final (kept)
+        other,                    # doc 2: dup of other -> fully dropped
+        "unique words only here", # doc 3: single short chunk, kept
+        "",                       # doc 4: empty -> one short chunk ('')
+        seg + " " + seg,          # doc 5: within-doc dup of seg (both lose to doc 0)
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    out = chunk_dedup(docs).to_pandas().set_index("doc_id").sort_index()
+
+    assert out.loc[0, "text_dedup"] == seg + " " + other
+    assert out.loc[0, "n_dropped"] == 0
+    # doc 1: seg dropped (doc 0 wins), short tail kept
+    assert out.loc[1, "text_dedup"] == "tail words"
+    assert (out.loc[1, "n_kept"], out.loc[1, "n_dropped"]) == (1, 1)
+    # doc 2: its only chunk is a full-length dup -> empty result
+    assert out.loc[2, "text_dedup"] == ""
+    assert (out.loc[2, "n_kept"], out.loc[2, "n_dropped"]) == (0, 1)
+    # short chunks never dedup
+    assert out.loc[3, "text_dedup"] == "unique words only here"
+    assert out.loc[4, "text_dedup"] == ""
+    assert out.loc[4, "n_kept"] == 1  # the single empty short chunk survives
+    # within-doc duplicate: both copies lose to doc 0's earlier copy
+    assert out.loc[5, "text_dedup"] == ""
+    assert out.loc[5, "n_dropped"] == 2
+
+
+def test_chunk_dedup_winner_is_min_doc_then_idx(ray_session):
+    from pdfsearch_ray.pipelines.dedup import chunk_dedup
+
+    seg = "w1 w2 w3 w4 w5 w6 w7 w8"
+    pad = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 3], type=pa.int64()),
+        # doc 3 has seg at chunk_idx 1; doc 7 at chunk_idx 0 — the
+        # winner is doc 3 (min doc_id) even though its index is larger
+        "text": pa.array([seg, pad + " " + seg], type=pa.string()),
+    }))
+    out = chunk_dedup(docs).to_pandas().set_index("doc_id")
+    assert out.loc[3, "text_dedup"] == pad + " " + seg
+    assert out.loc[7, "text_dedup"] == ""
+    assert out.loc[7, "n_dropped"] == 1

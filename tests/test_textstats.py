@@ -109,3 +109,33 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     import numpy as np
 
     assert np.mean(recalls) >= 0.25, recalls
+
+
+def test_gopher_quality_rules(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.textstats import (
+        GOPHER_MIN_WORDS,
+        gopher_filter,
+        gopher_quality,
+    )
+
+    ok = " ".join(["word"] * GOPHER_MIN_WORDS)           # passes every rule
+    too_short = " ".join(["word"] * (GOPHER_MIN_WORDS - 1))
+    too_terse = " ".join(["ab"] * 60)                    # mean word len 2 < 3
+    too_long_word = ok + " " + "x" * 31                  # max word len 31 > 30
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([ok, too_short, too_terse, too_long_word]),
+    }))
+    out = gopher_quality(docs).to_pandas().set_index("doc_id").sort_index()
+    assert out["keep"].tolist() == [1, 0, 0, 0]
+    assert out.loc[0, "n_words"] == GOPHER_MIN_WORDS
+    assert out.loc[2, "n_word_chars"] == 120
+    assert out.loc[3, "max_word_len"] == 31
+
+    kept = gopher_filter(docs).to_pandas()
+    assert kept["doc_id"].tolist() == [0]
+    assert kept["text"].tolist() == [ok]
