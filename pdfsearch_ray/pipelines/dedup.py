@@ -583,17 +583,36 @@ def chunk_dedup(
         .sort("doc_id")
         .write_parquet(loser_dir, row_group_size=16384)
     )
-    loser_files = sorted(
-        f for f in os.listdir(loser_dir) if f.endswith(".parquet"))
-    loser_paths = [os.path.join(loser_dir, f) for f in loser_files]
+    # per-file doc_id ranges from footer stats (files are doc_id-sorted,
+    # so ranges are near-disjoint): each reassembly batch opens only the
+    # loser files overlapping its own id range, not every file
+    loser_ranges: list[tuple[str, int, int]] = []
+    for f in sorted(os.listdir(loser_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(loser_dir, f)
+        md = pq.ParquetFile(p).metadata
+        col = md.schema.to_arrow_schema().get_field_index("doc_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            if st is None or st.min is None:
+                mins, maxs = [-(1 << 62)], [1 << 62]
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            loser_ranges.append((p, min(mins), max(maxs)))
 
     def reassemble(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         dropped: dict[int, set[int]] = {}
-        if len(ids) and loser_paths:
+        if len(ids) and loser_ranges:
             lo_id, hi_id = int(ids.min()), int(ids.max())
             flt = [("doc_id", ">=", lo_id), ("doc_id", "<=", hi_id)]
-            for p in loser_paths:
+            for p, f_lo, f_hi in loser_ranges:
+                if f_hi < lo_id or f_lo > hi_id:
+                    continue
                 t = pq.read_table(p, filters=flt)
                 for d, c in zip(t["doc_id"].to_pylist(),
                                 t["chunk_idx"].to_pylist()):
