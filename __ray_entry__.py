@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_part_revenue": _region_part_revenue,
         "chunk_dedup": q.chunk_dedup_docs,
         "gopher_quality": q.gopher_quality_flags,
+        "stratified_sample": q.stratified_sample,
+        "repetition_stats": q.repetition_stats,
     }
 
 
@@ -527,7 +529,17 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": _oracles.chunk_dedup_sql(
             words_per_chunk=_chunk_words()),
         "gopher_quality": _gopher_oracle(),
+        "stratified_sample": _strata_oracle(),
+        "repetition_stats": _oracles.repetition_sql(),
     }
+
+
+def _strata_oracle() -> str:
+    from pdfsearch_ray.pipelines import oracles as _oracles
+    from pdfsearch_ray.pipelines import queries as q
+
+    return _oracles.stratified_sample_sql(
+        rates=q.STRATA_RATES, default_rate=q.STRATA_DEFAULT_RATE)
 
 
 def _chunk_words() -> int:

@@ -574,3 +574,82 @@ SELECT doc_id,
         THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM documents
 """
+
+
+def stratified_sample_sql(*, rates: dict, default_rate: float,
+                          mod: int = 1 << 16) -> str:
+    """Oracle for queries.py:stratified_sample — same splitmix64 limb
+    arithmetic as sample_sql, with a per-language threshold."""
+    U32 = 1 << 32
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    cases = " ".join(
+        f"WHEN lang = '{_sq(lang)}' THEN {int(rate * mod)}"
+        for lang, rate in sorted(rates.items())
+    )
+    thresh = f"(CASE {cases} ELSE {int(default_rate * mod)} END)"
+    return f"""
+        WITH m0 AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(doc_id AS HUGEINT) AS x
+            FROM documents
+        ),
+        m1 AS (SELECT doc_id, lang, n_chars,
+                      {mulmod('xor(x, x >> 30)', C1)} AS x FROM m0),
+        m2 AS (SELECT doc_id, lang, n_chars,
+                      {mulmod('xor(x, x >> 27)', C2)} AS x FROM m1),
+        m3 AS (SELECT doc_id, lang, n_chars,
+                      xor(x, x >> 31) AS x FROM m2)
+        SELECT doc_id, lang, n_chars
+        FROM m3 WHERE x % {mod} < {thresh}
+    """
+
+
+def repetition_sql() -> str:
+    """Oracle for queries.py:repetition_stats — word bigram/trigram
+    totals + max occurrence per doc via lead() windows; the repetitive
+    flag uses exact integer cross-multiplication (max>=2 AND >20%
+    bigram, or max>=2 AND >10% trigram)."""
+    return """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS bg,
+         w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS tg
+  FROM words
+), bc AS (
+  SELECT doc_id, sum(c)::BIGINT AS n, max(c)::BIGINT AS m
+  FROM (SELECT doc_id, bg, count(*) AS c FROM grams
+        WHERE bg IS NOT NULL GROUP BY doc_id, bg)
+  GROUP BY doc_id
+), tc AS (
+  SELECT doc_id, sum(c)::BIGINT AS n, max(c)::BIGINT AS m
+  FROM (SELECT doc_id, tg, count(*) AS c FROM grams
+        WHERE tg IS NOT NULL GROUP BY doc_id, tg)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(bc.n, 0) AS n_bigrams,
+  coalesce(bc.m, 0) AS max_bigram_count,
+  coalesce(tc.n, 0) AS n_trigrams,
+  coalesce(tc.m, 0) AS max_trigram_count,
+  (CASE WHEN (coalesce(bc.m, 0) >= 2
+              AND coalesce(bc.m, 0) * 5 > coalesce(bc.n, 0))
+          OR (coalesce(tc.m, 0) >= 2
+              AND coalesce(tc.m, 0) * 10 > coalesce(tc.n, 0))
+        THEN 1 ELSE 0 END)::BIGINT AS repetitive
+FROM documents d
+LEFT JOIN bc ON d.doc_id = bc.doc_id
+LEFT JOIN tc ON d.doc_id = tc.doc_id
+"""

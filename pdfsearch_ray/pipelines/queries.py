@@ -744,3 +744,78 @@ def gopher_quality_flags(sf_dir: str) -> rd.Dataset:
     from .textstats import gopher_quality
 
     return gopher_quality(_docs(sf_dir))
+
+
+# per-language target rates for the stratified sample (training-mix
+# rebalancing: downsample the head language, keep the tail), shared
+# verbatim with the SQL oracle
+STRATA_RATES = {"en": 0.125, "de": 0.5, "fr": 0.5}
+STRATA_DEFAULT_RATE = 0.25
+
+
+def stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-group (language) hash sampling — the standard
+    training-mix rebalance: each lang keeps its own rate, membership is
+    a pure function of doc_id (splitmix64), so the sample is
+    reproducible at any parallelism and composable with corpus_sample.
+    Pure per-batch filter, no shuffle."""
+    from .build import _sample_mask
+    from ..functions.tables import read_parquet_nometa
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        keep = np.zeros(len(ids), dtype=bool)
+        for lang in set(langs):
+            rate = STRATA_RATES.get(lang, STRATA_DEFAULT_RATE)
+            sel = np.asarray([la == lang for la in langs])
+            keep[sel] = _sample_mask(ids[sel], rate)
+        return batch.filter(pa.array(keep))
+
+    return read_parquet_nometa(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    ).map_batches(f, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signals (count-fraction adaptation of the
+    duplicate-n-gram rules): per doc, total and max-occurrence counts of
+    word bigrams and trigrams, plus an integer 'repetitive' flag
+    (a *repeated* n-gram dominates: max>=2 AND max_bigram > 20% of
+    bigrams, OR max>=2 AND max_trigram > 10% of trigrams — the max>=2
+    guard keeps short all-distinct docs out).
+    Pure per-batch map, integer-exact vs the SQL oracle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n_bi, m_bi, n_tri, m_tri = [], [], [], []
+        for text in batch["text"].to_pylist():
+            words = (text or "").split(" ")
+            bi: dict[tuple, int] = {}
+            tri: dict[tuple, int] = {}
+            for i in range(len(words) - 1):
+                k = (words[i], words[i + 1])
+                bi[k] = bi.get(k, 0) + 1
+            for i in range(len(words) - 2):
+                k = (words[i], words[i + 1], words[i + 2])
+                tri[k] = tri.get(k, 0) + 1
+            n_bi.append(max(len(words) - 1, 0))
+            m_bi.append(max(bi.values(), default=0))
+            n_tri.append(max(len(words) - 2, 0))
+            m_tri.append(max(tri.values(), default=0))
+        nb = np.asarray(n_bi, dtype=np.int64)
+        mb = np.asarray(m_bi, dtype=np.int64)
+        nt = np.asarray(n_tri, dtype=np.int64)
+        mt = np.asarray(m_tri, dtype=np.int64)
+        rep = (((mb >= 2) & (mb * 5 > nb))
+               | ((mt >= 2) & (mt * 10 > nt))).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_bigrams": pa.array(nb, type=pa.int64()),
+            "max_bigram_count": pa.array(mb, type=pa.int64()),
+            "n_trigrams": pa.array(nt, type=pa.int64()),
+            "max_trigram_count": pa.array(mt, type=pa.int64()),
+            "repetitive": pa.array(rep, type=pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")

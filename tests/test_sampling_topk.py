@@ -87,3 +87,75 @@ def test_doc_length_quantiles_matches_duckdb(ray_session):
         FROM read_parquet('{SF}/documents.parquet')
     """).df().sort_values("p")
     assert got["n_chars"].tolist() == want["v"].astype("int64").tolist()
+
+
+def test_stratified_sample_deterministic_and_per_lang(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.build import _sample_mask
+    from pdfsearch_ray.pipelines.queries import (
+        STRATA_DEFAULT_RATE,
+        STRATA_RATES,
+        stratified_sample,
+    )
+
+    n = 2000
+    rng = np.random.default_rng(7)
+    langs = rng.choice(["en", "de", "fr", "es"], size=n)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array(["w " * 5] * n),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(np.full(n, 10), type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    out = stratified_sample(str(tmp_path)).to_pandas()
+    out2 = stratified_sample(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
+
+    # exact membership: keep iff _sample_mask(doc_id, rate[lang])
+    for lang in ("en", "de", "fr", "es"):
+        rate = STRATA_RATES.get(lang, STRATA_DEFAULT_RATE)
+        ids = np.arange(n)[langs == lang]
+        expect = set(ids[_sample_mask(ids, rate)])
+        got = set(out[out["lang"] == lang]["doc_id"])
+        assert got == expect, lang
+
+
+def test_repetition_stats_flags_planted_doc(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.queries import repetition_stats
+
+    texts = [
+        "a b a b a b a b a b",            # 'a b' bigram dominates -> flag
+        "one two three four five six",    # all distinct -> no flag
+        "solo",                           # no bigrams at all
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (repetition_stats(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # doc 0: 9 bigrams, 'a b' x5 'b a' x4; 8 trigrams, 'a b a' x4
+    assert (out.loc[0, ["n_bigrams", "max_bigram_count",
+                        "n_trigrams", "max_trigram_count",
+                        "repetitive"]].tolist() == [9, 5, 8, 4, 1])
+    assert out.loc[1, "repetitive"] == 0
+    assert out.loc[1, "max_bigram_count"] == 1
+    assert (out.loc[2, ["n_bigrams", "max_bigram_count", "n_trigrams",
+                        "max_trigram_count", "repetitive"]].tolist()
+            == [0, 0, 0, 0, 0])
