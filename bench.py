@@ -177,6 +177,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("embedding_dup_pairs", qmod.embedding_dup_pairs),
         ("chunk_dedup", qmod.chunk_dedup_docs),
         ("gopher_quality", qmod.gopher_quality_flags),
+        ("stratified_sample", qmod.stratified_sample),
+        ("repetition_stats", qmod.repetition_stats),
     ):
         t = time.perf_counter()
         res = fn(sf_dir)

@@ -787,26 +787,51 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
     guard keeps short all-distinct docs out).
     Pure per-batch map, integer-exact vs the SQL oracle."""
 
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def _gram_counts(row: np.ndarray, code: np.ndarray, n: int):
+        """Exact per-row totals and max multiplicity of (row, code)
+        pairs, via one lexsort + run-length pass (no Python loop)."""
+        total = np.bincount(row, minlength=n).astype(np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        if len(row):
+            order = np.lexsort((code, row))
+            r, c = row[order], code[order]
+            new = np.empty(len(r), dtype=bool)
+            new[0] = True
+            new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, len(r)))
+            np.maximum.at(mx, r[starts], counts)
+        return total, mx
+
     def f(batch: pa.Table) -> pa.Table:
-        n_bi, m_bi, n_tri, m_tri = [], [], [], []
-        for text in batch["text"].to_pylist():
-            words = (text or "").split(" ")
-            bi: dict[tuple, int] = {}
-            tri: dict[tuple, int] = {}
-            for i in range(len(words) - 1):
-                k = (words[i], words[i + 1])
-                bi[k] = bi.get(k, 0) + 1
-            for i in range(len(words) - 2):
-                k = (words[i], words[i + 1], words[i + 2])
-                tri[k] = tri.get(k, 0) + 1
-            n_bi.append(max(len(words) - 1, 0))
-            m_bi.append(max(bi.values(), default=0))
-            n_tri.append(max(len(words) - 2, 0))
-            m_tri.append(max(tri.values(), default=0))
-        nb = np.asarray(n_bi, dtype=np.int64)
-        mb = np.asarray(m_bi, dtype=np.int64)
-        nt = np.asarray(n_tri, dtype=np.int64)
-        mt = np.asarray(m_tri, dtype=np.int64)
+        n = len(batch)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # split_pattern(" ") matches str.split(" "): "" -> [""], runs of
+        # spaces keep empties — identical to the SQL string_split oracle
+        wl = pc.split_pattern(pc.fill_null(col, ""), pattern=" ")
+        length = np.asarray(pc.list_value_length(wl), dtype=np.int64)
+        row_id = np.repeat(np.arange(n, dtype=np.int64), length)
+        words = wl.flatten().to_numpy(zero_copy_only=False)
+        codes = pd.factorize(words)[0].astype(np.int64)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+
+        # consecutive word pairs that stay inside one row
+        same2 = row_id[:-1] == row_id[1:] if len(row_id) else np.zeros(0, bool)
+        pair_all = codes[:-1] * vocab + codes[1:] if len(codes) else codes
+        nb, mb = _gram_counts(row_id[:-1][same2], pair_all[same2], n)
+
+        # trigrams: row_id is sorted, so ends-equal implies middle-equal
+        same3 = row_id[:-2] == row_id[2:] if len(row_id) > 1 else np.zeros(0, bool)
+        pair_codes = (pd.factorize(pair_all)[0].astype(np.int64)
+                      if len(pair_all) else pair_all)
+        tri_all = (pair_codes[:-1] * vocab + codes[2:]
+                   if len(codes) > 1 else codes[:0])
+        nt, mt = _gram_counts(row_id[:-2][same3], tri_all[same3], n)
         rep = (((mb >= 2) & (mb * 5 > nb))
                | ((mt >= 2) & (mt * 10 > nt))).astype(np.int64)
         return pa.table({

@@ -139,12 +139,15 @@ def test_repetition_stats_flags_planted_doc(ray_session, tmp_path):
         "a b a b a b a b a b",            # 'a b' bigram dominates -> flag
         "one two three four five six",    # all distinct -> no flag
         "solo",                           # no bigrams at all
+        "",                               # empty text -> one empty word
+        "x  y  x  y",                     # double spaces -> empty words
+        "tail space ",                    # trailing space -> empty word
     ]
     tbl = pa.table({
-        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
         "text": pa.array(texts),
-        "lang": pa.array(["en"] * 3),
-        "source": pa.array(["s"] * 3),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
         "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
     })
     pq.write_table(tbl, tmp_path / "documents.parquet")
@@ -159,3 +162,17 @@ def test_repetition_stats_flags_planted_doc(ray_session, tmp_path):
     assert (out.loc[2, ["n_bigrams", "max_bigram_count", "n_trigrams",
                         "max_trigram_count", "repetitive"]].tolist()
             == [0, 0, 0, 0, 0])
+
+    # brute-force cross-check of every row (covers empty words from
+    # double/trailing spaces and the empty document)
+    from collections import Counter
+    for i, text in enumerate(texts):
+        w = text.split(" ")
+        bi = Counter(zip(w, w[1:]))
+        tri = Counter(zip(w, w[1:], w[2:]))
+        nb, mb = max(len(w) - 1, 0), max(bi.values(), default=0)
+        nt, mt = max(len(w) - 2, 0), max(tri.values(), default=0)
+        rep = int((mb >= 2 and mb * 5 > nb) or (mt >= 2 and mt * 10 > nt))
+        assert (out.loc[i, ["n_bigrams", "max_bigram_count", "n_trigrams",
+                            "max_trigram_count", "repetitive"]].tolist()
+                == [nb, mb, nt, mt, rep]), text
