@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -693,11 +694,14 @@ def ws_token_counts(sf_dir: str) -> rd.Dataset:
     it against DuckDB (the BPE-piece counts use a lookahead regex RE2
     cannot run and stay rows-only)."""
     def f(batch: pa.Table) -> pa.Table:
+        # count maximal non-whitespace runs without materializing the
+        # token lists — RE2 \S is ASCII, matching the DuckDB oracle's
+        # regexp_split_to_array('\s+') semantics exactly
+        n = pc.count_substring_regex(batch["text"], r"[^\t\n\v\f\r ]+")
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
-            "n_ws_tokens": pa.array(
-                [len((t or "").split()) for t in batch["text"].to_pylist()],
-                type=pa.int64()),
+            "n_ws_tokens": pc.coalesce(n, pa.scalar(0, pa.int32())).cast(
+                pa.int64()),
         })
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
