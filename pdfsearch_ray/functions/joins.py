@@ -35,6 +35,43 @@ import ray.data as rd
 from .hashing import mix64
 
 
+def _ensure_http_fs_importable() -> None:
+    """Make Ray's lazy ``from fsspec.implementations.http import
+    HTTPFileSystem`` (path_util._is_http_filesystem, called on every
+    read/write path resolution) deterministic under driver threads.
+
+    When aiohttp is absent that import FAILS — and failed imports are
+    never cached, so two threads resolving paths concurrently can race
+    in the import machinery and one sees a plain ImportError that Ray's
+    ModuleNotFoundError guard does not catch.  Seed a sentinel module
+    (HTTP filesystems are unusable without aiohttp anyway): the import
+    then succeeds once, is cached, and the isinstance check is False."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+
+    class HTTPFileSystem:  # sentinel — real class unimportable here
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules[name] = mod
+    try:
+        import fsspec.implementations
+
+        fsspec.implementations.http = mod
+    except ImportError:
+        pass
+
+
 def _with_bucket(t: pa.Table, key: str, num_buckets: int) -> pa.Table:
     ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
     b = (mix64(ids.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
@@ -67,12 +104,24 @@ def hash_join(
     """
     work_dir = work_dir or tempfile.mkdtemp(prefix="pdfsearch_join_")
     ldir, rdir = f"{work_dir}/l", f"{work_dir}/r"
-    left.map_batches(
-        lambda t: _with_bucket(t, left_on, num_buckets), batch_format="pyarrow"
-    ).write_parquet(ldir, partition_cols=["__jb"])
-    right.map_batches(
-        lambda t: _with_bucket(t, right_on, num_buckets), batch_format="pyarrow"
-    ).write_parquet(rdir, partition_cols=["__jb"])
+
+    def _spill(ds: rd.Dataset, key: str, out: str) -> None:
+        ds.map_batches(
+            lambda t: _with_bucket(t, key, num_buckets),
+            batch_format="pyarrow",
+        ).write_parquet(out, partition_cols=["__jb"])
+
+    # the two spills are independent jobs — overlap them so the smaller
+    # side's wall time hides under the larger side's
+    from concurrent.futures import ThreadPoolExecutor
+
+    _ensure_http_fs_importable()
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(_spill, left, left_on, ldir),
+                ex.submit(_spill, right, right_on, rdir)]
+        for f in futs:
+            f.result()
     # empty-bucket blocks need the joined schema; an Acero join of two
     # empty tables computes it exactly once here
     lschema, rschema = _spill_schema(ldir), _spill_schema(rdir)
