@@ -91,6 +91,8 @@ def pricing_summary(sf_dir: str) -> pa.Table:
               ["l_returnflag", "l_linestatus", "l_quantity",
                "l_extendedprice", "l_discount", "l_shipdate"])
         .map_batches(partial, batch_format="pyarrow")
+        # blocks are ≤ |groups| rows post-combiner; see region_part_revenue
+        .repartition(1)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("sum_qty", alias_name="sum_qty"),
                    Sum("sum_base_price_cents",
@@ -239,6 +241,10 @@ def region_part_revenue(sf_dir: str) -> pa.Table:
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pyarrow")
+        # each block is ≤ |regions| rows after the combiner — coalesce
+        # to one block so the aggregate has no empty reduce partitions
+        # (empty partitions emit schema-less blocks Ray warns about)
+        .repartition(1)
         .groupby("r_name")
         .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
                    Sum("n_items", alias_name="n_items"))
