@@ -145,22 +145,30 @@ def orders_by_nation(sf_dir: str) -> pa.Table:
                                 nt["n_name"].to_pylist())))
 
     def tag(t: pa.Table) -> pa.Table:
+        # combiner: resolve nation AND pre-aggregate per batch, so the
+        # groupby shuffle moves O(|nations| × blocks) rows, not the
+        # joined fact table
         nmap = ray.get(nmap_ref)
-        nk = t["c_nationkey"].to_pylist()
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         cents = np.round(
             t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        names = np.asarray([nmap[int(k)] for k in nk], dtype=object) \
+            if nk.size else np.asarray([], dtype=object)
+        uniq, inv = np.unique(names, return_inverse=True)
+        n = uniq.size
         return pa.table({
-            "n_name": pa.array([nmap[int(k)] for k in nk],
-                               type=pa.string()),
-            "price_cents": pa.array(cents, type=pa.int64()),
+            "n_name": pa.array(uniq.tolist(), type=pa.string()),
+            "n_orders": pa.array(
+                np.bincount(inv, minlength=n).astype(np.int64)),
+            "price_cents": pa.array(np.bincount(
+                inv, weights=cents, minlength=n).astype(np.int64)),
         })
-
-    from ray.data.aggregate import Count
 
     out = (
         joined.map_batches(tag, batch_format="pyarrow")
+        .repartition(1)  # ≤ |nations| rows per block post-combiner
         .groupby("n_name")
-        .aggregate(Count(alias_name="n_orders"),
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("price_cents", alias_name="revenue_cents"))
         .to_pandas()
         .sort_values("n_name")
