@@ -649,15 +649,23 @@ class BM25Index:
             return float(np.partition(sc, sc.size - k)[sc.size - k])
 
         # GROW with a CHEAP θ lower bound so candidate parts are
-        # aggregated exactly ONCE (per-run incremental merges made heavy
-        # queries O(runs × candidates) — measured slower than TAAT).  A
-        # doc's final score is ≥ any single contribution, so the k-th
-        # largest single contribution seen so far lower-bounds the true
-        # θ; stopping only when suffix < θ_lower is therefore always
-        # conservative (never stops earlier than the true rule).
+        # aggregated exactly ONCE (per-run incremental merges over the
+        # FULL candidate set made heavy queries O(runs × candidates) —
+        # measured slower than TAAT).  The bound must be per-DOC: the
+        # k-th largest single-run contribution is NOT a lower bound on
+        # the true k-th best total when top contributions concentrate
+        # in fewer than k distinct docs (each doc can supply one
+        # contribution per query term).  So we keep a small id-deduped
+        # scoreboard of per-doc PARTIAL SUMS (idf > 0 ⇒ every
+        # contribution is ≥ 0 ⇒ any partial sum lower-bounds that
+        # doc's total, even after a doc is evicted and re-enters with a
+        # restarted sum), merge each run's top-k (id, score) into it,
+        # and use its k-th best only once it holds ≥ k DISTINCT docs.
         pend_ids: list[np.ndarray] = []
         pend_sc: list[np.ndarray] = []
-        best_contrib = np.empty(0)
+        board_ids = np.empty(0, dtype=np.uint64)
+        board_sc = np.empty(0)
+        board_cap = 4 * k + 16
         theta_lower = -np.inf
         i = 0
         while i < len(runs) and suffix[i] >= theta_lower:
@@ -673,15 +681,22 @@ class BM25Index:
             pend_ids.append(ids_new)
             pend_sc.append(sc_new)
             if sc_new.size:
-                top = (np.partition(sc_new, sc_new.size - k)[sc_new.size - k:]
-                       if sc_new.size > k else sc_new)
-                best_contrib = np.concatenate([best_contrib, top])
-                if best_contrib.size > k:
-                    best_contrib = np.partition(
-                        best_contrib,
-                        best_contrib.size - k)[best_contrib.size - k:]
-                if best_contrib.size >= k:
-                    theta_lower = float(best_contrib.min())
+                if sc_new.size > k:
+                    sel = np.argpartition(sc_new, sc_new.size - k)[
+                        sc_new.size - k:]
+                else:
+                    sel = slice(None)
+                board_ids, board_sc = _aggregate_scores(
+                    np.concatenate([board_ids, ids_new[sel]]),
+                    np.concatenate([board_sc, sc_new[sel]]))
+                if board_ids.size > board_cap:
+                    keep = np.argpartition(
+                        board_sc, board_sc.size - board_cap)[
+                        board_sc.size - board_cap:]
+                    board_ids, board_sc = board_ids[keep], board_sc[keep]
+                if board_ids.size >= k:
+                    theta_lower = float(np.partition(
+                        board_sc, board_sc.size - k)[board_sc.size - k])
             i += 1
         if pend_ids:
             cand_ids, cand_sc = _aggregate_scores(

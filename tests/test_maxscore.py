@@ -152,3 +152,49 @@ def test_maxscore_mass_tie_corpus(ray_session, tmp_path):
                     method="maxscore")
     assert [m.doc_id for m in ms.matches] == sorted(
         m.doc_id for m in ms.matches)
+
+
+def test_maxscore_concentrated_top_contributions(ray_session, tmp_path):
+    """Regression: θ_lower must be a per-DOC bound.  When the k largest
+    single-run contributions concentrate in fewer than k distinct docs
+    (here: two rare high-tf terms co-occurring in the same 5 docs), a
+    bound taken from raw contribution values over-estimates the true
+    k-th best total and GROW stops before the low-bound-only term's
+    run, silently dropping docs that match only that term."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    rows = []
+    for i in range(200):
+        if i < 5:
+            # apple+orange live ONLY here, with big tf: the top 10
+            # single contributions are all from these 5 docs
+            rows.append("apple orange " * 8 + "filler")
+        elif i < 15:
+            rows.append("zebra common filler text here")
+        else:
+            rows.append(f"common filler text number w{i % 11}")
+    t = pa.table({
+        "doc_id": pa.array(list(range(200)), type=pa.int64()),
+        "text": pa.array(rows),
+    })
+    d = str(tmp_path / "conc")
+    build_index(rd.from_arrow(t), d, analyzer="simple", num_buckets=4)
+    idx = BM25Index(d)
+    for q in ("apple orange zebra", "apple orange zebra common"):
+        for k in (8, 10, 20):
+            a = idx.search(q, max_results=k, with_spans=False,
+                           method="taat")
+            b = idx.search(q, max_results=k, with_spans=False,
+                           method="maxscore")
+            assert [(m.doc_id, m.score) for m in a.matches] == [
+                (m.doc_id, m.score) for m in b.matches], (q, k)
+    # the specific failure: k=10 must surface zebra-only docs
+    ms = idx.search("apple orange zebra", max_results=10,
+                    with_spans=False, method="maxscore")
+    assert len(ms.matches) == 10
+    assert sum(1 for m in ms.matches if m.doc_id >= 5) == 5
