@@ -615,6 +615,7 @@ def build_index(
             "docs_per_sec": round(int(n_catalog) / max(t_post - t0, 1e-9), 2),
             "n_docs_catalog": int(n_catalog),
             "store_text": store_text,
+            "hash_provenance": _hash_provenance(source),
             "bytes_postings": _dir_bytes(postings_dir),
             "bytes_docs": _dir_bytes(docs_dir),
         },
@@ -779,6 +780,15 @@ def duplicate_doc_ids(ds: rd.Dataset, id_col: str = "doc_id",
     return np.sort(pa.concat_tables(tabs)["doc_id"].to_numpy())
 
 
+def _hash_buckets(hashes: list, num_buckets: int) -> list[int]:
+    """Deterministic bucket id per content-hash string.  crc32, not
+    ``int(x[:8], 16)``: user-supplied hash columns need not be hex."""
+    from zlib import crc32
+
+    return [crc32(x.encode("utf-8")) % num_buckets if x else 0
+            for x in hashes]
+
+
 def dup_loser_ids(
     ds: rd.Dataset,
     hash_col: str = "hash",
@@ -803,7 +813,7 @@ def dup_loser_ids(
 
     def _pairs(t: pa.Table) -> pa.Table:
         h = t[hash_col].to_pylist()
-        b = [int(x[:8], 16) % num_buckets if x else 0 for x in h]
+        b = _hash_buckets(h, num_buckets)
         return pa.table({
             "hash": t[hash_col],
             "doc_id": t[id_col].cast(pa.int64()),
@@ -1047,6 +1057,13 @@ def compact_index(
         with_positions=m.with_positions, store_text=True,
         resume=resume, report=report,
     )
+    # the compaction source is the docs catalog, whose hash column is the
+    # ORIGINAL identity scheme — preserve the parent's provenance so a
+    # later append applies the same mismatch rules
+    prov = m.build_metrics.get("hash_provenance")
+    if prov is not None:
+        mnew.build_metrics = dict(mnew.build_metrics, hash_provenance=prov)
+        mnew.save(tmp_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(index_dir, old_dir)
     os.rename(tmp_dir, index_dir)
@@ -1060,12 +1077,34 @@ def compact_index(
     return mnew
 
 
+class _AttachHash:
+    """Attach the content ``hash`` column (sha256(text) fallback when the
+    source doesn't carry one) so the known-hash skip, the docs stage and
+    intra-delta dedup agree on one identity without recomputing it."""
+
+    def __init__(self, text_col: str, drop_carried: bool = False):
+        self.text_col = text_col
+        self.drop_carried = drop_carried
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.drop_carried and "hash" in batch.schema.names:
+            batch = batch.drop_columns(["hash"])
+        if "hash" in batch.schema.names:
+            return batch
+        texts = batch[self.text_col].to_pylist()
+        hashes = pa.array(
+            [content_hash((t or "").encode("utf-8")) for t in texts],
+            type=pa.string(),
+        )
+        return batch.append_column("hash", hashes)
+
+
 class _AppendFilter:
     """Drop rows whose content hash is already indexed (the reference's
     open-existing-index skip: addFile reuses the catalog entry when the
-    file hash is known, bleve_pdf.go:300-341) and attach the computed
-    ``hash`` column so the docs stage and intra-delta dedup agree on the
-    identity without recomputing it."""
+    file hash is known, bleve_pdf.go:300-341).  ``known_ref`` holds only
+    the MATCHED hashes (catalog ∩ delta, computed by the bucketed
+    semi-join in ``append_skip_hashes``) — O(delta), never O(catalog)."""
 
     def __init__(self, known_ref, text_col: str):
         self.known_ref = known_ref
@@ -1077,17 +1116,124 @@ class _AppendFilter:
 
         if self._known is None:
             self._known = ray.get(self.known_ref)
-        texts = batch[self.text_col].to_pylist()
-        if "hash" in batch.schema.names:
-            hashes = batch["hash"]
-        else:
-            hashes = pa.array(
-                [content_hash((t or "").encode("utf-8")) for t in texts],
-                type=pa.string(),
-            )
-            batch = batch.append_column("hash", hashes)
-        keep = pc.invert(pc.is_in(hashes, value_set=self._known))
+        batch = _AttachHash(self.text_col)(batch)
+        if len(self._known) == 0:
+            return batch
+        keep = pc.invert(pc.is_in(batch["hash"], value_set=self._known))
         return batch.filter(keep)
+
+
+def _hash_provenance(source) -> str:
+    """``"source"`` when the input carries a precomputed hash column (the
+    extract checkpoint stores sha256(html)); ``"text"`` when the catalog
+    hash falls back to sha256(text).  Two schemes hash identical content
+    differently, so appends must not silently mix them (ADVICE r2)."""
+    try:
+        if isinstance(source, rd.Dataset):
+            names = source.schema(fetch_if_missing=True).names
+        else:
+            names = _source_columns(source, [])
+        return "source" if "hash" in names else "text"
+    except Exception:
+        return "unknown"
+
+
+def append_skip_hashes(
+    delta: rd.Dataset,
+    doc_files: list[str],
+    tombstones: np.ndarray,
+    num_buckets: int = 16,
+) -> pa.Array:
+    """Delta content hashes already present in the committed catalogs —
+    the known-hash skip set for ``append_index`` — computed as a
+    hash-bucketed SEMI-JOIN so nothing catalog-sized ever reaches the
+    driver (the r2 scale fix: the old path read every committed
+    (hash, doc_id) ``to_pandas`` and broadcast the full set, terabytes
+    of driver memory at 10^12 docs).
+
+    Both narrow sides spill to one bucket-partitioned parquet dir
+    (catalog rows tagged side=0 with doc_id for the tombstone filter,
+    delta rows side=1), one task per bucket intersects its slice, and
+    only the MATCHED hashes come back — bounded by |delta|, the side
+    that is small by construction (it is the append batch itself)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    if not doc_files:
+        return pa.array([], type=pa.string())
+    work_dir = tempfile.mkdtemp(prefix="pdfsearch_append_")
+    tomb_ref = ray.put(np.sort(tombstones.astype(np.int64))
+                       if tombstones.size else None)
+
+    def _narrow(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            if side == 0:
+                tomb = ray.get(tomb_ref)
+                if tomb is not None:
+                    # a tombstoned doc's content may legitimately be
+                    # re-added (Lucene delete-then-add): exclude its
+                    # catalog row from the skip set
+                    ids = t["doc_id"].to_numpy()
+                    pos = np.minimum(np.searchsorted(tomb, ids),
+                                     tomb.size - 1)
+                    t = t.filter(pa.array(~(tomb[pos] == ids)))
+            h = t["hash"].to_pylist()
+            b = _hash_buckets(h, num_buckets)
+            return pa.table({
+                "hash": t["hash"],
+                "side": pa.array([side] * len(h), type=pa.int8()),
+                "bucket": pa.array(b, type=pa.int32()),
+            })
+        return f
+
+    pairs_dir = f"{work_dir}/pairs"
+    (
+        rd.read_parquet(doc_files, columns=["hash", "doc_id"])
+        .map_batches(_narrow(0), batch_format="pyarrow")
+        .union(delta.select_columns(["hash"])
+               .map_batches(_narrow(1), batch_format="pyarrow"))
+        .repartition(num_buckets)
+        .write_parquet(pairs_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{pairs_dir}/{d}" for d in os.listdir(pairs_dir)
+        if d.startswith("bucket=")
+    ) if os.path.isdir(pairs_dir) else []
+    if not bucket_dirs:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        return pa.array([], type=pa.string())
+
+    def _matched(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bdir in batch["dir"].to_pylist():
+            t = pq.read_table(bdir, columns=["hash", "side"],
+                              use_threads=False)
+            side = t["side"].to_numpy()
+            cat = t["hash"].filter(pa.array(side == 0))
+            new = t["hash"].filter(pa.array(side == 1))
+            if len(cat) == 0 or len(new) == 0:
+                continue
+            hit = pc.is_in(new, value_set=cat.unique())
+            outs.append(pa.table({"hash": new.filter(hit).unique()}))
+        if not outs:
+            return pa.table({"hash": pa.array([], type=pa.string())})
+        return pa.concat_tables(outs)
+
+    refs = (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(_matched, batch_format="pyarrow", batch_size=1)
+        .to_arrow_refs()
+    )
+    tabs = [t for t in ray.get(refs) if t.num_rows > 0]
+    shutil.rmtree(work_dir, ignore_errors=True)
+    if not tabs:
+        return pa.array([], type=pa.string())
+    return pa.concat_tables(tabs)["hash"].combine_chunks().unique()
 
 
 def append_index(
@@ -1110,12 +1256,12 @@ def append_index(
     segment build:
 
     1. rows whose content hash is already indexed are skipped
-       (bleve_pdf.go:300-341 addFile-reuse semantics); the known-hash
-       set is a NARROW read of the docs catalogs (hash column only),
-       broadcast once via ``ray.put``.  Scale note: when the indexed
-       corpus outgrows a broadcastable hash set, swap the broadcast for
-       the same hash-partitioned anti-join ``dedup_exact`` uses — the
-       comparison stays narrow either way.
+       (bleve_pdf.go:300-341 addFile-reuse semantics).  The skip set is
+       computed by a hash-BUCKETED semi-join of the committed catalogs'
+       narrow (hash, doc_id) columns against the delta's hashes
+       (``append_skip_hashes``): nothing catalog-sized is ever
+       driver-materialized or broadcast — only the MATCHED hashes
+       (≤ |delta|) come back and are ``ray.put`` once.
     2. the surviving delta is (optionally) exact-deduped within itself,
        then built as a NEW SEGMENT at ``<index_dir>/segments/seg-NNN``
        with the parent's analyzer/buckets/salt config and — crucially —
@@ -1153,20 +1299,34 @@ def append_index(
         from ..functions.tables import read_parquet_nometa
         return read_parquet_nometa(source, columns=cols)
 
-    # 1. known-hash set: narrow scan of every committed docs catalog
+    # 1. known-hash skip: bucketed semi-join of catalog hashes vs delta
+    # hashes — only the matched (≤ |delta|) hashes are broadcast.
+    # Identity-scheme guard (ADVICE r2): a base built from a hash-less
+    # source stores sha256(text); a delta carrying a source hash would
+    # compare a different identity for identical content.  text-base +
+    # source-delta recomputes the delta's hashes from text; source-base
+    # + text-delta cannot be reconciled and is refused.
+    base_prov = m.build_metrics.get("hash_provenance", "unknown")
+    delta_prov = _hash_provenance(source)
+    drop_carried = base_prov == "text" and delta_prov == "source"
+    if drop_carried:
+        report("append: recomputing delta hashes from text "
+               "(base index identity is sha256(text))")
+    elif base_prov == "source" and delta_prov == "text":
+        raise BuildConsistencyError(
+            "append identity mismatch: the base index stores source "
+            "hashes but the delta carries none — supply the delta's "
+            "'hash' column (same scheme as the base) or rebuild")
     doc_files = _committed_doc_files(index_dir, m)
-    known_df = (
-        rd.read_parquet(doc_files, columns=["hash", "doc_id"])
-        .to_pandas()
-    )
-    # a tombstoned doc's content may legitimately be re-added (Lucene
-    # delete-then-add); exclude deleted rows from the skip set
     tomb = _load_tombstones(index_dir, m)
-    if tomb.size:
-        known_df = known_df[~known_df["doc_id"].isin(tomb)]
-    known = known_df["hash"].to_numpy()
-    known_ref = ray.put(pa.array(np.unique(known), type=pa.string()))
-    delta = _load().map_batches(
+    delta_hashed = _load().map_batches(
+        _AttachHash(text_col, drop_carried=drop_carried),
+        batch_format="pyarrow",
+    )
+    matched = append_skip_hashes(delta_hashed, doc_files, tomb,
+                                 num_buckets=m.num_buckets)
+    known_ref = ray.put(matched)
+    delta = delta_hashed.map_batches(
         _AppendFilter(known_ref, text_col), batch_format="pyarrow",
     )
     if dedup:
