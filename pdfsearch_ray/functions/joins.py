@@ -54,6 +54,15 @@ def _ensure_http_fs_importable() -> None:
         return
     except ImportError:
         pass
+    # only seed the sentinel when the import failure is PERMANENT
+    # (aiohttp genuinely absent).  If it was transient — the very
+    # concurrent-import race being worked around, with aiohttp actually
+    # installed — seeding would mask real HTTPFileSystem support for
+    # the process lifetime; leave it to retry instead.
+    import importlib.util
+
+    if importlib.util.find_spec("aiohttp") is not None:
+        return
     name = "fsspec.implementations.http"
     if name in sys.modules:
         return

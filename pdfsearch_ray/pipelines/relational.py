@@ -37,6 +37,17 @@ from ray.data.aggregate import Sum
 PRICING_CUTOFF = "1998-09-02"  # l_shipdate <= cutoff (Q1 shape)
 
 
+def _group_sum_i64(inv: np.ndarray, values: np.ndarray,
+                   n: int) -> np.ndarray:
+    """Exact int64 grouped sum.  ``np.bincount`` converts weights to
+    float64, which stays exact only while a per-group per-batch sum is
+    below 2^53 (~9e6 rows of 1e9-unit values); ``np.add.at`` accumulates
+    in int64, so exactness holds at any batch size."""
+    out = np.zeros(n, dtype=np.int64)
+    np.add.at(out, inv, values.astype(np.int64, copy=False))
+    return out
+
+
 def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
     from ..functions.tables import read_parquet_nometa
 
@@ -71,17 +82,14 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         combo = np.char.add(np.char.add(flag, "|"), status)
         uniq, inv = np.unique(combo, return_inverse=True)
         n = uniq.size
-        # bincount over float64 weights of integer values <= ~6e12 is
-        # exact (< 2^53); cast back to int64 after
         return pa.table({
             "l_returnflag": pa.array([u.split("|")[0] for u in uniq]),
             "l_linestatus": pa.array([u.split("|")[1] for u in uniq]),
-            "sum_qty": pa.array(np.bincount(
-                inv, weights=qty, minlength=n).astype(np.int64)),
-            "sum_base_price_cents": pa.array(np.bincount(
-                inv, weights=cents, minlength=n).astype(np.int64)),
-            "sum_disc_price_e4": pa.array(np.bincount(
-                inv, weights=cents * pct, minlength=n).astype(np.int64)),
+            "sum_qty": pa.array(_group_sum_i64(inv, qty, n)),
+            "sum_base_price_cents": pa.array(
+                _group_sum_i64(inv, cents, n)),
+            "sum_disc_price_e4": pa.array(
+                _group_sum_i64(inv, cents * pct, n)),
             "n_rows": pa.array(
                 np.bincount(inv, minlength=n).astype(np.int64)),
         })
@@ -160,8 +168,7 @@ def orders_by_nation(sf_dir: str) -> pa.Table:
             "n_name": pa.array(uniq.tolist(), type=pa.string()),
             "n_orders": pa.array(
                 np.bincount(inv, minlength=n).astype(np.int64)),
-            "price_cents": pa.array(np.bincount(
-                inv, weights=cents, minlength=n).astype(np.int64)),
+            "price_cents": pa.array(_group_sum_i64(inv, cents, n)),
         })
 
     out = (
@@ -238,9 +245,8 @@ def region_part_revenue(sf_dir: str) -> pa.Table:
         uniq, inv = np.unique(rnames, return_inverse=True)
         return pa.table({
             "r_name": pa.array(uniq.tolist(), type=pa.string()),
-            "revenue_e4": pa.array(np.bincount(
-                inv, weights=cents * pct,
-                minlength=uniq.size).astype(np.int64)),
+            "revenue_e4": pa.array(
+                _group_sum_i64(inv, cents * pct, uniq.size)),
             "n_items": pa.array(
                 np.bincount(inv, minlength=uniq.size).astype(np.int64)),
         })
