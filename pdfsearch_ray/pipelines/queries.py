@@ -231,97 +231,163 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
 
 class _BM25Scan:
     """ONE streaming tokenize pass for the bm25_topk projection: emits
-    per-batch corpus-stat partials (term="" rows: tf=docs, dl=Σdl) AND
-    query-term hit rows (doc_id, term, tf, dl).  Nothing resembling the
-    full token table is ever materialized — the pass's output is
-    O(matching docs), not O(corpus tokens)."""
+    one NARROW row per matching doc — (doc_id, dl, tf<j>) with a fixed
+    tf column per query term, so scoring later is purely per-row (no
+    per-doc reassembly across batch boundaries) — plus a per-batch
+    stats row (doc_id=-1: nd=docs-with-tokens, dl=Σdl, tf<j>=df
+    partials).  Output is O(matching docs), not O(corpus tokens)."""
 
     def __init__(self, qterms: tuple[str, ...]):
         from ..analysis.analyzer import analyze_simple
 
         self.analyze = analyze_simple
-        self.qset = set(qterms)
+        # sorted so the per-row float summation order matches the old
+        # term-sorted groupby sum exactly (6-dp rounding stability)
+        self.qterms = tuple(sorted(qterms))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, terms, tfs, dls = [], [], [], []
+        m = len(self.qterms)
+        pos = {t: j for j, t in enumerate(self.qterms)}
+        ids: list[int] = []
+        dls: list[int] = []
+        tfs: list[list[int]] = [[] for _ in range(m)]
         n_part = 0
         dl_part = 0
+        df_part = [0] * m
         for did, text in zip(batch["doc_id"].to_pylist(),
                              batch["text"].to_pylist()):
             toks = self.analyze(text or "")
             if not toks:
                 continue
-            dl = len(toks)
             n_part += 1
-            dl_part += dl
-            cnt: dict[str, int] = {}
+            dl_part += len(toks)
+            cnt = [0] * m
             for t in toks:
-                if t in self.qset:
-                    cnt[t] = cnt.get(t, 0) + 1
-            for t, c in cnt.items():
+                j = pos.get(t)
+                if j is not None:
+                    cnt[j] += 1
+            if any(cnt):
                 ids.append(did)
-                terms.append(t)
-                tfs.append(c)
-                dls.append(dl)
+                dls.append(len(toks))
+                for j in range(m):
+                    tfs[j].append(cnt[j])
+                    if cnt[j]:
+                        df_part[j] += 1
+        nd = [0] * len(ids) + [n_part]
         ids.append(-1)
-        terms.append("")
-        tfs.append(n_part)
         dls.append(dl_part)
-        return pa.table({
+        for j in range(m):
+            tfs[j].append(df_part[j])
+        cols = {
             "doc_id": pa.array(ids, type=pa.int64()),
-            "term": pa.array(terms, type=pa.string()),
-            "tf": pa.array(tfs, type=pa.int64()),
             "dl": pa.array(dls, type=pa.int64()),
-        })
+            "nd": pa.array(nd, type=pa.int64()),
+        }
+        for j in range(m):
+            cols[f"tf{j}"] = pa.array(tfs[j], type=pa.int64())
+        return pa.table(cols)
 
 
 def bm25_topk(sf_dir: str) -> pa.Table:
-    """BM25 disjunctive top-k over `documents` for a fixed query, built
-    and scored in one streaming Ray pass (stats partials + query-term
-    hits; see _BM25Scan), rounded to 6 dp with (score desc, doc_id asc)
-    tie-break.
+    """BM25 disjunctive top-k over `documents` for a fixed query,
+    rounded to 6 dp with (score desc, doc_id asc) tie-break.
 
     This is the SQL-checkable projection of the flagship engine: same
     formula (Lucene-style idf), same determinism contract, but the simple
-    analyzer so DuckDB can replicate tokenization."""
-    scan = _docs(sf_dir).map_batches(
-        _BM25Scan(BM25_QUERY_TERMS), batch_format="pyarrow", batch_size=512,
-    ).to_pandas()
+    analyzer so DuckDB can replicate tokenization.
 
-    stats = scan[scan["term"] == ""]
-    n = int(stats["tf"].sum())
-    if n == 0:
-        return pa.table({
-            "doc_id": pa.array([], type=pa.int64()),
-            "score": pa.array([], type=pa.float64()),
-            "rank": pa.array([], type=pa.int64()),
-        })
-    avgdl = float(stats["dl"].sum()) / n
+    Distributed end-to-end (the r2 scale fix — the old path pulled every
+    hit row ``to_pandas`` and scored in driver pandas, O(matching docs)
+    ≈ corpus for a common term):
 
-    h = scan[scan["term"] != ""]
-    dfs = h.groupby("term").size().to_dict()
-    if h.empty:
-        return pa.table({
-            "doc_id": pa.array([], type=pa.int64()),
-            "score": pa.array([], type=pa.float64()),
-            "rank": pa.array([], type=pa.int64()),
-        })
-    h = h.sort_values(["term", "doc_id"], kind="mergesort").copy()
-    idf = h["term"].map(
-        lambda t: float(np.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)))
-    )
-    tf = h["tf"].astype("float64")
-    dl = h["dl"].astype("float64")
-    h["contrib"] = idf * tf / (tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
-    scores = h.groupby("doc_id", sort=True)["contrib"].sum().reset_index()
-    scores["score"] = scores["contrib"].round(6)
-    scores = scores.sort_values(["score", "doc_id"], ascending=[False, True],
-                                kind="mergesort").head(BM25_K)
-    scores["rank"] = range(1, len(scores) + 1)
+    1. ONE tokenize pass spills the narrow per-doc hit table (plus
+       per-batch stats rows) to tmp parquet — streaming, never
+       driver-held.
+    2. Stats reduce: per-batch partial sums over the spill's stats rows
+       → O(blocks) rows to the driver → (N, avgdl, df→idf) broadcast.
+    3. Scoring pass over the spill: per-row score (fixed tf columns, no
+       reassembly), 6-dp round, per-batch top-K by (score desc, doc_id
+       asc) — the driver merge sees O(K·blocks) rows."""
+    import shutil
+    import tempfile
+
+    from ..functions.tables import read_parquet_nometa
+
+    qterms = tuple(sorted(BM25_QUERY_TERMS))
+    m = len(qterms)
+    tf_cols = [f"tf{j}" for j in range(m)]
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.float64()),
+        "rank": pa.array([], type=pa.int64()),
+    })
+
+    tmp = tempfile.mkdtemp(prefix="bm25_topk_")
+    try:
+        hits_dir = f"{tmp}/hits"
+        _docs(sf_dir).map_batches(
+            _BM25Scan(qterms), batch_format="pyarrow", batch_size=512,
+        ).write_parquet(hits_dir)
+        spill = read_parquet_nometa(hits_dir)
+
+        def stats_partial(t: pa.Table) -> pa.Table:
+            s = t.filter(pc.equal(t["doc_id"], -1))
+            cols = {
+                "nd": pa.array([int(pc.sum(s["nd"]).as_py() or 0)],
+                               type=pa.int64()),
+                "dl": pa.array([int(pc.sum(s["dl"]).as_py() or 0)],
+                               type=pa.int64()),
+            }
+            for c in tf_cols:
+                cols[c] = pa.array([int(pc.sum(s[c]).as_py() or 0)],
+                                   type=pa.int64())
+            return pa.table(cols)
+
+        st = spill.map_batches(
+            stats_partial, batch_format="pyarrow").to_pandas()
+        n = int(st["nd"].sum())
+        if n == 0:
+            return empty
+        avgdl = float(st["dl"].sum()) / n
+        dfs = [int(st[c].sum()) for c in tf_cols]
+        if not any(dfs):
+            return empty
+        idf = [float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+               for df in dfs]
+
+        def score_batch(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.not_equal(t["doc_id"], -1))
+            out_schema = pa.schema([("doc_id", pa.int64()),
+                                    ("score", pa.float64())])
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            dl = t["dl"].to_numpy().astype(np.float64)
+            denom = BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+            score = np.zeros(len(dl), dtype=np.float64)
+            for j in range(m):
+                tf = t[tf_cols[j]].to_numpy().astype(np.float64)
+                score += idf[j] * tf / (tf + denom)
+            score_r = np.round(score, 6)
+            ids = t["doc_id"].to_numpy()
+            top = np.lexsort((ids, -score_r))[:BM25_K]
+            return pa.table({
+                "doc_id": pa.array(ids[top], type=pa.int64()),
+                "score": pa.array(score_r[top], type=pa.float64()),
+            })
+
+        cand = spill.map_batches(
+            score_batch, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if cand.empty:
+        return empty
+    cand = cand.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(BM25_K)
+    cand["rank"] = range(1, len(cand) + 1)
     return pa.table({
-        "doc_id": pa.array(scores["doc_id"].tolist(), type=pa.int64()),
-        "score": pa.array(scores["score"].tolist(), type=pa.float64()),
-        "rank": pa.array(scores["rank"].tolist(), type=pa.int64()),
+        "doc_id": pa.array(cand["doc_id"].tolist(), type=pa.int64()),
+        "score": pa.array(cand["score"].tolist(), type=pa.float64()),
+        "rank": pa.array(cand["rank"].tolist(), type=pa.int64()),
     })
 
 
