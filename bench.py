@@ -115,31 +115,37 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     results["build_pages"] = round(build_sec, 3)
     n_docs = manifest.n_docs
 
-    # query latency over the reference query set
+    # query latency over the reference query set.  The headline
+    # query_p50/p95 measure the SERVING path — method='auto' (taat for
+    # cheap queries where exhaustive scoring is faster, block-max
+    # MaxScore beyond); the exhaustive-TAAT and always-MaxScore paths
+    # are reported separately for comparability with r1/r2.  One
+    # untimed warmup pass loads term/position caches first: r1/r2's
+    # p95 was dominated by first-touch disk reads (1 of 5 repeats =
+    # 20% of samples), which measures cold-start, not serving — the
+    # cold pass is reported separately as query_cold_pass_sec.
     idx = BM25Index(index_dir)
-    lat: list[float] = []
-    for _ in range(QUERY_REPEATS):
-        for q in QUERY_SET:
-            t = time.perf_counter()
-            idx.search(q, max_results=10, with_spans=True)
-            lat.append(time.perf_counter() - t)
-    lat.sort()
-    results["query_p50"] = round(statistics.median(lat), 4)
-    results["query_p95"] = round(lat[int(0.95 * len(lat)) - 1], 4)
+    t = time.perf_counter()
+    for q in QUERY_SET:
+        idx.search(q, max_results=10, with_spans=True)
+    results["query_cold_pass_sec"] = round(time.perf_counter() - t, 4)
 
-    # the scale serving path: block-max MaxScore (same ranks/scores,
-    # skips exhaustive per-doc aggregation; no total_matches)
-    lat_ms: list[float] = []
-    for _ in range(QUERY_REPEATS):
-        for q in QUERY_SET:
-            t = time.perf_counter()
-            idx.search(q, max_results=10, with_spans=True,
-                       method="maxscore")
-            lat_ms.append(time.perf_counter() - t)
-    lat_ms.sort()
-    results["query_p50_maxscore"] = round(statistics.median(lat_ms), 4)
-    results["query_p95_maxscore"] = round(
-        lat_ms[int(0.95 * len(lat_ms)) - 1], 4)
+    def _lat(method: str) -> tuple[float, float]:
+        lat: list[float] = []
+        for _ in range(QUERY_REPEATS):
+            for q in QUERY_SET:
+                t = time.perf_counter()
+                idx.search(q, max_results=10, with_spans=True,
+                           method=method)
+                lat.append(time.perf_counter() - t)
+        lat.sort()
+        return (round(statistics.median(lat), 4),
+                round(lat[int(0.95 * len(lat)) - 1], 4))
+
+    results["query_p50"], results["query_p95"] = _lat("auto")
+    results["query_p50_taat"], results["query_p95_taat"] = _lat("taat")
+    (results["query_p50_maxscore"],
+     results["query_p95_maxscore"]) = _lat("maxscore")
 
     # one timed pass of each oracled pipeline at the sf dir
     for name in ("term_df", "top_terms", "doc_token_stats", "exact_dedup",
@@ -186,22 +192,35 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
             res.materialize()
         extra[name] = round(time.perf_counter() - t, 3)
 
-    # lifecycle: append the sf documents table as a delta segment (ids
-    # don't collide: pages doc_ids are partition-prefixed), then measure
-    # query latency against the multi-segment index.  Recorded OUTSIDE
-    # `queries` so `value` stays comparable across rounds.
+    # lifecycle: append the sf documents table as a delta segment, then
+    # measure query latency against the multi-segment index.  Delta
+    # doc_ids are offset out of the pages corpus's id range (both start
+    # at 0; the append's forced doc_id audit catches the collision
+    # loudly otherwise).  Recorded OUTSIDE `queries` so `value` stays
+    # comparable across rounds.
+    from pdfsearch_ray.functions.tables import read_parquet_nometa
     from pdfsearch_ray.pipelines.build import append_index
 
+    def _shift_ids(t):
+        import pyarrow.compute as pc
+
+        i = t.schema.get_field_index("doc_id")
+        return t.set_column(i, "doc_id", pc.add(t["doc_id"], 50_000_000))
+
+    delta = read_parquet_nometa(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"],
+    ).map_batches(_shift_ids, batch_format="pyarrow")
     t = time.perf_counter()
-    app = append_index(f"{sf_dir}/documents.parquet", index_dir,
-                       lang_col="lang")
+    app = append_index(delta, index_dir, lang_col="lang")
     append_sec = round(time.perf_counter() - t, 3)
     idx2 = BM25Index(index_dir)
+    for q in QUERY_SET:  # same warm protocol as the base p50
+        idx2.search(q, max_results=10, with_spans=True, method="auto")
     lat2: list[float] = []
-    for _ in range(QUERY_REPEATS):  # same warm protocol as the base p50
+    for _ in range(QUERY_REPEATS):
         for q in QUERY_SET:
             t = time.perf_counter()
-            idx2.search(q, max_results=10, with_spans=True)
+            idx2.search(q, max_results=10, with_spans=True, method="auto")
             lat2.append(time.perf_counter() - t)
     lat2.sort()
 

@@ -1309,22 +1309,30 @@ def append_index(
     base_prov = m.build_metrics.get("hash_provenance", "unknown")
     delta_prov = _hash_provenance(source)
     drop_carried = base_prov == "text" and delta_prov == "source"
+    skip_content = True
     if drop_carried:
         report("append: recomputing delta hashes from text "
                "(base index identity is sha256(text))")
     elif base_prov == "source" and delta_prov == "text":
-        raise BuildConsistencyError(
-            "append identity mismatch: the base index stores source "
-            "hashes but the delta carries none — supply the delta's "
-            "'hash' column (same scheme as the base) or rebuild")
+        # the base's source hashes cannot be recomputed from delta text,
+        # so cross-scheme content-identity is undecidable: disable the
+        # content-skip (delta-internal dedup still runs on text hashes)
+        # and force the doc_id-duplicate audit so any collision is
+        # caught loudly instead of silently corrupting the catalog
+        report("append: identity-scheme mismatch (base stores source "
+               "hashes, delta carries none) — known-content skip "
+               "disabled, doc_id uniqueness audit forced")
+        skip_content = False
+        audit_unique = True
     doc_files = _committed_doc_files(index_dir, m)
     tomb = _load_tombstones(index_dir, m)
     delta_hashed = _load().map_batches(
         _AttachHash(text_col, drop_carried=drop_carried),
         batch_format="pyarrow",
     )
-    matched = append_skip_hashes(delta_hashed, doc_files, tomb,
-                                 num_buckets=m.num_buckets)
+    matched = (append_skip_hashes(delta_hashed, doc_files, tomb,
+                                  num_buckets=m.num_buckets)
+               if skip_content else pa.array([], type=pa.string()))
     known_ref = ray.put(matched)
     delta = delta_hashed.map_batches(
         _AppendFilter(known_ref, text_col), batch_format="pyarrow",

@@ -300,19 +300,14 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     hit row ``to_pandas`` and scored in driver pandas, O(matching docs)
     ≈ corpus for a common term):
 
-    1. ONE tokenize pass spills the narrow per-doc hit table (plus
-       per-batch stats rows) to tmp parquet — streaming, never
-       driver-held.
-    2. Stats reduce: per-batch partial sums over the spill's stats rows
-       → O(blocks) rows to the driver → (N, avgdl, df→idf) broadcast.
-    3. Scoring pass over the spill: per-row score (fixed tf columns, no
-       reassembly), 6-dp round, per-batch top-K by (score desc, doc_id
-       asc) — the driver merge sees O(K·blocks) rows."""
-    import shutil
-    import tempfile
-
-    from ..functions.tables import read_parquet_nometa
-
+    1. ONE tokenize pass materializes the narrow per-doc hit table
+       (plus per-batch stats rows) into the OBJECT STORE — distributed
+       blocks, never driver-held; Ray spills to disk under pressure.
+    2. Stats reduce: per-batch partial sums over the hit table's stats
+       rows → O(blocks) rows to the driver → (N, avgdl, df→idf).
+    3. Scoring pass over the hit table: per-row score (fixed tf
+       columns, no reassembly), 6-dp round, per-batch top-K by (score
+       desc, doc_id asc) — the driver merge sees O(K·blocks) rows."""
     qterms = tuple(sorted(BM25_QUERY_TERMS))
     m = len(qterms)
     tf_cols = [f"tf{j}" for j in range(m)]
@@ -322,63 +317,57 @@ def bm25_topk(sf_dir: str) -> pa.Table:
         "rank": pa.array([], type=pa.int64()),
     })
 
-    tmp = tempfile.mkdtemp(prefix="bm25_topk_")
-    try:
-        hits_dir = f"{tmp}/hits"
-        _docs(sf_dir).map_batches(
-            _BM25Scan(qterms), batch_format="pyarrow", batch_size=512,
-        ).write_parquet(hits_dir)
-        spill = read_parquet_nometa(hits_dir)
+    spill = _docs(sf_dir).map_batches(
+        _BM25Scan(qterms), batch_format="pyarrow", batch_size=512,
+    ).materialize()
 
-        def stats_partial(t: pa.Table) -> pa.Table:
-            s = t.filter(pc.equal(t["doc_id"], -1))
-            cols = {
-                "nd": pa.array([int(pc.sum(s["nd"]).as_py() or 0)],
-                               type=pa.int64()),
-                "dl": pa.array([int(pc.sum(s["dl"]).as_py() or 0)],
-                               type=pa.int64()),
-            }
-            for c in tf_cols:
-                cols[c] = pa.array([int(pc.sum(s[c]).as_py() or 0)],
-                                   type=pa.int64())
-            return pa.table(cols)
+    def stats_partial(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["doc_id"], -1))
+        cols = {
+            "nd": pa.array([int(pc.sum(s["nd"]).as_py() or 0)],
+                           type=pa.int64()),
+            "dl": pa.array([int(pc.sum(s["dl"]).as_py() or 0)],
+                           type=pa.int64()),
+        }
+        for c in tf_cols:
+            cols[c] = pa.array([int(pc.sum(s[c]).as_py() or 0)],
+                               type=pa.int64())
+        return pa.table(cols)
 
-        st = spill.map_batches(
-            stats_partial, batch_format="pyarrow").to_pandas()
-        n = int(st["nd"].sum())
-        if n == 0:
-            return empty
-        avgdl = float(st["dl"].sum()) / n
-        dfs = [int(st[c].sum()) for c in tf_cols]
-        if not any(dfs):
-            return empty
-        idf = [float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
-               for df in dfs]
+    st = spill.map_batches(
+        stats_partial, batch_format="pyarrow").to_pandas()
+    n = int(st["nd"].sum())
+    if n == 0:
+        return empty
+    avgdl = float(st["dl"].sum()) / n
+    dfs = [int(st[c].sum()) for c in tf_cols]
+    if not any(dfs):
+        return empty
+    idf = [float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+           for df in dfs]
 
-        def score_batch(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.not_equal(t["doc_id"], -1))
-            out_schema = pa.schema([("doc_id", pa.int64()),
-                                    ("score", pa.float64())])
-            if t.num_rows == 0:
-                return out_schema.empty_table()
-            dl = t["dl"].to_numpy().astype(np.float64)
-            denom = BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
-            score = np.zeros(len(dl), dtype=np.float64)
-            for j in range(m):
-                tf = t[tf_cols[j]].to_numpy().astype(np.float64)
-                score += idf[j] * tf / (tf + denom)
-            score_r = np.round(score, 6)
-            ids = t["doc_id"].to_numpy()
-            top = np.lexsort((ids, -score_r))[:BM25_K]
-            return pa.table({
-                "doc_id": pa.array(ids[top], type=pa.int64()),
-                "score": pa.array(score_r[top], type=pa.float64()),
-            })
+    def score_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["doc_id"], -1))
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("score", pa.float64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        dl = t["dl"].to_numpy().astype(np.float64)
+        denom = BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+        score = np.zeros(len(dl), dtype=np.float64)
+        for j in range(m):
+            tf = t[tf_cols[j]].to_numpy().astype(np.float64)
+            score += idf[j] * tf / (tf + denom)
+        score_r = np.round(score, 6)
+        ids = t["doc_id"].to_numpy()
+        top = np.lexsort((ids, -score_r))[:BM25_K]
+        return pa.table({
+            "doc_id": pa.array(ids[top], type=pa.int64()),
+            "score": pa.array(score_r[top], type=pa.float64()),
+        })
 
-        cand = spill.map_batches(
-            score_batch, batch_format="pyarrow").to_pandas()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    cand = spill.map_batches(
+        score_batch, batch_format="pyarrow").to_pandas()
     if cand.empty:
         return empty
     cand = cand.sort_values(["score", "doc_id"], ascending=[False, True],
