@@ -84,11 +84,17 @@ def ngram_jaccard_pairs(
     docs.map_batches(_ShingleEmitter(n), batch_format="pyarrow").write_parquet(sh_dir)
     shingles = rd.read_parquet(sh_dir)
 
-    counts = (
+    # one narrow row per doc, reused by both joins — spilled to parquet
+    # rather than pinned in the object store: counts is corpus-cardinality
+    # (one row per doc), and each hash_join streams its side from disk
+    # into bucket tasks, so nothing O(corpus) stays resident
+    counts_dir = f"{work_dir}/counts"
+    (
         shingles.groupby("doc_id")
         .aggregate(Count(alias_name="n_sh"))
-        .materialize()  # one narrow row per doc, reused by both joins
+        .write_parquet(counts_dir)
     )
+    counts = rd.read_parquet(counts_dir)
 
     def pairs_of_group(g: pa.Table) -> pa.Table:
         ids = np.sort(g["doc_id"].to_numpy())
