@@ -1,0 +1,255 @@
+"""Pure-Python/numpy media codecs — the dependency-free "real" decode
+backend for stages/multimodal.py.
+
+The container has no PIL / libsndfile / ffmpeg, but two formats need
+nothing beyond the stdlib: PNG (zlib) and WAV-PCM (struct).  These
+codecs make the media pipeline's decode step REAL for
+``image/png`` and ``audio/wav`` payloads; video (mp4) has no
+pure-Python codec and stays on the deterministic stub.
+
+Scope (matches what the pipeline needs, not a general library):
+* PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+  6 (RGBA), no interlacing; all five scanline filters (None / Sub /
+  Up / Average / Paeth, per the PNG spec §9).  CRCs are verified.
+* WAV: RIFF/WAVE, PCM (format 1) 8- or 16-bit, any channel count
+  (downmixed to mono by integer mean).
+
+Per-row unfiltering is a Python loop over SCANLINES (vectorized within
+each row where the filter allows); fine for the thumbnail-scale tensors
+these stages produce — a production deployment swaps in a C codec
+behind the same function signatures.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+class MediaDecodeError(ValueError):
+    """Malformed or unsupported payload (callers treat as a poison row)."""
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over one pixel-column of a scanline."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB.  Gray is replicated to 3
+    channels; alpha is dropped.  Raises MediaDecodeError on anything
+    malformed or outside the supported subset."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise MediaDecodeError("truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise MediaDecodeError(f"bad CRC in {ctype!r}")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise MediaDecodeError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise MediaDecodeError(
+            f"unsupported PNG (depth={depth} color={color})")
+    if interlace != 0:
+        raise MediaDecodeError("interlaced PNG unsupported")
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise MediaDecodeError(f"bad dimensions {w}x{h}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise MediaDecodeError(f"IDAT inflate failed: {exc}") from exc
+    if len(raw) != h * (stride + 1):
+        raise MediaDecodeError("decompressed size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = rows[y, 1:].copy()
+        f = int(filters[y])
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub — sequential in x, vectorized across channels
+            cur = line
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif f == 2:  # Up
+            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif f == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (int(cur[x]) + int(
+                    _paeth(np.uint8(left), prev[x:x + 1][0],
+                           np.uint8(ul)))) & 0xFF
+        else:
+            raise MediaDecodeError(f"bad filter type {f} on row {y}")
+        img[y] = cur
+        prev = img[y]
+    px = img.reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 2:
+        return px
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA → drop alpha
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → PNG bytes.  ``filter_type`` applies
+    the given PNG filter to every scanline (0-4) — exists mainly so
+    tests can exercise every unfilter path in :func:`decode_png`."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise MediaDecodeError(f"unsupported channel count {ch}")
+    flat = a.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+    prev = np.zeros(stride, dtype=np.int32)
+    out_rows = []
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = cur - (left + prev) // 2
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            pred = _paeth(left.astype(np.uint8), prev.astype(np.uint8),
+                          ul.astype(np.uint8)).astype(np.int32)
+            enc = cur - pred
+        else:
+            raise MediaDecodeError(f"bad filter type {filter_type}")
+        out_rows.append(bytes([filter_type])
+                        + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(out_rows)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (mono int16 samples, sample_rate).  Multi-channel is
+    downmixed by integer mean; 8-bit PCM (unsigned) is widened to
+    int16.  Raises MediaDecodeError outside the PCM subset."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise MediaDecodeError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise MediaDecodeError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise MediaDecodeError("short fmt chunk")
+    audio_format, n_ch, rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    if audio_format != 1 or n_ch == 0:
+        raise MediaDecodeError(f"unsupported WAV format {audio_format}")
+    if bits == 16:
+        samples = np.frombuffer(
+            data[:len(data) // 2 * 2], dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+                   - 128) << 8
+    else:
+        raise MediaDecodeError(f"unsupported bit depth {bits}")
+    n_frames = samples.size // n_ch
+    mono = samples[:n_frames * n_ch].reshape(n_frames, n_ch) \
+        .mean(axis=1, dtype=np.int64)
+    return mono.astype(np.int16), int(rate)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono int16 samples → WAV-PCM16 bytes."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resize_rgb(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor (h, w, 3) → (oh, ow, 3) — same sampling rule as
+    stages.multimodal.ImageResize's gather."""
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    ys = np.arange(oh) * h // oh
+    xs = np.arange(ow) * w // ow
+    return img[ys][:, xs]
+
+
+def audio_to_uint8(samples: np.ndarray, n_out: int) -> np.ndarray:
+    """Mono int16 → exactly n_out uint8 (top byte, re-biased to
+    unsigned; trimmed or zero-padded) — the fixed-shape tensor contract
+    MediaDecoder's stub also satisfies."""
+    u8 = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    if u8.size >= n_out:
+        return u8[:n_out]
+    return np.concatenate(
+        [u8, np.full(n_out - u8.size, 128, dtype=np.uint8)])

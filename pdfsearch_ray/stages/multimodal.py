@@ -6,14 +6,16 @@ and flatbuffers blobs, internal/serial/offset_bbox.go); this module is
 the engine's media extension for training-data pipelines: decode →
 resize / frame-sample → feature-extract, each a stateful batch stage.
 
-The actual codec libraries (PIL / libsndfile / ffmpeg) are NOT in this
-container, so the decode backend is STUBBED: ``backend="stub"`` produces
-a deterministic fake decode (pixel/sample tensors derived from the
-payload bytes via a rolling hash — stable across runs, workers and
-cluster sizes), while ``backend="real"`` raises NotImplementedError at
-construction with the dependency it needs.  Everything Ray-side —
-schemas, batch shapes, actor signatures, fixed-shape tensor columns,
-the 1→N frame-sampling flat_map — is real and tested.
+Decode backends: ``backend="real"`` uses the pure-Python/numpy codecs
+in functions/media_codecs — PNG images (all five scanline filters,
+CRC-verified) and WAV-PCM audio are decoded for REAL; video (mp4) has
+no dependency-free codec in this container (no PIL/ffmpeg) and falls
+back to the stub.  ``backend="stub"`` produces a deterministic fake
+decode (pixel/sample tensors derived from the payload bytes via a
+rolling hash — stable across runs, workers and cluster sizes).
+Everything Ray-side — schemas, batch shapes, actor signatures,
+fixed-shape tensor columns, the 1→N frame-sampling flat_map — is real
+and tested under both backends.
 
 Memory note (the reason these stages exist as separate actor pools):
 decoded tensors are ~100-1000× their encoded payloads, so decode stages
@@ -64,14 +66,24 @@ class MediaDecoder:
     frame for video, ``n_samples`` for audio) and ``decode_ok:bool``.
     Use as ``ds.map_batches(MediaDecoder, fn_constructor_kwargs=...,
     batch_size=32, concurrency=N)``.
+
+    Backends:
+    * ``"stub"`` — deterministic fake tensors (payload-derived hash).
+    * ``"real"`` — pure-Python/numpy codecs (functions/media_codecs):
+      PNG images (all five scanline filters, CRC-checked) decoded and
+      nearest-neighbor-resized to ``image_hw``; WAV-PCM audio decoded,
+      downmixed to mono and fitted to ``audio_samples`` uint8 samples.
+      Video has no dependency-free codec and FALLS BACK to the stub
+      (documented container constraint).  Undecodable payloads yield
+      decode_ok=False, never a raised error (poison-row rule).
     """
 
     def __init__(self, backend: str = "stub", image_hw: tuple[int, int] = (32, 32),
                  audio_samples: int = 1024):
-        if backend != "stub":
+        if backend not in ("stub", "real"):
             raise NotImplementedError(
-                f"media decode backend {backend!r} needs PIL/soundfile/ffmpeg, "
-                "not available in this environment; use backend='stub'"
+                f"media decode backend {backend!r} unknown; "
+                "use backend='stub' or backend='real'"
             )
         self.backend = backend
         self.image_hw = image_hw
@@ -80,8 +92,32 @@ class MediaDecoder:
     def _decode_one(self, kind: str, payload: bytes) -> np.ndarray | None:
         if payload is None or len(payload) == 0:
             return None
+        h, w = self.image_hw
+        if self.backend == "real":
+            from ..functions.media_codecs import (
+                MediaDecodeError,
+                audio_to_uint8,
+                decode_png,
+                decode_wav,
+                resize_rgb,
+            )
+
+            if kind == "image":
+                try:
+                    return resize_rgb(decode_png(payload),
+                                      self.image_hw).ravel()
+                except MediaDecodeError:
+                    return None
+            if kind == "audio":
+                try:
+                    samples, _rate = decode_wav(payload)
+                except MediaDecodeError:
+                    return None
+                return audio_to_uint8(samples, self.audio_samples)
+            if kind == "video":  # no pure-python mp4 codec: stub fallback
+                return _stub_tensor(payload, h * w * 3, seed=1)
+            return None
         if kind in ("image", "video"):
-            h, w = self.image_hw
             return _stub_tensor(payload, h * w * 3, seed=1)
         if kind == "audio":
             return _stub_tensor(payload, self.audio_samples, seed=2)

@@ -44,9 +44,105 @@ def test_decoder_stub_shapes_and_determinism():
         assert len(v) == (8 * 8 * 3 if kind in ("image", "video") else 64)
 
 
-def test_real_backend_raises():
+def test_unknown_backend_raises():
     with pytest.raises(NotImplementedError):
-        MediaDecoder(backend="real")
+        MediaDecoder(backend="ffmpeg")
+
+
+def _real_media_batch(image_hw=(8, 8)):
+    """Synthetic VALID png/wav payloads (encoded with our own pure-python
+    writers, functions/media_codecs) + one corrupt row per kind."""
+    from pdfsearch_ray.functions.media_codecs import encode_png, encode_wav
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 12, 3), dtype=np.uint8)
+    wav = rng.randint(-(2 ** 14), 2 ** 14, 300).astype(np.int16)
+    rows = [
+        ("image", "image/png", encode_png(img, filter_type=4)),
+        ("audio", "audio/wav", encode_wav(wav, 16000)),
+        ("video", "video/mp4", b"\x00\x00\x00 ftypisom fake"),
+        ("image", "image/png", b"not a png at all"),
+        ("audio", "audio/wav", b"RIFF????nope"),
+    ]
+    n = len(rows)
+    return img, wav, pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array([r[0] for r in rows]),
+        "mime": pa.array([r[1] for r in rows]),
+        "payload": pa.array([r[2] for r in rows], type=pa.large_binary()),
+        "width": pa.array([12, 0, 8, 12, 0], type=pa.int32()),
+        "height": pa.array([16, 0, 8, 16, 0], type=pa.int32()),
+        "n_frames": pa.array([0, 0, 4, 0, 0], type=pa.int32()),
+        "sample_rate": pa.array([0, 16000, 0, 0, 16000], type=pa.int32()),
+        "duration_ms": pa.array([0, 19, 160, 0, 0], type=pa.int32()),
+    })
+
+
+def test_real_backend_decodes_png_and_wav():
+    from pdfsearch_ray.functions.media_codecs import (
+        audio_to_uint8,
+        resize_rgb,
+    )
+
+    img, wav, media = _real_media_batch()
+    dec = MediaDecoder(backend="real", image_hw=(8, 8), audio_samples=64)
+    out = dec(media)
+    ok = out["decode_ok"].to_pylist()
+    assert ok == [True, True, True, False, False]
+    decoded = out["decoded"].to_pylist()
+    # image: real pixels, resized with the documented nearest rule
+    assert decoded[0] == resize_rgb(img, (8, 8)).ravel().tolist()
+    # audio: real samples in the fixed-shape uint8 contract
+    assert decoded[1] == audio_to_uint8(wav, 64).tolist()
+    # video: stub fallback, still the image tensor length
+    assert len(decoded[2]) == 8 * 8 * 3
+    # corrupt rows are poison rows, not errors
+    assert decoded[3] is None and decoded[4] is None
+
+
+def test_png_all_filters_roundtrip():
+    from pdfsearch_ray.functions.media_codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    for f in range(5):
+        assert np.array_equal(decode_png(encode_png(img, filter_type=f)),
+                              img), f"filter {f}"
+    gray = rng.randint(0, 256, (9, 11), dtype=np.uint8)
+    out = decode_png(encode_png(gray, filter_type=2))
+    assert np.array_equal(out[:, :, 0], gray) and out.shape == (9, 11, 3)
+    rgba = rng.randint(0, 256, (8, 8, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba, filter_type=4)),
+                          rgba[:, :, :3])
+
+
+def test_wav_roundtrip_and_downmix():
+    from pdfsearch_ray.functions.media_codecs import decode_wav, encode_wav
+
+    rng = np.random.RandomState(5)
+    s = rng.randint(-30000, 30000, 441).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100 and np.array_equal(out, s)
+
+
+def test_real_backend_features_golden():
+    """backend='real' through MediaFeatures keeps the same fixed-shape
+    tensor contract as the stub path — and the features over REAL
+    decoded pixels are deterministic (golden-pinned means)."""
+    _img, _wav, media = _real_media_batch()
+    dec = MediaDecoder(backend="real", image_hw=(8, 8), audio_samples=192)
+    decoded = dec(media).filter(pa.compute.field("decode_ok"))
+    feats = MediaFeatures()(decoded)
+    vals = feats["features"].to_pylist()
+    assert all(len(v) == MediaFeatures.N_FEATURES for v in vals)
+    # golden: channel means of the real-decoded image row equal the
+    # numpy means of the resized source pixels
+    from pdfsearch_ray.functions.media_codecs import resize_rgb
+
+    expect = resize_rgb(_img, (8, 8)).reshape(-1, 3).astype(
+        np.float32).mean(axis=0)
+    assert np.allclose(vals[0][:3], expect, atol=1e-4)
 
 
 def test_resize_gather():
