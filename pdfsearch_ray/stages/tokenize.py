@@ -108,6 +108,197 @@ class Tokenizer:
         return fnv1a64_str(f"{term}#{salt}") % self.num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.combine:
+            return self._combine_vectorized(batch)
+        return self._python_path(batch)
+
+    def _combine_vectorized(self, batch: pa.Table) -> pa.Table:
+        """Batch-vectorized combine path (the indexing hot loop).
+
+        Replaces per-doc Python dict aggregation with array passes:
+        regex findall per doc (the only per-doc Python left) → ONE
+        pandas factorize over the batch's raw tokens → the full
+        normalize chain applied once per UNIQUE raw token (Zipf: batch
+        vocabulary ≪ token count) → ONE lexsort by (term, salt, doc,
+        position) → run-length boundaries give postings and segments
+        directly, positions already flat in wire order for the
+        vectorized varint encoder.  Output is bit-identical to the
+        Python path (tests/test_tokenize_vec.py equivalence property);
+        the point is DRAM traffic — compact int arrays instead of
+        ~3 Python objects per token (BASELINE.md: tokenize is the
+        bandwidth-bound stage at full node width)."""
+        import pandas as pd
+
+        texts = batch[self.text_col].to_pylist()
+        doc_ids_np = batch[self.id_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_docs = len(texts)
+        en = self.analyzer_name == "en"
+        if en:
+            from ..analysis.analyzer import _TOKEN_RE
+
+            tokenize = _TOKEN_RE.findall
+        else:
+            tokenize = self.analyze
+
+        raw_all: list[str] = []
+        counts = np.zeros(n_docs, dtype=np.int64)
+        extend = raw_all.extend
+        for i, text in enumerate(texts):
+            if not text:
+                continue  # empty-page filter (bleve_pdf.go:309-312)
+            toks = tokenize(text)
+            extend(toks)
+            counts[i] = len(toks)
+        total = len(raw_all)
+        if total == 0:
+            return self._empty_combine_table()
+
+        codes, uniq = pd.factorize(
+            np.asarray(raw_all, dtype=object), sort=False)
+        del raw_all
+        if en:
+            from ..analysis.analyzer import (
+                _MISSING,
+                _RAW_TERM_CACHE,
+                _final_term,
+            )
+
+            cache_get = _RAW_TERM_CACHE.get
+            final = []
+            for u in uniq:
+                t = cache_get(u, _MISSING)
+                if t is _MISSING:
+                    t = _final_term(u)
+                final.append(t)
+        else:
+            final = list(uniq)
+        # lexicographically-ranked final vocabulary: segment order must
+        # match the Python path's sorted(seg.keys())
+        kept_terms = sorted({t for t in final if t is not None})
+        term_rank = {t: j for j, t in enumerate(kept_terms)}
+        code_map = np.fromiter(
+            (term_rank[t] if t is not None else -1 for t in final),
+            dtype=np.int64, count=len(final))
+
+        tcode_tok = code_map[codes]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        doc_tok_start = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=doc_tok_start[1:])
+        # 1-based pre-stop-removal positions (bleve semantics)
+        pos_tok = np.arange(total, dtype=np.int64) \
+            - doc_tok_start[doc_idx] + 1
+        keep = tcode_tok >= 0
+        tcode = tcode_tok[keep]
+        d = doc_idx[keep]
+        p = pos_tok[keep]
+        if tcode.size == 0:
+            return self._empty_combine_table()
+        dl_doc = np.bincount(d, minlength=n_docs).astype(np.int64)
+
+        hot = self.hot_terms
+        if hot:
+            s_of_code = np.fromiter(
+                (hot.get(t, 0) for t in kept_terms),
+                dtype=np.int64, count=len(kept_terms))
+            salt_base = mix64(doc_ids_np.astype(np.uint64))
+            s_tok = s_of_code[tcode]
+            salt_tok = np.where(
+                s_tok > 0,
+                (salt_base[d] % np.maximum(s_tok, 1).astype(np.uint64))
+                .astype(np.int64),
+                0)
+        else:
+            salt_tok = np.zeros(tcode.size, dtype=np.int64)
+
+        # sort by (term, salt, doc, position).  One packed-int64 argsort
+        # when the ranges fit (always, for real batches) — a single-key
+        # radix-ish sort beats a 4-pass lexsort; lexsort fallback keeps
+        # correctness for degenerate ranges.
+        b_p = max(int(p.max()), 1).bit_length()
+        b_d = max(n_docs - 1, 1).bit_length()
+        b_s = max(int(salt_tok.max()), 1).bit_length()
+        b_t = max(len(kept_terms) - 1, 1).bit_length()
+        if b_p + b_d + b_s + b_t <= 62:
+            packed = (((tcode << b_s | salt_tok) << b_d | d) << b_p) | p
+            order = np.argsort(packed, kind="stable")
+        else:
+            order = np.lexsort((p, d, salt_tok, tcode))
+        tc = tcode[order]
+        dd = d[order]
+        pp = p[order]
+        ss = salt_tok[order]
+        # posting boundaries: change in (term, salt, doc)
+        chg = np.empty(tc.size, dtype=bool)
+        chg[0] = True
+        chg[1:] = ((tc[1:] != tc[:-1]) | (ss[1:] != ss[:-1])
+                   | (dd[1:] != dd[:-1]))
+        post_start = np.nonzero(chg)[0]
+        tf = np.diff(np.append(post_start, tc.size)).astype(np.int64)
+        tc_p = tc[post_start]
+        ss_p = ss[post_start]
+        dd_p = dd[post_start]
+        # segment boundaries: change in (term, salt) among postings
+        chg_seg = np.empty(tc_p.size, dtype=bool)
+        chg_seg[0] = True
+        chg_seg[1:] = (tc_p[1:] != tc_p[:-1]) | (ss_p[1:] != ss_p[:-1])
+        seg_start = np.nonzero(chg_seg)[0]
+        n_post = tc_p.size
+        seg_tc = tc_p[seg_start]
+        seg_salt = ss_p[seg_start]
+        seg_bounds = np.append(seg_start, n_post).astype(np.int32)
+
+        buckets = np.empty(seg_tc.size, dtype=np.int32)
+        for j in range(seg_tc.size):
+            buckets[j] = self._bucket_salted(
+                kept_terms[seg_tc[j]], int(seg_salt[j]))
+        cols = {
+            "term": pa.array([kept_terms[c] for c in seg_tc],
+                             type=pa.string()),
+            "salt": pa.array(seg_salt.astype(np.int32), type=pa.int32()),
+            "bucket": pa.array(buckets, type=pa.int32()),
+            "seg_docs": pa.ListArray.from_arrays(
+                pa.array(seg_bounds),
+                pa.array(doc_ids_np[dd_p], type=pa.int64())),
+            "seg_tfs": pa.ListArray.from_arrays(
+                pa.array(seg_bounds),
+                pa.array(tf.astype(np.uint32), type=pa.uint32())),
+            "seg_dls": pa.ListArray.from_arrays(
+                pa.array(seg_bounds),
+                pa.array(dl_doc[dd_p].astype(np.uint32),
+                         type=pa.uint32())),
+        }
+        if self.with_positions:
+            from ..index.codec import encode_positions_run
+
+            blob, post_off = encode_positions_run(
+                pp.astype(np.uint32), tf)
+            blens = np.diff(post_off).astype(np.int32)
+            byte_bounds = post_off[seg_bounds.astype(np.int64)]
+            cols["seg_pos_blob"] = pa.Array.from_buffers(
+                pa.large_binary(), seg_tc.size,
+                [None, pa.py_buffer(byte_bounds.tobytes()),
+                 pa.py_buffer(blob)])
+            cols["seg_pos_blen"] = pa.ListArray.from_arrays(
+                pa.array(seg_bounds),
+                pa.array(blens, type=pa.int32()))
+        return pa.table(cols)
+
+    def _empty_combine_table(self) -> pa.Table:
+        cols = {
+            "term": pa.array([], type=pa.string()),
+            "salt": pa.array([], type=pa.int32()),
+            "bucket": pa.array([], type=pa.int32()),
+            "seg_docs": pa.array([], type=pa.list_(pa.int64())),
+            "seg_tfs": pa.array([], type=pa.list_(pa.uint32())),
+            "seg_dls": pa.array([], type=pa.list_(pa.uint32())),
+        }
+        if self.with_positions:
+            cols["seg_pos_blob"] = pa.array([], type=pa.large_binary())
+            cols["seg_pos_blen"] = pa.array([], type=pa.list_(pa.int32()))
+        return pa.table(cols)
+
+    def _python_path(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False)
 
