@@ -45,6 +45,128 @@ class QueryEngine:
         return self.idx.manifest.built_at
 
 
+@ray.remote
+class ShardEngine:
+    """One doc-range scoring shard for scatter-gather serving: holds a
+    warm BM25Index handle and answers ``topk_in_range`` for its slice.
+    Block pruning means a shard decodes only the posting blocks whose
+    docID span intersects its range — n shards split the decode and
+    aggregation work, not just the queries."""
+
+    def __init__(self, index_dir: str, lo: int, hi: int):
+        self.idx = BM25Index(index_dir)
+        self.lo, self.hi = int(lo), int(hi)
+
+    def topk(self, query: str, max_results: int):
+        ids, sc, total = self.idx.topk_in_range(
+            query, max_results, self.lo, self.hi)
+        return ids, sc, total
+
+    def warm(self, queries: list[str]) -> int:
+        for q in queries:
+            self.idx.topk_in_range(q, 1, self.lo, self.hi)
+        return len(self.idx._term_cache)
+
+
+def compute_doc_ranges(index_dir: str, n_shards: int) -> list[tuple[int, int]]:
+    """Split the index's docID space into ``n_shards`` contiguous ranges
+    of ~equal row count, from docs parquet footer statistics (no data
+    read).  Ranges cover all of int64 so appended segments with new id
+    ranges still land in some shard."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import IndexManifest
+
+    m = IndexManifest.load(index_dir)
+    dirs = [index_dir] + [f"{index_dir}/segments/{s['name']}"
+                          for s in m.segments if s["name"] != "base"]
+    mins: list[tuple[int, int]] = []  # (rg_min_doc_id, rows)
+    for d in dirs:
+        for path in sorted(glob.glob(f"{d}/docs/*.parquet")):
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.to_arrow_schema().names.index("doc_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if st is not None and st.min is not None else 0
+                mins.append((int(lo), md.row_group(rg).num_rows))
+    if not mins or n_shards <= 1:
+        return [(-(1 << 62), 1 << 62)]
+    mins.sort()
+    rows = np.array([r for _, r in mins], dtype=np.int64)
+    cum = np.cumsum(rows)
+    total = int(cum[-1])
+    bounds: list[int] = []
+    for s in range(1, n_shards):
+        target = total * s // n_shards
+        j = int(np.searchsorted(cum, target))
+        b = mins[min(j + 1, len(mins) - 1)][0]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    edges = [-(1 << 62)] + bounds + [1 << 62]
+    return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+
+class ShardedEngine:
+    """Scatter-gather serving over doc-range shards (the reference's
+    single bleve handle scaled out; SURVEY §2.6 T1 as a fan-out).
+
+    Each query fans to every shard's ``topk_in_range`` (global idf —
+    scores are bitwise-identical to unsharded TAAT, so the merged
+    global top-k has identical ranks/scores; tested at 2 pool sizes in
+    tests/test_engine_pool.py), then the driver lexsort-merges the
+    K·shards candidates and hydrates only the final top-k through its
+    own handle."""
+
+    def __init__(self, index_dir: str, n_shards: int = 4,
+                 num_cpus: float = 1.0):
+        self.index_dir = index_dir
+        self.ranges = compute_doc_ranges(index_dir, n_shards)
+        self.shards = [
+            ShardEngine.options(num_cpus=num_cpus).remote(index_dir, lo, hi)
+            for lo, hi in self.ranges
+        ]
+        self._local = BM25Index(index_dir)  # hydration only (top-k reads)
+
+    def warm(self, queries: list[str]) -> None:
+        ray.get([s.warm.remote(queries) for s in self.shards])
+
+    def search(self, query: str, max_results: int = 10,
+               with_spans: bool = True) -> MatchSet:
+        import time as _time
+
+        import numpy as np
+
+        t0 = _time.perf_counter()
+        parts = ray.get([s.topk.remote(query, max_results)
+                         for s in self.shards])
+        ids = np.concatenate([p[0] for p in parts])
+        sc = np.concatenate([p[1] for p in parts])
+        total = sum(p[2] for p in parts)
+        result = MatchSet()
+        result.total_matches = int(total)
+        if ids.size and max_results > 0:
+            order = np.lexsort((ids, -sc))[:max_results]
+            idx = self._local
+            if idx.manifest.analyzer == "en":
+                from .query import analyze_en
+
+                q_terms = [tok.term for tok in analyze_en(query)]
+            else:
+                q_terms = idx.analyze(query)
+            result.matches = idx._hydrate(q_terms, ids[order], sc[order],
+                                          with_spans)
+        result.search_duration = _time.perf_counter() - t0
+        return result
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
 def make_engine_pool(index_dir: str, replicas: int = 2,
                      num_cpus: float = 1.0) -> list:
     """Spin up ``replicas`` QueryEngine actors over one index dir."""

@@ -582,6 +582,91 @@ class BM25Index:
             uniq, scores = uniq[keep], scores[keep]
         return uniq, scores
 
+    def _score_range(
+        self, uniq_terms: list[str], lo: int, hi: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact TAAT restricted to doc_id ∈ [lo, hi) — the per-shard
+        scorer behind scatter-gather serving (engine.ShardedEngine,
+        SURVEY §2.6 T1 at scale).  Blocks outside the range are skipped
+        WITHOUT decoding: within a (salt, seg) run blocks are
+        docID-sorted, so block j covers [first_j, first_{j+1}).  idf
+        stays GLOBAL (the shard split is read-side only), so per-doc
+        scores are bitwise-identical to unsharded TAAT."""
+        id_parts: list[np.ndarray] = []
+        sc_parts: list[np.ndarray] = []
+        ulo, uhi = np.uint64(max(lo, 0)), np.uint64(max(hi, 0))
+        for t in uniq_terms:
+            blocks = self._term_cache.get(t, [])
+            idf = self._idf(t)
+            if idf == 0.0:
+                continue
+            selected: list[dict] = []
+            run_key = None
+            run: list[dict] = []
+
+            def flush(run: list[dict]) -> None:
+                for j, b in enumerate(run):
+                    b_lo = b["first_doc"]
+                    if b_lo >= hi:
+                        return  # docID-sorted: rest of run is past range
+                    if j + 1 < len(run) and run[j + 1]["first_doc"] <= lo:
+                        continue
+                    selected.append(b)
+
+            for b in blocks:
+                key = (b["salt"], b["seg"])
+                if key != run_key:
+                    if run:
+                        flush(run)
+                    run, run_key = [], key
+                run.append(b)
+            if run:
+                flush(run)
+            self._decode_blocks_bulk(selected, idf)
+            for b in selected:
+                ids = b["ids"]
+                m = (ids >= ulo) & (ids < uhi)
+                if m.all():
+                    id_parts.append(ids)
+                    sc_parts.append(b["scores"])
+                elif m.any():
+                    id_parts.append(ids[m])
+                    sc_parts.append(b["scores"][m])
+        if not id_parts:
+            return np.empty(0, dtype=np.uint64), np.empty(0)
+        all_ids = np.concatenate(id_parts)
+        all_sc = np.concatenate(sc_parts)
+        uniq, scores = _aggregate_scores(all_ids, all_sc)
+        if self._deleted is not None and uniq.size:
+            keep = ~np.isin(uniq, self._deleted)
+            uniq, scores = uniq[keep], scores[keep]
+        return uniq, scores
+
+    def topk_in_range(
+        self, query: str, max_results: int, lo: int, hi: int
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """Shard-local top-k: (doc_ids, scores, n_matched_in_range),
+        selection rule identical to search()'s (score desc, doc_id asc).
+        No hydration — the scatter-gather driver hydrates the merged
+        global top-k only."""
+        if self.manifest.analyzer == "en":
+            q_terms = [tok.term for tok in analyze_en(query)]
+        else:
+            q_terms = self.analyze(query)
+        uniq_terms = sorted(set(q_terms))
+        self._load_terms(uniq_terms)
+        ids, scores = self._score_range(uniq_terms, lo, hi)
+        total = int(ids.size)
+        if not ids.size or max_results <= 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0), total
+        k = min(max_results, ids.size)
+        if ids.size > k * 8:
+            kth = np.partition(scores, ids.size - k)[ids.size - k]
+            mask = scores >= kth
+            ids, scores = ids[mask], scores[mask]
+        order = np.lexsort((ids, -scores))[:k]
+        return ids[order], scores[order], total
+
     def _score_maxscore(
         self, uniq_terms: list[str], k: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -899,18 +984,28 @@ class BM25Index:
         import pyarrow.parquet as pq
 
         id_list = [int(i) for i in top_ids]
+        dtbl, has_text = self.fetch_doc_meta(id_list, with_text=with_spans)
+        return self._hydrate_from_table(q_terms, id_list, top_sc, with_spans,
+                                        dtbl, has_text)
+
+    def fetch_doc_meta(self, id_list: list[int],
+                       with_text: bool = True) -> tuple[pa.Table, bool]:
+        """Row-group-pruned (doc_id, url[, text]) fetch for a small id
+        set — the hitToPdfMatch join's read half, public so renderers
+        (pipelines/render.py) can pull evidence text for top-k docs.
+        Returns (table, has_text)."""
+        import pyarrow.parquet as pq
+
         cols = ["doc_id", "url"]
         docs_schema = (self._docs_mem.schema if self._docs_mem is not None
                        else self.docs.schema)
         has_text = "text" in docs_schema.names
-        if has_text and with_spans:
+        if has_text and with_text:
             cols.append("text")
         if self._docs_mem is not None:
-            dtbl = self._docs_mem.filter(
+            return self._docs_mem.filter(
                 pc.is_in(self._docs_mem["doc_id"], value_set=pa.array(id_list))
-            ).select(cols)
-            return self._hydrate_from_table(q_terms, id_list, top_sc, with_spans,
-                                            dtbl, has_text)
+            ).select(cols), has_text
         if self._doc_rg_index is None:
             self._doc_rg_index = self._build_doc_rg_index()
         want = sorted(id_list)
@@ -926,8 +1021,7 @@ class BM25Index:
                 self.io_stats["docs_row_groups_read"] += 1
                 parts.append(t.filter(pc.is_in(t["doc_id"], value_set=pa.array(want))))
         dtbl = pa.concat_tables(parts) if parts else self.docs.schema.empty_table().select(cols)
-        return self._hydrate_from_table(q_terms, id_list, top_sc, with_spans,
-                                        dtbl, has_text)
+        return dtbl, has_text
 
     def _hydrate_from_table(
         self,

@@ -95,3 +95,61 @@ def test_engine_reload_picks_up_append_and_delete(ray_session, tmp_path):
     finally:
         for a in pool:
             ray.kill(a)
+
+
+def test_sharded_engine_rank_identity_two_pool_sizes(ray_session, tmp_path):
+    """Scatter-gather doc-range sharding must reproduce unsharded TAAT
+    ranks, scores, spans AND exact total_matches at any shard count."""
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.engine import ShardedEngine, compute_doc_ranges
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    d = str(tmp_path / "idx")
+    build_index(SRC, d, analyzer="en", num_buckets=8)
+    local = BM25Index(d)
+    expected = {q: local.search(q, max_results=10, with_spans=True,
+                                method="taat") for q in QUERIES}
+    for n_shards in (2, 5):
+        ranges = compute_doc_ranges(d, n_shards)
+        assert ranges[0][0] < 0 and ranges[-1][1] > (1 << 61)
+        for (a, b), (c, e) in zip(ranges, ranges[1:]):
+            assert b == c, "ranges must tile the id space"
+        eng = ShardedEngine(d, n_shards=n_shards, num_cpus=0.25)
+        try:
+            for q in QUERIES:
+                g = eng.search(q, max_results=10, with_spans=True)
+                e = expected[q]
+                assert g.total_matches == e.total_matches, (q, n_shards)
+                assert [(m.doc_id, m.score) for m in g.matches] == \
+                       [(m.doc_id, m.score) for m in e.matches], (q, n_shards)
+                assert [m.spans for m in g.matches] == \
+                       [m.spans for m in e.matches], (q, n_shards)
+        finally:
+            eng.shutdown()
+
+
+def test_sharded_engine_sees_appended_segment(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.build import append_index, build_index
+    from pdfsearch_ray.pipelines.engine import ShardedEngine
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    t = pq.read_table(SRC)
+    cut = int(t.num_rows * 0.6)
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(t.slice(0, cut)), d, analyzer="en",
+                num_buckets=8, lang_col="lang")
+    append_index(rd.from_arrow(t.slice(cut)), d, lang_col="lang")
+    local = BM25Index(d)
+    eng = ShardedEngine(d, n_shards=3, num_cpus=0.25)
+    try:
+        for q in ("data processing pipeline", "information"):
+            e = local.search(q, max_results=10, method="taat")
+            g = eng.search(q, max_results=10)
+            assert g.total_matches == e.total_matches
+            assert [(m.doc_id, m.score) for m in g.matches] == \
+                   [(m.doc_id, m.score) for m in e.matches]
+    finally:
+        eng.shutdown()
