@@ -752,8 +752,36 @@ class BM25Index:
         board_sc = np.empty(0)
         board_cap = 4 * k + 16
         theta_lower = -np.inf
+        # Amortized exact-θ folds: when contributions are spread evenly
+        # across many docs (mass-tie corpora), the per-run top-k
+        # scoreboard's restarted partial sums underestimate θ badly and
+        # GROW decodes nearly everything.  Folding the pending parts
+        # into one exact aggregation on a DOUBLING size schedule keeps
+        # total fold cost O(final aggregation) while giving GROW a true
+        # k-th-total bound to stop on.
+        pend_total = 0
+        fold_at = max(1 << 19, 8 * k)
+        # degenerate-corpus guard: when GROW has decoded most of the
+        # posting mass and the bound still hasn't closed (flat scores —
+        # e.g. every term in every doc, idf ≈ ε), block-max pruning
+        # cannot win; stop paying per-run scoreboard/fold overhead and
+        # finish exhaustively (exactly TAAT from here on)
+        total_postings = sum(b["n"] for r in runs for b in r["blocks"])
+        decoded_total = 0
         i = 0
         while i < len(runs) and suffix[i] >= theta_lower:
+            if decoded_total > 0.6 * total_postings:
+                for r in runs[i:]:
+                    self._decode_blocks_bulk(r["blocks"], r["idf"])
+                    for b in r["blocks"]:
+                        ids_b, sc_b = b["ids"], b["scores"]
+                        if deleted is not None and ids_b.size:
+                            live = ~np.isin(ids_b, deleted)
+                            ids_b, sc_b = ids_b[live], sc_b[live]
+                        pend_ids.append(ids_b)
+                        pend_sc.append(sc_b)
+                i = len(runs)
+                break
             r = runs[i]
             self._decode_blocks_bulk(r["blocks"], r["idf"])
             ids_new = np.concatenate([b["ids"] for b in r["blocks"]])
@@ -765,6 +793,8 @@ class BM25Index:
                 ids_new, sc_new = ids_new[live], sc_new[live]
             pend_ids.append(ids_new)
             pend_sc.append(sc_new)
+            pend_total += int(ids_new.size)
+            decoded_total += int(ids_new.size)
             if sc_new.size:
                 if sc_new.size > k:
                     sel = np.argpartition(sc_new, sc_new.size - k)[
@@ -780,10 +810,23 @@ class BM25Index:
                         board_sc.size - board_cap:]
                     board_ids, board_sc = board_ids[keep], board_sc[keep]
                 if board_ids.size >= k:
-                    theta_lower = float(np.partition(
-                        board_sc, board_sc.size - k)[board_sc.size - k])
+                    theta_lower = max(theta_lower, float(np.partition(
+                        board_sc, board_sc.size - k)[board_sc.size - k]))
+            if pend_total >= fold_at:
+                pend_ids.insert(0, cand_ids)
+                pend_sc.insert(0, cand_sc)
+                cand_ids, cand_sc = _aggregate_scores(
+                    np.concatenate(pend_ids), np.concatenate(pend_sc))
+                pend_ids, pend_sc = [], []
+                pend_total = 0
+                fold_at = max(fold_at, 2 * int(cand_ids.size))
+                th = _theta(cand_sc)
+                if np.isfinite(th):
+                    theta_lower = max(theta_lower, th)
             i += 1
         if pend_ids:
+            pend_ids.insert(0, cand_ids)
+            pend_sc.insert(0, cand_sc)
             cand_ids, cand_sc = _aggregate_scores(
                 np.concatenate(pend_ids), np.concatenate(pend_sc))
         theta = _theta(cand_sc)
