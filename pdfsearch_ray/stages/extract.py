@@ -22,6 +22,11 @@ import pyarrow as pa
 
 EXTRACTOR_VERSION = "html-lines-v1"
 
+# HTMLParser's tagfind_tolerant name rule (stops at ws, '/', '>', NUL)
+import re
+
+_TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
+
 _BLOCK_TAGS = {
     "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6",
     "title", "tr", "article", "section", "header", "footer", "blockquote",
@@ -65,13 +70,92 @@ class _TextExtractor(HTMLParser):
         return "\n".join(self.lines)
 
 
+def _extract_text_fast(s: str) -> str | None:
+    """Single-pass scanner for the SIMPLE HTML subset (no comments /
+    doctype / PIs / quoted attributes / CDATA / non-alpha tag starts).
+    Returns None the moment the input leaves that subset — the caller
+    falls back to the HTMLParser reference path, so the output is
+    byte-identical to it by construction on the fast path and by
+    delegation otherwise (property-tested in tests/test_extract_fast.py).
+    ~4x less per-event Python than HTMLParser's regex state machine;
+    extract is the worst-scaling stage at full node width."""
+    from html import unescape
+
+    lines: list[str] = []
+    buf: list[str] = []
+    skip = 0
+    i = 0
+    n = len(s)
+    find = s.find
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            if not skip and i < n:
+                chunk = s[i:]
+                # unescape per DATA SEGMENT — HTMLParser's
+                # convert_charrefs semantics (an entity never spans a
+                # tag boundary, and a bare "&amp" before a tag resolves
+                # within its own segment)
+                buf.append(unescape(chunk) if "&" in chunk else chunk)
+            break
+        if j > i and not skip:
+            chunk = s[i:j]
+            buf.append(unescape(chunk) if "&" in chunk else chunk)
+        k = find(">", j + 1)
+        if k < 0:
+            return None  # unterminated tag: let HTMLParser decide
+        body = s[j + 1:k]
+        if not body or "<" in body:
+            return None
+        c0 = body[0]
+        if c0 == "/":
+            m = _TAGNAME_RE.match(body, 1)
+            if m is None:
+                return None
+            name = m.group().lower()
+            closing = True
+        else:
+            m = _TAGNAME_RE.match(body)
+            if m is None:
+                return None  # comment/doctype/PI/stray '<'
+            if '"' in body or "'" in body:
+                return None  # quoted attrs may hide '>'
+            if "/" in body[:-1]:
+                return None  # mid-tag slash: HTMLParser may bail to data
+            name = m.group().lower()
+            closing = False
+            if name in ("script", "style"):
+                # CDATA content elements: HTMLParser scans for the
+                # matching close tag WITHOUT parsing interior '<'; out
+                # of the simple subset
+                return None
+        if name in _SKIP_TAGS:
+            skip = max(0, skip - 1) if closing else skip + 1
+        elif (name in _BLOCK_TAGS or (name == "br" and not closing)):
+            if buf:
+                line = "".join(buf)
+                buf = []
+                if line:
+                    lines.append(line)
+        i = k + 1
+    if buf:
+        line = "".join(buf)
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
 def extract_text(html_bytes: bytes, strict: bool = False) -> str:
     """Deterministic HTML→text.  Non-strict: errors yield "" and the row
     is skipped-and-counted (continueOnFailure, index_pdfs.go:108-113);
     strict: re-raise (ExposeErrors analog, index_search.go:190-194)."""
     try:
+        s = html_bytes.decode("utf-8", errors="replace")
+        out = _extract_text_fast(s)
+        if out is not None:
+            return out
         p = _TextExtractor()
-        p.feed(html_bytes.decode("utf-8", errors="replace"))
+        p.feed(s)
         p.close()
         return p.text()
     except Exception:
