@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.gopher_quality_flags,
         "stratified_sample": q.stratified_sample,
         "repetition_stats": q.repetition_stats,
+        "bigram_counts": q.bigram_counts,
+        "doc_chunks": q.doc_chunks,
+        "tfidf_topk": q.tfidf_topk,
     }
 
 
@@ -181,6 +184,7 @@ def _region_part_revenue(sf_dir: str):
 
 def oracle_sql() -> dict[str, str]:
     from pdfsearch_ray.pipelines import oracles as _oracles
+    from pdfsearch_ray.pipelines import queries as q
     from pdfsearch_ray.pipelines.queries import (
         ANN_K,
         ANN_NUM_QUERIES,
@@ -531,6 +535,66 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_oracle(),
         "stratified_sample": _strata_oracle(),
         "repetition_stats": _oracles.repetition_sql(),
+        "bigram_counts": f"""
+            WITH tl AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS toklist
+              FROM documents
+            ), t AS (
+              SELECT doc_id, unnest(list_zip(
+                         list_slice(toklist, 1, len(toklist) - 1),
+                         list_slice(toklist, 2, len(toklist)))) AS pr
+              FROM tl WHERE len(toklist) >= 2
+            )
+            SELECT pr[1] || ' ' || pr[2] AS bigram,
+                   count(*) AS n
+            FROM t
+            GROUP BY 1 HAVING count(*) >= {q.BIGRAM_MIN_COUNT}
+            ORDER BY n DESC, bigram LIMIT {q.BIGRAM_TOPK}
+        """,
+        "doc_chunks": f"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     (length(text) + {q.CHUNK_STRIDE} - 1)
+                         // {q.CHUNK_STRIDE} AS k
+              FROM documents WHERE length(text) > 0
+            ), ks AS (
+              SELECT unnest(range(0, (SELECT max(k) FROM d))) AS c
+            )
+            SELECT d.doc_id, ks.c AS chunk_id,
+                   ks.c * {q.CHUNK_STRIDE} AS chunk_start,
+                   substr(d.text, ks.c * {q.CHUNK_STRIDE} + 1,
+                          {q.CHUNK_SIZE}) AS chunk_text
+            FROM d JOIN ks ON ks.c < d.k
+        """,
+        "tfidf_topk": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM toks WHERE term <> '' GROUP BY 1
+            ), nn AS (
+              SELECT count(DISTINCT doc_id) AS n
+              FROM toks WHERE term <> ''
+            ), sc AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(nn.n / dft.df), 6) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN nn
+            )
+            SELECT doc_id, term, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rank
+            FROM sc QUALIFY rank <= {q.TFIDF_TOPK}
+        """,
     }
 
 

@@ -185,6 +185,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("gopher_quality", qmod.gopher_quality_flags),
         ("stratified_sample", qmod.stratified_sample),
         ("repetition_stats", qmod.repetition_stats),
+        ("bigram_counts", qmod.bigram_counts),
+        ("doc_chunks", qmod.doc_chunks),
+        ("tfidf_topk", qmod.tfidf_topk),
     ):
         t = time.perf_counter()
         res = fn(sf_dir)

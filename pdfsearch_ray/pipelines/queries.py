@@ -903,3 +903,217 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
         })
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- round-3 additions
+
+BIGRAM_MIN_COUNT = 5
+BIGRAM_TOPK = 200
+CHUNK_SIZE = 500
+CHUNK_STRIDE = 400
+TFIDF_TOPK = 5
+
+
+def bigram_counts(sf_dir: str) -> pa.Table:
+    """Corpus-wide word-bigram counts (LM / tokenizer-training shape):
+    fully Arrow-vectorized per batch — ONE split_pattern_regex, ONE
+    elementwise join over the shifted flat token array, value_counts as
+    the per-batch combiner — so the groupby shuffle moves per-batch
+    UNIQUE bigrams, not the token stream.  Distributed ≥min filter +
+    per-batch top-K before the driver merge: the driver sees
+    O(K × blocks) rows, never the bigram vocabulary."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        n = len(flat)
+        if n < 2:
+            return empty
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        bounds = np.cumsum(lens[:-1], dtype=np.int64)
+        # pair (i, i+1) is valid when both tokens are non-empty (split
+        # empties occur only at doc edges, so interior adjacency matches
+        # the SQL's list_filter-then-index semantics) and i+1 is not the
+        # first token of the next doc
+        valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ok = valid[:-1] & valid[1:]
+        ok[bounds - 1] = False
+        big = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n), " ")
+        big = big.filter(pa.array(ok))
+        if len(big) == 0:
+            return empty
+        vc = big.value_counts()
+        return pa.table({
+            "bigram": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], BIGRAM_MIN_COUNT))
+        if t.num_rows <= BIGRAM_TOPK:
+            return t
+        df = t.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(BIGRAM_TOPK),
+                                    preserve_index=False)
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n", "bigram"], ascending=[False, True],
+                          kind="mergesort").head(BIGRAM_TOPK)
+    return pa.table({
+        "bigram": pa.array(agg["bigram"].tolist(), type=pa.string()),
+        "n": pa.array(agg["n"].astype("int64").tolist(), type=pa.int64()),
+    })
+
+
+def doc_chunks(sf_dir: str) -> rd.Dataset:
+    """Fixed-window document chunking (the training-data slicer): char
+    windows of CHUNK_SIZE every CHUNK_STRIDE, 1→N flat-map shape.  The
+    per-chunk substring copy IS the output payload, so the per-chunk
+    loop is O(output bytes), not avoidable overhead; window arithmetic
+    is vectorized."""
+
+    def chunk(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = np.fromiter((len(x or "") for x in texts),
+                              dtype=np.int64, count=len(texts))
+        n_chunks = np.where(
+            n_chars > 0,
+            (n_chars + CHUNK_STRIDE - 1) // CHUNK_STRIDE, 0)
+        out_ids: list[int] = []
+        out_cid: list[int] = []
+        out_start: list[int] = []
+        out_text: list[str] = []
+        for did, text, k in zip(ids, texts, n_chunks):
+            for c in range(int(k)):
+                start = c * CHUNK_STRIDE
+                out_ids.append(int(did))
+                out_cid.append(c)
+                out_start.append(start)
+                out_text.append(text[start:start + CHUNK_SIZE])
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "chunk_id": pa.array(out_cid, type=pa.int64()),
+            "chunk_start": pa.array(out_start, type=pa.int64()),
+            "chunk_text": pa.array(out_text, type=pa.string()),
+        })
+
+    return _docs(sf_dir).map_batches(chunk, batch_format="pyarrow")
+
+
+def tfidf_topk(sf_dir: str) -> pa.Table:
+    """Per-doc top-K tf-idf terms (feature extraction for filtering /
+    clustering): pass 1 reduces per-batch (term → df) partials and the
+    doc count — vocabulary-sized, broadcast once via ray.put; pass 2
+    scores per (doc, term) in one vectorized pass and keeps each doc's
+    top-K inside the batch (a doc never crosses batch bounds), so the
+    driver collects O(K × docs) result rows and nothing else."""
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        terms = np.asarray(flat.to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        keep = terms != ""
+        terms, doc_idx = terms[keep], doc_idx[keep]
+        if terms.size == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64()),
+                             "nd": pa.array([], type=pa.int64())})
+        import pandas as pd
+
+        pairs = pd.DataFrame({"term": terms, "d": doc_idx})
+        df = pairs.drop_duplicates().groupby("term").size()
+        n_docs = int(np.unique(doc_idx).size)
+        return pa.table({
+            "term": pa.array(df.index.tolist(), type=pa.string()),
+            "df": pa.array(df.to_numpy().astype(np.int64)),
+            "nd": pa.array([n_docs] + [0] * (len(df) - 1)
+                           if len(df) else [], type=pa.int64()),
+        })
+
+    stats = (
+        _docs(sf_dir).map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("nd", alias_name="nd"))
+        .to_pandas()
+    )
+    n_total = int(stats["nd"].sum())
+    if n_total == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "term": pa.array([], type=pa.string()),
+                         "score": pa.array([], type=pa.float64()),
+                         "rank": pa.array([], type=pa.int64())})
+    df_ref = ray.put(dict(zip(stats["term"], stats["df"].astype(int))))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        dfs = ray.get(df_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        out_ids: list[int] = []
+        out_terms: list[str] = []
+        out_sc: list[float] = []
+        out_rank: list[int] = []
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if flat.size:
+            import pandas as pd
+
+            tf = pd.DataFrame({"term": flat, "d": doc_idx}) \
+                .groupby(["d", "term"]).size().reset_index(name="tf")
+            tf["score"] = (
+                tf["tf"].to_numpy().astype(np.float64)
+                * np.log(n_total / tf["term"].map(dfs).to_numpy()
+                         .astype(np.float64))
+            ).round(6)
+            tf = tf.sort_values(["d", "score", "term"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+            top = tf.groupby("d", sort=True).head(TFIDF_TOPK)
+            ranks = top.groupby("d", sort=True).cumcount() + 1
+            out_ids = ids[top["d"].to_numpy()].tolist()
+            out_terms = top["term"].tolist()
+            out_sc = top["score"].tolist()
+            out_rank = ranks.tolist()
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "term": pa.array(out_terms, type=pa.string()),
+            "score": pa.array(out_sc, type=pa.float64()),
+            "rank": pa.array(out_rank, type=pa.int64()),
+        })
+
+    out = _docs(sf_dir).map_batches(
+        score_batch, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["doc_id", "rank"], kind="mergesort")
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].tolist(), type=pa.int64()),
+        "term": pa.array(out["term"].tolist(), type=pa.string()),
+        "score": pa.array(out["score"].tolist(), type=pa.float64()),
+        "rank": pa.array(out["rank"].tolist(), type=pa.int64()),
+    })

@@ -1,0 +1,63 @@
+"""Round-3 query pipelines: bigram counts, doc chunking, tf-idf top-K —
+shape/determinism checks at sf0.001 (the DuckDB value-hash oracle runs
+at sf0.01 via tools/check_oracle.py and the driver)."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bigram_counts(ray_session):
+    from pdfsearch_ray.pipelines.queries import (
+        BIGRAM_MIN_COUNT,
+        BIGRAM_TOPK,
+        bigram_counts,
+    )
+
+    t = bigram_counts(SF)
+    assert 0 < t.num_rows <= BIGRAM_TOPK
+    ns = t["n"].to_pylist()
+    assert all(n >= BIGRAM_MIN_COUNT for n in ns)
+    assert ns == sorted(ns, reverse=True)
+    for b in t["bigram"].to_pylist()[:20]:
+        a, _, c = b.partition(" ")
+        assert a and c and " " not in c
+    assert t.equals(bigram_counts(SF))  # deterministic
+
+
+def test_doc_chunks(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.queries import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunks,
+    )
+
+    out = doc_chunks(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    n_expected = sum(
+        (len(t) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        for t in texts.values() if t)
+    assert len(out) == n_expected
+    # spot-check chunk payloads against direct slicing
+    rng = np.random.RandomState(0)
+    for _, row in out.sample(25, random_state=rng).iterrows():
+        text = texts[row["doc_id"]]
+        s = int(row["chunk_start"])
+        assert row["chunk_text"] == text[s:s + CHUNK_SIZE]
+        assert s == int(row["chunk_id"]) * CHUNK_STRIDE
+
+
+def test_tfidf_topk(ray_session):
+    from pdfsearch_ray.pipelines.queries import TFIDF_TOPK, tfidf_topk
+
+    t = tfidf_topk(SF).to_pandas()
+    assert t.groupby("doc_id")["rank"].max().max() <= TFIDF_TOPK
+    assert (t.groupby("doc_id")["rank"].apply(
+        lambda r: list(r) == list(range(1, len(r) + 1)))).all()
+    # scores are non-increasing within a doc
+    for _, g in list(t.groupby("doc_id"))[:30]:
+        sc = g.sort_values("rank")["score"].tolist()
+        assert sc == sorted(sc, reverse=True)
