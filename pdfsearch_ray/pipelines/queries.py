@@ -1025,31 +1025,47 @@ def tfidf_topk(sf_dir: str) -> pa.Table:
     top-K inside the batch (a doc never crosses batch bounds), so the
     driver collects O(K × docs) result rows and nothing else."""
 
-    def df_partial(t: pa.Table) -> pa.Table:
+    def _tok_codes(t: pa.Table):
+        """Batch tokens as (dictionary code, doc index) int arrays —
+        dictionary_encode keeps the token strings at VOCAB cardinality;
+        nothing token-stream-sized ever becomes a Python object."""
         toks = pc.split_pattern_regex(
             pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = toks.flatten()
-        terms = np.asarray(flat.to_pylist(), dtype=object)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        keep = terms != ""
-        terms, doc_idx = terms[keep], doc_idx[keep]
-        if terms.size == 0:
-            return pa.table({"term": pa.array([], type=pa.string()),
-                             "df": pa.array([], type=pa.int64()),
-                             "nd": pa.array([], type=pa.int64())})
-        import pandas as pd
+        de = toks.flatten().dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = de.dictionary.to_pylist()
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        try:
+            empty_code = vocab.index("")
+        except ValueError:
+            empty_code = -1
+        if empty_code >= 0:
+            keep = codes != empty_code
+            codes, doc_idx = codes[keep], doc_idx[keep]
+        return codes, doc_idx, vocab
 
-        pairs = pd.DataFrame({"term": terms, "d": doc_idx})
-        df = pairs.drop_duplicates().groupby("term").size()
+    def df_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], type=pa.string()),
+                          "df": pa.array([], type=pa.int64()),
+                          "nd": pa.array([], type=pa.int64())})
+        codes, doc_idx, vocab = _tok_codes(t)
+        if codes.size == 0:
+            return empty
+        V = len(vocab)
+        pairs = np.unique(doc_idx * V + codes)
+        df = np.bincount(pairs % V, minlength=V)
+        present = np.nonzero(df)[0]
         n_docs = int(np.unique(doc_idx).size)
+        nd = np.zeros(present.size, dtype=np.int64)
+        nd[0] = n_docs
         return pa.table({
-            "term": pa.array(df.index.tolist(), type=pa.string()),
-            "df": pa.array(df.to_numpy().astype(np.int64)),
-            "nd": pa.array([n_docs] + [0] * (len(df) - 1)
-                           if len(df) else [], type=pa.int64()),
+            "term": pa.array([vocab[j] for j in present],
+                             type=pa.string()),
+            "df": pa.array(df[present].astype(np.int64)),
+            "nd": pa.array(nd),
         })
 
     stats = (
@@ -1067,45 +1083,43 @@ def tfidf_topk(sf_dir: str) -> pa.Table:
     df_ref = ray.put(dict(zip(stats["term"], stats["df"].astype(int))))
 
     def score_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "term": pa.array([], type=pa.string()),
+                          "score": pa.array([], type=pa.float64()),
+                          "rank": pa.array([], type=pa.int64())})
         dfs = ray.get(df_ref)
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        keep = flat != ""
-        flat, doc_idx = flat[keep], doc_idx[keep]
-        out_ids: list[int] = []
-        out_terms: list[str] = []
-        out_sc: list[float] = []
-        out_rank: list[int] = []
+        codes, doc_idx, vocab = _tok_codes(t)
+        if codes.size == 0:
+            return empty
+        V = len(vocab)
+        uniq, tf = np.unique(doc_idx * V + codes, return_counts=True)
+        d = uniq // V
+        c = uniq % V
+        df_arr = np.fromiter((dfs.get(v, 1) for v in vocab),
+                             dtype=np.float64, count=V)
+        score = np.round(tf.astype(np.float64)
+                         * np.log(n_total / df_arr[c]), 6)
+        # per-doc top-K by (score desc, TERM-STRING asc): map codes to
+        # their lexicographic rank so the tie-break is on strings
+        order_v = sorted(range(V), key=vocab.__getitem__)
+        rank_of_code = np.empty(V, dtype=np.int64)
+        rank_of_code[np.asarray(order_v)] = np.arange(V)
+        sel = np.lexsort((rank_of_code[c], -score, d))
+        d_s, c_s, sc_s = d[sel], c[sel], score[sel]
+        grp_start = np.zeros(d_s.size, dtype=bool)
+        grp_start[0] = True
+        grp_start[1:] = d_s[1:] != d_s[:-1]
+        start_idx = np.maximum.accumulate(
+            np.where(grp_start, np.arange(d_s.size), 0))
+        pos = np.arange(d_s.size) - start_idx
+        keep = pos < TFIDF_TOPK
+        d_s, c_s, sc_s, pos = d_s[keep], c_s[keep], sc_s[keep], pos[keep]
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        if flat.size:
-            import pandas as pd
-
-            tf = pd.DataFrame({"term": flat, "d": doc_idx}) \
-                .groupby(["d", "term"]).size().reset_index(name="tf")
-            tf["score"] = (
-                tf["tf"].to_numpy().astype(np.float64)
-                * np.log(n_total / tf["term"].map(dfs).to_numpy()
-                         .astype(np.float64))
-            ).round(6)
-            tf = tf.sort_values(["d", "score", "term"],
-                                ascending=[True, False, True],
-                                kind="mergesort")
-            top = tf.groupby("d", sort=True).head(TFIDF_TOPK)
-            ranks = top.groupby("d", sort=True).cumcount() + 1
-            out_ids = ids[top["d"].to_numpy()].tolist()
-            out_terms = top["term"].tolist()
-            out_sc = top["score"].tolist()
-            out_rank = ranks.tolist()
         return pa.table({
-            "doc_id": pa.array(out_ids, type=pa.int64()),
-            "term": pa.array(out_terms, type=pa.string()),
-            "score": pa.array(out_sc, type=pa.float64()),
-            "rank": pa.array(out_rank, type=pa.int64()),
+            "doc_id": pa.array(ids[d_s], type=pa.int64()),
+            "term": pa.array([vocab[j] for j in c_s], type=pa.string()),
+            "score": pa.array(sc_s, type=pa.float64()),
+            "rank": pa.array(pos + 1, type=pa.int64()),
         })
 
     out = _docs(sf_dir).map_batches(
