@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": q.bigram_counts,
         "doc_chunks": q.doc_chunks,
         "tfidf_topk": q.tfidf_topk,
+        "media_features_real": q.media_features_real,
     }
 
 

@@ -1131,3 +1131,37 @@ def tfidf_topk(sf_dir: str) -> pa.Table:
         "score": pa.array(out["score"].tolist(), type=pa.float64()),
         "rank": pa.array(out["rank"].tolist(), type=pa.int64()),
     })
+
+
+def media_features_real(sf_dir: str) -> rd.Dataset:
+    """media_features with the REAL decode backend end-to-end (rows-only
+    check: DuckDB cannot decode PNG/WAV): synthesize VALID payloads
+    inside the distributed read — PNGs cycling all five scanline
+    filters, WAV-PCM16 waveforms — decode them with
+    MediaDecoder(backend='real') in a small-batch actor pool, and
+    extract feature vectors.  Video payloads exercise the documented
+    stub fallback; every row must come back decode_ok."""
+    from ..stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        MediaDecoder,
+        MediaFeatures,
+        synth_real_media_table,
+    )
+
+    media = _docs(sf_dir).repartition(8).map_batches(
+        synth_real_media_table, batch_format="pyarrow",
+    )
+    decoded = media.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs=dict(backend="real", image_hw=(16, 16),
+                                   audio_samples=256),
+        batch_format="pyarrow",
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+    feats = decoded.map_batches(
+        lambda t: t.filter(pc.field("decode_ok")),
+        batch_format="pyarrow",
+    ).map_batches(MediaFeatures(), batch_format="pyarrow",
+                  batch_size=DEFAULT_MEDIA_BATCH_SIZE)
+    return feats.select_columns(["media_id", "doc_id", "kind", "features"])

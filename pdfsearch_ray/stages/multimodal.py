@@ -332,3 +332,49 @@ def synth_media_table(docs: pa.Table, text_col: str = "text",
             np.where(np.array(kinds) == "audio", 16000, 0).astype(np.int32)),
         "duration_ms": pa.array(np.full(n, 1000, dtype=np.int32)),
     })
+
+
+def synth_real_media_table(docs: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Like synth_media_table but with VALID media payloads, so the
+    REAL decode backend runs end-to-end: image rows carry actual PNGs
+    (deterministic doc_id-derived pixels; the PNG filter type cycles
+    doc_id % 5, exercising every unfilter path in the codec), audio
+    rows carry WAV-PCM16 (doc_id-seeded waveform), video rows keep
+    opaque bytes (no dependency-free mp4 codec — MediaDecoder's
+    documented stub fallback).  Batch-local and deterministic, safe
+    inside map_batches over a distributed read."""
+    from ..functions.media_codecs import encode_png, encode_wav
+
+    ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = docs[text_col].to_pylist()
+    kinds = [("image", "audio", "video")[int(i) % 3] for i in ids]
+    payloads: list[bytes] = []
+    for i, kind, text in zip(ids, kinds, texts):
+        if kind == "image":
+            rng = np.random.Generator(np.random.Philox(key=int(i)))
+            img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            payloads.append(encode_png(img, filter_type=int(i) % 5))
+        elif kind == "audio":
+            t = np.arange(400, dtype=np.float64)
+            wave = (np.sin(t * (0.05 + (int(i) % 7) * 0.01)) * 12000)
+            payloads.append(encode_wav(wave.astype(np.int16), 16000))
+        else:
+            payloads.append((text or "").encode("utf-8"))
+    n = len(ids)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "doc_id": pa.array(ids),
+        "kind": pa.array(kinds, type=pa.string()),
+        "mime": pa.array(
+            [{"image": "image/png", "audio": "audio/wav",
+              "video": "video/mp4"}[k] for k in kinds], type=pa.string()),
+        "payload": pa.array(payloads, type=pa.large_binary()),
+        "width": pa.array(np.full(n, 16, dtype=np.int32)),
+        "height": pa.array(np.full(n, 16, dtype=np.int32)),
+        "n_frames": pa.array(
+            np.where(np.array(kinds) == "video", 12, 0).astype(np.int32)),
+        "sample_rate": pa.array(
+            np.where(np.array(kinds) == "audio", 16000, 0).astype(np.int32)),
+        "duration_ms": pa.array(np.full(n, 25, dtype=np.int32)),
+    })

@@ -189,3 +189,22 @@ def test_media_pipeline_end_to_end(ray_session):
     row = t[0]
     assert set(row) >= {"media_id", "doc_id", "kind", "frame_idx", "features"}
     assert len(row["features"]) == MediaFeatures.N_FEATURES
+
+
+def test_media_features_real_pipeline(ray_session):
+    """End-to-end REAL decode in the driver-visible pipeline: every
+    synthesized payload decodes (decode_ok for all rows), and an image
+    row's channel means equal numpy means of the source pixels."""
+    import numpy as np
+
+    from pdfsearch_ray.pipelines.queries import media_features_real
+
+    rows = media_features_real("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 500  # one per doc, all decode_ok
+    img_rows = [r for r in rows if r["kind"] == "image"]
+    assert img_rows
+    r0 = min(img_rows, key=lambda r: r["media_id"])
+    rng = np.random.Generator(np.random.Philox(key=int(r0["media_id"])))
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    expect = img.reshape(-1, 3).astype(np.float32).mean(axis=0)
+    assert np.allclose(r0["features"][:3], expect, atol=1e-3)
