@@ -18,8 +18,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-results", type=int, default=10)
     p.add_argument("--best", action="store_true",
                    help="keep only max-score spans (Best() semantics)")
-    p.add_argument("--method", default="taat", choices=["taat", "maxscore"])
+    p.add_argument("--method", default="auto",
+                   choices=["auto", "taat", "maxscore"])
     p.add_argument("--out", default=None, help="write results parquet here")
+    p.add_argument("--html", default=None,
+                   help="write an HTML evidence page (highlighted spans "
+                        "in context — the marked-up-PDF analog) here")
+    p.add_argument("--ansi", action="store_true",
+                   help="print highlighted snippets to the terminal")
+    p.add_argument("--shards", type=int, default=0,
+                   help=">0: scatter-gather across N doc-range shard "
+                        "actors (exact TAAT rank identity)")
     p.add_argument("terms", nargs="+")
     args = p.parse_args(argv)
 
@@ -28,7 +37,17 @@ def main(argv: list[str] | None = None) -> int:
 
     query = " ".join(args.terms)
     idx = BM25Index(args.index_dir)
-    ms = idx.search(query, max_results=args.max_results, method=args.method)
+    if args.shards > 0:
+        from pdfsearch_ray.pipelines.engine import ShardedEngine
+
+        eng = ShardedEngine(args.index_dir, n_shards=args.shards)
+        try:
+            ms = eng.search(query, max_results=args.max_results)
+        finally:
+            eng.shutdown()
+    else:
+        ms = idx.search(query, max_results=args.max_results,
+                        method=args.method)
     if args.best:
         ms = ms.best()
     print(f"{ms.total_matches} total matches, "
@@ -37,6 +56,16 @@ def main(argv: list[str] | None = None) -> int:
         line = m.lines[0] if m.lines else ""
         print(f"{i + 1:4d}: doc={m.doc_id} score={m.score:.4f} "
               f"url={m.url!r} spans={len(m.spans)} :: {line[:80]}")
+    if args.ansi:
+        from pdfsearch_ray.pipelines.render import render_ansi
+
+        print(render_ansi(query, ms, index=idx))
+    if args.html:
+        from pdfsearch_ray.pipelines.render import render_html
+
+        with open(args.html, "w", encoding="utf-8") as f:
+            f.write(render_html(query, ms, index=idx))
+        print(f"wrote {args.html}")
     if args.out:
         run_query_set(idx, [query], args.out,
                       max_results=args.max_results, apply_best=args.best)
