@@ -5,13 +5,14 @@ here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
 the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
-32 of 34 queries carry an oracle — including ``fulltext_topk_simple``,
-which runs the REAL engine (build → codec → shuffle → decode → BM25)
-under the hash gate via the SQL-reproducible ``simple`` analyzer.  The
-two rows-only entries are pinned by golden pytest fixtures instead:
-``fulltext_topk`` (the Porter stemmer has no SQL equivalent in this
-offline DuckDB) and ``media_features`` (model-like tensor features from
-the stub decoder).
+38 of 40 queries carry an oracle — including BOTH real engine paths:
+``fulltext_topk_simple`` (the SQL-reproducible ``simple`` analyzer) and,
+since round 3, ``fulltext_topk`` — the FULL ``en`` chain, whose oracle
+inlines the vocabulary→term mapping produced by the engine's own
+analyzer at generation time (the ann_ivf centroid precedent) and
+recomputes tokenization/stats/BM25 from raw text.  The two rows-only
+entries are the media tensor pipelines (``media_features``,
+``media_features_real``), pinned by golden pytest fixtures.
 """
 
 from __future__ import annotations
@@ -47,27 +48,6 @@ def entry() -> Any:
         for q in ("data processing pipeline", "stream window", "information")
     ]
     return pa.concat_tables(tables)
-
-
-def _fulltext_topk(sf_dir: str) -> Any:
-    """Full en-chain build+query at sf_dir (rows-only driver check)."""
-    import tempfile
-
-    import pyarrow as pa
-
-    from pdfsearch_ray.pipelines.build import build_index
-    from pdfsearch_ray.pipelines.query import BM25Index
-
-    index_dir = tempfile.mkdtemp(prefix="pdfsearch_ft_")
-    build_index(f"{sf_dir}/documents.parquet", index_dir,
-                analyzer="en", lang_col="lang")
-    idx = BM25Index(index_dir)
-    out = [
-        idx.search_to_table(q, max_results=10, with_spans=False)
-        for q in ("data processing pipeline", "stream window merge",
-                  "query performance", "information")
-    ]
-    return pa.concat_tables(out).drop_columns(["spans"])
 
 
 def _windowed_event_counts(sf_dir: str):
@@ -130,7 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q.bm25_topk,
         "lang_distribution": q.lang_distribution,
         "ann_cosine_topk": q.ann_cosine_topk,
-        "fulltext_topk": _fulltext_topk,
+        "fulltext_topk": q.fulltext_topk,
         "fulltext_topk_simple": q.fulltext_topk_simple,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
@@ -213,6 +193,14 @@ def oracle_sql() -> dict[str, str]:
     try:
         extra["ann_ivf"] = _oracles.ann_ivf_sql(
             "/root/testdata/sf0.01", num_queries=ANN_NUM_QUERIES, k=ANN_K)
+    except Exception:
+        pass
+    # en-chain oracle: inlines the vocabulary->term mapping produced by
+    # the engine's own analyzer at generation time (ann_ivf precedent);
+    # degrade to rows-only if the sf0.01 table is unavailable here
+    try:
+        extra["fulltext_topk"] = _oracles.fulltext_en_sql(
+            "/root/testdata/sf0.01", q.FT_EN_QUERIES, k=q.FT_EN_K)
     except Exception:
         pass
 

@@ -653,3 +653,81 @@ FROM documents d
 LEFT JOIN bc ON d.doc_id = bc.doc_id
 LEFT JOIN tc ON d.doc_id = tc.doc_id
 """
+
+
+def fulltext_en_sql(sf_dir: str, queries, *, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """End-to-end BM25 oracle for the FULL ``en``-chain engine path
+    (pipelines/queries.py:fulltext_topk) — the row that was rows-only
+    in rounds 1-2 because DuckDB has no Porter stemmer.
+
+    The trick (same as ann_ivf's centroid inlining): the corpus raw
+    VOCABULARY is tokenized at oracle-GENERATION time and the
+    possessive→lower→stopword→Porter chain is applied once per unique
+    raw token by the engine's own analyzer; the (rawtok → term) pairs
+    are inlined as a VALUES list (stopwords simply absent).  DuckDB
+    then independently re-tokenizes every document with the same RE2
+    token pattern, maps tokens through the literal table, and
+    recomputes dl/N/avgdl/df/idf/BM25 from scratch — so the ENGINE
+    (build → salt/shuffle → codec → decode → stats → scoring) is fully
+    hash-checked; only Porter itself is taken on faith from the inlined
+    mapping (it stays pinned by the golden analyzer tests).  A
+    tokenization divergence (Python re vs RE2) would shift dl and flip
+    the hash rather than pass silently."""
+    import pyarrow.parquet as pq
+
+    from ..analysis.analyzer import _TOKEN_RE, _final_term, analyze_en_terms
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    vocab: set[str] = set()
+    for x in t["text"].to_pylist():
+        vocab.update(_TOKEN_RE.findall(x or ""))
+    pairs = [(raw, _final_term(raw)) for raw in sorted(vocab)]
+    vals = ", ".join(f"('{_sq(r)}', '{_sq(s)}')"
+                     for r, s in pairs if s is not None)
+    if not vals:
+        vals = "('', '')"
+    pattern_sql = _sq(r"\d+(?:[.,]\d+)*|\w+(?:['’]\w+)*")
+    parts = [
+        f"""WITH raw AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{pattern_sql}'))
+                       AS rawtok
+            FROM documents),
+        tmap(rawtok, term) AS (VALUES {vals}),
+        tok AS (SELECT r.doc_id, m.term
+                FROM raw r JOIN tmap m USING (rawtok)),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)""",
+    ]
+    selects = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(analyze_en_terms(q)))
+        qvals = ", ".join(f"('{_sq(t_)}')" for t_ in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),
+        tfs{qi} AS (
+            SELECT t.doc_id, t.term, count(*) AS tf
+            FROM tok t JOIN q{qi} USING (term) GROUP BY t.doc_id, t.term
+        ),
+        dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+        sc{qi} AS (
+            SELECT tfs{qi}.doc_id,
+                   sum(ln(1 + (stats.n - dfs{qi}.df + 0.5) / (dfs{qi}.df + 0.5))
+                       * tfs{qi}.tf / (tfs{qi}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                   ) AS s
+            FROM tfs{qi}
+            CROSS JOIN stats
+            JOIN dfs{qi} ON tfs{qi}.term = dfs{qi}.term
+            JOIN dl ON tfs{qi}.doc_id = dl.doc_id
+            GROUP BY tfs{qi}.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")

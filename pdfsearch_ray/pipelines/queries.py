@@ -1165,3 +1165,51 @@ def media_features_real(sf_dir: str) -> rd.Dataset:
     ).map_batches(MediaFeatures(), batch_format="pyarrow",
                   batch_size=DEFAULT_MEDIA_BATCH_SIZE)
     return feats.select_columns(["media_id", "doc_id", "kind", "features"])
+
+
+FT_EN_QUERIES = ("data processing pipeline", "stream window merge",
+                 "query performance", "information")
+FT_EN_K = 10
+
+
+def fulltext_topk(sf_dir: str) -> pa.Table:
+    """The FULL ``en``-chain engine path (UAX#29-ish tokenize →
+    possessive strip → lowercase → stopword removal → Porter) under the
+    SQL value-hash gate — upgraded from rows-only in round 3.  Same
+    contract as fulltext_topk_simple: real on-disk build (exact stats),
+    standard TAAT search, 6-dp-rounded scores ranked (score desc,
+    doc_id asc).  The DuckDB oracle (oracles.fulltext_en_sql) inlines
+    the vocabulary→term mapping produced by this same analyzer and
+    recomputes everything else — tokenization, dl/N/avgdl/df/idf,
+    BM25 — from raw text, so the engine (build → shuffle → codec →
+    decode → stats → scoring) is hash-checked end-to-end; Porter
+    itself stays pinned by tests/test_analyzer.py goldens."""
+    import tempfile
+
+    from .build import build_index
+    from .query import BM25Index
+
+    d = tempfile.mkdtemp(prefix="ft_en_")
+    build_index(f"{sf_dir}/documents.parquet", d, analyzer="en",
+                lang_col="lang", num_buckets=16, sample_rate=1.0)
+    idx = BM25Index(d)
+    out_q, out_d, out_s = [], [], []
+    for q in FT_EN_QUERIES:
+        ms = idx.search(q, max_results=FT_EN_K + 50, with_spans=False)
+        for m in ms.matches:
+            out_q.append(q)
+            out_d.append(m.doc_id)
+            out_s.append(round(m.score, 6))
+    import pandas as pd
+
+    df = pd.DataFrame({"query": out_q, "doc_id": out_d, "score": out_s})
+    df = df.sort_values(["query", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query", sort=True).cumcount() + 1
+    df = df[df["rank"] <= FT_EN_K]
+    return pa.table({
+        "query": pa.array(df["query"].tolist(), type=pa.string()),
+        "doc_id": pa.array(df["doc_id"].tolist(), type=pa.int64()),
+        "score": pa.array(df["score"].tolist(), type=pa.float64()),
+        "rank": pa.array(df["rank"].tolist(), type=pa.int64()),
+    })
