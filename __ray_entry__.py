@@ -5,7 +5,7 @@ here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
 the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
-38 of 40 queries carry an oracle — including BOTH real engine paths:
+40 of 42 queries carry an oracle — including BOTH real engine paths:
 ``fulltext_topk_simple`` (the SQL-reproducible ``simple`` analyzer) and,
 since round 3, ``fulltext_topk`` — the FULL ``en`` chain, whose oracle
 inlines the vocabulary→term mapping produced by the engine's own
@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q.doc_chunks,
         "tfidf_topk": q.tfidf_topk,
         "media_features_real": q.media_features_real,
+        "event_props_stats": q.event_props_stats,
+        "knn_label_accuracy": q.knn_label_accuracy,
     }
 
 
@@ -557,6 +559,37 @@ def oracle_sql() -> dict[str, str]:
                    substr(d.text, ks.c * {q.CHUNK_STRIDE} + 1,
                           {q.CHUNK_SIZE}) AS chunk_text
             FROM d JOIN ks ON ks.c < d.k
+        """,
+        "event_props_stats": f"""
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(regexp_extract(props, '{q.PROPS_KEY_RE}',
+                                                1) AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   max(CAST(regexp_extract(props, '{q.PROPS_KEY_RE}', 1)
+                            AS BIGINT)) AS max_k
+            FROM events
+            WHERE regexp_extract(props, '{q.PROPS_KEY_RE}', 1) <> ''
+            GROUP BY event_type
+        """,
+        "knn_label_accuracy": """
+            WITH sims AS (
+              SELECT a.vec_id AS ida, a.label AS la,
+                     b.vec_id AS idb, b.label AS lb,
+                     round(list_cosine_similarity(a.embedding,
+                                                  b.embedding), 9) AS sim
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id <> b.vec_id
+            ), nn AS (
+              SELECT ida, la, lb,
+                     row_number() OVER (
+                         PARTITION BY ida
+                         ORDER BY sim DESC, idb ASC) AS rn
+              FROM sims
+            )
+            SELECT CAST(la AS BIGINT) AS label, count(*) AS n,
+                   CAST(sum(CASE WHEN lb = la THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct
+            FROM nn WHERE rn = 1 GROUP BY la
         """,
         "tfidf_topk": f"""
             WITH toks AS (

