@@ -1326,10 +1326,14 @@ def append_index(
         audit_unique = True
     doc_files = _committed_doc_files(index_dir, m)
     tomb = _load_tombstones(index_dir, m)
+    # materialize once: the hashed delta is consumed by the skip-join,
+    # the stats pass AND the segment build — without this the source
+    # read + sha256 re-run per consumer.  Object-store blocks spill
+    # under pressure; size is bounded by the append batch itself.
     delta_hashed = _load().map_batches(
         _AttachHash(text_col, drop_carried=drop_carried),
         batch_format="pyarrow",
-    )
+    ).materialize()
     matched = (append_skip_hashes(delta_hashed, doc_files, tomb,
                                   num_buckets=m.num_buckets)
                if skip_content else pa.array([], type=pa.string()))
