@@ -570,25 +570,80 @@ def chunk_dedup(
             "chunk_idx": pa.array(idxs, type=pa.int64()),
         })
 
-    def losers(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy()
-        idxs = g["chunk_idx"].to_numpy()
-        order = np.lexsort((idxs, ids))  # winner = min (doc_id, chunk_idx)
-        drop = order[1:]
-        return pa.table({
-            "doc_id": pa.array(ids[drop], type=pa.int64()),
-            "chunk_idx": pa.array(idxs[drop], type=pa.int64()),
-        })
-
     loser_dir = work_dir or tempfile.mkdtemp(prefix="chunk_dedup_")
+    # Election via hash-bucket parquet spill + ONE vectorized lexsort
+    # per bucket — not Ray's sort-based groupby + a Python map_groups
+    # call per distinct hash (measured: the per-group Python dispatch
+    # dominated; a bucket's whole election is one numpy pass).  The
+    # shuffle still moves only narrow (h_hi, h_lo, doc_id, chunk_idx)
+    # rows, one partition file set per hash bucket.
+    n_buckets = 16
+    elect_dir = f"{loser_dir}/elect"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t["h_hi"].to_numpy().view(np.uint64)
+             % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
     (
         docs.select_columns(["doc_id", "text"])
         .map_batches(election, batch_format="pyarrow")
-        .groupby(["h_hi", "h_lo"])
-        .map_groups(losers, batch_format="pyarrow")
-        .sort("doc_id")
-        .write_parquet(loser_dir, row_group_size=16384)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        # coalesce the NARROW election rows before the partitioned
+        # write: every (block × bucket) pair becomes a file, so 64
+        # upstream blocks × 32 buckets was 2048 tiny files and the
+        # writer dominated the stage
+        .repartition(8)
+        .write_parquet(elect_dir, partition_cols=["bucket"])
     )
+    bucket_dirs = sorted(
+        os.path.join(elect_dir, d) for d in os.listdir(elect_dir)
+        if d.startswith("bucket=")
+    ) if os.path.isdir(elect_dir) else []
+
+    def bucket_losers(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bdir in batch["dir"].to_pylist():
+            t = pq.read_table(
+                bdir, columns=["h_hi", "h_lo", "doc_id", "chunk_idx"],
+                use_threads=False)
+            if t.num_rows == 0:
+                continue
+            hi = t["h_hi"].to_numpy()
+            lo = t["h_lo"].to_numpy()
+            ids = t["doc_id"].to_numpy()
+            idxs = t["chunk_idx"].to_numpy()
+            # winner = min (doc_id, chunk_idx) within each 128-bit hash
+            order = np.lexsort((idxs, ids, lo, hi))
+            hi_s, lo_s = hi[order], lo[order]
+            first = np.empty(order.size, dtype=bool)
+            first[0] = True
+            first[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+            drop = order[~first]
+            if drop.size:
+                outs.append(pa.table({
+                    "doc_id": pa.array(ids[drop], type=pa.int64()),
+                    "chunk_idx": pa.array(idxs[drop], type=pa.int64()),
+                }))
+        if not outs:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "chunk_idx": pa.array([], type=pa.int64()),
+            })
+        return pa.concat_tables(outs)
+
+    if bucket_dirs:
+        (
+            rd.from_items([{"dir": d} for d in bucket_dirs],
+                          override_num_blocks=len(bucket_dirs))
+            .map_batches(bucket_losers, batch_format="pyarrow",
+                         batch_size=1)
+            .sort("doc_id")  # losers only — far smaller than the corpus
+            .write_parquet(loser_dir, row_group_size=16384)
+        )
+    import shutil as _shutil
+
+    _shutil.rmtree(elect_dir, ignore_errors=True)
     # per-file doc_id ranges from footer stats (files are doc_id-sorted,
     # so ranges are near-disjoint): each reassembly batch opens only the
     # loser files overlapping its own id range, not every file
