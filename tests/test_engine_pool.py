@@ -153,3 +153,32 @@ def test_sharded_engine_sees_appended_segment(ray_session, tmp_path):
                    [(m.doc_id, m.score) for m in e.matches]
     finally:
         eng.shutdown()
+
+
+def test_sharded_engine_respects_tombstones(ray_session, tmp_path):
+    """Doc-range shards must exclude deleted docs exactly like the
+    single-process TAAT path (the _score_range path filters the same
+    tombstone set)."""
+    from pdfsearch_ray.pipelines.build import build_index, delete_docs
+    from pdfsearch_ray.pipelines.engine import ShardedEngine
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    d = str(tmp_path / "idx")
+    build_index(SRC, d, analyzer="en", num_buckets=8)
+    base = BM25Index(d).search("data processing pipeline",
+                               max_results=5, with_spans=False)
+    victim = base.matches[0].doc_id
+    delete_docs(d, doc_ids=[victim])
+    local = BM25Index(d)
+    eng = ShardedEngine(d, n_shards=3, num_cpus=0.25)
+    try:
+        e = local.search("data processing pipeline", max_results=5,
+                         with_spans=False, method="taat")
+        g = eng.search("data processing pipeline", max_results=5,
+                       with_spans=False)
+        assert victim not in [m.doc_id for m in g.matches]
+        assert [(m.doc_id, m.score) for m in g.matches] == \
+               [(m.doc_id, m.score) for m in e.matches]
+        assert g.total_matches == e.total_matches
+    finally:
+        eng.shutdown()
