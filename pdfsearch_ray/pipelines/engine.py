@@ -161,6 +161,38 @@ class ShardedEngine:
         result.search_duration = _time.perf_counter() - t0
         return result
 
+    def search_many(self, queries: list[str], max_results: int = 10,
+                    with_spans: bool = True) -> list[MatchSet]:
+        """Batch scoring: ALL (query × shard) calls are in flight at
+        once — per-query barriers would leave shards idle while the
+        slowest one finishes; results return in input order."""
+        import numpy as np
+
+        refs = [[s.topk.remote(q, max_results) for s in self.shards]
+                for q in queries]
+        flat = ray.get([r for row in refs for r in row])
+        n_sh = len(self.shards)
+        out: list[MatchSet] = []
+        for qi, q in enumerate(queries):
+            parts = flat[qi * n_sh:(qi + 1) * n_sh]
+            ids = np.concatenate([p[0] for p in parts])
+            sc = np.concatenate([p[1] for p in parts])
+            ms = MatchSet()
+            ms.total_matches = int(sum(p[2] for p in parts))
+            if ids.size and max_results > 0:
+                order = np.lexsort((ids, -sc))[:max_results]
+                idx = self._local
+                if idx.manifest.analyzer == "en":
+                    from .query import analyze_en
+
+                    q_terms = [tok.term for tok in analyze_en(q)]
+                else:
+                    q_terms = idx.analyze(q)
+                ms.matches = idx._hydrate(q_terms, ids[order], sc[order],
+                                          with_spans)
+            out.append(ms)
+        return out
+
     def shutdown(self) -> None:
         for s in self.shards:
             ray.kill(s)

@@ -182,3 +182,24 @@ def test_sharded_engine_respects_tombstones(ray_session, tmp_path):
         assert g.total_matches == e.total_matches
     finally:
         eng.shutdown()
+
+
+def test_sharded_search_many_order_and_identity(ray_session, tmp_path):
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.engine import ShardedEngine
+
+    d = str(tmp_path / "idx")
+    build_index(SRC, d, analyzer="en", num_buckets=8)
+    eng = ShardedEngine(d, n_shards=2, num_cpus=0.25)
+    try:
+        batch = eng.search_many(list(QUERIES), max_results=10)
+        assert len(batch) == len(QUERIES)
+        for q, got in zip(QUERIES, batch):
+            one = eng.search(q, max_results=10)
+            assert got.total_matches == one.total_matches, q
+            assert [(m.doc_id, m.score) for m in got.matches] == \
+                   [(m.doc_id, m.score) for m in one.matches], q
+            assert [m.spans for m in got.matches] == \
+                   [m.spans for m in one.matches], q
+    finally:
+        eng.shutdown()
