@@ -5,7 +5,7 @@ here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
 the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
-40 of 42 queries carry an oracle — including BOTH real engine paths:
+41 of 43 queries carry an oracle — including BOTH real engine paths:
 ``fulltext_topk_simple`` (the SQL-reproducible ``simple`` analyzer) and,
 since round 3, ``fulltext_topk`` — the FULL ``en`` chain, whose oracle
 inlines the vocabulary→term mapping produced by the engine's own
@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_real": q.media_features_real,
         "event_props_stats": q.event_props_stats,
         "knn_label_accuracy": q.knn_label_accuracy,
+        "source_mix": q.source_mix,
     }
 
 
@@ -559,6 +560,14 @@ def oracle_sql() -> dict[str, str]:
                    substr(d.text, ks.c * {q.CHUNK_STRIDE} + 1,
                           {q.CHUNK_SIZE}) AS chunk_text
             FROM d JOIN ks ON ks.c < d.k
+        """,
+        "source_mix": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   (10000 * count(*))
+                       // (SELECT count(*) FROM documents) AS share_bp
+            FROM documents GROUP BY source, lang
         """,
         "event_props_stats": f"""
             SELECT event_type, count(*) AS n_events,

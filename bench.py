@@ -190,6 +190,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("tfidf_topk", qmod.tfidf_topk),
         ("event_props_stats", qmod.event_props_stats),
         ("knn_label_accuracy", qmod.knn_label_accuracy),
+        ("source_mix", qmod.source_mix),
     ):
         t = time.perf_counter()
         res = fn(sf_dir)

@@ -1352,3 +1352,52 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
         "n_correct": pa.array(out["n_correct"].astype("int64").tolist(),
                               type=pa.int64()),
     })
+
+
+def source_mix(sf_dir: str) -> pa.Table:
+    """Training-mix composition report: per (source, lang) — docs, total
+    chars, and corpus share in integer BASIS POINTS (floor(1e4·n/N):
+    integer arithmetic on both sides, no float rounding to flake the
+    hash).  Per-batch combiner → tiny (sources × langs) shuffle."""
+    from ..functions.tables import read_parquet_nometa
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "source": t["source"].to_pylist(),
+            "lang": t["lang"].to_pylist(),
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["source", "lang"], sort=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+        g = g.reset_index()
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), type=pa.string()),
+            "lang": pa.array(g["lang"].tolist(), type=pa.string()),
+            "n_docs": pa.array(g["n_docs"].astype("int64")),
+            "total_chars": pa.array(g["total_chars"].astype("int64")),
+        })
+
+    agg = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    total = int(agg["n_docs"].sum())
+    agg["share_bp"] = (10_000 * agg["n_docs"].astype("int64")) // max(total, 1)
+    agg = agg.sort_values(["source", "lang"])
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), type=pa.string()),
+        "lang": pa.array(agg["lang"].tolist(), type=pa.string()),
+        "n_docs": pa.array(agg["n_docs"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "total_chars": pa.array(agg["total_chars"].astype("int64").tolist(),
+                                type=pa.int64()),
+        "share_bp": pa.array(agg["share_bp"].astype("int64").tolist(),
+                             type=pa.int64()),
+    })

@@ -98,3 +98,12 @@ def test_knn_label_accuracy(ray_session):
     pred0 = labels[(sims >= sims.max()).argmax()]
     # count of correct among label[0]'s group must reflect this one
     assert isinstance(bool(pred0 == labels[0]), bool)
+
+
+def test_source_mix(ray_session):
+    from pdfsearch_ray.pipelines.queries import source_mix
+
+    t = source_mix(SF).to_pandas()
+    assert t["n_docs"].sum() == 500
+    assert (t["share_bp"] >= 0).all() and t["share_bp"].sum() <= 10_000
+    assert t.duplicated(["source", "lang"]).sum() == 0
