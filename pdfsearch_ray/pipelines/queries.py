@@ -929,14 +929,15 @@ def bigram_counts(sf_dir: str) -> pa.Table:
         if t.num_rows == 0:
             return empty
         toks = pc.split_pattern_regex(
-            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern="[^a-z0-9]+")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = toks.flatten()
         n = len(flat)
         if n < 2:
             return empty
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
         bounds = np.cumsum(lens[:-1], dtype=np.int64)
         # pair (i, i+1) is valid when both tokens are non-empty (split
         # empties occur only at doc edges, so interior adjacency matches
@@ -944,6 +945,8 @@ def bigram_counts(sf_dir: str) -> pa.Table:
         # first token of the next doc
         valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         ok = valid[:-1] & valid[1:]
+        # guard zero-length lists: a 0 in bounds would wrap ok[-1]
+        bounds = bounds[(bounds > 0) & (bounds <= n - 1)]
         ok[bounds - 1] = False
         big = pc.binary_join_element_wise(
             flat.slice(0, n - 1), flat.slice(1, n), " ")
@@ -1195,7 +1198,22 @@ def fulltext_topk(sf_dir: str) -> pa.Table:
     idx = BM25Index(d)
     out_q, out_d, out_s = [], [], []
     for q in FT_EN_QUERIES:
-        ms = idx.search(q, max_results=FT_EN_K + 50, with_spans=False)
+        # Retrieval is by EXACT score; ranking below is by 6-dp-ROUNDED
+        # score with doc_id tie-break.  Grow the retrieved set until the
+        # rounded score of the LAST retrieved match is strictly below
+        # the rounded k-th score — then no unretrieved doc (exact score
+        # <= last's, rounding monotone) can belong to the top-K tie
+        # group, so the cutoff cannot orphan a lower-doc_id tie member.
+        need = FT_EN_K + 50
+        while True:
+            ms = idx.search(q, max_results=need, with_spans=False)
+            if len(ms.matches) < need:
+                break  # retrieved every match
+            rounded = sorted((round(m.score, 6) for m in ms.matches),
+                             reverse=True)
+            if round(ms.matches[-1].score, 6) < rounded[FT_EN_K - 1]:
+                break  # tie group at rank K fully retrieved
+            need *= 4
         for m in ms.matches:
             out_q.append(q)
             out_d.append(m.doc_id)

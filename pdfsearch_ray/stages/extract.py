@@ -114,6 +114,7 @@ def _extract_text_fast(s: str) -> str | None:
                 return None
             name = m.group().lower()
             closing = True
+            startend = False
         else:
             m = _TAGNAME_RE.match(body)
             if m is None:
@@ -124,13 +125,21 @@ def _extract_text_fast(s: str) -> str | None:
                 return None  # mid-tag slash: HTMLParser may bail to data
             name = m.group().lower()
             closing = False
+            # self-closing form <tag/> / <tag />: HTMLParser emits
+            # startendtag = handle_starttag + handle_endtag.  For
+            # _SKIP_TAGS that is a net-zero skip change; for block tags
+            # the double flush is idempotent, so one flush below matches.
+            startend = body.endswith("/")
             if name in ("script", "style"):
                 # CDATA content elements: HTMLParser scans for the
                 # matching close tag WITHOUT parsing interior '<'; out
                 # of the simple subset
                 return None
         if name in _SKIP_TAGS:
-            skip = max(0, skip - 1) if closing else skip + 1
+            if closing:
+                skip = max(0, skip - 1)
+            elif not startend:
+                skip += 1
         elif (name in _BLOCK_TAGS or (name == "br" and not closing)):
             if buf:
                 line = "".join(buf)

@@ -53,8 +53,13 @@ def test_structured_variants():
         "<p>bare & amp</p>",
         "<ul><li>one</li><li>two</li></ul>",
         "<noscript><p>shown?</p></noscript>after",
+        "<noscript/>tail must survive",          # self-closing skip tag
+        "<noscript />tail must survive too",
+        "a<noscript/>b<noscript>hidden</noscript>c",
         "<p>line1<br/>line2</p>",
+        "<br />spaced self-close",
         "<p/>empty block",
+        "<p />spaced empty block",
         "<p class=x>unquoted attr</p>",
         "<h1>t</h1><pre>pre\ntext</pre>",
         "no close <p",
@@ -93,7 +98,8 @@ def test_fuzz_tag_soup():
     atoms = ["<p>", "</p>", "<div >", "</div>", "<br>", "<br/>", "text ",
              "&amp;", "&amp", ";", "&", "<b>", "</b>", "<", ">", "words",
              "<title>", "</title>", "<li x=1>", "\n", "<P>", "</P >",
-             "<noscript>", "</noscript>", "<span>", "&#65;", "&unknown;",
+             "<noscript>", "</noscript>", "<noscript/>", "<noscript />",
+             "<span>", "&#65;", "&unknown;",
              "<em/>", "e=mc2 ", "</ p>", "<p a=1 b=2>", "100<200 "]
     n_fast = 0
     for _ in range(600):
