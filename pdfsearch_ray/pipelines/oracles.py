@@ -372,6 +372,76 @@ def ann_ivf_sql(sf_dir: str, *, num_queries: int = 5, k: int = 10,
     """
 
 
+def knn_ivf_label_accuracy_sql(sf_dir: str, *, n_clusters: int = 16,
+                               n_probe: int = 4) -> str:
+    """IVF-bucketed leave-one-out 1-NN label accuracy oracle: centroids
+    come from the SAME deterministic k-means the pipeline trains (shared
+    model, the ann_ivf precedent); DuckDB independently recomputes every
+    vector's cluster assignment (argmax dot, first-max tie), its n_probe
+    probe set (dot desc, cluster asc), the candidate cosine sims (9 dp)
+    and the (sim desc, vec_id asc) nearest-neighbour argmax."""
+    from .similarity import ivf_centroids
+
+    cents = ivf_centroids(sf_dir, num_queries=0, n_clusters=n_clusters)
+    dim = cents.shape[1]
+    cent_vals = ", ".join(
+        f"({c}, {j}, {repr(float(cents[c, j]))})"
+        for c in range(n_clusters) for j in range(dim)
+    )
+    return f"""
+        WITH cents(c, j, w) AS (VALUES {cent_vals}),
+        be AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        cdots AS (
+            SELECT b.vec_id, c.c, sum(b.v * c.w) AS dot
+            FROM be b JOIN cents c ON c.j = b.j
+            GROUP BY b.vec_id, c.c
+        ),
+        ranked AS (
+            SELECT vec_id, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dot DESC, c ASC
+                   ) AS rn
+            FROM cdots
+        ),
+        assign AS (SELECT vec_id, c AS cluster FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id, c AS cluster FROM ranked
+                   WHERE rn <= {n_probe}),
+        cand AS (
+            SELECT p.vec_id AS ida, a.vec_id AS idb
+            FROM probes p
+            JOIN assign a ON a.cluster = p.cluster
+                         AND a.vec_id <> p.vec_id
+        ),
+        sims AS (
+            SELECT c.ida, c.idb,
+                   round(list_cosine_similarity(ea.embedding,
+                                                eb.embedding), 9) AS sim
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.ida
+            JOIN embeddings eb ON eb.vec_id = c.idb
+        ),
+        nn AS (
+            SELECT ida, idb,
+                   row_number() OVER (
+                       PARTITION BY ida ORDER BY sim DESC, idb ASC
+                   ) AS rn
+            FROM sims
+        )
+        SELECT CAST(ea.label AS BIGINT) AS label, count(*) AS n,
+               CAST(sum(CASE WHEN eb.label = ea.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM nn
+        JOIN embeddings ea ON ea.vec_id = nn.ida
+        JOIN embeddings eb ON eb.vec_id = nn.idb
+        WHERE nn.rn = 1
+        GROUP BY ea.label
+    """
+
+
 def embedding_dup_sql(*, threshold: float = 0.4) -> str:
     """Exact embedding-cosine near-dup pairs: double-precision cosine
     over every (a < b) pair, rounded to 6 dp, thresholded — DuckDB

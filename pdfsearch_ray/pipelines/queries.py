@@ -1301,68 +1301,180 @@ def _group_max(inv: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+KNN_N_CLUSTERS = 16
+KNN_N_PROBE = 4
+# packed-candidate string widths: biased 9-dp sim (0..2e9 → 10 digits),
+# inverted vec_id (13 digits covers 10^13 docs)
+_KNN_SIM_BIAS = 1_000_000_000
+_KNN_VEC_INV = 10**13 - 1
+
+
 def knn_label_accuracy(sf_dir: str) -> pa.Table:
     """Leave-one-out 1-NN label accuracy over the labeled embeddings —
-    the data-quality probe for a labeled corpus.  Exact baseline shape
-    (same contract as ann_cosine_topk): the normalized matrix is
-    broadcast ONCE via ray.put and each batch scores itself against it
-    with one matmul; the per-row argmax uses 9-dp-rounded sims with a
-    lowest-vec_id tie-break so IEEE noise between numpy's dot and
-    DuckDB's list_cosine_similarity cannot flip a neighbor.  Per-label
-    (n, n_correct) partials reduce to a label-count-sized table.  At
-    corpus scale the broadcast becomes the LSH/IVF bucketed path
-    (pipelines/similarity.py); this is the oracle-checkable baseline."""
+    the data-quality probe for a labeled corpus — via the PERSISTED IVF
+    bucket layout (pipelines/similarity.py), with no whole-corpus
+    materialization anywhere:
+
+    1. centroids: deterministic k-means on a fixed sample (a model, not
+       data — shared with the SQL oracle, the ann_ivf precedent);
+    2. one pass assigns every vector its cluster and persists the
+       cluster-partitioned parquet layout (vec_id, embedding, label);
+    3. a 1→n_probe fan-out ships each vector to its n_probe nearest
+       clusters; per-cluster tasks read ONLY their partition and score
+       their incoming queries against it (block matmul, 9-dp-rounded
+       sims, lowest-vec_id tie-break, self excluded);
+    4. each task emits one PACKED candidate string per (query, cluster)
+       — (biased sim, inverted vec_id, label) zero-padded so that
+       lexicographic max == (sim desc, vec_id asc) — and a vectorized
+       groupby-max picks the global 1-NN without a second wide join;
+    5. per-label (n, n_correct) partials reduce to a label-count table.
+
+    Driver + object store hold O(centroids) only; shuffle traffic is
+    O(N · n_probe) narrow rows.  Scale knob: n_clusters grows with N so
+    per-cluster groups stay bounded.  The oracle recomputes assignment,
+    probing, candidate sims and the (sim desc, vec_id asc) argmax
+    independently in DuckDB from the inlined centroid literals."""
+    import shutil
+    import tempfile
+
     import pyarrow.parquet as pq
+    from ray.data.aggregate import Max
 
     from ..functions.tables import read_parquet_nometa
-
-    ref = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding", "label"])
-    ids = ref["vec_id"].to_numpy()
-    order = np.argsort(ids)
-    ids = ids[order].astype(np.int64)
-    labels = ref["label"].to_numpy(zero_copy_only=False)[order] \
-        .astype(np.int64)
-    emb = ref["embedding"].combine_chunks()
-    dim = len(emb[0])
-    m = emb.flatten().to_numpy(zero_copy_only=False) \
-        .astype(np.float64).reshape(-1, dim)[order]
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = ray.put((ids, labels, mn))
-
-    def partial(t: pa.Table) -> pa.Table:
-        all_ids, all_labels, all_mn = ray.get(bc)
-        e = t["embedding"].combine_chunks()
-        q = e.flatten().to_numpy(zero_copy_only=False) \
-            .astype(np.float64).reshape(-1, dim)
-        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-        sims = np.round(qn @ all_mn.T, 9)
-        rows = t["vec_id"].to_numpy().astype(np.int64)
-        self_pos = np.searchsorted(all_ids, rows)
-        sims[np.arange(len(rows)), self_pos] = -np.inf
-        best = sims.max(axis=1, keepdims=True)
-        nn_pos = (sims >= best).argmax(axis=1)  # first hit = lowest id
-        pred = all_labels[nn_pos]
-        own = t["label"].to_numpy().astype(np.int64)
-        uniq, inv = np.unique(own, return_inverse=True)
-        n = uniq.size
-        return pa.table({
-            "label": pa.array(uniq.astype(np.int64)),
-            "n": pa.array(np.bincount(inv, minlength=n).astype(np.int64)),
-            "n_correct": pa.array(_group_sum(
-                inv, (pred == own).astype(np.int64), n)),
-        })
-
-    out = (
-        read_parquet_nometa(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding", "label"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=2048)
-        .groupby("label")
-        .aggregate(Sum("n", alias_name="n"),
-                   Sum("n_correct", alias_name="n_correct"))
-        .to_pandas()
-        .sort_values("label")
+    from .similarity import (
+        _embed_matrix,
+        build_partitioned_embeddings,
+        ivf_centroids,
     )
+
+    cents = ivf_centroids(sf_dir, num_queries=0, n_clusters=KNN_N_CLUSTERS)
+    dim = cents.shape[1]
+    work = tempfile.mkdtemp(prefix="knn_ivf_")
+    parts_dir = f"{work}/parts"
+    try:
+        build_partitioned_embeddings(
+            sf_dir, parts_dir, mode="ivf", params=cents, dim=dim,
+            exclude_below=0, extra_cols=("label",),
+        )
+        cents_ref = ray.put(cents)
+
+        def fanout(t: pa.Table) -> pa.Table:
+            cents_ = ray.get(cents_ref)
+            ids = t["vec_id"].to_numpy().astype(np.int64)
+            m = _embed_matrix(t["embedding"], dim)
+            dots = m @ cents_.T  # scaling-invariant probe ranking
+            # stable argsort of -dots: ties break toward the lower
+            # cluster id — ORDER BY dot DESC, c ASC (oracle-matched)
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :KNN_N_PROBE]
+            n = len(ids)
+            idx = np.repeat(np.arange(n), KNN_N_PROBE)
+            emb = t["embedding"].combine_chunks() \
+                if isinstance(t["embedding"], pa.ChunkedArray) \
+                else t["embedding"]
+            lab = t["label"].combine_chunks() \
+                if isinstance(t["label"], pa.ChunkedArray) else t["label"]
+            take = pa.array(idx, type=pa.int32())
+            return pa.table({
+                "probe_part": pa.array(order.ravel(), type=pa.int64()),
+                "vec_id": pa.array(ids[idx], type=pa.int64()),
+                "label": lab.take(take).cast(pa.int64()),
+                "embedding": emb.take(take),
+            })
+
+        def score_group(g: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64()),
+                "packed": pa.array([], type=pa.string()),
+            })
+            if g.num_rows == 0:
+                return empty
+            part = g["probe_part"][0].as_py()
+            pdir = f"{parts_dir}/part={part}"
+            import os
+
+            if not os.path.isdir(pdir):
+                return empty  # probed an empty cluster
+            mt = pq.read_table(pdir, columns=["vec_id", "embedding", "label"],
+                               use_threads=False)
+            if mt.num_rows == 0:
+                return empty
+            mids = mt["vec_id"].to_numpy().astype(np.int64)
+            srt = np.argsort(mids, kind="stable")
+            mids = mids[srt]
+            mlab = mt["label"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[srt]
+            mm = _embed_matrix(mt["embedding"], dim)[srt]
+            mn = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+            qids = g["vec_id"].to_numpy().astype(np.int64)
+            qlab = g["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            qm = _embed_matrix(g["embedding"], dim)
+            qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+            out_v, out_l, out_p = [], [], []
+            for s in range(0, len(qids), 2048):
+                e = min(s + 2048, len(qids))
+                sims = np.round(qn[s:e] @ mn.T, 9)
+                # leave-one-out: mask the query's own row if present
+                pos = np.searchsorted(mids, qids[s:e])
+                pos_ok = pos < len(mids)
+                hit = pos_ok & (mids[np.minimum(pos, len(mids) - 1)]
+                                == qids[s:e])
+                sims[np.nonzero(hit)[0], pos[hit]] = -np.inf
+                best = sims.max(axis=1)
+                valid = best > -np.inf
+                if not valid.any():
+                    continue
+                # first hit at the max = lowest member vec_id (sorted)
+                nn_pos = (sims >= best[:, None]).argmax(axis=1)
+                sim_i = np.round(best[valid] * 1e9).astype(np.int64) \
+                    + _KNN_SIM_BIAS
+                nn_v = mids[nn_pos[valid]]
+                nn_l = mlab[nn_pos[valid]]
+                for vi, li, si, nv, nl in zip(
+                        qids[s:e][valid], qlab[s:e][valid],
+                        sim_i, nn_v, nn_l):
+                    out_v.append(int(vi))
+                    out_l.append(int(li))
+                    out_p.append(f"{si:010d}|{_KNN_VEC_INV - nv:013d}|{nl}")
+            return pa.table({
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "label": pa.array(out_l, type=pa.int64()),
+                "packed": pa.array(out_p, type=pa.string()),
+            })
+
+        def label_partials(t: pa.Table) -> pa.Table:
+            own = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            packed = t["packed"].to_pylist()
+            pred = np.fromiter((int(p.rsplit("|", 1)[1]) for p in packed),
+                               dtype=np.int64, count=len(packed))
+            uniq, inv = np.unique(own, return_inverse=True)
+            n = uniq.size
+            return pa.table({
+                "label": pa.array(uniq.astype(np.int64)),
+                "n": pa.array(np.bincount(inv, minlength=n)
+                              .astype(np.int64)),
+                "n_correct": pa.array(_group_sum(
+                    inv, (pred == own).astype(np.int64), n)),
+            })
+
+        out = (
+            read_parquet_nometa(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+            .map_batches(fanout, batch_format="pyarrow", batch_size=2048)
+            .groupby("probe_part")
+            .map_groups(score_group, batch_format="pyarrow")
+            .groupby("vec_id")
+            .aggregate(Max("packed", alias_name="packed"),
+                       Max("label", alias_name="label"))
+            .map_batches(label_partials, batch_format="pyarrow")
+            .groupby("label")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_correct", alias_name="n_correct"))
+            .to_pandas()
+            .sort_values("label")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return pa.table({
         "label": pa.array(out["label"].astype("int64").tolist(),
                           type=pa.int64()),

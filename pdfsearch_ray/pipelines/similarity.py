@@ -65,15 +65,17 @@ def _read_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray
 
 
 class _PartitionAssigner:
-    """Actor: embedding rows → (part, vec_id, embedding) rows; the
-    assignment function (LSH signs or IVF nearest-centroid) is built once
-    per actor from broadcast parameters."""
+    """Actor: embedding rows → (part, vec_id, embedding[, extra]) rows;
+    the assignment function (LSH signs or IVF nearest-centroid) is built
+    once per actor from broadcast parameters."""
 
-    def __init__(self, params_ref, mode: str, dim: int, exclude_below: int):
+    def __init__(self, params_ref, mode: str, dim: int, exclude_below: int,
+                 extra_cols: tuple[str, ...] = ()):
         self.params = ray.get(params_ref)
         self.mode = mode
         self.dim = dim
         self.exclude_below = exclude_below
+        self.extra_cols = extra_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
@@ -87,11 +89,18 @@ class _PartitionAssigner:
             parts = _signs(m, self.params)
         else:  # ivf: first-max argmax over centroid dots (scaling-invariant)
             parts = np.argmax(m @ self.params.T, axis=1)
-        return pa.table({
+        take = pa.array(np.nonzero(mask)[0], type=pa.int32())
+        cols = {
             "part": pa.array(parts, type=pa.int64()),
             "vec_id": pa.array(ids, type=pa.int64()),
-            "embedding": emb.take(pa.array(np.nonzero(mask)[0], type=pa.int32())),
-        })
+            "embedding": emb.take(take),
+        }
+        for c in self.extra_cols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[c] = col.take(take)
+        return pa.table(cols)
 
 
 def build_partitioned_embeddings(
@@ -102,6 +111,7 @@ def build_partitioned_embeddings(
     params: np.ndarray,
     dim: int,
     exclude_below: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> None:
     """One map_batches pass assigns every base vector its partition and
     writes the PERSISTED partition-per-bucket layout — the ANN index.
@@ -112,11 +122,13 @@ def build_partitioned_embeddings(
 
     params_ref = ray.put(params)
     read_parquet_nometa(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", *extra_cols],
     ).map_batches(
         _PartitionAssigner,
         fn_constructor_kwargs=dict(params_ref=params_ref, mode=mode, dim=dim,
-                                   exclude_below=exclude_below),
+                                   exclude_below=exclude_below,
+                                   extra_cols=extra_cols),
         batch_format="pyarrow",
         concurrency=(1, 4),
     ).write_parquet(out_dir, partition_cols=["part"])

@@ -99,6 +99,36 @@ def test_knn_label_accuracy(ray_session):
     # count of correct among label[0]'s group must reflect this one
     assert isinstance(bool(pred0 == labels[0]), bool)
 
+    # full single-process reference of the SAME bucketed semantics:
+    # shared centroids, argmax-dot assignment, n_probe probe set
+    # (dot desc, c asc), candidate sims at 9 dp, (sim desc, vec_id asc)
+    # argmax — must match the distributed result exactly
+    from pdfsearch_ray.pipelines.queries import KNN_N_CLUSTERS, KNN_N_PROBE
+    from pdfsearch_ray.pipelines.similarity import ivf_centroids
+
+    cents = ivf_centroids(SF, num_queries=0, n_clusters=KNN_N_CLUSTERS)
+    dots = m @ cents.T
+    assign = np.argmax(dots, axis=1)
+    probe = np.argsort(-dots, axis=1, kind="stable")[:, :KNN_N_PROBE]
+    ids_sorted = ids[order]
+    n_by, nc_by = {}, {}
+    for i in range(len(ids_sorted)):
+        cand = np.nonzero(np.isin(assign, probe[i]))[0]
+        cand = cand[cand != i]
+        if len(cand) == 0:
+            continue
+        sims_i = np.round(mn[i] @ mn[cand].T, 9)
+        best = sims_i.max()
+        # lowest vec_id among ties (cand is sorted by position == id order)
+        nn = cand[(sims_i >= best).argmax()]
+        la = int(labels[i])
+        n_by[la] = n_by.get(la, 0) + 1
+        nc_by[la] = nc_by.get(la, 0) + int(labels[nn] == labels[i])
+    got = {int(r.label): (int(r.n), int(r.n_correct))
+           for r in t.itertuples()}
+    want = {la: (n_by[la], nc_by[la]) for la in n_by}
+    assert got == want
+
 
 def test_source_mix(ray_session):
     from pdfsearch_ray.pipelines.queries import source_mix
