@@ -1,0 +1,524 @@
+"""Baseline JPEG codec, pure Python/numpy — the frame codec behind the
+MJPEG-in-AVI "real" video path (functions/media_codecs.decode_avi).
+
+Scope (what the media pipeline needs, not a general library):
+* decode: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
+  components, all sampling factors (1,1) (i.e. 4:4:4 or grayscale), no
+  restart markers, no progressive/arithmetic coding.  Huffman tables are
+  read from the file's own DHT segments, so decode is self-contained.
+* encode: 4:4:4 (or grayscale) baseline JPEG with the ITU-T T.81
+  Annex-K quantization and Huffman tables, IJG-style quality scaling.
+
+Entropy decode is an honest per-bit Python loop (Huffman is inherently
+sequential); DCT/IDCT, color transforms, level shift and clipping are
+numpy.  Frames here are thumbnail-scale (tens of blocks), so the bit
+loop is cheap; a production deployment swaps in a C codec behind the
+same two function signatures.
+
+Reference for the pipeline slot this fills: the reference engine's
+media story is "opaque binary column + typed decode stage"
+(SURVEY §2.11); this codec makes the video decode stage REAL.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .media_codecs import MediaDecodeError
+
+# zigzag position → natural (row-major) index
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# ITU-T T.81 Annex K quantization tables (natural order)
+STD_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+STD_CHR_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K Huffman tables: (bits[1..16], values).  Self-consistency is
+# what matters for round-trip (the decoder reads DHT from the stream);
+# tests assert sum(bits) == len(values) and canonical-code validity.
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal DCT-II basis C (8×8): F = C f Cᵀ, f = Cᵀ F C."""
+    x = np.arange(8, dtype=np.float64)
+    u = np.arange(8, dtype=np.float64)[:, None]
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * 0.5
+    c[0] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_DCT_C = _dct_basis()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """Canonical Huffman codes per T.81 Annex C: returns
+    {value: (code, length)} for encode and {(length, code): value} for
+    decode."""
+    if len(bits) != 16 or sum(bits) != len(vals):
+        raise MediaDecodeError("invalid Huffman table")
+    enc: dict[int, tuple[int, int]] = {}
+    dec: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise MediaDecodeError("overfull Huffman table")
+            v = vals[k]
+            enc[v] = (code, length)
+            dec[(length, code)] = v
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing; a real marker (0xFF followed by non-zero) ends input."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 < len(self.data) \
+                        and self.data[self.pos + 1] == 0x00:
+                    self.pos += 2
+                else:
+                    break  # marker: stop feeding bits
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        if self.n < length:
+            raise MediaDecodeError("entropy data exhausted")
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_huffman(self, dec: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            v = dec.get((length, code))
+            if v is not None:
+                return v
+        raise MediaDecodeError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` raw bits to a signed value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _bit_size(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    a = img.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255) \
+        .round().astype(np.uint8)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float, H/W multiples of 8 → (n_blocks, 8, 8) in raster
+    block order."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _unblockify(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (blocks.reshape(h // 8, w // 8, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(h, w))
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 → baseline JPEG (4:4:4,
+    Annex-K tables, no restart markers)."""
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise MediaDecodeError(f"unsupported image shape {a.shape}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise MediaDecodeError("empty image")
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        planes = [ycc[..., i] for i in range(3)]
+    # edge-replicate pad to block multiples
+    planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+              for p in planes]
+
+    qlum = _quality_scale(STD_LUM_Q, quality)
+    qchr = _quality_scale(STD_CHR_Q, quality)
+    qtabs = [qlum] if gray else [qlum, qchr]
+
+    enc_dc = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS)[0],
+              _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)[0]]
+    enc_ac = [_canonical_codes(AC_LUM_BITS, AC_LUM_VALS)[0],
+              _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)[0]]
+
+    # per-component quantized coefficient blocks (natural order); AC
+    # clamps to the Annex-K tables' max size (10 bits) — reachable only
+    # at quality≈100 on pathological blocks, standard encoder practice
+    comp_blocks = []
+    for ci, p in enumerate(planes):
+        blocks = _blockify(p - 128.0)
+        coefs = np.einsum("ux,nxy,vy->nuv", _DCT_C, blocks, _DCT_C)
+        q = qtabs[min(ci, len(qtabs) - 1)].reshape(8, 8).astype(np.float64)
+        qb = np.round(coefs / q).astype(np.int64).reshape(-1, 64)
+        dc = qb[:, 0].copy()
+        qb = np.clip(qb, -1023, 1023)
+        qb[:, 0] = dc
+        comp_blocks.append(qb)
+
+    bw = _BitWriter()
+    n_comp = len(planes)
+    bx = pw // 8
+    by = ph // 8
+    prev_dc = [0] * n_comp
+    for mcu in range(bx * by):
+        for ci in range(n_comp):
+            ti = min(ci, 1)
+            block = comp_blocks[ci][mcu]
+            zz = block[ZIGZAG]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            size = _bit_size(diff)
+            code, length = enc_dc[ti][size]
+            bw.write(code, length)
+            if size:
+                v = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.write(v, size)
+            run = 0
+            for k in range(1, 64):
+                c = int(zz[k])
+                if c == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    zcode, zlen = enc_ac[ti][0xF0]
+                    bw.write(zcode, zlen)
+                    run -= 16
+                size = _bit_size(c)
+                acode, alen = enc_ac[ti][(run << 4) | size]
+                bw.write(acode, alen)
+                v = c if c >= 0 else c + (1 << size) - 1
+                bw.write(v, size)
+                run = 0
+            if run:
+                ecode, elen = enc_ac[ti][0x00]
+                bw.write(ecode, elen)
+    scan = bw.flush()
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    for ti, q in enumerate(qtabs):
+        seg(0xDB, bytes([ti]) + bytes(int(x) for x in q[ZIGZAG]))
+    # SOF carries the TRUE image size; the scan covers the full
+    # ceil-MCU grid and the decoder crops (standard partial-MCU rule)
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, min(ci, len(qtabs) - 1)])
+    seg(0xC0, sof)
+    huff = [(0x00, DC_LUM_BITS, DC_LUM_VALS),
+            (0x10, AC_LUM_BITS, AC_LUM_VALS)]
+    if not gray:
+        huff += [(0x01, DC_CHR_BITS, DC_CHR_VALS),
+                 (0x11, AC_CHR_BITS, AC_CHR_VALS)]
+    for tid, bits, vals in huff:
+        seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
+        ti = min(ci, 1)
+        sos += bytes([ci + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    out.extend(scan)
+    out.extend(b"\xFF\xD9")  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+    Supports the subset documented in the module docstring; raises
+    MediaDecodeError otherwise."""
+    if len(payload) < 4 or payload[:2] != b"\xFF\xD8":
+        raise MediaDecodeError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    sof = None
+    scan_start = None
+    comps_sos = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError("marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise MediaDecodeError("truncated segment")
+        if marker == 0xDB:
+            b = body
+            while b:
+                pq_tq = b[0]
+                if pq_tq >> 4 != 0:
+                    raise MediaDecodeError("16-bit quant unsupported")
+                zz = np.frombuffer(b[1:65], dtype=np.uint8) \
+                    .astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz
+                qtabs[pq_tq & 0x0F] = nat
+                b = b[65:]
+        elif marker == 0xC4:
+            b = body
+            while b:
+                tid = b[0]
+                bits = list(b[1:17])
+                n = sum(bits)
+                vals = list(b[17:17 + n])
+                _, dec = _canonical_codes(bits, vals)
+                if tid >> 4 == 0:
+                    dc_tabs[tid & 0x0F] = dec
+                else:
+                    ac_tabs[tid & 0x0F] = dec
+                b = b[17 + n:]
+        elif marker == 0xC0:
+            prec, h, w, n_comp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise MediaDecodeError("only 8-bit precision")
+            comps = []
+            for i in range(n_comp):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise MediaDecodeError(
+                        "subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", body[:2])
+            if ri != 0:
+                raise MediaDecodeError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            comps_sos = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i:3 + 2 * i]
+                comps_sos.append((cs, tdta >> 4, tdta & 0x0F))
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if sof is None or scan_start is None or comps_sos is None:
+        raise MediaDecodeError("missing SOF/SOS")
+    h, w, comps = sof
+    if h == 0 or w == 0 or h * w > 64_000_000:
+        raise MediaDecodeError(f"bad dimensions {w}x{h}")
+    if len(comps) not in (1, 3) or len(comps_sos) != len(comps):
+        raise MediaDecodeError(f"unsupported component count {len(comps)}")
+    br = _BitReader(payload[scan_start:])
+    # scan covers the full ceil-MCU grid; crop to (h, w) at the end
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    ph, pw = by * 8, bx * 8
+    n_comp = len(comps)
+    coefs = [np.zeros((bx * by, 64), dtype=np.int64) for _ in comps]
+    prev_dc = [0] * n_comp
+    qs = []
+    decs = []
+    for (cid, tq), (_cs, td, ta) in zip(comps, comps_sos):
+        if tq not in qtabs or td not in dc_tabs or ta not in ac_tabs:
+            raise MediaDecodeError("missing table")
+        qs.append(qtabs[tq])
+        decs.append((dc_tabs[td], ac_tabs[ta]))
+    for mcu in range(bx * by):
+        for ci in range(n_comp):
+            dc_dec, ac_dec = decs[ci]
+            zz = np.zeros(64, dtype=np.int64)
+            size = br.read_huffman(dc_dec)
+            if size > 11:
+                raise MediaDecodeError("bad DC size")
+            diff = _extend(br.read(size), size)
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = br.read_huffman(ac_dec)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0x0F
+                k += run
+                if k > 63 or size == 0:
+                    raise MediaDecodeError("bad AC run/size")
+                zz[k] = _extend(br.read(size), size)
+                k += 1
+            nat = np.zeros(64, dtype=np.int64)
+            nat[ZIGZAG] = zz
+            coefs[ci][mcu] = nat
+    planes = []
+    for ci in range(n_comp):
+        deq = (coefs[ci] * qs[ci]).astype(np.float64).reshape(-1, 8, 8)
+        blocks = np.einsum("xu,nuv,yv->nxy", _DCT_C.T, deq, _DCT_C.T)
+        planes.append(_unblockify(blocks, ph, pw) + 128.0)
+    if n_comp == 1:
+        g = np.clip(planes[0], 0, 255).round().astype(np.uint8)
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return rgb[:h, :w]

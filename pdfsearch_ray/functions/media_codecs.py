@@ -234,6 +234,167 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --------------------------------------------------------------- AVI
+# RIFF/AVI container (RIFF walking is WAV-adjacent) with two frame
+# codecs: 'MJPG' (baseline JPEG per frame — functions/jpeg_codec) and
+# raw 'DIB ' (uncompressed bottom-up BGR, BI_RGB).  This makes the
+# video decode path REAL; mp4 remains out of scope (no dependency-free
+# codec in this container).
+
+_AVI_MAX_FRAMES = 100_000
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10, codec: str = "MJPG",
+               quality: int = 85) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → AVI bytes.
+
+    ``codec="MJPG"``: each frame is a baseline JPEG ('00dc' chunks);
+    ``codec="DIB "``: uncompressed BI_RGB bottom-up BGR ('00db')."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3 or a.shape[0] == 0:
+        raise MediaDecodeError(f"unsupported frame stack shape {a.shape}")
+    n, h, w, _ = a.shape
+    if codec == "MJPG":
+        from .jpeg_codec import encode_jpeg
+
+        payloads = [encode_jpeg(f, quality=quality) for f in a]
+        compression = b"MJPG"
+        ckid = b"00dc"
+    elif codec == "DIB ":
+        stride = (w * 3 + 3) // 4 * 4
+        payloads = []
+        for f in a:
+            rows = f[::-1, :, ::-1]  # bottom-up, BGR
+            buf = np.zeros((h, stride), dtype=np.uint8)
+            buf[:, :w * 3] = rows.reshape(h, w * 3)
+            payloads.append(buf.tobytes())
+        compression = b"\x00\x00\x00\x00"  # BI_RGB
+        ckid = b"00db"
+    else:
+        raise MediaDecodeError(f"unsupported AVI codec {codec!r}")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(1, fps),  # dwMicroSecPerFrame
+        max_bytes * fps,           # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # AVIF_HASINDEX
+        n, 0, 1, max_bytes, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (b"vids" + compression.ljust(4, b"\x00")
+            + struct.pack("<IHHIIIIIIIi4H",
+                          0, 0, 0, 0,   # flags, prio, lang, initial
+                          1, max(1, fps),  # scale, rate
+                          0, n,         # start, length
+                          max_bytes, 0xFFFFFFFF - (1 << 31), 0,  # bufsize, quality(-1 as int), samplesize...
+                          0, 0, np.uint16(w), np.uint16(h)))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24,
+                       compression, len(payloads[0]), 0, 0, 0, 0)
+    hdrl = lst(b"hdrl",
+               chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = [chunk(ckid, p) for p in payloads]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1: one entry per frame (AVIIF_KEYFRAME=0x10)
+    idx = bytearray()
+    off = 4  # offsets are relative to the start of 'movi' list data
+    for p, ck in zip(payloads, movi_chunks):
+        idx += ckid + struct.pack("<III", 0x10, off, len(p))
+        off += len(ck)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_children(data: bytes):
+    """Yield (fourcc, body) pairs of a RIFF/LIST body."""
+    pos = 0
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise MediaDecodeError("truncated RIFF chunk")
+        yield cid, body
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes → ((n, h, w, 3) uint8 RGB frames, fps).  Supports the
+    two codecs :func:`encode_avi` writes — 'MJPG' baseline-JPEG frames
+    and raw BI_RGB 'DIB ' frames.  Raises MediaDecodeError outside the
+    subset or on malformed containers."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise MediaDecodeError("not a RIFF/AVI file")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    data = payload[12:8 + riff_size]
+    w = h = None
+    compression = None
+    fps = 0
+    frames: list[np.ndarray] = []
+    for cid, body in _riff_children(data):
+        if cid != b"LIST":
+            continue
+        kind, inner = body[:4], body[4:]
+        if kind == b"hdrl":
+            for cid2, body2 in _riff_children(inner):
+                if cid2 == b"LIST" and body2[:4] == b"strl":
+                    for cid3, body3 in _riff_children(body2[4:]):
+                        if cid3 == b"strh" and body3[:4] == b"vids":
+                            scale, rate = struct.unpack("<II",
+                                                        body3[20:28])
+                            if scale:
+                                fps = max(1, rate // scale)
+                        elif cid3 == b"strf" and len(body3) >= 40:
+                            (_sz, bw, bh, _pl, bits) = struct.unpack(
+                                "<IiiHH", body3[:16])
+                            compression = body3[16:20]
+                            if bits != 24:
+                                raise MediaDecodeError(
+                                    f"unsupported bit depth {bits}")
+                            w, h = int(bw), abs(int(bh))
+        elif kind == b"movi":
+            if w is None or compression is None:
+                raise MediaDecodeError("movi before stream headers")
+            if w <= 0 or h <= 0 or w * h > 64_000_000:
+                raise MediaDecodeError(f"bad dimensions {w}x{h}")
+            for cid2, body2 in _riff_children(inner):
+                if cid2[2:4] not in (b"dc", b"db"):
+                    continue
+                if len(frames) >= _AVI_MAX_FRAMES:
+                    raise MediaDecodeError("too many frames")
+                if compression == b"MJPG":
+                    from .jpeg_codec import decode_jpeg
+
+                    f = decode_jpeg(body2)
+                    if f.shape[:2] != (h, w):
+                        raise MediaDecodeError("frame size mismatch")
+                    frames.append(f)
+                elif compression == b"\x00\x00\x00\x00":
+                    stride = (w * 3 + 3) // 4 * 4
+                    if len(body2) < stride * h:
+                        raise MediaDecodeError("short DIB frame")
+                    buf = np.frombuffer(body2[:stride * h],
+                                        dtype=np.uint8).reshape(h, stride)
+                    bgr = buf[:, :w * 3].reshape(h, w, 3)
+                    frames.append(bgr[::-1, :, ::-1].copy())
+                else:
+                    raise MediaDecodeError(
+                        f"unsupported AVI codec {compression!r}")
+    if not frames:
+        raise MediaDecodeError("no video frames")
+    return np.stack(frames), int(fps)
+
+
 def resize_rgb(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     """Nearest-neighbor (h, w, 3) → (oh, ow, 3) — same sampling rule as
     stages.multimodal.ImageResize's gather."""

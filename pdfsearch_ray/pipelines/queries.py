@@ -1227,12 +1227,13 @@ def tfidf_topk(sf_dir: str, num_buckets: int = 16) -> pa.Table:
 
 def media_features_real(sf_dir: str) -> rd.Dataset:
     """media_features with the REAL decode backend end-to-end (rows-only
-    check: DuckDB cannot decode PNG/WAV): synthesize VALID payloads
+    check: DuckDB cannot decode PNG/WAV/AVI): synthesize VALID payloads
     inside the distributed read — PNGs cycling all five scanline
-    filters, WAV-PCM16 waveforms — decode them with
-    MediaDecoder(backend='real') in a small-batch actor pool, and
-    extract feature vectors.  Video payloads exercise the documented
-    stub fallback; every row must come back decode_ok."""
+    filters, WAV-PCM16 waveforms, AVI videos alternating baseline-MJPG
+    and raw-DIB frame codecs (round 4: all three modalities decode for
+    REAL) — decode them with MediaDecoder(backend='real') in a
+    small-batch actor pool, and extract feature vectors.  Every row
+    must come back decode_ok."""
     from ..stages.multimodal import (
         DEFAULT_MEDIA_BATCH_SIZE,
         MediaDecoder,

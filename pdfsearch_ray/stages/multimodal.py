@@ -7,12 +7,14 @@ the engine's media extension for training-data pipelines: decode →
 resize / frame-sample → feature-extract, each a stateful batch stage.
 
 Decode backends: ``backend="real"`` uses the pure-Python/numpy codecs
-in functions/media_codecs — PNG images (all five scanline filters,
-CRC-verified) and WAV-PCM audio are decoded for REAL; video (mp4) has
-no dependency-free codec in this container (no PIL/ffmpeg) and falls
-back to the stub.  ``backend="stub"`` produces a deterministic fake
-decode (pixel/sample tensors derived from the payload bytes via a
-rolling hash — stable across runs, workers and cluster sizes).
+in functions/media_codecs and functions/jpeg_codec — PNG images (all
+five scanline filters, CRC-verified), WAV-PCM audio, and AVI video
+(baseline-MJPG or raw-DIB frames, round 4) are ALL decoded for real;
+mp4 specifically stays out of scope (no dependency-free codec in this
+container — no PIL/ffmpeg).  ``backend="stub"`` produces a
+deterministic fake decode (pixel/sample tensors derived from the
+payload bytes via a rolling hash — stable across runs, workers and
+cluster sizes).
 Everything Ray-side — schemas, batch shapes, actor signatures,
 fixed-shape tensor columns, the 1→N frame-sampling flat_map — is real
 and tested under both backends.
@@ -69,13 +71,16 @@ class MediaDecoder:
 
     Backends:
     * ``"stub"`` — deterministic fake tensors (payload-derived hash).
-    * ``"real"`` — pure-Python/numpy codecs (functions/media_codecs):
-      PNG images (all five scanline filters, CRC-checked) decoded and
-      nearest-neighbor-resized to ``image_hw``; WAV-PCM audio decoded,
-      downmixed to mono and fitted to ``audio_samples`` uint8 samples.
-      Video has no dependency-free codec and FALLS BACK to the stub
-      (documented container constraint).  Undecodable payloads yield
-      decode_ok=False, never a raised error (poison-row rule).
+    * ``"real"`` — pure-Python/numpy codecs (functions/media_codecs +
+      functions/jpeg_codec): PNG images (all five scanline filters,
+      CRC-checked) decoded and nearest-neighbor-resized to
+      ``image_hw``; WAV-PCM audio decoded, downmixed to mono and
+      fitted to ``audio_samples`` uint8 samples; AVI video (baseline
+      MJPG or raw-DIB frames) decoded for REAL — the decoded tensor is
+      the FIRST frame resized to ``image_hw`` (FrameSampler is the 1→N
+      path).  mp4 stays out of scope (no dependency-free codec).
+      Undecodable payloads yield decode_ok=False, never a raised error
+      (poison-row rule).
     """
 
     def __init__(self, backend: str = "stub", image_hw: tuple[int, int] = (32, 32),
@@ -97,6 +102,7 @@ class MediaDecoder:
             from ..functions.media_codecs import (
                 MediaDecodeError,
                 audio_to_uint8,
+                decode_avi,
                 decode_png,
                 decode_wav,
                 resize_rgb,
@@ -114,8 +120,12 @@ class MediaDecoder:
                 except MediaDecodeError:
                     return None
                 return audio_to_uint8(samples, self.audio_samples)
-            if kind == "video":  # no pure-python mp4 codec: stub fallback
-                return _stub_tensor(payload, h * w * 3, seed=1)
+            if kind == "video":
+                try:
+                    frames, _fps = decode_avi(payload)
+                except MediaDecodeError:
+                    return None
+                return resize_rgb(frames[0], self.image_hw).ravel()
             return None
         if kind in ("image", "video"):
             return _stub_tensor(payload, h * w * 3, seed=1)
@@ -186,13 +196,65 @@ class FrameSampler:
     The decoded column is a FIXED-SHAPE tensor column
     (``fixed_size_list<uint8>[h*w*3]`` backed by one contiguous uint8
     buffer), so downstream stages reshape it zero-copy to a (rows, n_px)
-    matrix instead of round-tripping per-row Python lists.  The stub
-    decode itself is per-row (a real codec would be too); everything
-    around it is batch-level."""
+    matrix instead of round-tripping per-row Python lists.  The per-row
+    decode is stub by default; ``backend="real"`` decodes AVI video
+    (MJPG / raw-DIB frames) and PNG images with the pure-python codecs,
+    sampling k REAL frames evenly — undecodable rows are dropped
+    (poison-row rule); audio rows keep the stub tensor (an image-length
+    tensor for audio only makes sense as a placeholder)."""
 
-    def __init__(self, frames_per_video: int = 4, image_hw=(32, 32)):
+    def __init__(self, frames_per_video: int = 4, image_hw=(32, 32),
+                 backend: str = "stub"):
+        if backend not in ("stub", "real"):
+            raise NotImplementedError(
+                f"frame-sampler backend {backend!r} unknown")
         self.k = frames_per_video
         self.image_hw = image_hw
+        self.backend = backend
+
+    def _video_frames(self, payload: bytes, nf) -> list[tuple[int, np.ndarray]]:
+        """(frame_idx, tensor) pairs for one video row, or [] to drop."""
+        h, w = self.image_hw
+        n_px = h * w * 3
+        if self.backend == "real":
+            from ..functions.media_codecs import (
+                MediaDecodeError,
+                decode_avi,
+                resize_rgb,
+            )
+
+            try:
+                frames, _fps = decode_avi(payload)
+            except MediaDecodeError:
+                return []
+            total = frames.shape[0]
+            k = min(self.k, total)
+            return [(j * total // k,
+                     resize_rgb(frames[j * total // k],
+                                self.image_hw).ravel())
+                    for j in range(k)]
+        total = max(1, int(nf or 1))
+        k = min(self.k, total)
+        return [(j * total // k,
+                 _stub_tensor(payload, n_px, seed=100 + (j * total // k)))
+                for j in range(k)]
+
+    def _still_tensor(self, kind: str, payload: bytes) -> np.ndarray | None:
+        h, w = self.image_hw
+        n_px = h * w * 3
+        if self.backend == "real" and kind == "image":
+            from ..functions.media_codecs import (
+                MediaDecodeError,
+                decode_png,
+                resize_rgb,
+            )
+
+            try:
+                return resize_rgb(decode_png(payload),
+                                  self.image_hw).ravel()
+            except MediaDecodeError:
+                return None
+        return _stub_tensor(payload, n_px, seed=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         h, w = self.image_hw
@@ -211,20 +273,21 @@ class FrameSampler:
             media_ids, doc_ids, kinds, payloads, n_frames
         ):
             if kind == "video" and payload:
-                total = max(1, int(nf or 1))
-                for j in range(min(self.k, total)):
-                    frame_no = j * total // min(self.k, total)
+                for frame_no, tensor in self._video_frames(payload, nf):
                     mids.append(mid)
                     dids.append(did)
                     kinds_out.append("image")
                     fidx.append(frame_no)
-                    tensors.append(_stub_tensor(payload, n_px, seed=100 + frame_no))
+                    tensors.append(tensor)
             elif payload:
+                t = self._still_tensor(kind, payload)
+                if t is None:
+                    continue
                 mids.append(mid)
                 dids.append(did)
                 kinds_out.append(kind)
                 fidx.append(0)
-                tensors.append(_stub_tensor(payload, n_px, seed=1))
+                tensors.append(t)
         flat = (np.concatenate(tensors) if tensors
                 else np.empty(0, dtype=np.uint8))
         decoded = pa.FixedSizeListArray.from_arrays(
@@ -337,14 +400,15 @@ def synth_media_table(docs: pa.Table, text_col: str = "text",
 def synth_real_media_table(docs: pa.Table, text_col: str = "text",
                            id_col: str = "doc_id") -> pa.Table:
     """Like synth_media_table but with VALID media payloads, so the
-    REAL decode backend runs end-to-end: image rows carry actual PNGs
-    (deterministic doc_id-derived pixels; the PNG filter type cycles
-    doc_id % 5, exercising every unfilter path in the codec), audio
-    rows carry WAV-PCM16 (doc_id-seeded waveform), video rows keep
-    opaque bytes (no dependency-free mp4 codec — MediaDecoder's
-    documented stub fallback).  Batch-local and deterministic, safe
-    inside map_batches over a distributed read."""
-    from ..functions.media_codecs import encode_png, encode_wav
+    REAL decode backend runs end-to-end on all THREE modalities: image
+    rows carry actual PNGs (deterministic doc_id-derived pixels; the
+    PNG filter type cycles doc_id % 5, exercising every unfilter path
+    in the codec), audio rows carry WAV-PCM16 (doc_id-seeded waveform),
+    video rows carry real AVIs — 4 deterministic frames, the codec
+    alternating baseline MJPG and raw-DIB by doc_id, exercising both
+    decode paths (functions/media_codecs.encode_avi).  Batch-local and
+    deterministic, safe inside map_batches over a distributed read."""
+    from ..functions.media_codecs import encode_avi, encode_png, encode_wav
 
     ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     texts = docs[text_col].to_pylist()
@@ -360,7 +424,10 @@ def synth_real_media_table(docs: pa.Table, text_col: str = "text",
             wave = (np.sin(t * (0.05 + (int(i) % 7) * 0.01)) * 12000)
             payloads.append(encode_wav(wave.astype(np.int16), 16000))
         else:
-            payloads.append((text or "").encode("utf-8"))
+            rng = np.random.Generator(np.random.Philox(key=int(i)))
+            frames = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+            codec = "MJPG" if int(i) % 2 else "DIB "
+            payloads.append(encode_avi(frames, fps=10, codec=codec))
     n = len(ids)
     return pa.table({
         "media_id": pa.array(ids),
@@ -368,12 +435,12 @@ def synth_real_media_table(docs: pa.Table, text_col: str = "text",
         "kind": pa.array(kinds, type=pa.string()),
         "mime": pa.array(
             [{"image": "image/png", "audio": "audio/wav",
-              "video": "video/mp4"}[k] for k in kinds], type=pa.string()),
+              "video": "video/avi"}[k] for k in kinds], type=pa.string()),
         "payload": pa.array(payloads, type=pa.large_binary()),
         "width": pa.array(np.full(n, 16, dtype=np.int32)),
         "height": pa.array(np.full(n, 16, dtype=np.int32)),
         "n_frames": pa.array(
-            np.where(np.array(kinds) == "video", 12, 0).astype(np.int32)),
+            np.where(np.array(kinds) == "video", 4, 0).astype(np.int32)),
         "sample_rate": pa.array(
             np.where(np.array(kinds) == "audio", 16000, 0).astype(np.int32)),
         "duration_ms": pa.array(np.full(n, 25, dtype=np.int32)),

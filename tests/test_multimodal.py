@@ -50,55 +50,64 @@ def test_unknown_backend_raises():
 
 
 def _real_media_batch(image_hw=(8, 8)):
-    """Synthetic VALID png/wav payloads (encoded with our own pure-python
-    writers, functions/media_codecs) + one corrupt row per kind."""
-    from pdfsearch_ray.functions.media_codecs import encode_png, encode_wav
+    """Synthetic VALID png/wav/avi payloads (encoded with our own
+    pure-python writers, functions/media_codecs) + one corrupt row per
+    kind."""
+    from pdfsearch_ray.functions.media_codecs import (
+        encode_avi,
+        encode_png,
+        encode_wav,
+    )
 
     rng = np.random.RandomState(11)
     img = rng.randint(0, 256, (16, 12, 3), dtype=np.uint8)
     wav = rng.randint(-(2 ** 14), 2 ** 14, 300).astype(np.int16)
+    vid = rng.randint(0, 256, (4, 8, 8, 3), dtype=np.uint8)
     rows = [
         ("image", "image/png", encode_png(img, filter_type=4)),
         ("audio", "audio/wav", encode_wav(wav, 16000)),
-        ("video", "video/mp4", b"\x00\x00\x00 ftypisom fake"),
+        ("video", "video/avi", encode_avi(vid, fps=10, codec="DIB ")),
         ("image", "image/png", b"not a png at all"),
         ("audio", "audio/wav", b"RIFF????nope"),
+        ("video", "video/mp4", b"\x00\x00\x00 ftypisom fake"),
     ]
     n = len(rows)
-    return img, wav, pa.table({
+    return img, wav, vid, pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array([r[0] for r in rows]),
         "mime": pa.array([r[1] for r in rows]),
         "payload": pa.array([r[2] for r in rows], type=pa.large_binary()),
-        "width": pa.array([12, 0, 8, 12, 0], type=pa.int32()),
-        "height": pa.array([16, 0, 8, 16, 0], type=pa.int32()),
-        "n_frames": pa.array([0, 0, 4, 0, 0], type=pa.int32()),
-        "sample_rate": pa.array([0, 16000, 0, 0, 16000], type=pa.int32()),
-        "duration_ms": pa.array([0, 19, 160, 0, 0], type=pa.int32()),
+        "width": pa.array([12, 0, 8, 12, 0, 8], type=pa.int32()),
+        "height": pa.array([16, 0, 8, 16, 0, 8], type=pa.int32()),
+        "n_frames": pa.array([0, 0, 4, 0, 0, 4], type=pa.int32()),
+        "sample_rate": pa.array([0, 16000, 0, 0, 16000, 0],
+                                type=pa.int32()),
+        "duration_ms": pa.array([0, 19, 400, 0, 0, 160], type=pa.int32()),
     })
 
 
-def test_real_backend_decodes_png_and_wav():
+def test_real_backend_decodes_png_wav_and_avi():
     from pdfsearch_ray.functions.media_codecs import (
         audio_to_uint8,
         resize_rgb,
     )
 
-    img, wav, media = _real_media_batch()
+    img, wav, vid, media = _real_media_batch()
     dec = MediaDecoder(backend="real", image_hw=(8, 8), audio_samples=64)
     out = dec(media)
     ok = out["decode_ok"].to_pylist()
-    assert ok == [True, True, True, False, False]
+    assert ok == [True, True, True, False, False, False]
     decoded = out["decoded"].to_pylist()
     # image: real pixels, resized with the documented nearest rule
     assert decoded[0] == resize_rgb(img, (8, 8)).ravel().tolist()
     # audio: real samples in the fixed-shape uint8 contract
     assert decoded[1] == audio_to_uint8(wav, 64).tolist()
-    # video: stub fallback, still the image tensor length
-    assert len(decoded[2]) == 8 * 8 * 3
-    # corrupt rows are poison rows, not errors
-    assert decoded[3] is None and decoded[4] is None
+    # video: REAL first frame of the raw-DIB AVI, exact pixels
+    assert decoded[2] == vid[0].ravel().tolist()
+    # corrupt rows (incl. the mp4 blob — no dependency-free codec) are
+    # poison rows, not errors
+    assert decoded[3] is None and decoded[4] is None and decoded[5] is None
 
 
 def test_png_all_filters_roundtrip():
@@ -130,7 +139,7 @@ def test_real_backend_features_golden():
     """backend='real' through MediaFeatures keeps the same fixed-shape
     tensor contract as the stub path — and the features over REAL
     decoded pixels are deterministic (golden-pinned means)."""
-    _img, _wav, media = _real_media_batch()
+    _img, _wav, _vid, media = _real_media_batch()
     dec = MediaDecoder(backend="real", image_hw=(8, 8), audio_samples=192)
     decoded = dec(media).filter(pa.compute.field("decode_ok"))
     feats = MediaFeatures()(decoded)
