@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q.doc_chunks,
         "tfidf_topk": q.tfidf_topk,
         "media_features_real": q.media_features_real,
+        "media_features_meta": q.media_features_meta,
+        "media_features_real_meta": q.media_features_real_meta,
         "event_props_stats": q.event_props_stats,
         "knn_label_accuracy": q.knn_label_accuracy,
         "source_mix": q.source_mix,
@@ -169,6 +171,9 @@ def _region_part_revenue(sf_dir: str):
 def oracle_sql() -> dict[str, str]:
     from pdfsearch_ray.pipelines import oracles as _oracles
     from pdfsearch_ray.pipelines import queries as q
+    from pdfsearch_ray.stages.multimodal import MediaFeatures
+
+    _N_MEDIA_FEATURES = MediaFeatures.N_FEATURES
     from pdfsearch_ray.pipelines.queries import (
         ANN_K,
         ANN_NUM_QUERIES,
@@ -568,6 +573,39 @@ def oracle_sql() -> dict[str, str]:
                    substr(d.text, ks.c * {q.CHUNK_STRIDE} + 1,
                           {q.CHUNK_SIZE}) AS chunk_text
             FROM d JOIN ks ON ks.c < d.k
+        """,
+        # media metadata margins: DuckDB recomputes the pipelines'
+        # documented contracts (kind cycle doc_id % 3, FrameSampler's
+        # 1->4 video fan-out over non-empty payloads, utf-8 payload
+        # byte sums, MediaFeatures' fixed feature length) — only the
+        # tensor VALUES stay rows-only
+        "media_features_meta": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     octet_length(encode(text)) AS nb
+              FROM documents
+            )
+            SELECT kind,
+                   CAST(count(*) FILTER (WHERE nb > 0) AS BIGINT)
+                       AS n_media,
+                   CAST(sum(CASE WHEN nb > 0 THEN
+                            CASE WHEN kind = 'video' THEN 4 ELSE 1 END
+                            ELSE 0 END) AS BIGINT) AS n_rows,
+                   CAST(sum(nb) AS BIGINT) AS payload_bytes,
+                   CAST(0 AS BIGINT) AS n_null_feat,
+                   CAST({_N_MEDIA_FEATURES} AS BIGINT) AS min_feat_len,
+                   CAST({_N_MEDIA_FEATURES} AS BIGINT) AS max_feat_len
+            FROM m GROUP BY kind
+        """,
+        "media_features_real_meta": f"""
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST({_N_MEDIA_FEATURES} AS BIGINT) AS min_feat_len,
+                   CAST({_N_MEDIA_FEATURES} AS BIGINT) AS max_feat_len
+            FROM documents GROUP BY kind
         """,
         "source_mix": """
             SELECT source, lang,

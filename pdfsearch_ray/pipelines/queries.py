@@ -553,6 +553,168 @@ def media_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+_KIND_CYCLE = ("image", "audio", "video")
+
+
+def media_features_meta(sf_dir: str) -> pa.Table:
+    """SQL-oracled metadata margin of the media_features pipeline
+    (round 4, VERDICT item 7): runs the REAL distributed synth →
+    FrameSampler → MediaFeatures pipeline and aggregates per ORIGINAL
+    kind (media_id % 3 cycle) — media count, feature-row count (the
+    1→N video fan-out), synth payload byte sums, null-feature count and
+    the fixed-shape feature-length bounds.  DuckDB recomputes every
+    number from the documents table + the pipeline's documented
+    contract, so the only thing left rows-only in media_features is the
+    tensor VALUES themselves."""
+    from ray.data.aggregate import Max, Min
+
+    feats = media_features(sf_dir)
+
+    def fpartial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "kind": pa.array([], type=pa.string()),
+            "n_rows": pa.array([], type=pa.int64()),
+            "n_media": pa.array([], type=pa.int64()),
+            "n_null_feat": pa.array([], type=pa.int64()),
+            "min_feat_len": pa.array([], type=pa.int64()),
+            "max_feat_len": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        mid = t["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = mid % 3
+        fi = t["frame_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flen_arr = pc.list_value_length(t["features"])
+        nulls = pc.is_null(t["features"]).to_numpy(zero_copy_only=False)
+        flen = np.asarray(pc.fill_null(flen_arr, -1), dtype=np.int64)
+        rows = []
+        for ki in range(3):
+            sel = k == ki
+            if not sel.any():
+                continue
+            fl = flen[sel & ~nulls]
+            rows.append({
+                "kind": _KIND_CYCLE[ki],
+                "n_rows": int(sel.sum()),
+                # every surviving media emits exactly one frame_idx==0
+                # row (j=0 → frame 0), so this is an exact distinct
+                # count without cross-batch state
+                "n_media": int((sel & (fi == 0)).sum()),
+                "n_null_feat": int((sel & nulls).sum()),
+                "min_feat_len": int(fl.min()) if fl.size else 1 << 62,
+                "max_feat_len": int(fl.max()) if fl.size else -1,
+            })
+        if not rows:
+            return empty
+        return pa.Table.from_pylist(rows, schema=empty.schema)
+
+    agg = (
+        feats.map_batches(fpartial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_media", alias_name="n_media"),
+                   Sum("n_null_feat", alias_name="n_null_feat"),
+                   Min("min_feat_len", alias_name="min_feat_len"),
+                   Max("max_feat_len", alias_name="max_feat_len"))
+        .to_pandas()
+    )
+
+    def dpartial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.asarray(
+            pc.fill_null(pc.binary_length(t["text"]), 0), dtype=np.int64)
+        k = ids % 3
+        return pa.table({
+            "kind": pa.array([_KIND_CYCLE[i] for i in range(3)],
+                             type=pa.string()),
+            "payload_bytes": pa.array(
+                [int(nb[k == i].sum()) for i in range(3)],
+                type=pa.int64()),
+        })
+
+    pb = (
+        _docs(sf_dir).map_batches(dpartial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("payload_bytes", alias_name="payload_bytes"))
+        .to_pandas()
+    )
+    out = agg.merge(pb, on="kind").sort_values("kind")
+    return pa.table({
+        "kind": pa.array(out["kind"].tolist(), type=pa.string()),
+        "n_media": pa.array(out["n_media"].astype("int64").tolist(),
+                            type=pa.int64()),
+        "n_rows": pa.array(out["n_rows"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "payload_bytes": pa.array(
+            out["payload_bytes"].astype("int64").tolist(), type=pa.int64()),
+        "n_null_feat": pa.array(
+            out["n_null_feat"].astype("int64").tolist(), type=pa.int64()),
+        "min_feat_len": pa.array(
+            out["min_feat_len"].astype("int64").tolist(), type=pa.int64()),
+        "max_feat_len": pa.array(
+            out["max_feat_len"].astype("int64").tolist(), type=pa.int64()),
+    })
+
+
+def media_features_real_meta(sf_dir: str) -> pa.Table:
+    """SQL-oracled metadata margin of media_features_real: runs the
+    real-decode pipeline (PNG / WAV / AVI, functions/media_codecs) and
+    reports per-kind row counts and feature-length bounds; the oracle
+    recomputes them from documents + the pipeline contract — every
+    synthesized payload must decode (n_rows == docs of that kind) and
+    every feature vector must have the fixed length."""
+    from ray.data.aggregate import Max, Min
+
+    feats = media_features_real(sf_dir)
+
+    def fpartial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "kind": pa.array([], type=pa.string()),
+            "n_rows": pa.array([], type=pa.int64()),
+            "min_feat_len": pa.array([], type=pa.int64()),
+            "max_feat_len": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        kind = t["kind"].to_pylist()
+        flen = np.asarray(
+            pc.fill_null(pc.list_value_length(t["features"]), -1),
+            dtype=np.int64)
+        rows = []
+        for kname in _KIND_CYCLE:
+            sel = np.array([x == kname for x in kind])
+            if not sel.any():
+                continue
+            rows.append({
+                "kind": kname,
+                "n_rows": int(sel.sum()),
+                "min_feat_len": int(flen[sel].min()),
+                "max_feat_len": int(flen[sel].max()),
+            })
+        if not rows:
+            return empty
+        return pa.Table.from_pylist(rows, schema=empty.schema)
+
+    out = (
+        feats.map_batches(fpartial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Min("min_feat_len", alias_name="min_feat_len"),
+                   Max("max_feat_len", alias_name="max_feat_len"))
+        .to_pandas()
+        .sort_values("kind")
+    )
+    return pa.table({
+        "kind": pa.array(out["kind"].tolist(), type=pa.string()),
+        "n_rows": pa.array(out["n_rows"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "min_feat_len": pa.array(
+            out["min_feat_len"].astype("int64").tolist(), type=pa.int64()),
+        "max_feat_len": pa.array(
+            out["max_feat_len"].astype("int64").tolist(), type=pa.int64()),
+    })
+
+
 SAMPLE_RATE = 0.25
 TOP_PER_LANG_K = 10
 QUANTILE_PS = (0.5, 0.9, 0.99, 0.999)
