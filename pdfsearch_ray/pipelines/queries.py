@@ -1101,24 +1101,37 @@ def bigram_counts(sf_dir: str) -> pa.Table:
             return empty
         lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
         bounds = np.cumsum(lens[:-1], dtype=np.int64)
+        # dictionary-encode once: bigram keys become packed int64 pairs
+        # of vocab codes, so counting is an integer np.unique and the
+        # bigram STRINGS are materialized only for the per-batch UNIQUE
+        # pairs (the tfidf packed-key precedent), never per token
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = de.dictionary
+        V = len(vocab)
+        try:
+            empty_code = vocab.index("").as_py()
+        except Exception:
+            empty_code = -1
         # pair (i, i+1) is valid when both tokens are non-empty (split
         # empties occur only at doc edges, so interior adjacency matches
         # the SQL's list_filter-then-index semantics) and i+1 is not the
         # first token of the next doc
-        valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        ok = valid[:-1] & valid[1:]
+        ok = (codes[:-1] != empty_code) & (codes[1:] != empty_code)
         # guard zero-length lists: a 0 in bounds would wrap ok[-1]
         bounds = bounds[(bounds > 0) & (bounds <= n - 1)]
         ok[bounds - 1] = False
-        big = pc.binary_join_element_wise(
-            flat.slice(0, n - 1), flat.slice(1, n), " ")
-        big = big.filter(pa.array(ok))
-        if len(big) == 0:
+        key = codes[:-1][ok] * V + codes[1:][ok]
+        if key.size == 0:
             return empty
-        vc = big.value_counts()
+        uniq, counts = np.unique(key, return_counts=True)
+        a = pa.array(uniq // V, type=pa.int64())
+        b = pa.array(uniq % V, type=pa.int64())
+        big = pc.binary_join_element_wise(
+            vocab.take(a), vocab.take(b), " ")
         return pa.table({
-            "bigram": vc.field("values"),
-            "n": vc.field("counts").cast(pa.int64()),
+            "bigram": big,
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
         })
 
     def local_topk(t: pa.Table) -> pa.Table:
