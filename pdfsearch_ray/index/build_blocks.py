@@ -113,6 +113,7 @@ def _encode_flat(
     blk_run = run_of_post[bstarts]
     blk_id = (rel[bstarts] // block_size).astype(np.int64)
     blk_first = ids[bstarts].astype(np.int64)
+    blk_last = ids[bends - 1].astype(np.int64)
     blk_n = (bends - bstarts).astype(np.int64)
 
     nb = bstarts.size
@@ -141,6 +142,7 @@ def _encode_flat(
             "salt": pa.array(run_salts[blk_run].astype(np.int32)),
             "block_id": pa.array(blk_id.astype(np.int32)),
             "first_doc": pa.array(blk_first),
+            "last_doc": pa.array(blk_last),
             "n": pa.array(blk_n.astype(np.int32)),
             "doc_blob": pa.array(o_doc, type=pa.large_binary()),
             "tf_blob": pa.array(o_tf, type=pa.large_binary()),

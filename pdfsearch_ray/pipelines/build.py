@@ -292,6 +292,7 @@ def build_index(
     store_text: bool = True,
     tokenize_concurrency: int | None = None,
     tokenize_batch_size: int = 1024,
+    row_group_size: int = 1024,
     resume: bool = False,
     stats_source: "rd.Dataset | None" = None,
     stats_scale: float = 1.0,
@@ -556,9 +557,11 @@ def build_index(
             override_num_blocks=max(1, len(bucket_dirs)),
         ).map_batches(_encode_bucket_dir, batch_format="pyarrow",
                       batch_size=1)
-        # small row groups + per-rg term min/max stats: the query engine
-        # prunes to the row groups whose term range covers its terms
-        postings.write_parquet(tmp, row_group_size=1024)
+        # small row groups + per-rg term/bucket/doc-span stats: the query
+        # engine prunes to the row groups whose term range covers its
+        # terms — and, for doc-range shard handles, whose
+        # [first_doc, last_doc] span intersects the shard's slice
+        postings.write_parquet(tmp, row_group_size=row_group_size)
         os.rename(tmp, postings_dir)
         # the spill is only removable once postings are durably renamed
         shutil.rmtree(tokens_dir, ignore_errors=True)

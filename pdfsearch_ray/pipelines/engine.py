@@ -48,13 +48,16 @@ class QueryEngine:
 @ray.remote
 class ShardEngine:
     """One doc-range scoring shard for scatter-gather serving: holds a
-    warm BM25Index handle and answers ``topk_in_range`` for its slice.
-    Block pruning means a shard decodes only the posting blocks whose
-    docID span intersects its range — n shards split the decode and
-    aggregation work, not just the queries."""
+    warm BM25Index handle OPENED WITH ITS DOC RANGE (round 4), so both
+    the posting READS and the block decodes touch only row groups whose
+    [first_doc, last_doc] span intersects the shard's slice — at scale
+    each shard's IO is ∝ its share of the long posting lists, not the
+    whole index.  df/idf stay global (a narrow term+n metadata read
+    covers the pruned row groups), so scores remain bitwise-identical
+    to unsharded TAAT."""
 
     def __init__(self, index_dir: str, lo: int, hi: int):
-        self.idx = BM25Index(index_dir)
+        self.idx = BM25Index(index_dir, doc_range=(int(lo), int(hi)))
         self.lo, self.hi = int(lo), int(hi)
 
     def topk(self, query: str, max_results: int):
@@ -66,6 +69,9 @@ class ShardEngine:
         for q in queries:
             self.idx.topk_in_range(q, 1, self.lo, self.hi)
         return len(self.idx._term_cache)
+
+    def io_stats(self) -> dict:
+        return dict(self.idx.io_stats)
 
 
 def compute_doc_ranges(index_dir: str, n_shards: int) -> list[tuple[int, int]]:

@@ -222,11 +222,21 @@ class BM25Index:
     ``ReuseIndex`` semantics (index_search.go:86-91)."""
 
     def __init__(self, index_dir: str | None, *,
-                 verify_checksums: bool = False):
+                 verify_checksums: bool = False,
+                 doc_range: tuple[int, int] | None = None):
         self._postings_mem: pa.Table | None = None
         self._docs_mem: pa.Table | None = None
         self._deleted: np.ndarray | None = None  # sorted tombstoned ids
         self.verify_checksums = verify_checksums
+        # doc-range-sharded handle (round 4): posting reads skip row
+        # groups whose [first_doc.min, last_doc.max] span misses the
+        # range, so a shard's IO ∝ its slice for long posting lists.
+        # df/idf stay GLOBAL (a cheap term+n metadata read covers the
+        # out-of-range row groups), so scores are bitwise-identical to
+        # the unsharded handle.  Use only via topk_in_range with the
+        # same range (engine.ShardEngine).
+        self.doc_range = doc_range
+        self._df_global: dict[str, int] = {}
         # open-handle / read accounting (F7 parity: the reference counts
         # open file handles, utils/fileio.go:131-193)
         self.io_stats: dict[str, int] = {
@@ -355,13 +365,27 @@ class BM25Index:
             if self._bucket_frags is None:
                 self._bucket_frags = self._build_bucket_frag_index()
             bucket_arr = set(buckets)
-            want = [
-                (path, rg, seg, bf)
-                for (path, rg, bmin, bmax, tmin, tmax, seg, bf)
+            want_all = [
+                (path, rg, seg, bf, dmin, dmax)
+                for (path, rg, bmin, bmax, tmin, tmax, seg, bf, dmin, dmax)
                 in self._bucket_frags
                 if any(bmin <= b <= bmax for b in bucket_arr)
                 and (tmin is None or any(tmin <= t <= tmax for t in missing))
             ]
+            if self.doc_range is not None:
+                lo, hi = self.doc_range
+                want = [(p, rg, seg, bf) for (p, rg, seg, bf, dmin, dmax)
+                        in want_all if dmax >= lo and dmin < hi]
+                skipped = [(p, rg) for (p, rg, seg, bf, dmin, dmax)
+                           in want_all if not (dmax >= lo and dmin < hi)]
+                # global df for idf: the skipped row groups' postings
+                # still count — a narrow (term, n) metadata read, no
+                # blob bytes leave storage
+                if skipped:
+                    self._accumulate_df(skipped, missing)
+            else:
+                want = [(p, rg, seg, bf)
+                        for (p, rg, seg, bf, _d0, _d1) in want_all]
 
             def _read_one(pr):
                 import pyarrow.parquet as pq
@@ -449,14 +473,18 @@ class BM25Index:
 
     def _build_bucket_frag_index(self) -> list[tuple]:
         """(path, row_group, bucket_min, bucket_max, term_min, term_max,
-        seg, bound_factor) per postings row group, from parquet footers —
-        read once per index handle.  The build writes one bucket per file
-        with small row groups, so a query prunes to the few row groups
-        whose bucket AND term ranges cover its terms, then reads them
-        directly.  ``seg`` identifies the append segment the file belongs
-        to (MaxScore scores each (term, salt, seg) run independently —
-        doc ids are only sorted WITHIN a segment); ``bound_factor`` is
-        the max(1, avgdl_now/avgdl_baked) block-max correction."""
+        seg, bound_factor, doc_min, doc_max) per postings row group, from
+        parquet footers — read once per index handle.  The build writes
+        one bucket per file with small row groups, so a query prunes to
+        the few row groups whose bucket AND term ranges cover its terms,
+        then reads them directly.  ``seg`` identifies the append segment
+        the file belongs to (MaxScore scores each (term, salt, seg) run
+        independently — doc ids are only sorted WITHIN a segment);
+        ``bound_factor`` is the max(1, avgdl_now/avgdl_baked) block-max
+        correction.  ``doc_min``/``doc_max`` come from the
+        first_doc/last_doc column stats (full-range for indexes built
+        before the last_doc column existed) and drive the doc-range
+        shard pruning."""
         import pyarrow.parquet as pq
 
         avgdl_now = self.manifest.avgdl
@@ -470,6 +498,8 @@ class BM25Index:
             names = md.schema.to_arrow_schema().names
             b_idx = names.index("bucket")
             t_idx = names.index("term")
+            f_idx = names.index("first_doc")
+            l_idx = names.index("last_doc") if "last_doc" in names else None
             for rg in range(md.num_row_groups):
                 bst = md.row_group(rg).column(b_idx).statistics
                 tst = md.row_group(rg).column(t_idx).statistics
@@ -479,8 +509,49 @@ class BM25Index:
                 tmin, tmax = ((tst.min, tst.max)
                               if tst is not None and tst.min is not None
                               else (None, None))
-                out.append((frag.path, rg, bmin, bmax, tmin, tmax, seg, bf))
+                fst = md.row_group(rg).column(f_idx).statistics
+                dmin = (fst.min if fst is not None and fst.min is not None
+                        else -(1 << 62))
+                if l_idx is not None:
+                    lst = md.row_group(rg).column(l_idx).statistics
+                    dmax = (lst.max
+                            if lst is not None and lst.max is not None
+                            else 1 << 62)
+                else:
+                    dmax = 1 << 62
+                out.append((frag.path, rg, bmin, bmax, tmin, tmax, seg, bf,
+                            dmin, dmax))
         return out
+
+    def _accumulate_df(self, skipped: list[tuple], missing: list[str]) -> None:
+        """Sum posting counts for ``missing`` terms over out-of-range row
+        groups — (term, n) columns only, so global idf survives
+        doc-range read pruning without touching blob bytes."""
+        import pyarrow.parquet as pq
+
+        def _one(pr):
+            path, rg = pr
+            t = pq.ParquetFile(path).read_row_group(
+                rg, columns=["term", "n"], use_threads=False)
+            return t.filter(pc.is_in(t["term"], value_set=pa.array(missing)))
+
+        if len(skipped) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(skipped))) as pool:
+                parts = list(pool.map(_one, skipped))
+        else:
+            parts = [_one(pr) for pr in skipped]
+        self.io_stats["postings_row_groups_read"] += 0  # metadata-only
+        for t in missing:
+            self._df_global.setdefault(t, 0)
+        for p in parts:
+            if p.num_rows == 0:
+                continue
+            terms = p["term"].to_pylist()
+            ns = p["n"].to_numpy()
+            for term, n in zip(terms, ns):
+                self._df_global[term] += int(n)
 
     def _decode_block(self, blk: dict, idf: float) -> dict:
         """Decode a posting block in place (memoized): ids, per-posting
@@ -546,7 +617,10 @@ class BM25Index:
             b["scores"] = scores_all[s:e]
 
     def _term_df(self, term: str) -> int:
-        return sum(b["n"] for b in self._term_cache.get(term, ()))
+        # cached (in-range) blocks + out-of-range metadata counts — df is
+        # GLOBAL even on a doc-range-pruned shard handle
+        return (sum(b["n"] for b in self._term_cache.get(term, ()))
+                + self._df_global.get(term, 0))
 
     def _idf(self, term: str) -> float:
         df = self._term_df(term)

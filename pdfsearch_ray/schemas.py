@@ -52,6 +52,11 @@ POSTINGS = pa.schema(
         ("salt", pa.int32()),
         ("block_id", pa.int32()),
         ("first_doc", pa.int64()),
+        # last docID in the block: parquet row-group stats over
+        # (first_doc.min, last_doc.max) give each row group's exact
+        # docID span, so doc-range-sharded serving prunes its READS to
+        # its own slice (round 4; engine.ShardEngine)
+        ("last_doc", pa.int64()),
         ("n", pa.int32()),
         ("doc_blob", pa.large_binary()),
         ("tf_blob", pa.large_binary()),

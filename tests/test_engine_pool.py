@@ -203,3 +203,83 @@ def test_sharded_search_many_order_and_identity(ray_session, tmp_path):
                    [m.spans for m in one.matches], q
     finally:
         eng.shutdown()
+
+
+def test_shard_reads_prune_to_doc_range(ray_session, tmp_path):
+    """Round 4: a doc-range shard handle must READ fewer posting row
+    groups than a full-range handle (IO ∝ slice for long posting
+    lists), while keeping GLOBAL df/idf — scores bitwise-identical."""
+    import numpy as np
+    import ray
+
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.engine import (
+        ShardedEngine,
+        compute_doc_ranges,
+    )
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    d = str(tmp_path / "idx")
+    # tiny blocks + tiny row groups over a 4x-replicated corpus: long
+    # per-term runs make interior row groups doc-span-narrow (the
+    # at-scale shape); only run-boundary row groups stay wide
+    t = pq.read_table(SRC)
+    parts = []
+    for rep in range(4):
+        ids = pa.array((t["doc_id"].to_numpy() + rep * 1_000_000)
+                       .astype("int64"))
+        parts.append(t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id", ids))
+    big = pa.concat_tables(parts)
+    build_index(rd.from_arrow(big), d, analyzer="en", num_buckets=4,
+                block_size=8, row_group_size=8)
+    q = "data processing pipeline"
+    full = BM25Index(d)
+    want = full.search(q, max_results=10, with_spans=False, method="taat")
+    full_rg = full.io_stats["postings_row_groups_read"]
+    assert full_rg > 8  # the setup really produced many row groups
+
+    # four explicit doc-range handles tiling the replicated id space
+    edges = [-(1 << 62), 1_000_000, 2_000_000, 3_000_000, 1 << 62]
+    ranges = list(zip(edges, edges[1:]))
+    per_shard = []
+    merged = []
+    for lo, hi in ranges:
+        h = BM25Index(d, doc_range=(lo, hi))
+        ids, sc, _tot = h.topk_in_range(q, 10, lo, hi)
+        merged.append((ids, sc))
+        per_shard.append(h.io_stats["postings_row_groups_read"])
+    # every shard must read strictly less than the full handle, and the
+    # mean per-shard read must be well under the full read
+    assert all(p < full_rg for p in per_shard), (per_shard, full_rg)
+    assert float(np.mean(per_shard)) <= 0.6 * full_rg, (per_shard, full_rg)
+    # merged shard top-k == unsharded top-k (bitwise scores)
+    all_ids = np.concatenate([m[0] for m in merged])
+    all_sc = np.concatenate([m[1] for m in merged])
+    order = np.lexsort((all_ids, -all_sc))[:10]
+    assert [(int(i), float(s)) for i, s in
+            zip(all_ids[order], all_sc[order])] == \
+        [(m.doc_id, m.score) for m in want.matches]
+
+    # the actor-based ShardedEngine path stays rank-identical too
+    eng = ShardedEngine(d, n_shards=4, num_cpus=0.25)
+    try:
+        got = eng.search(q, max_results=10, with_spans=False)
+        assert got.total_matches == want.total_matches
+        assert [(m.doc_id, m.score) for m in got.matches] == \
+               [(m.doc_id, m.score) for m in want.matches]
+    finally:
+        eng.shutdown()
+
+    # global-df invariant directly: a half-range handle reports the same
+    # df as the full handle for a common term
+    lo, hi = compute_doc_ranges(d, 2)[0]
+    half = BM25Index(d, doc_range=(lo, hi))
+    half._load_terms(["data"])
+    full2 = BM25Index(d)
+    full2._load_terms(["data"])
+    assert half._term_df("data") == full2._term_df("data")
