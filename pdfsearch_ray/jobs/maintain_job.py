@@ -10,6 +10,11 @@ distributed job over an existing index dir:
     python -m pdfsearch_ray.jobs.maintain_job delete \
         --index-dir /idx --doc-ids 5,9,12     # or --hashes a1b2...
     python -m pdfsearch_ray.jobs.maintain_job compact --index-dir /idx
+    python -m pdfsearch_ray.jobs.maintain_job tail \
+        --index-dir /idx --watch-dir /deltas --idle-exit-sec 60
+        # streaming micro-batch mode: each *.parquet renamed into
+        # /deltas becomes an incremental segment commit; serving
+        # replicas see it on QueryEngine.reload()
 
 The script owns the Ray session (guarded init, per the driver
 contract); the library never calls ray.init.
@@ -50,7 +55,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="leave <index-dir>.old on disk so warm serving "
                          "replicas can drain before reload()")
 
-    for q in (ap, dp, cp):
+    tp = sub.add_parser(
+        "tail",
+        help="stream-append: watch a directory for delta parquet files "
+             "and commit each batch as an incremental segment")
+    tp.add_argument("--index-dir", required=True)
+    tp.add_argument("--watch-dir", required=True,
+                    help="directory writers rename *.parquet deltas into")
+    tp.add_argument("--poll-sec", type=float, default=2.0)
+    tp.add_argument("--max-batches", type=int, default=None,
+                    help="exit after N commits (default: run forever)")
+    tp.add_argument("--idle-exit-sec", type=float, default=None,
+                    help="exit after this long with no new files")
+    tp.add_argument("--lang-col", default=None)
+    tp.add_argument("--url-col", default=None)
+    tp.add_argument("--no-dedup", action="store_true")
+
+    for q in (ap, dp, cp, tp):
         q.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -70,6 +91,15 @@ def main(argv: list[str] | None = None) -> int:
             args.input, args.index_dir,
             lang_col=args.lang_col, url_col=args.url_col,
             dedup=not args.no_dedup, audit_unique=args.audit_unique,
+            report=lambda m: print(m, file=sys.stderr),
+        )
+    elif args.cmd == "tail":
+        out = b.tail_append(
+            args.index_dir, args.watch_dir,
+            poll_sec=args.poll_sec, max_batches=args.max_batches,
+            idle_exit_sec=args.idle_exit_sec,
+            lang_col=args.lang_col, url_col=args.url_col,
+            dedup=not args.no_dedup,
             report=lambda m: print(m, file=sys.stderr),
         )
     elif args.cmd == "delete":

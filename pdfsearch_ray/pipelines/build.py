@@ -1422,6 +1422,87 @@ def append_index(
     }
 
 
+def tail_append(
+    index_dir: str,
+    watch_dir: str,
+    *,
+    poll_sec: float = 2.0,
+    max_batches: int | None = None,
+    idle_exit_sec: float | None = None,
+    min_files: int = 1,
+    engines: list | None = None,
+    report=None,
+    **append_kwargs,
+) -> dict:
+    """Streaming micro-batch ingestion: tail ``watch_dir`` for delta
+    parquet files and commit each batch as an incremental segment via
+    :func:`append_index` (round 4; the streaming face of the
+    forceCreate=false reopen path).
+
+    Contract:
+    * writers must land files ATOMICALLY (write tmp + rename into the
+      watch dir) — the tailer consumes any ``*.parquet`` it sees;
+    * consumed file names are recorded in ``<index_dir>/.tail_state.json``
+      AFTER the manifest commit.  A crash between commit and state write
+      re-appends the same files on restart, where the known-content-hash
+      semi-join skips every row — re-ingestion is idempotent, so the
+      state file is an optimization, not a correctness dependency;
+    * serving replicas keep the OLD view until the manifest commit, and
+      pick up the new segment on ``QueryEngine.reload()`` — pass
+      ``engines`` (actor handles) to have the tailer trigger reloads
+      after each commit (tested in tests/test_tail_append.py).
+
+    Exits after ``max_batches`` commits, or after ``idle_exit_sec``
+    with no new files (None = run forever).  Returns a summary dict."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    report = report or (lambda msg: None)
+    state_path = f"{index_dir}/.tail_state.json"
+    done: set[str] = set()
+    if os.path.exists(state_path):
+        try:
+            done = set(_json.load(open(state_path)).get("files", []))
+        except Exception:
+            done = set()
+
+    commits = 0
+    n_added_total = 0
+    batches: list[dict] = []
+    last_activity = time.time()
+    while True:
+        files = sorted(_glob.glob(f"{watch_dir}/*.parquet"))
+        todo = [f for f in files if os.path.basename(f) not in done]
+        if todo:
+            if len(todo) >= min_files:
+                report(f"tail: appending {len(todo)} delta file(s)")
+                out = append_index(todo, index_dir, **append_kwargs)
+                done |= {os.path.basename(f) for f in todo}
+                with open(state_path + ".tmp", "w") as f:
+                    _json.dump({"files": sorted(done)}, f)
+                os.replace(state_path + ".tmp", state_path)
+                commits += 1
+                n_added_total += int(out.get("n_added", 0))
+                batches.append({"files": len(todo),
+                                "n_added": out.get("n_added", 0),
+                                "segment": out.get("segment")})
+                if engines:
+                    import ray
+
+                    ray.get([e.reload.remote() for e in engines])
+                last_activity = time.time()
+                if max_batches is not None and commits >= max_batches:
+                    break
+                continue  # re-scan immediately: more may have landed
+        if (idle_exit_sec is not None
+                and time.time() - last_activity >= idle_exit_sec):
+            break
+        time.sleep(poll_sec)
+    return {"commits": commits, "n_added": n_added_total,
+            "batches": batches}
+
+
 def build_from_pages(
     input_path: str | list[str],
     index_dir: str,
