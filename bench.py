@@ -191,6 +191,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("event_props_stats", qmod.event_props_stats),
         ("knn_label_accuracy", qmod.knn_label_accuracy),
         ("source_mix", qmod.source_mix),
+        # round-4 additions
+        ("media_features_meta", qmod.media_features_meta),
+        ("media_features_real_meta", qmod.media_features_real_meta),
     ):
         t = time.perf_counter()
         res = fn(sf_dir)
