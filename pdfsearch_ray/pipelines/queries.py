@@ -1218,6 +1218,9 @@ def _tok_codes(t: pa.Table):
     return codes, doc_idx, vocab
 
 
+_tfidf_bucket_memo: dict[int, dict[str, int]] = {}
+
+
 def tfidf_topk(sf_dir: str, num_buckets: int = 16) -> pa.Table:
     """Per-doc top-K tf-idf terms (feature extraction for filtering /
     clustering) with NO vocabulary-sized driver state (round 4; the r3
@@ -1266,8 +1269,14 @@ def tfidf_topk(sf_dir: str, num_buckets: int = 16) -> pa.Table:
         d = uniq // V
         c = uniq % V
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vb = np.fromiter((fnv1a64_str(v) % num_buckets for v in vocab),
-                         dtype=np.int32, count=V)
+        # per-worker memo: vocab repeats across batches (Zipf), so the
+        # Python-level fnv runs ~once per unique term per worker
+        memo = _tfidf_bucket_memo.setdefault(num_buckets, {})
+        vb = np.fromiter(
+            (memo.get(v) if v in memo
+             else memo.setdefault(v, fnv1a64_str(v) % num_buckets)
+             for v in vocab),
+            dtype=np.int32, count=V)
         term_arr = pa.array(vocab, type=pa.string()).take(
             pa.array(c, type=pa.int64()))
         n_docs = int(np.unique(doc_idx).size)
@@ -1675,7 +1684,7 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
             qlab = g["label"].to_numpy(zero_copy_only=False).astype(np.int64)
             qm = _embed_matrix(g["embedding"], dim)
             qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-            out_v, out_l, out_p = [], [], []
+            v_parts, l_parts, p_parts = [], [], []
             for s in range(0, len(qids), 2048):
                 e = min(s + 2048, len(qids))
                 sims = np.round(qn[s:e] @ mn.T, 9)
@@ -1695,23 +1704,35 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
                     + _KNN_SIM_BIAS
                 nn_v = mids[nn_pos[valid]]
                 nn_l = mlab[nn_pos[valid]]
-                for vi, li, si, nv, nl in zip(
-                        qids[s:e][valid], qlab[s:e][valid],
-                        sim_i, nn_v, nn_l):
-                    out_v.append(int(vi))
-                    out_l.append(int(li))
-                    out_p.append(f"{si:010d}|{_KNN_VEC_INV - nv:013d}|{nl}")
+                # packed key, vectorized (fixed-width zero-padded fields
+                # so lexicographic max == (sim desc, vec_id asc); label
+                # rides at a FIXED byte offset for the decode slice)
+                packed = np.char.add(np.char.add(np.char.add(
+                    np.char.zfill(sim_i.astype("U10"), 10), "|"),
+                    np.char.add(np.char.zfill(
+                        (_KNN_VEC_INV - nn_v).astype("U13"), 13), "|")),
+                    nn_l.astype("U20"))
+                v_parts.append(qids[s:e][valid])
+                l_parts.append(qlab[s:e][valid])
+                p_parts.append(packed)
+            if not v_parts:
+                return empty
             return pa.table({
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "label": pa.array(out_l, type=pa.int64()),
-                "packed": pa.array(out_p, type=pa.string()),
+                "vec_id": pa.array(np.concatenate(v_parts),
+                                   type=pa.int64()),
+                "label": pa.array(np.concatenate(l_parts),
+                                  type=pa.int64()),
+                "packed": pa.array(np.concatenate(p_parts),
+                                   type=pa.string()),
             })
 
         def label_partials(t: pa.Table) -> pa.Table:
             own = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-            packed = t["packed"].to_pylist()
-            pred = np.fromiter((int(p.rsplit("|", 1)[1]) for p in packed),
-                               dtype=np.int64, count=len(packed))
+            # label sits at a fixed offset (10-digit sim + '|' + 13-digit
+            # inverted vec_id + '|'): one vectorized slice + cast
+            pred = np.asarray(
+                pc.cast(pc.utf8_slice_codeunits(t["packed"], start=25),
+                        pa.int64()), dtype=np.int64)
             uniq, inv = np.unique(own, return_inverse=True)
             n = uniq.size
             return pa.table({
