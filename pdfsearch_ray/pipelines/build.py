@@ -520,7 +520,18 @@ def build_index(
     if not postings_done:
         tmp = _fresh_stage(tokens_dir)
         if tmp is not None:
-            tokens.write_parquet(tmp, partition_cols=["bucket"])
+            # seg_docs dominates the spill (measured: 21.4 of 39 MB of
+            # column bytes on the 120k bench corpus) and is ascending
+            # within each segment — DELTA_BINARY_PACKED cuts it ~4x
+            # (278→65 KB per bucket measured), shrinking the shuffle's
+            # write+read traffic on the bandwidth-bound pair.  Values
+            # are unchanged; the index stays bit-identical.
+            tokens.write_parquet(
+                tmp, partition_cols=["bucket"],
+                use_dictionary=["term"],
+                column_encoding={
+                    "seg_docs.list.element": "DELTA_BINARY_PACKED"},
+            )
             os.rename(tmp, tokens_dir)
     t_tok = time.time()
     report(f"token segments spilled in {t_tok - t_hot:.1f}s")
