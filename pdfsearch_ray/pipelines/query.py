@@ -245,6 +245,10 @@ class BM25Index:
             "docs_files_opened": 0,
             "docs_row_groups_read": 0,
             "blocks_verified": 0,
+            # narrow (term, n) metadata reads over doc-range-pruned row
+            # groups (global-df upkeep on shard handles) — tracked
+            # separately from blob reads
+            "df_row_groups_read": 0,
         }
         if index_dir is not None:
             self.index_dir = index_dir
@@ -542,7 +546,7 @@ class BM25Index:
                 parts = list(pool.map(_one, skipped))
         else:
             parts = [_one(pr) for pr in skipped]
-        self.io_stats["postings_row_groups_read"] += 0  # metadata-only
+        self.io_stats["df_row_groups_read"] += len(skipped)
         for t in missing:
             self._df_global.setdefault(t, 0)
         for p in parts:
