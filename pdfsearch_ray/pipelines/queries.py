@@ -1270,13 +1270,17 @@ def tfidf_topk(sf_dir: str, num_buckets: int = 16) -> pa.Table:
         c = uniq % V
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # per-worker memo: vocab repeats across batches (Zipf), so the
-        # Python-level fnv runs ~once per unique term per worker
+        # Python-level fnv runs ~once per unique term per worker; capped
+        # so a web-scale tail can't grow the dict unboundedly
         memo = _tfidf_bucket_memo.setdefault(num_buckets, {})
-        vb = np.fromiter(
-            (memo.get(v) if v in memo
-             else memo.setdefault(v, fnv1a64_str(v) % num_buckets)
-             for v in vocab),
-            dtype=np.int32, count=V)
+        def _vb(v):
+            b_ = memo.get(v)
+            if b_ is None:
+                b_ = fnv1a64_str(v) % num_buckets
+                if len(memo) < (1 << 20):
+                    memo[v] = b_
+            return b_
+        vb = np.fromiter((_vb(v) for v in vocab), dtype=np.int32, count=V)
         term_arr = pa.array(vocab, type=pa.string()).take(
             pa.array(c, type=pa.int64()))
         n_docs = int(np.unique(doc_idx).size)
