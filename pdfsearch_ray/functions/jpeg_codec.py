@@ -390,7 +390,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated).
     Supports the subset documented in the module docstring; raises
-    MediaDecodeError otherwise."""
+    MediaDecodeError on ANYTHING malformed (arbitrary corrupt bytes
+    must never surface a different exception type — fuzz-tested)."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except MediaDecodeError:
+        raise
+    except Exception as exc:  # struct/Value/Index/Key from corrupt bytes
+        raise MediaDecodeError(f"malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[:2] != b"\xFF\xD8":
         raise MediaDecodeError("not a JPEG (no SOI)")
     pos = 2

@@ -50,7 +50,17 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8 RGB.  Gray is replicated to 3
     channels; alpha is dropped.  Raises MediaDecodeError on anything
-    malformed or outside the supported subset."""
+    malformed or outside the supported subset (uniform contract with
+    the other decoders: corrupt bytes never surface another type)."""
+    try:
+        return _decode_png_inner(payload)
+    except MediaDecodeError:
+        raise
+    except Exception as exc:
+        raise MediaDecodeError(f"malformed PNG: {exc}") from exc
+
+
+def _decode_png_inner(payload: bytes) -> np.ndarray:
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         raise MediaDecodeError("not a PNG (bad signature)")
     pos = 8
@@ -186,7 +196,17 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (mono int16 samples, sample_rate).  Multi-channel is
     downmixed by integer mean; 8-bit PCM (unsigned) is widened to
-    int16.  Raises MediaDecodeError outside the PCM subset."""
+    int16.  Raises MediaDecodeError outside the PCM subset (uniform
+    contract: corrupt bytes never surface another exception type)."""
+    try:
+        return _decode_wav_inner(payload)
+    except MediaDecodeError:
+        raise
+    except Exception as exc:
+        raise MediaDecodeError(f"malformed WAV: {exc}") from exc
+
+
+def _decode_wav_inner(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise MediaDecodeError("not a RIFF/WAVE file")
     pos = 12
@@ -330,8 +350,18 @@ def _riff_children(data: bytes):
 def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     """AVI bytes → ((n, h, w, 3) uint8 RGB frames, fps).  Supports the
     two codecs :func:`encode_avi` writes — 'MJPG' baseline-JPEG frames
-    and raw BI_RGB 'DIB ' frames.  Raises MediaDecodeError outside the
-    subset or on malformed containers."""
+    and raw BI_RGB 'DIB ' frames.  Raises MediaDecodeError on ANYTHING
+    outside the subset or malformed (arbitrary corrupt bytes must never
+    surface a different exception type — fuzz-tested)."""
+    try:
+        return _decode_avi_inner(payload)
+    except MediaDecodeError:
+        raise
+    except Exception as exc:  # struct/Value/Index from corrupt bytes
+        raise MediaDecodeError(f"malformed AVI: {exc}") from exc
+
+
+def _decode_avi_inner(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"AVI ":
         raise MediaDecodeError("not a RIFF/AVI file")

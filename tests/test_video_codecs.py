@@ -180,3 +180,43 @@ def test_stub_sampler_unchanged():
     seed = 100 + 0 if kind == "video" else 1
     assert row0["decoded"].to_pylist()[0] == \
         _stub_tensor(payload, 8 * 8 * 3, seed=seed).tolist()
+
+
+def test_decoders_raise_only_media_decode_error():
+    """Fuzz contract: arbitrary corrupt bytes (random and mutated-valid)
+    must raise MediaDecodeError, never any other exception type — the
+    FrameSampler real path catches exactly that type."""
+    from pdfsearch_ray.functions.media_codecs import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    frames = rng.randint(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+    seeds = {
+        decode_jpeg: [encode_jpeg(img, 85)],
+        decode_avi: [encode_avi(frames, codec="DIB "),
+                     encode_avi(frames, codec="MJPG")],
+        decode_png: [encode_png(img, filter_type=2)],
+        decode_wav: [encode_wav(np.arange(100, dtype=np.int16))],
+    }
+    for dec, payloads in seeds.items():
+        for i in range(800):
+            r = np.random.RandomState(i)
+            if i % 4 == 0:
+                b = bytes(r.randint(0, 256, r.randint(0, 300))
+                          .astype(np.uint8))
+            else:
+                base = bytearray(payloads[i % len(payloads)])
+                for _ in range(r.randint(1, 9)):
+                    base[r.randint(0, len(base))] = r.randint(0, 256)
+                if r.rand() < 0.3:
+                    base = base[:r.randint(0, len(base))]
+                b = bytes(base)
+            try:
+                dec(b)
+            except MediaDecodeError:
+                pass  # the only permitted failure type
