@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="exit after N commits (default: run forever)")
     tp.add_argument("--idle-exit-sec", type=float, default=None,
                     help="exit after this long with no new files")
+    tp.add_argument("--compact-every", type=int, default=None,
+                    help="fold segments into the base whenever the "
+                         "index accumulates this many append segments")
     tp.add_argument("--lang-col", default=None)
     tp.add_argument("--url-col", default=None)
     tp.add_argument("--no-dedup", action="store_true")
@@ -98,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
             args.index_dir, args.watch_dir,
             poll_sec=args.poll_sec, max_batches=args.max_batches,
             idle_exit_sec=args.idle_exit_sec,
+            compact_every=args.compact_every,
             lang_col=args.lang_col, url_col=args.url_col,
             dedup=not args.no_dedup,
             report=lambda m: print(m, file=sys.stderr),

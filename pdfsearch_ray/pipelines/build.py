@@ -1441,6 +1441,7 @@ def tail_append(
     max_batches: int | None = None,
     idle_exit_sec: float | None = None,
     min_files: int = 1,
+    compact_every: int | None = None,
     engines: list | None = None,
     report=None,
     **append_kwargs,
@@ -1463,6 +1464,13 @@ def tail_append(
       ``engines`` (actor handles) to have the tailer trigger reloads
       after each commit (tested in tests/test_tail_append.py).
 
+    ``compact_every=K`` folds the segment list back into a single base
+    whenever the index accumulates ≥ K append segments (the tiered-merge
+    stand-in: micro-batch commits keep queries fast only while the
+    segment count stays bounded).  Compaction swaps the index dir
+    atomically; with ``engines`` the replicas are reload()ed right
+    after, same as for a segment commit.
+
     Exits after ``max_batches`` commits, or after ``idle_exit_sec``
     with no new files (None = run forever).  Returns a summary dict."""
     import glob as _glob
@@ -1478,7 +1486,14 @@ def tail_append(
         except Exception:
             done = set()
 
+    def _reload_engines() -> None:
+        if engines:
+            import ray
+
+            ray.get([e.reload.remote() for e in engines])
+
     commits = 0
+    compactions = 0
     n_added_total = 0
     batches: list[dict] = []
     last_activity = time.time()
@@ -1498,10 +1513,25 @@ def tail_append(
                 batches.append({"files": len(todo),
                                 "n_added": out.get("n_added", 0),
                                 "segment": out.get("segment")})
-                if engines:
-                    import ray
+                _reload_engines()
+                if compact_every is not None:
+                    from ..state.manifest import IndexManifest
 
-                    ray.get([e.reload.remote() for e in engines])
+                    m = IndexManifest.load(index_dir)
+                    n_segs = len([s for s in m.segments
+                                  if s["name"] != "base"])
+                    if n_segs >= compact_every:
+                        report(f"tail: compacting {n_segs} segments")
+                        # keep .old until replicas reload (they answer
+                        # from open handles meanwhile)
+                        compact_index(index_dir, remove_old=False,
+                                      report=report)
+                        compactions += 1
+                        _reload_engines()
+                        import shutil as _shutil
+
+                        _shutil.rmtree(index_dir.rstrip("/") + ".old",
+                                       ignore_errors=True)
                 last_activity = time.time()
                 if max_batches is not None and commits >= max_batches:
                     break
@@ -1511,7 +1541,7 @@ def tail_append(
             break
         time.sleep(poll_sec)
     return {"commits": commits, "n_added": n_added_total,
-            "batches": batches}
+            "compactions": compactions, "batches": batches}
 
 
 def build_from_pages(

@@ -101,3 +101,54 @@ def test_tail_append_commits_and_reload(ray_session, tmp_path):
     finally:
         for a in pool:
             ray.kill(a)
+
+
+def test_tail_append_compact_every(ray_session, tmp_path):
+    """compact_every folds accumulated segments back into a single base;
+    post-compaction results stay identical to a from-scratch build and
+    serving replicas see them after the tailer's reload."""
+    import ray
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.build import build_index, tail_append
+    from pdfsearch_ray.pipelines.engine import make_engine_pool
+    from pdfsearch_ray.pipelines.query import BM25Index
+    from pdfsearch_ray.state.manifest import IndexManifest
+
+    t = pq.read_table(SRC)
+    c1, c2 = int(t.num_rows * 0.5), int(t.num_rows * 0.75)
+    d = str(tmp_path / "idx")
+    watch = str(tmp_path / "deltas")
+    os.makedirs(watch)
+    build_index(rd.from_arrow(t.slice(0, c1)), d, analyzer="en",
+                num_buckets=8, lang_col="lang")
+    pool = make_engine_pool(d, replicas=1)
+    try:
+        _write_delta(watch, t.slice(c1, c2 - c1), "d1.parquet")
+        out1 = tail_append(d, watch, poll_sec=0.05, max_batches=1,
+                           lang_col="lang", compact_every=2, engines=pool)
+        assert out1["compactions"] == 0  # only 1 segment so far
+        assert len([s for s in IndexManifest.load(d).segments
+                    if s["name"] != "base"]) == 1
+
+        _write_delta(watch, t.slice(c2), "d2.parquet")
+        out2 = tail_append(d, watch, poll_sec=0.05, max_batches=1,
+                           lang_col="lang", compact_every=2, engines=pool)
+        assert out2["compactions"] == 1
+        m = IndexManifest.load(d)
+        assert [s for s in m.segments if s["name"] != "base"] == []
+        assert not os.path.isdir(d + ".old")  # cleaned after reload
+
+        # identical to a from-scratch build over the full corpus
+        d2 = str(tmp_path / "full")
+        build_index(SRC, d2, analyzer="en", num_buckets=8, lang_col="lang")
+        got = ray.get(pool[0].search.remote(Q, max_results=5,
+                                            with_spans=False))
+        want = BM25Index(d2).search(Q, max_results=5, with_spans=False,
+                                    method="taat")
+        assert [(x.doc_id, x.score) for x in got.matches] == \
+               [(x.doc_id, x.score) for x in want.matches]
+        assert got.total_matches == want.total_matches
+    finally:
+        for a in pool:
+            ray.kill(a)
