@@ -5,7 +5,7 @@ here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
 the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
-41 of 43 queries carry an oracle — including BOTH real engine paths:
+44 of 46 queries carry an oracle — including BOTH real engine paths:
 ``fulltext_topk_simple`` (the SQL-reproducible ``simple`` analyzer) and,
 since round 3, ``fulltext_topk`` — the FULL ``en`` chain, whose oracle
 inlines the vocabulary→term mapping produced by the engine's own
@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ws_token_counts": q.ws_token_counts,
         "ann_ivf": q.ann_ivf,
         "embedding_dup_pairs": q.embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": q.embedding_dup_pairs_lsh,
         "windowed_event_counts": _windowed_event_counts,
         "user_sessions": _user_sessions,
         "asof_join_events": _asof_join_events,
@@ -421,6 +422,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= {_top_per_lang_k()}
         """,
         "minhash_dedup": _oracles.minhash_sql(threshold=JACCARD_THRESHOLD),
+        "embedding_dup_pairs_lsh": _oracles.embedding_dup_lsh_sql(
+            threshold=EMB_DUP_THRESHOLD, n_bands=q.EMB_LSH_BANDS,
+            nbits=q.EMB_LSH_NBITS, seed=q.EMB_LSH_SEED,
+            max_bucket=q.EMB_LSH_MAX_BUCKET),
         "ann_lsh": _oracles.ann_lsh_sql(num_queries=ANN_NUM_QUERIES, k=ANN_K,
                                         nbits=4),
         "embedding_dup_pairs": _oracles.embedding_dup_sql(

@@ -372,6 +372,85 @@ def ann_ivf_sql(sf_dir: str, *, num_queries: int = 5, k: int = 10,
     """
 
 
+def embedding_dup_lsh_sql(*, threshold: float = 0.4, n_bands: int = 4,
+                          nbits: int = 6, seed: int = 9, dim: int = 64,
+                          max_bucket: int = 4096) -> str:
+    """Banded-LSH near-dup oracle: inlined hyperplanes; DuckDB
+    independently recomputes every vector's per-band sign bucket, the
+    hot-bucket cap, within-bucket candidate pairs (deduped across
+    bands) and the 6-dp cosine verify — the same algorithm as
+    similarity.embedding_dup_pairs_lsh."""
+    from .similarity import _hyperplanes
+
+    total_bits = n_bands * nbits
+    planes = _hyperplanes(dim, total_bits, seed)
+    pcols = ", ".join(f"p{b}" for b in range(total_bits))
+    plane_vals = ", ".join(
+        "(" + ", ".join([str(j)] + [repr(float(planes[j, b]))
+                                    for b in range(total_bits)]) + ")"
+        for j in range(dim)
+    )
+    dcols = ", ".join(f"sum(v * p{b}) AS d{b}" for b in range(total_bits))
+    band_selects = []
+    for band in range(n_bands):
+        expr = " + ".join(
+            f"(CASE WHEN d{band * nbits + bit} > 0 THEN {1 << bit} "
+            f"ELSE 0 END)"
+            for bit in range(nbits)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {band} AS band, {expr} AS bucket FROM dots")
+    bk_union = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH planes(j, {pcols}) AS (VALUES {plane_vals}),
+        be AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT vec_id, {dcols}
+            FROM be JOIN planes USING (j) GROUP BY vec_id
+        ),
+        bk AS ({bk_union}),
+        sized AS (
+            SELECT band, bucket, count(*) AS n
+            FROM bk GROUP BY band, bucket
+        ),
+        ok AS (
+            SELECT band, bucket FROM sized
+            WHERE n BETWEEN 2 AND {max_bucket}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bk a
+            JOIN ok o ON o.band = a.band AND o.bucket = a.bucket
+            JOIN bk b ON b.band = a.band AND b.bucket = a.bucket
+                     AND a.vec_id < b.vec_id
+        ),
+        norms AS (
+            SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM be GROUP BY vec_id
+        ),
+        pdots AS (
+            SELECT c.vec_a, c.vec_b, sum(x.v * y.v) AS dot
+            FROM cand c
+            JOIN be x ON x.vec_id = c.vec_a
+            JOIN be y ON y.vec_id = c.vec_b AND y.j = x.j
+            GROUP BY c.vec_a, c.vec_b
+        ),
+        sims AS (
+            -- double-precision dot/norms (list_cosine_similarity runs
+            -- at FLOAT precision and flakes the 6th decimal)
+            SELECT p.vec_a, p.vec_b,
+                   round(p.dot / (na.nrm * nb.nrm), 6) AS cos
+            FROM pdots p
+            JOIN norms na ON na.vec_id = p.vec_a
+            JOIN norms nb ON nb.vec_id = p.vec_b
+        )
+        SELECT vec_a, vec_b, cos FROM sims WHERE cos >= {threshold}
+    """
+
+
 def knn_ivf_label_accuracy_sql(sf_dir: str, *, n_clusters: int = 16,
                                n_probe: int = 4) -> str:
     """IVF-bucketed leave-one-out 1-NN label accuracy oracle: centroids

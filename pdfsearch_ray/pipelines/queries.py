@@ -931,6 +931,18 @@ def ann_ivf(sf_dir: str) -> pa.Table:
 
 
 EMB_DUP_THRESHOLD = 0.4
+EMB_LSH_BANDS = 4
+EMB_LSH_NBITS = 6
+EMB_LSH_SEED = 9
+EMB_LSH_MAX_BUCKET = 4096
+
+
+def embedding_dup_pairs_lsh(sf_dir: str) -> pa.Table:
+    from .similarity import embedding_dup_pairs_lsh as _e
+
+    return _e(sf_dir, threshold=EMB_DUP_THRESHOLD,
+              n_bands=EMB_LSH_BANDS, nbits=EMB_LSH_NBITS,
+              seed=EMB_LSH_SEED, max_bucket=EMB_LSH_MAX_BUCKET)
 
 
 def embedding_dup_pairs(sf_dir: str) -> pa.Table:

@@ -313,6 +313,117 @@ def embedding_dup_pairs(
     })
 
 
+def embedding_dup_pairs_lsh(
+    sf_dir: str,
+    *,
+    threshold: float = 0.4,
+    n_bands: int = 4,
+    nbits: int = 6,
+    seed: int = 9,
+    max_bucket: int = 4096,
+) -> pa.Table:
+    """Embedding near-dup pairs WITHOUT the all-pairs matrix — the scale
+    path the exact ``embedding_dup_pairs`` baseline documents (round 4):
+
+    1. every vector fans out to ``n_bands`` band rows; its bucket in a
+       band is the sign pattern over that band's ``nbits`` hyperplanes
+       (banding = the MinHash-LSH trick in cosine space: a pair is a
+       candidate if it collides in ANY band);
+    2. one task per (band, bucket) group runs the exact pair kernel
+       within its bucket only — candidates are O(Σ bucket²), never N²;
+       buckets larger than ``max_bucket`` are skipped entirely (the
+       hot-bucket cap, same rule as minhash_lsh_dedup — a bucket that
+       big means the band carries no signal for those rows);
+    3. pairs dedupe across bands with one distinct pass (a colliding
+       pair may be found in several bands); output is
+       (vec_a < vec_b, round(cos, 6) ≥ threshold), sorted.
+
+    Recall < 1 by design (a near-dup pair missing every band is lost);
+    the SQL oracle recomputes the SAME algorithm — inlined hyperplanes,
+    band buckets, the cap, candidate generation and cosine verify — so
+    the driver hash-checks algorithm fidelity, while
+    tests/test_dedup_lsh_pairs.py measures recall against the exact
+    baseline."""
+    import pyarrow.compute as pc
+
+    t0 = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["embedding"])
+    dim = len(t0["embedding"][0])
+    del t0
+    planes = _hyperplanes(dim, n_bands * nbits, seed)
+    planes_ref = ray.put(planes)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        planes_ = ray.get(planes_ref)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _embed_matrix(batch["embedding"], dim)
+        bits = (m @ planes_) > 0  # (n, n_bands*nbits)
+        weights = (1 << np.arange(nbits, dtype=np.int64))
+        n = len(ids)
+        idx = np.repeat(np.arange(n), n_bands)
+        bands = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        buckets = np.empty(n * n_bands, dtype=np.int64)
+        for b_ in range(n_bands):
+            sl = bits[:, b_ * nbits:(b_ + 1) * nbits]
+            buckets[b_::n_bands] = sl.astype(np.int64) @ weights
+        emb = batch["embedding"].combine_chunks() \
+            if isinstance(batch["embedding"], pa.ChunkedArray) \
+            else batch["embedding"]
+        return pa.table({
+            # single group key so the groupby shuffle has one column
+            "bb": pa.array(bands * (1 << nbits) + buckets,
+                           type=pa.int64()),
+            "vec_id": pa.array(ids[idx], type=pa.int64()),
+            "embedding": emb.take(pa.array(idx, type=pa.int64())),
+        })
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "cos": pa.array([], type=pa.float64()),
+        })
+        n = g.num_rows
+        if n < 2 or n > max_bucket:
+            return empty  # hot-bucket cap: no signal in this band
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        m = _embed_matrix(g["embedding"], dim)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-12)
+        s = np.round(mn @ mn.T, 6)
+        lt = ids[:, None] < ids[None, :]
+        hit = (s >= threshold) & lt
+        r, c = np.nonzero(hit)
+        if r.size == 0:
+            return empty
+        return pa.table({
+            "vec_a": pa.array(ids[r], type=pa.int64()),
+            "vec_b": pa.array(ids[c], type=pa.int64()),
+            "cos": pa.array(s[r, c], type=pa.float64()),
+        })
+
+    from ..functions.tables import read_parquet_nometa
+
+    cand = (
+        read_parquet_nometa(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        .map_batches(fanout, batch_format="pyarrow")
+        .groupby("bb")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # cross-band dedup: result is O(near-dup mass), tiny by contract
+    cand = cand.drop_duplicates(["vec_a", "vec_b"]) \
+        .sort_values(["vec_a", "vec_b"])
+    return pa.table({
+        "vec_a": pa.array(cand["vec_a"].astype("int64").tolist(),
+                          type=pa.int64()),
+        "vec_b": pa.array(cand["vec_b"].astype("int64").tolist(),
+                          type=pa.int64()),
+        "cos": pa.array(cand["cos"].tolist(), type=pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------- IVF
 
 
