@@ -194,6 +194,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # round-4 additions
         ("media_features_meta", qmod.media_features_meta),
         ("media_features_real_meta", qmod.media_features_real_meta),
+        ("embedding_dup_pairs_lsh", qmod.embedding_dup_pairs_lsh),
     ):
         t = time.perf_counter()
         res = fn(sf_dir)

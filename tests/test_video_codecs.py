@@ -220,3 +220,18 @@ def test_decoders_raise_only_media_decode_error():
                 dec(b)
             except MediaDecodeError:
                 pass  # the only permitted failure type
+
+
+def test_jpeg_dimension_sweep():
+    """Round-trip across awkward dimensions (1x1, single row/col, exact
+    and off-by-one block multiples) — the ceil-MCU crop rule must hold
+    everywhere; gradient inputs keep the lossy error small."""
+    for h, w in [(1, 1), (1, 17), (17, 1), (7, 7), (8, 8), (9, 8),
+                 (8, 9), (15, 16), (16, 15), (33, 31)]:
+        img = _smooth(h, w)
+        out = decode_jpeg(encode_jpeg(img, quality=92))
+        assert out.shape == (h, w, 3), (h, w)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 14, (h, w)
+        g = img[:, :, 0]
+        outg = decode_jpeg(encode_jpeg(g, quality=92))
+        assert outg.shape == (h, w, 3), (h, w)
