@@ -21,6 +21,8 @@ machine).
 
 from __future__ import annotations
 
+from .spill import spill_dir
+
 import glob
 import os
 import shutil
@@ -111,7 +113,7 @@ def hash_join(
     The spill lives until process exit unless the caller passes
     ``work_dir`` and removes it after consuming the result.
     """
-    work_dir = work_dir or tempfile.mkdtemp(prefix="pdfsearch_join_")
+    work_dir = work_dir or spill_dir(prefix="pdfsearch_join_")
     ldir, rdir = f"{work_dir}/l", f"{work_dir}/r"
 
     def _spill(ds: rd.Dataset, key: str, out: str) -> None:
@@ -222,7 +224,7 @@ def min_label_propagation(
     )
     prev_sum = None
     for _ in range(max_iter):
-        jdir = tempfile.mkdtemp(prefix="pdfsearch_lprop_")
+        jdir = spill_dir(prefix="pdfsearch_lprop_")
         try:
             msgs = hash_join(
                 edges, labels, left_on="u", right_on="node",

@@ -29,6 +29,8 @@ Design notes (scale):
 
 from __future__ import annotations
 
+from ..functions.spill import spill_dir
+
 import time
 from typing import Any
 
@@ -751,7 +753,7 @@ def duplicate_doc_ids(ds: rd.Dataset, id_col: str = "doc_id",
 
     from ..functions.hashing import mix64
 
-    work_dir = tempfile.mkdtemp(prefix="pdfsearch_audit_")
+    work_dir = spill_dir(prefix="pdfsearch_audit_")
 
     def _ids(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -823,7 +825,7 @@ def dup_loser_ids(
     import pyarrow.parquet as pq
     import ray
 
-    work_dir = work_dir or tempfile.mkdtemp(prefix="pdfsearch_dedup_")
+    work_dir = work_dir or spill_dir(prefix="pdfsearch_dedup_")
 
     def _pairs(t: pa.Table) -> pa.Table:
         h = t[hash_col].to_pylist()
@@ -1179,7 +1181,7 @@ def append_skip_hashes(
 
     if not doc_files:
         return pa.array([], type=pa.string())
-    work_dir = tempfile.mkdtemp(prefix="pdfsearch_append_")
+    work_dir = spill_dir(prefix="pdfsearch_append_")
     tomb_ref = ray.put(np.sort(tombstones.astype(np.int64))
                        if tombstones.size else None)
 

@@ -15,6 +15,8 @@ documented scale path being iterative min-label propagation.
 
 from __future__ import annotations
 
+from ..functions.spill import spill_dir
+
 import numpy as np
 import pyarrow as pa
 
@@ -77,7 +79,7 @@ def ngram_jaccard_pairs(
     from ..functions.joins import hash_join
 
     own_work = True
-    work_dir = tempfile.mkdtemp(prefix="pdfsearch_ngram_")
+    work_dir = spill_dir(prefix="pdfsearch_ngram_")
     sh_dir = f"{work_dir}/shingles"
     # shingles are consumed twice (per-doc counts + the inverted index);
     # spill once instead of re-tokenizing the corpus
@@ -296,7 +298,7 @@ def minhash_lsh_dedup(
     assert num_perm % bands == 0
     r = num_perm // bands
     own_work = work_dir is None
-    work_dir = work_dir or tempfile.mkdtemp(prefix="pdfsearch_minhash_")
+    work_dir = work_dir or spill_dir(prefix="pdfsearch_minhash_")
     sig_dir = f"{work_dir}/sigs"
 
     docs.map_batches(
@@ -570,7 +572,7 @@ def chunk_dedup(
             "chunk_idx": pa.array(idxs, type=pa.int64()),
         })
 
-    loser_dir = work_dir or tempfile.mkdtemp(prefix="chunk_dedup_")
+    loser_dir = work_dir or spill_dir(prefix="chunk_dedup_")
     # Election via hash-bucket parquet spill + ONE vectorized lexsort
     # per bucket — not Ray's sort-based groupby + a Python map_groups
     # call per distinct hash (measured: the per-group Python dispatch

@@ -20,6 +20,8 @@ Partitioning notes (scale):
 
 from __future__ import annotations
 
+from ..functions.spill import spill_dir
+
 import numpy as np
 import pyarrow as pa
 
@@ -120,7 +122,7 @@ def user_sessions(sf_dir: str, *, num_buckets: int = 32) -> rd.Dataset:
     from ..functions.hashing import mix64
 
     gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
-    work_dir = tempfile.mkdtemp(prefix="pdfsearch_sessions_")
+    work_dir = spill_dir(prefix="pdfsearch_sessions_")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -260,7 +262,7 @@ def asof_join_events(sf_dir: str, *, ref_type: str = ASOF_REF_TYPE,
 
     from ..functions.hashing import mix64
 
-    work_dir = tempfile.mkdtemp(prefix="pdfsearch_asof_")
+    work_dir = spill_dir(prefix="pdfsearch_asof_")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)

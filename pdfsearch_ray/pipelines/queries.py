@@ -21,6 +21,8 @@ cannot flip a rank (SURVEY §7.5 rank-identity note).
 
 from __future__ import annotations
 
+from ..functions.spill import spill_dir
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -844,7 +846,7 @@ def fulltext_topk_simple(sf_dir: str) -> pa.Table:
     from .build import build_index
     from .query import BM25Index
 
-    d = tempfile.mkdtemp(prefix="ft_simple_")
+    d = spill_dir(prefix="ft_simple_")
     build_index(f"{sf_dir}/documents.parquet", d, analyzer="simple",
                 lang_col="lang", num_buckets=16, sample_rate=1.0)
     idx = BM25Index(d)
@@ -1263,7 +1265,7 @@ def tfidf_topk(sf_dir: str, num_buckets: int = 16) -> pa.Table:
                           "term": pa.array([], type=pa.string()),
                           "score": pa.array([], type=pa.float64()),
                           "rank": pa.array([], type=pa.int64())})
-    work = tempfile.mkdtemp(prefix="tfidf_")
+    work = spill_dir(prefix="tfidf_")
     pairs_dir = f"{work}/pairs"
     scored_dir = f"{work}/scored"
     nd_bucket = num_buckets  # sentinel partition: per-batch doc counts
@@ -1482,7 +1484,7 @@ def fulltext_topk(sf_dir: str) -> pa.Table:
     from .build import build_index
     from .query import BM25Index
 
-    d = tempfile.mkdtemp(prefix="ft_en_")
+    d = spill_dir(prefix="ft_en_")
     build_index(f"{sf_dir}/documents.parquet", d, analyzer="en",
                 lang_col="lang", num_buckets=16, sample_rate=1.0)
     idx = BM25Index(d)
@@ -1639,7 +1641,7 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
 
     cents = ivf_centroids(sf_dir, num_queries=0, n_clusters=KNN_N_CLUSTERS)
     dim = cents.shape[1]
-    work = tempfile.mkdtemp(prefix="knn_ivf_")
+    work = spill_dir(prefix="knn_ivf_")
     parts_dir = f"{work}/parts"
     try:
         build_partitioned_embeddings(

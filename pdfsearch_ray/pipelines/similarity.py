@@ -22,6 +22,8 @@ so DuckDB independently recomputes assignment, probing and scoring
 
 from __future__ import annotations
 
+from ..functions.spill import spill_dir
+
 import os
 import shutil
 import tempfile
@@ -243,7 +245,7 @@ def ann_lsh_topk(
     probe_sets = lsh_probe_sets(_signs(qm, planes), nbits)
 
     own = index_dir is None
-    index_dir = index_dir or tempfile.mkdtemp(prefix="pdfsearch_lsh_")
+    index_dir = index_dir or spill_dir(prefix="pdfsearch_lsh_")
     try:
         if not os.path.isdir(f"{index_dir}/parts"):
             build_partitioned_embeddings(
@@ -509,7 +511,7 @@ def ann_ivf_topk(
     probe_sets = ivf_probe_sets(qn, cents, n_probe)
 
     own = index_dir is None
-    index_dir = index_dir or tempfile.mkdtemp(prefix="pdfsearch_ivf_")
+    index_dir = index_dir or spill_dir(prefix="pdfsearch_ivf_")
     try:
         if not os.path.isdir(f"{index_dir}/parts"):
             build_partitioned_embeddings(
