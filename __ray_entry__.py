@@ -5,7 +5,7 @@ here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
 the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
-44 of 46 queries carry an oracle — including BOTH real engine paths:
+45 of 47 queries carry an oracle — including BOTH real engine paths:
 ``fulltext_topk_simple`` (the SQL-reproducible ``simple`` analyzer) and,
 since round 3, ``fulltext_topk`` — the FULL ``en`` chain, whose oracle
 inlines the vocabulary→term mapping produced by the engine's own
@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": q.event_props_stats,
         "knn_label_accuracy": q.knn_label_accuracy,
         "source_mix": q.source_mix,
+        "curated_chunks": q.curated_chunks,
     }
 
 
@@ -172,6 +173,7 @@ def _region_part_revenue(sf_dir: str):
 def oracle_sql() -> dict[str, str]:
     from pdfsearch_ray.pipelines import oracles as _oracles
     from pdfsearch_ray.pipelines import queries as q
+    from pdfsearch_ray.pipelines import curate as _curate
     from pdfsearch_ray.stages.multimodal import MediaFeatures
 
     _N_MEDIA_FEATURES = MediaFeatures.N_FEATURES
@@ -542,6 +544,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_dedup": _oracles.chunk_dedup_sql(
             words_per_chunk=_chunk_words()),
+        "curated_chunks": _oracles.curate_chunks_sql(
+            rates=q.STRATA_RATES, default_rate=q.STRATA_DEFAULT_RATE,
+            chunk_size=_curate.CURATE_CHUNK_SIZE,
+            chunk_stride=_curate.CURATE_CHUNK_STRIDE),
         "gopher_quality": _gopher_oracle(),
         "stratified_sample": _strata_oracle(),
         "repetition_stats": _oracles.repetition_sql(),

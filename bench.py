@@ -195,6 +195,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("media_features_meta", qmod.media_features_meta),
         ("media_features_real_meta", qmod.media_features_real_meta),
         ("embedding_dup_pairs_lsh", qmod.embedding_dup_pairs_lsh),
+        ("curated_chunks", qmod.curated_chunks),
     ):
         t = time.perf_counter()
         res = fn(sf_dir)

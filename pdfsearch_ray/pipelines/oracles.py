@@ -760,6 +760,84 @@ def stratified_sample_sql(*, rates: dict, default_rate: float,
     """
 
 
+def curate_chunks_sql(*, rates: dict, default_rate: float,
+                      chunk_size: int, chunk_stride: int,
+                      mod: int = 1 << 16) -> str:
+    """Oracle for the COMPOSITE curation pipeline
+    (pipelines/curate.py:curate_chunks): exact dedup (min doc_id per
+    md5(text)) → Gopher keep rules → per-lang splitmix64 sampling →
+    fixed-window chunking — DuckDB recomputes the full composition, so
+    the gate checks stage INTERACTIONS, not just the pieces."""
+    from .textstats import (
+        GOPHER_MAX_MEAN_WL,
+        GOPHER_MAX_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WL,
+        GOPHER_MIN_WORDS,
+    )
+
+    U32 = 1 << 32
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    cases = " ".join(
+        f"WHEN lang = '{_sq(lang)}' THEN {int(rate * mod)}"
+        for lang, rate in sorted(rates.items())
+    )
+    thresh = f"(CASE {cases} ELSE {int(default_rate * mod)} END)"
+    return f"""
+        WITH dedup AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        base AS (
+            SELECT d.doc_id, d.text, d.lang
+            FROM documents d JOIN dedup USING (doc_id)
+        ),
+        gop AS (
+            SELECT doc_id, text, lang FROM base
+            WHERE len(string_split(text, ' '))
+                      BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND {GOPHER_MIN_MEAN_WL} * len(string_split(text, ' '))
+                      <= length(replace(text, ' ', ''))
+              AND length(replace(text, ' ', ''))
+                      <= {GOPHER_MAX_MEAN_WL} * len(string_split(text, ' '))
+              AND list_max(list_transform(string_split(text, ' '),
+                                          x -> length(x)))
+                      <= {GOPHER_MAX_WORD_LEN}
+        ),
+        m0 AS (SELECT doc_id, text, lang,
+                      CAST(doc_id AS HUGEINT) AS x FROM gop),
+        m1 AS (SELECT doc_id, text, lang,
+                      {mulmod('xor(x, x >> 30)', C1)} AS x FROM m0),
+        m2 AS (SELECT doc_id, text, lang,
+                      {mulmod('xor(x, x >> 27)', C2)} AS x FROM m1),
+        m3 AS (SELECT doc_id, text, lang,
+                      xor(x, x >> 31) AS x FROM m2),
+        samp AS (
+            SELECT doc_id, text, lang FROM m3 WHERE x % {mod} < {thresh}
+        ),
+        d AS (
+            SELECT doc_id, lang, text,
+                   (length(text) + {chunk_stride} - 1)
+                       // {chunk_stride} AS k
+            FROM samp WHERE length(text) > 0
+        ),
+        ks AS (
+            SELECT unnest(range(0, (SELECT coalesce(max(k), 0) FROM d)))
+                   AS c
+        )
+        SELECT d.doc_id, d.lang, ks.c AS chunk_id,
+               substr(d.text, ks.c * {chunk_stride} + 1,
+                      {chunk_size}) AS chunk_text
+        FROM d JOIN ks ON ks.c < d.k
+    """
+
+
 def repetition_sql() -> str:
     """Oracle for queries.py:repetition_stats — word bigram/trigram
     totals + max occurrence per doc via lead() windows; the repetitive

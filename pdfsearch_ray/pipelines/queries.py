@@ -1013,6 +1013,20 @@ def stratified_sample(sf_dir: str) -> rd.Dataset:
     ).map_batches(f, batch_format="pyarrow")
 
 
+def curated_chunks(sf_dir: str) -> rd.Dataset:
+    """The COMPOSITE curation pipeline as a gate query: exact dedup →
+    Gopher quality gate → per-lang stratified sampling → fixed-window
+    chunking (pipelines/curate.py).  The oracle recomputes the full
+    composition in DuckDB, so stage interactions — not just the pieces
+    — sit under the value-hash gate."""
+    from .curate import curate_chunks
+
+    return curate_chunks(
+        f"{sf_dir}/documents.parquet",
+        rates=STRATA_RATES, default_rate=STRATA_DEFAULT_RATE,
+    )
+
+
 def repetition_stats(sf_dir: str) -> rd.Dataset:
     """Gopher-style repetition signals (count-fraction adaptation of the
     duplicate-n-gram rules): per doc, total and max-occurrence counts of
