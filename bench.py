@@ -191,9 +191,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("event_props_stats", qmod.event_props_stats),
         ("knn_label_accuracy", qmod.knn_label_accuracy),
         ("source_mix", qmod.source_mix),
-        # round-4 additions
-        ("media_features_meta", qmod.media_features_meta),
-        ("media_features_real_meta", qmod.media_features_real_meta),
+        # round-4 additions (the media META queries run under the
+        # driver's sf0.01 correctness gate; at sf0.1 they re-run the
+        # full media pipelines and would double-count that cost here)
         ("embedding_dup_pairs_lsh", qmod.embedding_dup_pairs_lsh),
         ("curated_chunks", qmod.curated_chunks),
     ):

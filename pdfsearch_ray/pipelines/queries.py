@@ -1457,7 +1457,9 @@ def media_features_real(sf_dir: str) -> rd.Dataset:
         synth_real_media_table,
     )
 
-    media = _docs(sf_dir).repartition(8).map_batches(
+    # 32-way synth: the real ENCODERS (PNG/WAV/AVI writers) are pure
+    # python too — 8 synth tasks serialized the pipeline at sf0.1
+    media = _docs(sf_dir).repartition(32).map_batches(
         synth_real_media_table, batch_format="pyarrow",
     )
     decoded = media.map_batches(
@@ -1466,7 +1468,10 @@ def media_features_real(sf_dir: str) -> rd.Dataset:
                                    audio_samples=256),
         batch_format="pyarrow",
         batch_size=DEFAULT_MEDIA_BATCH_SIZE,
-        concurrency=2,
+        # real codecs are pure-python CPU: autoscale the pool (2→8)
+        # instead of pinning 2 actors (which serializes sf0.1's ~160
+        # decode batches); the upstream synth stage stays a task pool
+        concurrency=(2, 8),
     )
     feats = decoded.map_batches(
         lambda t: t.filter(pc.field("decode_ok")),

@@ -425,7 +425,10 @@ def synth_real_media_table(docs: pa.Table, text_col: str = "text",
             payloads.append(encode_wav(wave.astype(np.int16), 16000))
         else:
             rng = np.random.Generator(np.random.Philox(key=int(i)))
-            frames = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+            # 2 frames: multi-frame container semantics at half the
+            # pure-python codec cost (MediaDecoder reads frame 0;
+            # FrameSampler tests use their own longer fixtures)
+            frames = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
             codec = "MJPG" if int(i) % 2 else "DIB "
             payloads.append(encode_avi(frames, fps=10, codec=codec))
     n = len(ids)
@@ -440,7 +443,7 @@ def synth_real_media_table(docs: pa.Table, text_col: str = "text",
         "width": pa.array(np.full(n, 16, dtype=np.int32)),
         "height": pa.array(np.full(n, 16, dtype=np.int32)),
         "n_frames": pa.array(
-            np.where(np.array(kinds) == "video", 4, 0).astype(np.int32)),
+            np.where(np.array(kinds) == "video", 2, 0).astype(np.int32)),
         "sample_rate": pa.array(
             np.where(np.array(kinds) == "audio", 16000, 0).astype(np.int32)),
         "duration_ms": pa.array(np.full(n, 25, dtype=np.int32)),
