@@ -274,6 +274,9 @@ def encode_avi(frames: np.ndarray, fps: int = 10, codec: str = "MJPG",
     if a.ndim != 4 or a.shape[3] != 3 or a.shape[0] == 0:
         raise MediaDecodeError(f"unsupported frame stack shape {a.shape}")
     n, h, w, _ = a.shape
+    if h > 0xFFFF or w > 0xFFFF:
+        raise MediaDecodeError(f"frame dimensions {w}x{h} exceed 16-bit "
+                               "header fields")
     if codec == "MJPG":
         from .jpeg_codec import encode_jpeg
 
