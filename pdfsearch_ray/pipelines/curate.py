@@ -116,6 +116,12 @@ def curate_chunks(
                                  columns=[id_col, text_col, lang_col])
     ds = ds.map_batches(partial(_attach_md5, text_col=text_col),
                         batch_format="pyarrow")
+    # dedup_exact consumes the hashed dataset twice (loser discovery,
+    # then the anti-join filter), so the read+md5 run twice.  That is
+    # the gate-scale trade; the at-scale build avoids it by fusing the
+    # pair scan into the extract read (sources/pages_source.py) — a
+    # 100 TB curation run should reuse that fused path or checkpoint
+    # the hashed projection first.
     ds = dedup_exact(ds, hash_col="__chash", id_col=id_col,
                      num_buckets=num_buckets)
     ds = gopher_filter(ds)
