@@ -1614,10 +1614,6 @@ def _group_max(inv: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
 
 KNN_N_CLUSTERS = 16
 KNN_N_PROBE = 4
-# packed-candidate string widths: biased 9-dp sim (0..2e9 → 10 digits),
-# inverted vec_id (13 digits covers 10^13 docs)
-_KNN_SIM_BIAS = 1_000_000_000
-_KNN_VEC_INV = 10**13 - 1
 
 
 def knn_label_accuracy(sf_dir: str) -> pa.Table:
@@ -1630,26 +1626,27 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
        data — shared with the SQL oracle, the ann_ivf precedent);
     2. one pass assigns every vector its cluster and persists the
        cluster-partitioned parquet layout (vec_id, embedding, label);
-    3. a 1→n_probe fan-out ships each vector to its n_probe nearest
-       clusters; per-cluster tasks read ONLY their partition and score
-       their incoming queries against it (block matmul, 9-dp-rounded
-       sims, lowest-vec_id tie-break, self excluded);
-    4. each task emits one PACKED candidate string per (query, cluster)
-       — (biased sim, inverted vec_id, label) zero-padded so that
-       lexicographic max == (sim desc, vec_id asc) — and a vectorized
-       groupby-max picks the global 1-NN without a second wide join;
-    5. per-label (n, n_correct) partials reduce to a label-count table.
+    3. ONE narrow shuffle groups vectors by their ASSIGNED cluster
+       (1 row per vector, no fan-out); each cluster task reads the
+       persisted partitions its vectors probe (≤ n_clusters reads,
+       cached per task), scores every vector against the CONCATENATED
+       members of its own probe set (block matmul, 9-dp-rounded sims,
+       global lowest-vec_id tie-break, self excluded) and finishes the
+       1-NN argmax LOCALLY — no per-vector reduce shuffle, no packed
+       keys;
+    4. tasks emit per-label (n, n_correct) partials; a label-count-
+       sized groupby finishes.
 
-    Driver + object store hold O(centroids) only; shuffle traffic is
-    O(N · n_probe) narrow rows.  Scale knob: n_clusters grows with N so
-    per-cluster groups stay bounded.  The oracle recomputes assignment,
-    probing, candidate sims and the (sim desc, vec_id asc) argmax
-    independently in DuckDB from the inlined centroid literals."""
+    Driver + object store hold O(centroids) only; the shuffle moves
+    each vector ONCE.  Scale knob: n_clusters grows with N so per-task
+    member reads (≈ n_probe/n_clusters of the corpus) stay bounded.
+    The oracle recomputes assignment, probing, candidate sims and the
+    (sim desc, vec_id asc) argmax independently in DuckDB from the
+    inlined centroid literals."""
+    import os
     import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Max
 
     from ..functions.tables import read_parquet_nometa
     from .similarity import (
@@ -1669,107 +1666,113 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
         )
         cents_ref = ray.put(cents)
 
-        def fanout(t: pa.Table) -> pa.Table:
+        def assign_probes(t: pa.Table) -> pa.Table:
             cents_ = ray.get(cents_ref)
             ids = t["vec_id"].to_numpy().astype(np.int64)
             m = _embed_matrix(t["embedding"], dim)
             dots = m @ cents_.T  # scaling-invariant probe ranking
             # stable argsort of -dots: ties break toward the lower
-            # cluster id — ORDER BY dot DESC, c ASC (oracle-matched)
-            order = np.argsort(-dots, axis=1, kind="stable")[:, :KNN_N_PROBE]
-            n = len(ids)
-            idx = np.repeat(np.arange(n), KNN_N_PROBE)
-            emb = t["embedding"].combine_chunks() \
-                if isinstance(t["embedding"], pa.ChunkedArray) \
-                else t["embedding"]
-            lab = t["label"].combine_chunks() \
-                if isinstance(t["label"], pa.ChunkedArray) else t["label"]
-            take = pa.array(idx, type=pa.int32())
+            # cluster id — ORDER BY dot DESC, c ASC (oracle-matched);
+            # column 0 is the assignment (first-max argmax)
+            order = np.argsort(-dots, axis=1,
+                               kind="stable")[:, :KNN_N_PROBE]
+            probes = pa.FixedSizeListArray.from_arrays(
+                pa.array(order.ravel().astype(np.int32),
+                         type=pa.int32()), KNN_N_PROBE)
             return pa.table({
-                "probe_part": pa.array(order.ravel(), type=pa.int64()),
-                "vec_id": pa.array(ids[idx], type=pa.int64()),
-                "label": lab.take(take).cast(pa.int64()),
-                "embedding": emb.take(take),
+                "part": pa.array(order[:, 0].astype(np.int64),
+                                 type=pa.int64()),
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "label": (t["label"].combine_chunks()
+                          if isinstance(t["label"], pa.ChunkedArray)
+                          else t["label"]).cast(pa.int64()),
+                "probes": probes,
+                "embedding": (t["embedding"].combine_chunks()
+                              if isinstance(t["embedding"],
+                                            pa.ChunkedArray)
+                              else t["embedding"]),
             })
 
         def score_group(g: pa.Table) -> pa.Table:
             empty = pa.table({
-                "vec_id": pa.array([], type=pa.int64()),
                 "label": pa.array([], type=pa.int64()),
-                "packed": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "n_correct": pa.array([], type=pa.int64()),
             })
             if g.num_rows == 0:
                 return empty
-            part = g["probe_part"][0].as_py()
-            pdir = f"{parts_dir}/part={part}"
-            import os
+            part_cache: dict[int, tuple | None] = {}
 
-            if not os.path.isdir(pdir):
-                return empty  # probed an empty cluster
-            mt = pq.read_table(pdir, columns=["vec_id", "embedding", "label"],
-                               use_threads=False)
-            if mt.num_rows == 0:
-                return empty
-            mids = mt["vec_id"].to_numpy().astype(np.int64)
-            srt = np.argsort(mids, kind="stable")
-            mids = mids[srt]
-            mlab = mt["label"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)[srt]
-            mm = _embed_matrix(mt["embedding"], dim)[srt]
-            mn = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+            def load_part(p: int):
+                got = part_cache.get(p, -1)
+                if got != -1:
+                    return got
+                pdir = f"{parts_dir}/part={p}"
+                if not os.path.isdir(pdir):
+                    part_cache[p] = None
+                    return None
+                mt = pq.read_table(
+                    pdir, columns=["vec_id", "embedding", "label"],
+                    use_threads=False)
+                if mt.num_rows == 0:
+                    part_cache[p] = None
+                    return None
+                mids = mt["vec_id"].to_numpy().astype(np.int64)
+                mlab = mt["label"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                mm = _embed_matrix(mt["embedding"], dim)
+                part_cache[p] = (mids, mlab, mm)
+                return part_cache[p]
+
             qids = g["vec_id"].to_numpy().astype(np.int64)
-            qlab = g["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            qlab = g["label"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             qm = _embed_matrix(g["embedding"], dim)
             qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-            v_parts, l_parts, p_parts = [], [], []
-            for s in range(0, len(qids), 2048):
-                e = min(s + 2048, len(qids))
-                sims = np.round(qn[s:e] @ mn.T, 9)
-                # leave-one-out: mask the query's own row if present
-                pos = np.searchsorted(mids, qids[s:e])
-                pos_ok = pos < len(mids)
-                hit = pos_ok & (mids[np.minimum(pos, len(mids) - 1)]
-                                == qids[s:e])
-                sims[np.nonzero(hit)[0], pos[hit]] = -np.inf
-                best = sims.max(axis=1)
-                valid = best > -np.inf
-                if not valid.any():
+            probes = np.asarray(
+                g["probes"].combine_chunks().flatten()
+                if isinstance(g["probes"], pa.ChunkedArray)
+                else g["probes"].flatten(),
+                dtype=np.int64).reshape(-1, KNN_N_PROBE)
+            own_all = []
+            pred_all = []
+            # vectors sharing a probe SET score as one block matmul
+            uniq_sets, inv_sets = np.unique(probes, axis=0,
+                                            return_inverse=True)
+            set_cache: dict[int, tuple | None] = {}
+            for si in range(uniq_sets.shape[0]):
+                parts = [load_part(int(p)) for p in uniq_sets[si]]
+                parts = [x for x in parts if x is not None]
+                if not parts:
                     continue
-                # first hit at the max = lowest member vec_id (sorted)
-                nn_pos = (sims >= best[:, None]).argmax(axis=1)
-                sim_i = np.round(best[valid] * 1e9).astype(np.int64) \
-                    + _KNN_SIM_BIAS
-                nn_v = mids[nn_pos[valid]]
-                nn_l = mlab[nn_pos[valid]]
-                # packed key, vectorized (fixed-width zero-padded fields
-                # so lexicographic max == (sim desc, vec_id asc); label
-                # rides at a FIXED byte offset for the decode slice)
-                packed = np.char.add(np.char.add(np.char.add(
-                    np.char.zfill(sim_i.astype("U10"), 10), "|"),
-                    np.char.add(np.char.zfill(
-                        (_KNN_VEC_INV - nn_v).astype("U13"), 13), "|")),
-                    nn_l.astype("U20"))
-                v_parts.append(qids[s:e][valid])
-                l_parts.append(qlab[s:e][valid])
-                p_parts.append(packed)
-            if not v_parts:
+                mids = np.concatenate([x[0] for x in parts])
+                mlab = np.concatenate([x[1] for x in parts])
+                mm = np.vstack([x[2] for x in parts])
+                # global lowest-vec_id tie-break: sort candidates by id
+                srt = np.argsort(mids, kind="stable")
+                mids, mlab, mm = mids[srt], mlab[srt], mm[srt]
+                mn = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+                sel = np.nonzero(inv_sets == si)[0]
+                for s in range(0, sel.size, 2048):
+                    rows = sel[s:s + 2048]
+                    sims = np.round(qn[rows] @ mn.T, 9)
+                    # leave-one-out: mask each query's own row
+                    pos = np.searchsorted(mids, qids[rows])
+                    ok = pos < len(mids)
+                    hit = ok & (mids[np.minimum(pos, len(mids) - 1)]
+                                == qids[rows])
+                    sims[np.nonzero(hit)[0], pos[hit]] = -np.inf
+                    best = sims.max(axis=1)
+                    valid = best > -np.inf
+                    if not valid.any():
+                        continue
+                    nn_pos = (sims >= best[:, None]).argmax(axis=1)
+                    own_all.append(qlab[rows][valid])
+                    pred_all.append(mlab[nn_pos[valid]])
+            if not own_all:
                 return empty
-            return pa.table({
-                "vec_id": pa.array(np.concatenate(v_parts),
-                                   type=pa.int64()),
-                "label": pa.array(np.concatenate(l_parts),
-                                  type=pa.int64()),
-                "packed": pa.array(np.concatenate(p_parts),
-                                   type=pa.string()),
-            })
-
-        def label_partials(t: pa.Table) -> pa.Table:
-            own = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-            # label sits at a fixed offset (10-digit sim + '|' + 13-digit
-            # inverted vec_id + '|'): one vectorized slice + cast
-            pred = np.asarray(
-                pc.cast(pc.utf8_slice_codeunits(t["packed"], start=25),
-                        pa.int64()), dtype=np.int64)
+            own = np.concatenate(own_all)
+            pred = np.concatenate(pred_all)
             uniq, inv = np.unique(own, return_inverse=True)
             n = uniq.size
             return pa.table({
@@ -1783,13 +1786,10 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
         out = (
             read_parquet_nometa(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding", "label"])
-            .map_batches(fanout, batch_format="pyarrow", batch_size=2048)
-            .groupby("probe_part")
+            .map_batches(assign_probes, batch_format="pyarrow",
+                         batch_size=2048)
+            .groupby("part")
             .map_groups(score_group, batch_format="pyarrow")
-            .groupby("vec_id")
-            .aggregate(Max("packed", alias_name="packed"),
-                       Max("label", alias_name="label"))
-            .map_batches(label_partials, batch_format="pyarrow")
             .groupby("label")
             .aggregate(Sum("n", alias_name="n"),
                        Sum("n_correct", alias_name="n_correct"))
