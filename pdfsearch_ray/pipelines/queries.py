@@ -1739,7 +1739,15 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
             # vectors sharing a probe SET score as one block matmul
             uniq_sets, inv_sets = np.unique(probes, axis=0,
                                             return_inverse=True)
-            set_cache: dict[int, tuple | None] = {}
+            # pre-load every part this group probes, threaded (parquet
+            # reads release the GIL; sequential opens dominate the task
+            # wall at gate scale)
+            need = sorted({int(p) for p in np.unique(uniq_sets)})
+            if len(need) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(8, len(need))) as pool:
+                    list(pool.map(load_part, need))
             for si in range(uniq_sets.shape[0]):
                 parts = [load_part(int(p)) for p in uniq_sets[si]]
                 parts = [x for x in parts if x is not None]
