@@ -209,26 +209,83 @@ class _TokenStats:
 
 
 class _HotTermSampler:
-    """Per-batch (term, partial_df) rows over a sample — hot-term detection."""
+    """Per-batch (term, partial_df) rows over a sample — hot-term
+    detection.  Batch-vectorized like the tokenize combiner
+    (stages/tokenize.py:_combine_vectorized): regex findall per doc is
+    the only per-doc Python; ONE pandas factorize over the batch's raw
+    tokens, the normalize chain applied once per UNIQUE raw token, and
+    df computed as unique (doc, term-code) pairs via a packed-int64
+    np.unique + bincount — no per-token dict churn."""
 
     def __init__(self, analyzer: str, text_col: str, id_col: str, rate: float):
+        self.analyzer_name = analyzer
         self.analyze = get_analyzer(analyzer)
         self.text_col, self.id_col, self.rate = text_col, id_col, rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table({"term": pa.array([], type=pa.string()),
+                          "df_part": pa.array([], type=pa.int64())})
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         mask = _sample_mask(ids, self.rate)
-        counts: dict[str, int] = {}
-        ndocs = 0
-        for keep, text in zip(mask, batch[self.text_col].to_pylist()):
+        texts = batch[self.text_col].to_pylist()
+        en = self.analyzer_name == "en"
+        if en:
+            from ..analysis.analyzer import _TOKEN_RE
+
+            tokenize = _TOKEN_RE.findall
+        else:
+            tokenize = self.analyze
+
+        raw_all: list[str] = []
+        counts_l: list[int] = []
+        for keep, text in zip(mask, texts):
             if not keep or not text:
                 continue
-            ndocs += 1
-            for term in set(self.analyze(text)):
-                counts[term] = counts.get(term, 0) + 1
-        t = pa.table({"term": pa.array(list(counts.keys()), type=pa.string()),
-                      "df_part": pa.array(list(counts.values()), type=pa.int64())})
-        return t
+            toks = tokenize(text)
+            raw_all.extend(toks)
+            counts_l.append(len(toks))
+        if not raw_all:
+            return empty
+        counts = np.asarray(counts_l, dtype=np.int64)
+        codes, uniq = pd.factorize(np.asarray(raw_all, dtype=object),
+                                   sort=False)
+        del raw_all
+        if en:
+            from ..analysis.analyzer import (
+                _MISSING,
+                _RAW_TERM_CACHE,
+                _final_term,
+            )
+
+            cache_get = _RAW_TERM_CACHE.get
+            final = []
+            for u in uniq:
+                t = cache_get(u, _MISSING)
+                if t is _MISSING:
+                    t = _final_term(u)
+                final.append(t)
+        else:
+            final = list(uniq)
+        kept_terms = sorted({t for t in final if t is not None})
+        if not kept_terms:
+            return empty
+        term_rank = {t: j for j, t in enumerate(kept_terms)}
+        code_map = np.fromiter(
+            (term_rank[t] if t is not None else -1 for t in final),
+            dtype=np.int64, count=len(final))
+        tcode = code_map[codes]
+        doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        keep_tok = tcode >= 0
+        # df == count of distinct (doc, term) pairs per term
+        packed = np.unique((doc_idx[keep_tok] << 32) | tcode[keep_tok])
+        df = np.bincount(packed & 0xFFFFFFFF,
+                         minlength=len(kept_terms)).astype(np.int64)
+        return pa.table({
+            "term": pa.array(kept_terms, type=pa.string()),
+            "df_part": pa.array(df, type=pa.int64()),
+        })
 
 
 def detect_hot_terms(
@@ -242,19 +299,36 @@ def detect_hot_terms(
     num_salts: int,
 ) -> dict[str, int]:
     """Estimate per-term df on a sample; terms with df/N above
-    ``hot_df_ratio`` get ``num_salts`` salt shards (SURVEY §4 skew row)."""
+    ``hot_df_ratio`` get ``num_salts`` salt shards (SURVEY §4 skew row).
+
+    The driver receives O(hot terms) rows ONLY: the sampled vocabulary
+    aggregate stays distributed (materialized in the object store, not
+    pulled), the max-df scalar comes from a distributed ``Dataset.max``,
+    and the ``df >= hot_df_ratio·n_sampled`` threshold is applied inside
+    ``map_batches`` before the tiny ``to_pandas`` — at a web corpus's
+    10⁸–10⁹-term vocabulary the driver never sees more than the Zipf
+    head."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     parts = ds.map_batches(
         _HotTermSampler(analyzer, text_col, id_col, sample_rate),
         batch_format="pyarrow",
     )
-    agg = parts.groupby("term").aggregate(Sum("df_part", alias_name="df")).to_pandas()
-    if agg.empty:
+    agg = parts.groupby("term").aggregate(
+        Sum("df_part", alias_name="df")).materialize()
+    n_max = agg.max("df", ignore_nulls=True) if agg.count() else None
+    if n_max is None:
         return {}
-    n_sampled = max(1, int(agg["df"].max()))  # upper bound on sampled docs
-    # better estimate: a term present in every sampled doc has df == n_sampled
-    hot = agg[agg["df"] >= hot_df_ratio * n_sampled]
+    n_sampled = max(1, int(n_max))  # upper bound on sampled docs
+    # a term present in every sampled doc has df == n_sampled
+    thresh = float(hot_df_ratio * n_sampled)
+
+    def _hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(
+            pc.cast(t["df"], pa.float64()), thresh))
+
+    hot = agg.map_batches(_hot_only, batch_format="pyarrow").to_pandas()
     return {t: num_salts for t in hot["term"].tolist()}
 
 

@@ -828,6 +828,29 @@ FT_SIMPLE_QUERIES = ("data processing pipeline", "stream window merge",
 FT_SIMPLE_K = 10
 
 
+def _retrieve_tie_complete(idx, q: str, k: int, buffer: int = 50):
+    """Retrieve matches for ``q`` with a tie-group-complete cutoff.
+
+    Retrieval is by EXACT score; the gate ranks by 6-dp-ROUNDED score
+    with doc_id tie-break.  Grow the retrieved set until the rounded
+    score of the LAST retrieved match is strictly below the rounded
+    k-th score — then no unretrieved doc (exact score <= last's,
+    rounding monotone) can belong to the top-K tie group, so the cutoff
+    cannot orphan a lower-doc_id tie member.  Shared by the en and
+    simple fulltext gates (the round-4 verdict's latent rounded-tie
+    flake in the fixed ``K + 50`` cutoff)."""
+    need = k + buffer
+    while True:
+        ms = idx.search(q, max_results=need, with_spans=False)
+        if len(ms.matches) < need:
+            return ms.matches  # retrieved every match
+        rounded = sorted((round(m.score, 6) for m in ms.matches),
+                         reverse=True)
+        if round(ms.matches[-1].score, 6) < rounded[k - 1]:
+            return ms.matches  # tie group at rank K fully retrieved
+        need *= 4
+
+
 def fulltext_topk_simple(sf_dir: str) -> pa.Table:
     """The FLAGSHIP ENGINE under the SQL value-hash gate: build a real
     on-disk index (docs catalog, bucket hash-shuffle, varint posting
@@ -852,8 +875,7 @@ def fulltext_topk_simple(sf_dir: str) -> pa.Table:
     idx = BM25Index(d)
     out_q, out_d, out_s = [], [], []
     for q in FT_SIMPLE_QUERIES:
-        ms = idx.search(q, max_results=FT_SIMPLE_K + 50, with_spans=False)
-        for m in ms.matches:
+        for m in _retrieve_tie_complete(idx, q, FT_SIMPLE_K):
             out_q.append(q)
             out_d.append(m.doc_id)
             out_s.append(round(m.score, 6))
@@ -1509,23 +1531,7 @@ def fulltext_topk(sf_dir: str) -> pa.Table:
     idx = BM25Index(d)
     out_q, out_d, out_s = [], [], []
     for q in FT_EN_QUERIES:
-        # Retrieval is by EXACT score; ranking below is by 6-dp-ROUNDED
-        # score with doc_id tie-break.  Grow the retrieved set until the
-        # rounded score of the LAST retrieved match is strictly below
-        # the rounded k-th score — then no unretrieved doc (exact score
-        # <= last's, rounding monotone) can belong to the top-K tie
-        # group, so the cutoff cannot orphan a lower-doc_id tie member.
-        need = FT_EN_K + 50
-        while True:
-            ms = idx.search(q, max_results=need, with_spans=False)
-            if len(ms.matches) < need:
-                break  # retrieved every match
-            rounded = sorted((round(m.score, 6) for m in ms.matches),
-                             reverse=True)
-            if round(ms.matches[-1].score, 6) < rounded[FT_EN_K - 1]:
-                break  # tie group at rank K fully retrieved
-            need *= 4
-        for m in ms.matches:
+        for m in _retrieve_tie_complete(idx, q, FT_EN_K):
             out_q.append(q)
             out_d.append(m.doc_id)
             out_s.append(round(m.score, 6))
@@ -1619,127 +1625,97 @@ KNN_N_PROBE = 4
 def knn_label_accuracy(sf_dir: str) -> pa.Table:
     """Leave-one-out 1-NN label accuracy over the labeled embeddings —
     the data-quality probe for a labeled corpus — via the PERSISTED IVF
-    bucket layout (pipelines/similarity.py), with no whole-corpus
-    materialization anywhere:
+    cluster-partitioned layout (pipelines/similarity.py), with no
+    whole-corpus materialization anywhere and NO per-call shuffle:
 
-    1. centroids: deterministic k-means on a fixed sample (a model, not
-       data — shared with the SQL oracle, the ann_ivf precedent);
-    2. one pass assigns every vector its cluster and persists the
-       cluster-partitioned parquet layout (vec_id, embedding, label);
-    3. ONE narrow shuffle groups vectors by their ASSIGNED cluster
-       (1 row per vector, no fan-out); each cluster task reads the
-       persisted partitions its vectors probe (≤ n_clusters reads,
-       cached per task), scores every vector against the CONCATENATED
-       members of its own probe set (block matmul, 9-dp-rounded sims,
-       global lowest-vec_id tie-break, self excluded) and finishes the
-       1-NN argmax LOCALLY — no per-vector reduce shuffle, no packed
-       keys;
-    4. tasks emit per-label (n, n_correct) partials; a label-count-
+    1. centroids + layout come from ``ivf_layout_cached`` — built AT
+       MOST ONCE per input fingerprint (atomic tmp+rename, shared
+       across calls AND processes; the ann_ivf precedent).  The layout
+       already holds every vector partitioned by its assigned cluster
+       (vec_id, embedding, label), so the one shuffle this operator
+       ever needs happened at layout-build time;
+    2. the score pass is a single Ray job over PARTITION IDS: each task
+       reads one partition's members as its query set, recomputes probe
+       rankings from the broadcast centroids (first probe == own
+       partition by construction — np.argmax in the layout builder and
+       the stable argsort here agree on first-max), reads the ≤
+       n_clusters partitions its queries probe (cached per task,
+       threaded opens), scores every query against the CONCATENATED
+       probed members (block matmul, 9-dp-rounded sims, global
+       lowest-vec_id tie-break, self excluded) and finishes the 1-NN
+       argmax LOCALLY;
+    3. tasks emit per-label (n, n_correct) partials; a label-count-
        sized groupby finishes.
 
-    Driver + object store hold O(centroids) only; the shuffle moves
-    each vector ONCE.  Scale knob: n_clusters grows with N so per-task
-    member reads (≈ n_probe/n_clusters of the corpus) stay bounded.
-    The oracle recomputes assignment, probing, candidate sims and the
-    (sim desc, vec_id asc) argmax independently in DuckDB from the
-    inlined centroid literals."""
+    Driver + object store hold O(centroids) only; per-call data motion
+    is partition reads, zero all-to-all.  Scale knob: n_clusters grows
+    with N so per-task member reads (≈ n_probe/n_clusters of the
+    corpus) stay bounded.  The oracle recomputes assignment, probing,
+    candidate sims and the (sim desc, vec_id asc) argmax independently
+    in DuckDB from the inlined centroid literals."""
     import os
-    import shutil
 
     import pyarrow.parquet as pq
 
-    from ..functions.tables import read_parquet_nometa
-    from .similarity import (
-        _embed_matrix,
-        build_partitioned_embeddings,
-        ivf_centroids,
+    from .similarity import _embed_matrix, ivf_layout_cached
+
+    cents, parts_dir = ivf_layout_cached(
+        sf_dir, n_clusters=KNN_N_CLUSTERS, exclude_below=0,
+        extra_cols=("label",),
     )
-
-    cents = ivf_centroids(sf_dir, num_queries=0, n_clusters=KNN_N_CLUSTERS)
     dim = cents.shape[1]
-    work = spill_dir(prefix="knn_ivf_")
-    parts_dir = f"{work}/parts"
-    try:
-        build_partitioned_embeddings(
-            sf_dir, parts_dir, mode="ivf", params=cents, dim=dim,
-            exclude_below=0, extra_cols=("label",),
-        )
-        cents_ref = ray.put(cents)
+    cents_ref = ray.put(cents)
+    have_parts = [p for p in range(KNN_N_CLUSTERS)
+                  if os.path.isdir(f"{parts_dir}/part={p}")]
 
-        def assign_probes(t: pa.Table) -> pa.Table:
-            cents_ = ray.get(cents_ref)
-            ids = t["vec_id"].to_numpy().astype(np.int64)
-            m = _embed_matrix(t["embedding"], dim)
-            dots = m @ cents_.T  # scaling-invariant probe ranking
+    def score_parts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "label": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "n_correct": pa.array([], type=pa.int64()),
+        })
+        cents_ = ray.get(cents_ref)
+        part_cache: dict[int, tuple | None] = {}
+
+        def load_part(p: int):
+            got = part_cache.get(p, -1)
+            if got != -1:
+                return got
+            pdir = f"{parts_dir}/part={p}"
+            if not os.path.isdir(pdir):
+                part_cache[p] = None
+                return None
+            mt = pq.read_table(
+                pdir, columns=["vec_id", "embedding", "label"],
+                use_threads=False)
+            if mt.num_rows == 0:
+                part_cache[p] = None
+                return None
+            mids = mt["vec_id"].to_numpy().astype(np.int64)
+            mlab = mt["label"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            mm = _embed_matrix(mt["embedding"], dim)
+            part_cache[p] = (mids, mlab, mm)
+            return part_cache[p]
+
+        own_all = []
+        pred_all = []
+        for part in batch["part"].to_pylist():
+            own = load_part(int(part))
+            if own is None:
+                continue
+            qids, qlab, qm = own
+            qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+            dots = qm @ cents_.T  # scaling-invariant probe ranking
             # stable argsort of -dots: ties break toward the lower
             # cluster id — ORDER BY dot DESC, c ASC (oracle-matched);
-            # column 0 is the assignment (first-max argmax)
-            order = np.argsort(-dots, axis=1,
-                               kind="stable")[:, :KNN_N_PROBE]
-            probes = pa.FixedSizeListArray.from_arrays(
-                pa.array(order.ravel().astype(np.int32),
-                         type=pa.int32()), KNN_N_PROBE)
-            return pa.table({
-                "part": pa.array(order[:, 0].astype(np.int64),
-                                 type=pa.int64()),
-                "vec_id": pa.array(ids, type=pa.int64()),
-                "label": (t["label"].combine_chunks()
-                          if isinstance(t["label"], pa.ChunkedArray)
-                          else t["label"]).cast(pa.int64()),
-                "probes": probes,
-                "embedding": (t["embedding"].combine_chunks()
-                              if isinstance(t["embedding"],
-                                            pa.ChunkedArray)
-                              else t["embedding"]),
-            })
-
-        def score_group(g: pa.Table) -> pa.Table:
-            empty = pa.table({
-                "label": pa.array([], type=pa.int64()),
-                "n": pa.array([], type=pa.int64()),
-                "n_correct": pa.array([], type=pa.int64()),
-            })
-            if g.num_rows == 0:
-                return empty
-            part_cache: dict[int, tuple | None] = {}
-
-            def load_part(p: int):
-                got = part_cache.get(p, -1)
-                if got != -1:
-                    return got
-                pdir = f"{parts_dir}/part={p}"
-                if not os.path.isdir(pdir):
-                    part_cache[p] = None
-                    return None
-                mt = pq.read_table(
-                    pdir, columns=["vec_id", "embedding", "label"],
-                    use_threads=False)
-                if mt.num_rows == 0:
-                    part_cache[p] = None
-                    return None
-                mids = mt["vec_id"].to_numpy().astype(np.int64)
-                mlab = mt["label"].to_numpy(zero_copy_only=False) \
-                    .astype(np.int64)
-                mm = _embed_matrix(mt["embedding"], dim)
-                part_cache[p] = (mids, mlab, mm)
-                return part_cache[p]
-
-            qids = g["vec_id"].to_numpy().astype(np.int64)
-            qlab = g["label"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            qm = _embed_matrix(g["embedding"], dim)
-            qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-            probes = np.asarray(
-                g["probes"].combine_chunks().flatten()
-                if isinstance(g["probes"], pa.ChunkedArray)
-                else g["probes"].flatten(),
-                dtype=np.int64).reshape(-1, KNN_N_PROBE)
-            own_all = []
-            pred_all = []
+            # column 0 is the assignment (== this partition)
+            probes = np.argsort(-dots, axis=1,
+                                kind="stable")[:, :KNN_N_PROBE]
             # vectors sharing a probe SET score as one block matmul
             uniq_sets, inv_sets = np.unique(probes, axis=0,
                                             return_inverse=True)
-            # pre-load every part this group probes, threaded (parquet
+            # pre-load every part this task probes, threaded (parquet
             # reads release the GIL; sequential opens dominate the task
             # wall at gate scale)
             need = sorted({int(p) for p in np.unique(uniq_sets)})
@@ -1777,35 +1753,29 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
                     nn_pos = (sims >= best[:, None]).argmax(axis=1)
                     own_all.append(qlab[rows][valid])
                     pred_all.append(mlab[nn_pos[valid]])
-            if not own_all:
-                return empty
-            own = np.concatenate(own_all)
-            pred = np.concatenate(pred_all)
-            uniq, inv = np.unique(own, return_inverse=True)
-            n = uniq.size
-            return pa.table({
-                "label": pa.array(uniq.astype(np.int64)),
-                "n": pa.array(np.bincount(inv, minlength=n)
-                              .astype(np.int64)),
-                "n_correct": pa.array(_group_sum(
-                    inv, (pred == own).astype(np.int64), n)),
-            })
+        if not own_all:
+            return empty
+        own = np.concatenate(own_all)
+        pred = np.concatenate(pred_all)
+        uniq, inv = np.unique(own, return_inverse=True)
+        n = uniq.size
+        return pa.table({
+            "label": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=n)
+                          .astype(np.int64)),
+            "n_correct": pa.array(_group_sum(
+                inv, (pred == own).astype(np.int64), n)),
+        })
 
-        out = (
-            read_parquet_nometa(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding", "label"])
-            .map_batches(assign_probes, batch_format="pyarrow",
-                         batch_size=2048)
-            .groupby("part")
-            .map_groups(score_group, batch_format="pyarrow")
-            .groupby("label")
-            .aggregate(Sum("n", alias_name="n"),
-                       Sum("n_correct", alias_name="n_correct"))
-            .to_pandas()
-            .sort_values("label")
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    out = (
+        rd.from_items([{"part": p} for p in have_parts])
+        .map_batches(score_parts, batch_format="pyarrow", batch_size=1)
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("n_correct", alias_name="n_correct"))
+        .to_pandas()
+        .sort_values("label")
+    )
     return pa.table({
         "label": pa.array(out["label"].astype("int64").tolist(),
                           type=pa.int64()),
