@@ -572,9 +572,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_chunks": f"""
             WITH d AS (
+              -- k = 1 + ceil((len-size)/stride) for len > size, else 1:
+              -- no trailing window fully contained in its predecessor
               SELECT doc_id, text,
-                     (length(text) + {q.CHUNK_STRIDE} - 1)
-                         // {q.CHUNK_STRIDE} AS k
+                     (CASE WHEN length(text) <= {q.CHUNK_SIZE} THEN 1
+                           ELSE 1 + (length(text) - {q.CHUNK_SIZE}
+                                     + {q.CHUNK_STRIDE} - 1)
+                                    // {q.CHUNK_STRIDE} END) AS k
               FROM documents WHERE length(text) > 0
             ), ks AS (
               SELECT unnest(range(0, (SELECT max(k) FROM d))) AS c

@@ -372,6 +372,7 @@ def _decode_avi_inner(payload: bytes) -> tuple[np.ndarray, int]:
     data = payload[12:8 + riff_size]
     w = h = None
     compression = None
+    bottom_up = True
     fps = 0
     frames: list[np.ndarray] = []
     for cid, body in _riff_children(data):
@@ -394,7 +395,11 @@ def _decode_avi_inner(payload: bytes) -> tuple[np.ndarray, int]:
                             if bits != 24:
                                 raise MediaDecodeError(
                                     f"unsupported bit depth {bits}")
+                            # biHeight sign is semantic (BITMAPINFOHEADER):
+                            # positive = bottom-up rows, negative =
+                            # top-down — only the bottom-up case flips
                             w, h = int(bw), abs(int(bh))
+                            bottom_up = int(bh) > 0
         elif kind == b"movi":
             if w is None or compression is None:
                 raise MediaDecodeError("movi before stream headers")
@@ -419,7 +424,10 @@ def _decode_avi_inner(payload: bytes) -> tuple[np.ndarray, int]:
                     buf = np.frombuffer(body2[:stride * h],
                                         dtype=np.uint8).reshape(h, stride)
                     bgr = buf[:, :w * 3].reshape(h, w, 3)
-                    frames.append(bgr[::-1, :, ::-1].copy())
+                    rgb = bgr[:, :, ::-1]
+                    if bottom_up:
+                        rgb = rgb[::-1]
+                    frames.append(rgb.copy())
                 else:
                     raise MediaDecodeError(
                         f"unsupported AVI codec {compression!r}")

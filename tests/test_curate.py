@@ -62,7 +62,13 @@ def test_curated_chunks_matches_reference(ray_session):
         if not _sample_mask(np.asarray([d]), rate)[0]:
             continue
         n = len(tx or "")
-        k = (n + CURATE_CHUNK_STRIDE - 1) // CURATE_CHUNK_STRIDE if n else 0
+        # no trailing window fully contained in its predecessor
+        if n == 0:
+            k = 0
+        elif n <= CURATE_CHUNK_SIZE:
+            k = 1
+        else:
+            k = 1 + -(-(n - CURATE_CHUNK_SIZE) // CURATE_CHUNK_STRIDE)
         for c in range(k):
             expect.append((int(d), la, c,
                            tx[c * CURATE_CHUNK_STRIDE:

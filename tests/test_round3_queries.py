@@ -38,9 +38,18 @@ def test_doc_chunks(ray_session):
                          columns=["doc_id", "text"]).to_pandas()
     texts = dict(zip(docs["doc_id"], docs["text"]))
     n_expected = sum(
-        (len(t) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        1 if len(t) <= CHUNK_SIZE
+        else 1 + -(-(len(t) - CHUNK_SIZE) // CHUNK_STRIDE)
         for t in texts.values() if t)
     assert len(out) == n_expected
+    # the non-redundancy invariant: each doc's last chunk must add new
+    # tail text (its window is not contained in the previous chunk's)
+    last = out.sort_values(["doc_id", "chunk_id"]).groupby("doc_id").tail(1)
+    for _, row in last.iterrows():
+        if row["chunk_id"] == 0:
+            continue
+        prev_end = (int(row["chunk_id"]) - 1) * CHUNK_STRIDE + CHUNK_SIZE
+        assert prev_end < len(texts[row["doc_id"]])
     # spot-check chunk payloads against direct slicing
     rng = np.random.RandomState(0)
     for _, row in out.sample(25, random_state=rng).iterrows():
@@ -61,6 +70,24 @@ def test_tfidf_topk(ray_session):
     for _, g in list(t.groupby("doc_id"))[:30]:
         sc = g.sort_values("rank")["score"].tolist()
         assert sc == sorted(sc, reverse=True)
+
+
+def test_tfidf_topk_bucket_count_invariant(ray_session):
+    """The bucket count is a layout knob, never a semantics knob: the
+    result must be identical at two counts, and the auto-derived count
+    must floor at 16 on small inputs (round-4 verdict item 5)."""
+    from pdfsearch_ray.pipelines.queries import (
+        _tfidf_num_buckets,
+        tfidf_topk,
+    )
+
+    key = ["doc_id", "rank"]
+    a = tfidf_topk(SF, num_buckets=4).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = tfidf_topk(SF, num_buckets=32).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert _tfidf_num_buckets(SF) == 16  # sf0.001 is far below target
 
 
 def test_event_props_stats(ray_session):

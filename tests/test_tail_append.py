@@ -152,3 +152,29 @@ def test_tail_append_compact_every(ray_session, tmp_path):
     finally:
         for a in pool:
             ray.kill(a)
+
+
+def test_tail_append_idle_flushes_residual_batch(ray_session, tmp_path):
+    """A pending batch smaller than min_files is flushed when the idle
+    deadline arrives instead of being stranded (round-4 advice item)."""
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.build import build_index, tail_append
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    t = pq.read_table(SRC)
+    cut = int(t.num_rows * 0.8)
+    d = str(tmp_path / "idx")
+    watch = str(tmp_path / "deltas")
+    os.makedirs(watch)
+    build_index(rd.from_arrow(t.slice(0, cut)), d, analyzer="en",
+                num_buckets=8, lang_col="lang")
+    n0 = BM25Index(d).manifest.n_docs
+
+    # ONE delta file with min_files=3: never reaches the batch floor,
+    # must still commit at the idle deadline
+    _write_delta(watch, t.slice(cut), "delta-001.parquet")
+    out = tail_append(d, watch, poll_sec=0.05, idle_exit_sec=0.3,
+                      min_files=3, lang_col="lang")
+    assert out["commits"] == 1 and out["n_added"] > 0
+    assert BM25Index(d).manifest.n_docs > n0

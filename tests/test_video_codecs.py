@@ -235,3 +235,27 @@ def test_jpeg_dimension_sweep():
         g = img[:, :, 0]
         outg = decode_jpeg(encode_jpeg(g, quality=92))
         assert outg.shape == (h, w, 3), (h, w)
+
+
+def test_avi_dib_topdown_negative_height():
+    """A negative biHeight (top-down DIB, legal per BITMAPINFOHEADER)
+    must decode with rows in stored order — the same file with only the
+    height sign flipped decodes as the vertical mirror (round-4 advice:
+    abs()+unconditional flip inverted top-down AVIs)."""
+    import struct
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (2, 6, 8, 3), dtype=np.uint8)
+    avi = encode_avi(frames, fps=10, codec="DIB ")
+    pos, _ = decode_avi(avi)
+
+    i = avi.index(b"strf")
+    # strf chunk: 4 cid + 4 size, BITMAPINFOHEADER body; biHeight at +8
+    off = i + 8 + 8
+    (bh,) = struct.unpack_from("<i", avi, off)
+    assert bh > 0
+    neg = bytearray(avi)
+    struct.pack_into("<i", neg, off, -bh)
+    top_down, _ = decode_avi(bytes(neg))
+    assert top_down.shape == pos.shape
+    assert (top_down == pos[:, ::-1]).all()
