@@ -98,6 +98,19 @@ def _ft_simple_k():
     return FT_SIMPLE_K
 
 
+def _unit_topk_oracle():
+    from pdfsearch_ray.pipelines import oracles as _oracles
+    from pdfsearch_ray.pipelines.queries import (
+        UNIT_K,
+        UNIT_QUERIES,
+        UNIT_SIZE,
+        UNIT_STRIDE,
+    )
+
+    return _oracles.unit_topk_sql(UNIT_QUERIES, size=UNIT_SIZE,
+                                  stride=UNIT_STRIDE, k=UNIT_K)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdfsearch_ray.pipelines import queries as q
 
@@ -112,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q.ann_cosine_topk,
         "fulltext_topk": q.fulltext_topk,
         "fulltext_topk_simple": q.fulltext_topk_simple,
+        "unit_topk": q.unit_topk,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -357,6 +371,10 @@ def oracle_sql() -> dict[str, str]:
         # under the hash gate: DuckDB recomputes BM25 from raw text
         "fulltext_topk_simple": _oracles.fulltext_simple_sql(
             _ft_simple_queries(), k=_ft_simple_k()),
+        # N:1 unit-per-document engine path (round 5): doc→unit fan-out,
+        # composite IDs and unit-granularity BM25 all recomputed by
+        # DuckDB from raw text
+        "unit_topk": _unit_topk_oracle(),
         # money sums are EXACT integer cents (and cent×percent units
         # for discounted revenue): the 2-decimal source data makes the
         # aggregation order-independent and rounding-mode-free, so the

@@ -634,6 +634,71 @@ def fulltext_simple_sql(queries, *, k: int = 10,
                              + " ORDER BY query, rank")
 
 
+def unit_topk_sql(queries, *, size: int, stride: int, k: int = 10,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """End-to-end oracle for the N:1 unit gate
+    (pipelines/queries.py:unit_topk): DuckDB recomputes the doc→unit
+    chunking (same no-redundant-tail window rule as doc_chunks), the
+    composite ID arithmetic ``doc_id * 2^32 + unit_idx``, and the full
+    simple-analyzer BM25 over UNITS — stats (N, avgdl), idf and tf
+    normalization all at unit granularity, independently of the index
+    codec."""
+    from ..analysis.analyzer import analyze_simple
+
+    U = 1 << 32
+    parts = [f"""WITH src AS (
+        SELECT doc_id, text,
+               (CASE WHEN length(text) <= {size} THEN 1
+                     ELSE 1 + (length(text) - {size} + {stride} - 1)
+                              // {stride} END) AS kk
+        FROM documents WHERE length(text) > 0
+    ),
+    ks AS (SELECT unnest(range(0, (SELECT max(kk) FROM src))) AS c),
+    units AS (
+        SELECT src.doc_id * {U} + ks.c AS unit_id,
+               substr(src.text, ks.c * {stride} + 1, {size}) AS text
+        FROM src JOIN ks ON ks.c < src.kk
+    ),
+    toks AS (SELECT unit_id, unnest(regexp_split_to_array(
+        lower(text), '[^a-z0-9]+')) AS term FROM units),
+    tok AS (SELECT * FROM toks WHERE term <> ''),
+    dl AS (SELECT unit_id, count(*) AS dl FROM tok GROUP BY unit_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)"""]
+    selects = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),
+        tfs{qi} AS (
+            SELECT t.unit_id, t.term, count(*) AS tf
+            FROM tok t JOIN q{qi} USING (term) GROUP BY t.unit_id, t.term
+        ),
+        dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+        sc{qi} AS (
+            SELECT tfs{qi}.unit_id,
+                   sum(ln(1 + (stats.n - dfs{qi}.df + 0.5) / (dfs{qi}.df + 0.5))
+                       * tfs{qi}.tf / (tfs{qi}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                   ) AS s
+            FROM tfs{qi}
+            CROSS JOIN stats
+            JOIN dfs{qi} ON tfs{qi}.term = dfs{qi}.term
+            JOIN dl ON tfs{qi}.unit_id = dl.unit_id
+            GROUP BY tfs{qi}.unit_id
+        )""")
+        selects.append(f"""
+        SELECT query, unit_id // {U} AS doc_id, unit_id % {U} AS unit_idx,
+               score, rank
+        FROM (
+            SELECT '{_sq(q)}' AS query, unit_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, unit_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
 def sample_sql(*, rate: float, mod: int = 1 << 16) -> str:
     """Deterministic corpus sampling oracle: DuckDB reproduces the
     engine's splitmix64 finalizer (functions/hashing.py:mix64) bit-for-

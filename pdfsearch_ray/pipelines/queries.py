@@ -894,6 +894,56 @@ def fulltext_topk_simple(sf_dir: str) -> pa.Table:
     })
 
 
+UNIT_QUERIES = FT_SIMPLE_QUERIES
+UNIT_K = 10
+UNIT_SIZE = 400
+UNIT_STRIDE = 300
+
+
+def unit_topk(sf_dir: str) -> pa.Table:
+    """N:1 unit-per-document fulltext gate (round 5): every document
+    fans into chunk UNITS (pipelines/units.py — the reference's
+    page-per-PDF shape, composite ID ``(doc_idx << 32) | unit_idx``,
+    bleve_pdf.go:57), the regular build → TAAT query path runs at unit
+    granularity, and hits decode back to (doc_id, unit_idx).  The
+    oracle recomputes the chunking AND end-to-end BM25 over the units
+    in DuckDB, so the composite-ID arithmetic, the 1→N fan-out and the
+    whole index path are all under the driver's value hash.  Rank ties
+    are handled exactly as the other fulltext gates
+    (_retrieve_tie_complete + 6-dp rounded re-rank)."""
+    from .build import build_index
+    from .query import BM25Index
+    from .units import chunk_units, split_unit_id
+
+    d = spill_dir(prefix="ft_units_")
+    units = chunk_units(f"{sf_dir}/documents.parquet",
+                        size=UNIT_SIZE, stride=UNIT_STRIDE)
+    build_index(units, d, analyzer="simple", id_col="unit_id",
+                lang_col="lang", num_buckets=16, sample_rate=1.0)
+    idx = BM25Index(d)
+    out_q, out_u, out_s = [], [], []
+    for q in UNIT_QUERIES:
+        for m in _retrieve_tie_complete(idx, q, UNIT_K):
+            out_q.append(q)
+            out_u.append(m.doc_id)
+            out_s.append(round(m.score, 6))
+    import pandas as pd
+
+    df = pd.DataFrame({"query": out_q, "unit_id": out_u, "score": out_s})
+    df = df.sort_values(["query", "score", "unit_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query", sort=True).cumcount() + 1
+    df = df[df["rank"] <= UNIT_K]
+    split = [split_unit_id(u) for u in df["unit_id"]]
+    return pa.table({
+        "query": pa.array(df["query"].tolist(), type=pa.string()),
+        "doc_id": pa.array([s[0] for s in split], type=pa.int64()),
+        "unit_idx": pa.array([s[1] for s in split], type=pa.int64()),
+        "score": pa.array(df["score"].tolist(), type=pa.float64()),
+        "rank": pa.array(df["rank"].tolist(), type=pa.int64()),
+    })
+
+
 def media_inventory(sf_dir: str) -> rd.Dataset:
     """SQL-checkable projection of the multimodal plumbing: the same
     synth → FrameSampler stages as media_features, but returning only
