@@ -1874,21 +1874,16 @@ def source_mix(sf_dir: str) -> pa.Table:
     from ..functions.tables import read_parquet_nometa
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({
-            "source": t["source"].to_pylist(),
-            "lang": t["lang"].to_pylist(),
-            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby(["source", "lang"], sort=False).agg(
-            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
-        g = g.reset_index()
+        # arrow-native combiner: hash group_by on the batch, zero
+        # Python-object materialization of the string columns
+        g = (t.select(["source", "lang", "n_chars"])
+             .group_by(["source", "lang"])
+             .aggregate([("n_chars", "count"), ("n_chars", "sum")]))
         return pa.table({
-            "source": pa.array(g["source"].tolist(), type=pa.string()),
-            "lang": pa.array(g["lang"].tolist(), type=pa.string()),
-            "n_docs": pa.array(g["n_docs"].astype("int64")),
-            "total_chars": pa.array(g["total_chars"].astype("int64")),
+            "source": g["source"],
+            "lang": g["lang"],
+            "n_docs": g["n_chars_count"].cast(pa.int64()),
+            "total_chars": g["n_chars_sum"].cast(pa.int64()),
         })
 
     agg = (
