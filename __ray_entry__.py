@@ -98,6 +98,12 @@ def _ft_simple_k():
     return FT_SIMPLE_K
 
 
+def _webops():
+    from pdfsearch_ray.pipelines import webops
+
+    return webops
+
+
 def _unit_topk_oracle():
     from pdfsearch_ray.pipelines import oracles as _oracles
     from pdfsearch_ray.pipelines.queries import (
@@ -126,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_topk": q.fulltext_topk,
         "fulltext_topk_simple": q.fulltext_topk_simple,
         "unit_topk": q.unit_topk,
+        "url_dedup": _webops().url_dedup,
+        "pii_scrub_stats": _webops().pii_scrub_stats,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -375,6 +383,10 @@ def oracle_sql() -> dict[str, str]:
         # composite IDs and unit-granularity BM25 all recomputed by
         # DuckDB from raw text
         "unit_topk": _unit_topk_oracle(),
+        # web-corpus curation ops (round 5): DuckDB recomputes the
+        # deterministic synth AND the string transforms independently
+        "url_dedup": _webops().url_dedup_sql(),
+        "pii_scrub_stats": _webops().pii_scrub_stats_sql(),
         # money sums are EXACT integer cents (and cent×percent units
         # for discounted revenue): the 2-decimal source data makes the
         # aggregation order-independent and rounding-mode-free, so the

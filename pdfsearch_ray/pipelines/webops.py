@@ -1,0 +1,260 @@
+"""Web-corpus curation operators (training-data addenda, round 5).
+
+Two operators every web-scale text pipeline runs before training and
+the reference (a filesystem corpus engine) never needed:
+
+* **URL canonicalization dedup** — crawl corpora carry the same page
+  under scheme/case/www/tracking-param variants; dedup must key on a
+  CANONICAL url.  ``canonicalize_urls`` is the reusable kernel
+  (vectorized pyarrow regex passes, fixpoint-bounded); ``url_dedup``
+  is the gate query: synthesize raw urls deterministically from doc_id
+  (the media_inventory precedent — the sf tables have no url column),
+  canonicalize, groupby canonical, keep ``min(doc_id)`` — the exact
+  winner rule of the content dedups.
+* **PII scrubbing** — redact emails/phones before training.
+  ``scrub_pii`` is the reusable kernel (count + replace via one
+  compiled-in-arrow regex per kind, zero Python per row);
+  ``pii_scrub_stats`` is the gate query over deterministically injected
+  PII (variable per-doc counts so the hash actually checks the
+  counting, not a constant).
+
+Scale shape: both are stateless per-batch transforms (no shuffle for
+scrub; one narrow groupby on the canonical-url key for the dedup —
+urls, never documents, move).  Both SQL oracles recompute the synth
+AND the string transforms independently in DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.tables import read_parquet_nometa
+
+# --------------------------------------------------------------- urls
+
+# tracking params dropped by canonicalization (the common subset of the
+# public tracking-param lists; extend per deployment)
+_TRACKING_RE = r"utm_[^&]*"
+
+
+def canonicalize_urls(urls: pa.Array | pa.ChunkedArray):
+    """Vectorized URL canonicalization: lowercase → strip scheme →
+    strip leading ``www.`` → drop tracking query params (fixpoint over
+    whole-column regex passes — at most max-params-per-url passes, each
+    vectorized) → drop empty ``?``/dangling ``&`` → strip one trailing
+    slash."""
+    u = pc.utf8_lower(urls)
+    u = pc.replace_substring_regex(u, r"^https?://", "")
+    u = pc.replace_substring_regex(u, r"^www\.", "")
+    # drop "utm_...&" (param followed by another) until fixpoint, then
+    # the trailing "utm_..." form
+    while True:
+        nxt = pc.replace_substring_regex(
+            u, r"([?&])" + _TRACKING_RE + r"&", "\\1")
+        if nxt.equals(u):
+            break
+        u = nxt
+    u = pc.replace_substring_regex(u, r"[?&]" + _TRACKING_RE + r"$", "")
+    u = pc.replace_substring_regex(u, r"\?$", "")
+    u = pc.replace_substring_regex(u, r"/$", "")
+    return u
+
+
+def _synth_urls(t: pa.Table) -> pa.Table:
+    """Deterministic raw-url synthesis from doc_id: ids {3k, 3k+1, 3k+2}
+    share host+path and differ only in case/scheme/www/tracking noise,
+    so canonicalization collapses them 3:1."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ids // 3
+    host = k % 50
+    variant = ids % 3
+    s = lambda a: pc.cast(pa.array(a), pa.string())  # noqa: E731
+    scheme = pa.array(np.where(variant == 0, "HTTPS://WWW.",
+                               np.where(variant == 1, "https://",
+                                        "http://www.")).tolist(),
+                      type=pa.string())
+    tail = pa.array(np.where(variant == 0, "/?utm_source=a&utm_medium=b",
+                             np.where(variant == 1, "?utm_campaign=c",
+                                      "/")).tolist(), type=pa.string())
+    url = pc.binary_join_element_wise(
+        scheme, "Ex", s(host), ".com/P/", s(k), tail, "")
+    return pa.table({"doc_id": t["doc_id"], "url": url})
+
+
+def url_dedup(sf_dir: str) -> pa.Table:
+    """Gate query: synth urls → canonicalize → groupby canonical →
+    (canonical_url, n_docs, winner_doc_id), sorted by url."""
+    from ray.data.aggregate import Count, Min
+
+    def prep(t: pa.Table) -> pa.Table:
+        st = _synth_urls(t)
+        return pa.table({
+            "doc_id": st["doc_id"],
+            "canonical_url": canonicalize_urls(st["url"]),
+        })
+
+    out = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("canonical_url")
+        .aggregate(Count(alias_name="n_docs"),
+                   Min("doc_id", alias_name="winner_doc_id"))
+        .to_pandas()
+        .sort_values("canonical_url")
+    )
+    return pa.table({
+        "canonical_url": pa.array(out["canonical_url"].tolist(),
+                                  type=pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "winner_doc_id": pa.array(
+            out["winner_doc_id"].astype("int64").tolist(),
+            type=pa.int64()),
+    })
+
+
+def url_dedup_sql() -> str:
+    """Oracle: DuckDB recomputes the synth AND the canonicalization
+    (lower / scheme / www / tracking-param / trailing-slash regex
+    passes) independently."""
+    return r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.'
+                        WHEN 1 THEN 'https://' ELSE 'http://www.' END)
+                   || 'Ex' || ((doc_id // 3) % 50) || '.com/P/'
+                   || (doc_id // 3)
+                   || (CASE doc_id % 3
+                        WHEN 0 THEN '/?utm_source=a&utm_medium=b'
+                        WHEN 1 THEN '?utm_campaign=c' ELSE '/' END)
+                   AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(lower(url),
+                               '^https?://', ''),
+                           '^www\.', ''),
+                           '([?&])utm_[^&]*&', '\1', 'g'),
+                           '([?&])utm_[^&]*&', '\1', 'g'),
+                           '[?&]utm_[^&]*$', ''),
+                           '\?$', ''),
+                           '/$', '') AS canonical_url
+            FROM synth
+        )
+        SELECT canonical_url, count(*) AS n_docs,
+               min(doc_id) AS winner_doc_id
+        FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """
+
+
+# ---------------------------------------------------------------- pii
+
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}",
+    "phone": r"\+1-\d{3}-\d{4}",
+}
+PII_TOKENS = {"email": "<EMAIL>", "phone": "<PHONE>"}
+
+
+def scrub_pii(texts: pa.Array | pa.ChunkedArray):
+    """Vectorized PII scrub: returns ``(scrubbed, counts)`` where
+    counts maps kind → int64 numpy array of per-row redactions.  One
+    arrow regex pass per kind — no Python per row."""
+    counts = {}
+    out = texts
+    for kind, pat in PII_PATTERNS.items():
+        counts[kind] = pc.count_substring_regex(out, pat) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pc.replace_substring_regex(out, pat, PII_TOKENS[kind])
+    return out, counts
+
+
+def _inject_pii(t: pa.Table) -> pa.Table:
+    """Deterministic PII injection (variable per-doc counts): email
+    unless doc_id%3==0, a second email when doc_id%5==0, phone unless
+    doc_id%4==0."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = lambda a: pc.cast(pa.array(a), pa.string())  # noqa: E731
+    email1 = pa.array(np.where(ids % 3 != 0, " contact ", "").tolist(),
+                      type=pa.string())
+    e1body = pc.binary_join_element_wise(
+        "user", s(ids), "@ex", s(ids % 7), ".com", "")
+    e1 = pc.if_else(pa.array(ids % 3 != 0),
+                    pc.binary_join_element_wise(email1, e1body, ""),
+                    pa.scalar("", type=pa.string()))
+    e2 = pc.if_else(pa.array(ids % 5 == 0),
+                    pc.binary_join_element_wise(
+                        pa.scalar(" cc admin", type=pa.string()),
+                        s(ids % 9), "@corp.org", ""),
+                    pa.scalar("", type=pa.string()))
+    ph = pc.if_else(pa.array(ids % 4 != 0),
+                    pc.binary_join_element_wise(
+                        pa.scalar(" call +1-555-", type=pa.string()),
+                        pc.utf8_lpad(s((ids * 7) % 10000), 4, "0"), ""),
+                    pa.scalar("", type=pa.string()))
+    txt = pc.binary_join_element_wise(t["text"], e1, e2, ph, "")
+    return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+
+def pii_scrub_stats(sf_dir: str) -> rd.Dataset:
+    """Gate query: inject → scrub → per-doc redaction stats
+    (doc_id, n_emails, n_phones, scrubbed_chars)."""
+
+    def run(t: pa.Table) -> pa.Table:
+        it = _inject_pii(t)
+        scrubbed, counts = scrub_pii(it["text"])
+        lens = pc.utf8_length(scrubbed).cast(pa.int64())
+        return pa.table({
+            "doc_id": it["doc_id"],
+            "n_emails": pa.array(counts["email"], type=pa.int64()),
+            "n_phones": pa.array(counts["phone"], type=pa.int64()),
+            "scrubbed_chars": lens,
+        })
+
+    return read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+def pii_scrub_stats_sql() -> str:
+    """Oracle: DuckDB reinjects and independently recounts/redacts with
+    its own regex engine."""
+    email = r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}"
+    phone = r"\+1-\d{3}-\d{4}"
+    return f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   text
+                   || (CASE WHEN doc_id % 3 <> 0
+                        THEN ' contact user' || doc_id || '@ex'
+                             || (doc_id % 7) || '.com' ELSE '' END)
+                   || (CASE WHEN doc_id % 5 = 0
+                        THEN ' cc admin' || (doc_id % 9) || '@corp.org'
+                        ELSE '' END)
+                   || (CASE WHEN doc_id % 4 <> 0
+                        THEN ' call +1-555-'
+                             || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR),
+                                     4, '0')
+                        ELSE '' END) AS text
+            FROM documents
+        ),
+        scrub AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{email}')) AS n_emails,
+                   regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+            FROM synth
+        )
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(t1, '{phone}')) AS n_phones,
+               length(regexp_replace(t1, '{phone}', '<PHONE>', 'g'))
+                   AS scrubbed_chars
+        FROM scrub
+    """

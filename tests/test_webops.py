@@ -1,0 +1,68 @@
+"""Web-corpus curation kernels (pipelines/webops.py, round 5):
+URL canonicalization edge cases, PII scrub idempotence, and the two
+gate queries against their DuckDB oracles at sf0.001."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from pdfsearch_ray.pipelines import webops as w
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_canonicalize_urls_cases():
+    raw = pa.array([
+        "HTTPS://WWW.Ex1.com/P/9/?utm_source=a&utm_medium=b",
+        "https://ex1.com/p/9?utm_campaign=c",
+        "http://www.ex1.com/p/9/",
+        # utm in the middle of real params must not eat them
+        "https://a.com/x?utm_source=s&id=7",
+        "https://a.com/x?id=7&utm_source=s",
+        # three consecutive tracking params (fixpoint > 2 passes)
+        "https://b.com/?utm_a=1&utm_b=2&utm_c=3",
+        "no-scheme.com/path",
+    ])
+    got = w.canonicalize_urls(raw).to_pylist()
+    assert got[:3] == ["ex1.com/p/9"] * 3
+    assert got[3] == "a.com/x?id=7"
+    assert got[4] == "a.com/x?id=7"
+    assert got[5] == "b.com"
+    assert got[6] == "no-scheme.com/path"
+
+
+def test_scrub_pii_kernel_and_idempotence():
+    texts = pa.array([
+        "mail bob.smith+x@corp.example.org now",
+        "call +1-555-0042 or +1-555-9999",
+        "clean text with at sign only a@b (no tld match)",
+        "",
+    ])
+    scrubbed, counts = w.scrub_pii(texts)
+    got = scrubbed.to_pylist()
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "call <PHONE> or <PHONE>"
+    assert counts["email"].tolist() == [1, 0, 0, 0]
+    assert counts["phone"].tolist() == [0, 2, 0, 0]
+    # idempotent: scrubbing scrubbed text changes nothing
+    again, c2 = w.scrub_pii(scrubbed)
+    assert again.to_pylist() == got
+    assert c2["email"].sum() == 0 and c2["phone"].sum() == 0
+
+
+def test_gate_queries_match_oracles(ray_session):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+
+    t = w.url_dedup(SF).to_pandas().reset_index(drop=True)
+    o = con.sql(w.url_dedup_sql()).df().reset_index(drop=True)
+    assert t["n_docs"].max() == 3  # the synth really makes dupe groups
+    assert t.equals(o.astype(t.dtypes.to_dict()))
+
+    p = (w.pii_scrub_stats(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    op = (con.sql(w.pii_scrub_stats_sql()).df()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert set(p["n_emails"]) == {0, 1, 2}  # variable counts, not const
+    assert p.equals(op.astype(p.dtypes.to_dict()))
