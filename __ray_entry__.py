@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unit_topk": q.unit_topk,
         "url_dedup": _webops().url_dedup,
         "pii_scrub_stats": _webops().pii_scrub_stats,
+        "decontaminate": _webops().decontaminate,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -387,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         # deterministic synth AND the string transforms independently
         "url_dedup": _webops().url_dedup_sql(),
         "pii_scrub_stats": _webops().pii_scrub_stats_sql(),
+        "decontaminate": _webops().decontaminate_sql(),
         # money sums are EXACT integer cents (and cent×percent units
         # for discounted revenue): the 2-decimal source data makes the
         # aggregation order-independent and rounding-mode-free, so the

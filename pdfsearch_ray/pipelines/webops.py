@@ -258,3 +258,149 @@ def pii_scrub_stats_sql() -> str:
                    AS scrubbed_chars
         FROM scrub
     """
+
+
+# ------------------------------------------------------- decontamination
+
+DECON_NGRAM = 8
+DECON_BENCH_MOD = 97   # benchmark set = doc_id % 97 == 0
+DECON_INJECT_MOD = 13  # training docs with doc_id % 13 == 0 get planted
+DECON_INJECT_WORDS = 12
+
+
+def decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (the eval-leak gate every LLM training
+    pipeline runs): flag training documents sharing any word 8-gram
+    with the benchmark set.
+
+    Scale shape — the canonical decontamination asymmetry: the
+    benchmark side is SMALL (eval sets are thousands of docs), so its
+    shingle set is collected once on the driver (O(benchmark)) and
+    BROADCAST via ``ray.put``; the training corpus streams through one
+    ``map_batches`` membership pass — no shuffle, no join.  Contrast
+    with dedup (both sides huge → bucketed shuffles, pipelines/dedup).
+
+    Gate determinism: benchmark = docs with ``doc_id % 97 == 0``;
+    training docs with ``doc_id % 13 == 0`` get the first 12 words of a
+    benchmark doc planted (so the hash checks real hits, not all
+    zeros).  The oracle recomputes the plant, the 8-gram windows (via
+    lead()) and the membership join independently in DuckDB."""
+    import ray
+
+    bench = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        .filter(lambda r: r["doc_id"] % DECON_BENCH_MOD == 0)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    shingles: set[str] = set()
+    prefixes: dict[int, str] = {}
+    for bid, text in zip(bench["doc_id"], bench["text"]):
+        words = (text or "").split(" ")
+        prefixes[int(bid)] = " ".join(words[:DECON_INJECT_WORDS])
+        for i in range(len(words) - DECON_NGRAM + 1):
+            shingles.add(" ".join(words[i:i + DECON_NGRAM]))
+    n_bench = len(prefixes)
+    ref = ray.put((frozenset(shingles), prefixes, n_bench))
+
+    def flag(t: pa.Table) -> pa.Table:
+        sset, pref, nb = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % DECON_BENCH_MOD != 0
+        out_id, out_n = [], []
+        for did, text in zip(ids[keep],
+                             pc.take(t["text"], pa.array(
+                                 np.nonzero(keep)[0])).to_pylist()):
+            did = int(did)
+            if did % DECON_INJECT_MOD == 0 and nb:
+                text = (text or "") + " " + \
+                    pref[DECON_BENCH_MOD * (did % nb)]
+            words = (text or "").split(" ")
+            n = 0
+            for i in range(len(words) - DECON_NGRAM + 1):
+                if " ".join(words[i:i + DECON_NGRAM]) in sset:
+                    n += 1
+            out_id.append(did)
+            out_n.append(n)
+        return pa.table({
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "n_contaminated": pa.array(out_n, type=pa.int64()),
+            "contaminated": pa.array([int(x > 0) for x in out_n],
+                                     type=pa.int64()),
+        })
+
+    out = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        .map_batches(flag, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "n_contaminated": pa.array(
+            out["n_contaminated"].astype("int64").tolist(),
+            type=pa.int64()),
+        "contaminated": pa.array(
+            out["contaminated"].astype("int64").tolist(),
+            type=pa.int64()),
+    })
+
+
+def decontaminate_sql() -> str:
+    """Oracle: DuckDB rebuilds the benchmark shingle set (lead()
+    windows), replants the injected prefixes and recounts membership."""
+    g = DECON_NGRAM
+    leads = " || ' ' || ".join(
+        f"lead(w, {j}) OVER win" for j in range(1, g))
+    return f"""
+        WITH bench AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % {DECON_BENCH_MOD} = 0
+        ),
+        nb AS (SELECT count(*) AS n FROM bench),
+        train AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % {DECON_INJECT_MOD} = 0
+                             AND (SELECT n FROM nb) > 0
+                        THEN d.text || ' ' || array_to_string(
+                            list_slice(string_split(b.text, ' '),
+                                       1, {DECON_INJECT_WORDS}), ' ')
+                        ELSE d.text END AS text
+            FROM documents d
+            LEFT JOIN bench b ON b.doc_id =
+                {DECON_BENCH_MOD} * (d.doc_id % (SELECT n FROM nb))
+            WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+        ),
+        bw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM bench
+        ),
+        bg AS (
+            SELECT DISTINCT g FROM (
+                SELECT w || ' ' || {leads} AS g
+                FROM bw WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ) WHERE g IS NOT NULL
+        ),
+        tw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM train
+        ),
+        tg AS (
+            SELECT doc_id, w || ' ' || {leads} AS g
+            FROM tw WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        hits AS (
+            SELECT tg.doc_id, count(bg.g) AS n
+            FROM tg LEFT JOIN bg ON tg.g = bg.g
+            GROUP BY tg.doc_id
+        )
+        SELECT tr.doc_id, coalesce(h.n, 0) AS n_contaminated,
+               CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS contaminated
+        FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+        ORDER BY tr.doc_id
+    """

@@ -66,3 +66,19 @@ def test_gate_queries_match_oracles(ray_session):
           .sort_values("doc_id").reset_index(drop=True))
     assert set(p["n_emails"]) == {0, 1, 2}  # variable counts, not const
     assert p.equals(op.astype(p.dtypes.to_dict()))
+
+
+def test_decontaminate_matches_oracle_and_plants_hits(ray_session):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    t = w.decontaminate(SF).to_pandas().reset_index(drop=True)
+    o = con.sql(w.decontaminate_sql()).df().reset_index(drop=True)
+    assert t.equals(o.astype(t.dtypes.to_dict()))
+    # planted docs are flagged; the vast majority of training docs are
+    # clean (word-salad text has no accidental 8-gram overlap)
+    assert (t["contaminated"] == 1).sum() > 0
+    assert (t["contaminated"] == 0).sum() > len(t) * 0.8
+    planted = t[t["doc_id"] % w.DECON_INJECT_MOD == 0]
+    assert (planted["n_contaminated"] >= w.DECON_INJECT_WORDS
+            - w.DECON_NGRAM + 1).all()
