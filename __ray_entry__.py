@@ -104,6 +104,12 @@ def _webops():
     return webops
 
 
+def _sketches():
+    from pdfsearch_ray.pipelines import sketches
+
+    return sketches
+
+
 def _unit_topk_oracle():
     from pdfsearch_ray.pipelines import oracles as _oracles
     from pdfsearch_ray.pipelines.queries import (
@@ -135,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _webops().url_dedup,
         "pii_scrub_stats": _webops().pii_scrub_stats,
         "decontaminate": _webops().decontaminate,
+        "vocab_hll_sketch": _sketches().vocab_hll_sketch,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -389,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _webops().url_dedup_sql(),
         "pii_scrub_stats": _webops().pii_scrub_stats_sql(),
         "decontaminate": _webops().decontaminate_sql(),
+        # distributed HLL: the full integer sketch state under the gate
+        "vocab_hll_sketch": _sketches().vocab_hll_sketch_sql(),
         # money sums are EXACT integer cents (and cent×percent units
         # for discounted revenue): the 2-decimal source data makes the
         # aggregation order-independent and rounding-mode-free, so the

@@ -1,0 +1,137 @@
+"""Distributed sketches (training-data addenda, round 5).
+
+HyperLogLog approximate-distinct — the web-scale answer to "how big is
+the vocabulary?" without the term groupby that question usually costs:
+one streaming ``map_batches`` pass emits per-batch (register, rho)
+partials (≤ 2^P rows per batch regardless of batch size), a
+2^P-row ``groupby(register).max`` merges them, and the driver folds
+4096 integers into the estimate.  At 10¹² docs the exact answer is an
+all-to-all over the full token stream; the sketch moves O(batches · 2^P)
+narrow integer rows.
+
+Determinism + oracle: the 64-bit token hash is the LOW half of md5
+(digest bytes 8..16 little-endian) == DuckDB ``md5_number_lower`` (the
+simhash precedent, pipelines/oracles.py header), and the register
+table is pure integers — so the ENTIRE sketch state is independently
+recomputable in SQL and sits under the driver's value-hash gate; only
+the float estimate (a deterministic fold of the gated registers) lives
+outside it, accuracy-tested in pytest instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tables import read_parquet_nometa
+
+HLL_P = 12                      # 2^12 = 4096 registers
+HLL_M = 1 << HLL_P
+_W_BITS = 64 - HLL_P            # 52: float64-exact bit_length range
+
+
+def _hash_u64(tokens: list[str]) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.array(
+        [int.from_bytes(md5(t.encode()).digest()[8:16], "little")
+         for t in tokens],
+        dtype=np.uint64)
+
+
+def hll_partial(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) partials for a batch of uint64 hashes — fully
+    vectorized; rho via float64 frexp, exact because w < 2^52."""
+    reg = (hashes >> np.uint64(_W_BITS)).astype(np.int64)
+    w = (hashes & np.uint64((1 << _W_BITS) - 1)).astype(np.float64)
+    bl = np.frexp(w)[1]  # bit_length(w) for w>0, 0 for w==0
+    rho = np.where(w == 0, _W_BITS + 1, _W_BITS + 1 - bl).astype(np.int64)
+    # one row per register: per-batch max
+    order = np.lexsort((-rho, reg))
+    reg_s, rho_s = reg[order], rho[order]
+    first = np.ones(len(reg_s), dtype=bool)
+    first[1:] = reg_s[1:] != reg_s[:-1]
+    return reg_s[first], rho_s[first]
+
+
+def hll_estimate(reg: np.ndarray, rho: np.ndarray) -> float:
+    """Standard HLL estimator (Flajolet et al. 2007) with the small-
+    range linear-counting correction, over a sparse register table."""
+    m = HLL_M
+    full = np.zeros(m, dtype=np.int64)
+    full[reg] = rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-full.astype(np.float64)))
+    zeros = int((full == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def vocab_hll_sketch(sf_dir: str) -> pa.Table:
+    """Gate query: the merged HLL register table (reg, max_rho) of the
+    corpus vocabulary under simple-analyzer tokenization — integer
+    sketch state, SQL-reproducible bit-for-bit."""
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        # hash each UNIQUE token once per batch (Zipf: batch vocab ≪
+        # token count); empty strings are not tokens
+        uniq = pc.unique(flat).to_pylist()
+        uniq = [u for u in uniq if u]
+        if not uniq:
+            return pa.table({"reg": pa.array([], type=pa.int64()),
+                             "rho": pa.array([], type=pa.int64())})
+        reg, rho = hll_partial(_hash_u64(uniq))
+        return pa.table({"reg": pa.array(reg, type=pa.int64()),
+                         "rho": pa.array(rho, type=pa.int64())})
+
+    out = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("rho", alias_name="max_rho"))
+        .to_pandas()
+        .sort_values("reg")
+    )
+    return pa.table({
+        "reg": pa.array(out["reg"].astype("int64").tolist(),
+                        type=pa.int64()),
+        "max_rho": pa.array(out["max_rho"].astype("int64").tolist(),
+                            type=pa.int64()),
+    })
+
+
+def vocab_hll_sketch_sql() -> str:
+    """Oracle: DuckDB recomputes tokenization, md5_number_lower hashes,
+    register/rho bit arithmetic (bin() gives integer bit_length) and
+    the register max independently."""
+    w_mask = (1 << _W_BITS) - 1
+    return f"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+')) AS term
+            FROM documents
+        ),
+        terms AS (SELECT DISTINCT term FROM toks WHERE term <> ''),
+        h AS (SELECT CAST(md5_number_lower(term) AS HUGEINT) AS h
+              FROM terms),
+        rr AS (
+            SELECT CAST(h >> {_W_BITS} AS BIGINT) AS reg,
+                   CAST(CASE WHEN (h & {w_mask}) = 0 THEN {_W_BITS + 1}
+                        ELSE {_W_BITS + 1}
+                             - length(bin(CAST(h & {w_mask} AS BIGINT)))
+                        END AS BIGINT) AS rho
+            FROM h
+        )
+        SELECT reg, max(rho) AS max_rho FROM rr
+        GROUP BY reg ORDER BY reg
+    """

@@ -1,0 +1,53 @@
+"""Distributed HLL sketch (pipelines/sketches.py, round 5): estimator
+accuracy at real cardinalities, partial-merge associativity, and the
+gate query against its DuckDB oracle."""
+
+import duckdb
+import numpy as np
+
+from pdfsearch_ray.pipelines import sketches as sk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_estimator_accuracy_large():
+    """~2^P=4096 registers give ~1.6% standard error; assert within 5%
+    at three cardinalities spanning the linear-counting handoff."""
+    for n in (500, 20_000, 300_000):
+        hashes = sk._hash_u64([f"tok-{i}-x" for i in range(n)])
+        reg, rho = sk.hll_partial(hashes)
+        est = sk.hll_estimate(reg, rho)
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_partial_merge_associative():
+    """Merging per-batch partials by register max == one-shot sketch."""
+    toks = [f"w{i}" for i in range(50_000)]
+    h = sk._hash_u64(toks)
+    reg_a, rho_a = sk.hll_partial(h[:17_000])
+    reg_b, rho_b = sk.hll_partial(h[17_000:])
+    merged = np.zeros(sk.HLL_M, dtype=np.int64)
+    np.maximum.at(merged, reg_a, rho_a)
+    np.maximum.at(merged, reg_b, rho_b)
+    reg_1, rho_1 = sk.hll_partial(h)
+    one = np.zeros(sk.HLL_M, dtype=np.int64)
+    one[reg_1] = rho_1
+    assert np.array_equal(merged, one)
+
+
+def test_vocab_sketch_matches_oracle(ray_session):
+    t = sk.vocab_hll_sketch(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    o = con.sql(sk.vocab_hll_sketch_sql()).df().reset_index(drop=True)
+    assert len(t) > 0
+    assert t.equals(o.astype(t.dtypes.to_dict()))
+    # the estimate folded from the gated registers matches the exact
+    # distinct-token count (linear-counting regime at this vocab size)
+    est = sk.hll_estimate(t["reg"].to_numpy(), t["max_rho"].to_numpy())
+    exact = con.sql(
+        "SELECT count(DISTINCT term) FROM (SELECT unnest("
+        "regexp_split_to_array(lower(text),'[^a-z0-9]+')) AS term "
+        "FROM documents) WHERE term <> ''").fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
