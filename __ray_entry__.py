@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_stats": _webops().pii_scrub_stats,
         "decontaminate": _webops().decontaminate,
         "vocab_hll_sketch": _sketches().vocab_hll_sketch,
+        "term_cms_sketch": _sketches().term_cms_sketch,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -398,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _webops().decontaminate_sql(),
         # distributed HLL: the full integer sketch state under the gate
         "vocab_hll_sketch": _sketches().vocab_hll_sketch_sql(),
+        "term_cms_sketch": _sketches().term_cms_sketch_sql(),
         # money sums are EXACT integer cents (and cent×percent units
         # for discounted revenue): the 2-decimal source data makes the
         # aggregation order-independent and rounding-mode-free, so the

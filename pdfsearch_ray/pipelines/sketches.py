@@ -135,3 +135,104 @@ def vocab_hll_sketch_sql() -> str:
         SELECT reg, max(rho) AS max_rho FROM rr
         GROUP BY reg ORDER BY reg
     """
+
+
+# ------------------------------------------------------------ count-min
+
+CMS_D = 4        # hash rows
+CMS_W = 2048     # columns per row; eps ≈ e/W, delta ≈ e^-D
+
+
+def cms_partial(terms: list[str], counts: np.ndarray) -> pa.Table:
+    """Per-batch CMS partial: (row, col, n) for this batch's term
+    counts — ≤ D × batch-vocab rows, merged downstream by a
+    (row, col) sum groupby.  Hash_j(t) = md5-low64 of "j|t" — the
+    DuckDB-reproducible convention (md5_number_lower)."""
+    out_r, out_c, out_n = [], [], []
+    for j in range(CMS_D):
+        h = _hash_u64([f"{j}|{t}" for t in terms])
+        col = (h % np.uint64(CMS_W)).astype(np.int64)
+        # several terms can share a column: sum, don't overwrite
+        agg = np.zeros(CMS_W, dtype=np.int64)
+        np.add.at(agg, col, counts)
+        nz = np.nonzero(agg)[0]
+        out_r.extend([j] * len(nz))
+        out_c.extend(nz.tolist())
+        out_n.extend(agg[nz].tolist())
+    return pa.table({"row": pa.array(out_r, type=pa.int64()),
+                     "col": pa.array(out_c, type=pa.int64()),
+                     "n": pa.array(out_n, type=pa.int64())})
+
+
+def cms_query(sketch: dict[tuple[int, int], int], term: str) -> int:
+    """Point estimate: min over rows (classic CMS upper-bound query)."""
+    est = None
+    for j in range(CMS_D):
+        h = _hash_u64([f"{j}|{term}"])[0]
+        v = sketch.get((j, int(h % np.uint64(CMS_W))), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)
+
+
+def term_cms_sketch(sf_dir: str) -> pa.Table:
+    """Gate query: the merged Count-Min sketch of corpus term
+    frequencies (simple-analyzer tokens) — (row, col, n), pure
+    integers, SQL-reproducible bit-for-bit.  Same scale shape as the
+    HLL: streaming partials, one tiny (row,col) groupby, O(D·W) driver
+    state; heavy-hitter queries then cost zero corpus passes."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.flatten().value_counts()
+        terms = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = [i for i, t_ in enumerate(terms) if t_]
+        if not keep:
+            return pa.table({"row": pa.array([], type=pa.int64()),
+                             "col": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return cms_partial([terms[i] for i in keep], counts[keep])
+
+    out = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "col"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["row", "col"])
+    )
+    return pa.table({
+        "row": pa.array(out["row"].astype("int64").tolist(),
+                        type=pa.int64()),
+        "col": pa.array(out["col"].astype("int64").tolist(),
+                        type=pa.int64()),
+        "n": pa.array(out["n"].astype("int64").tolist(), type=pa.int64()),
+    })
+
+
+def term_cms_sketch_sql() -> str:
+    """Oracle: DuckDB recomputes token counts, the "j|term" md5 hashes
+    and the cell sums independently."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT term, count(*) AS c FROM toks
+               WHERE term <> '' GROUP BY term),
+        rows_ AS (SELECT unnest(range(0, {CMS_D})) AS r),
+        cells AS (
+            SELECT r, CAST(md5_number_lower(r || '|' || term)
+                           % {CMS_W} AS BIGINT) AS col, c
+            FROM tf CROSS JOIN rows_
+        )
+        SELECT r AS row, col, sum(c) AS n FROM cells
+        GROUP BY r, col ORDER BY row, col
+    """

@@ -51,3 +51,49 @@ def test_vocab_sketch_matches_oracle(ray_session):
         "regexp_split_to_array(lower(text),'[^a-z0-9]+')) AS term "
         "FROM documents) WHERE term <> ''").fetchone()[0]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_cms_matches_oracle_and_bounds(ray_session):
+    t = sk.term_cms_sketch(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    o = con.sql(sk.term_cms_sketch_sql()).df().reset_index(drop=True)
+    assert t.equals(o.astype(t.dtypes.to_dict()))
+    # CMS invariants vs exact counts: estimate >= truth (always), and
+    # equal here because 31-term vocab has no collisions to speak of
+    sketch = {(int(r), int(c)): int(n)
+              for r, c, n in zip(t["row"], t["col"], t["n"])}
+    tf = dict(con.sql(
+        "SELECT term, count(*) FROM (SELECT unnest("
+        "regexp_split_to_array(lower(text),'[^a-z0-9]+')) AS term "
+        "FROM documents) WHERE term <> '' GROUP BY term").fetchall())
+    for term, true_n in tf.items():
+        assert sk.cms_query(sketch, term) >= true_n
+    # each row's cells sum to the total token count (mass conservation)
+    total = sum(tf.values())
+    sums = t.groupby("row")["n"].sum()
+    assert (sums == total).all()
+
+
+def test_cms_heavy_hitters_synthetic():
+    """Zipf stream of 50k distinct terms: the CMS point query bounds
+    every count above and recovers the exact top-10 heavy hitters."""
+    rng = np.random.RandomState(3)
+    terms = [f"t{i}" for i in range(50_000)]
+    counts = (1_000_000 / (np.arange(1, 50_001) ** 1.2)).astype(np.int64)
+    counts = np.maximum(counts, 1)
+    part = sk.cms_partial(terms, counts)
+    sketch = {(int(r), int(c)): int(n) for r, c, n in
+              zip(part["row"].to_pylist(), part["col"].to_pylist(),
+                  part["n"].to_pylist())}
+    total = int(counts.sum())
+    eps_bound = 2.0 * np.e * total / sk.CMS_W  # loose 2x cushion
+    for i in list(range(10)) + [499, 4999, 49_999]:
+        est = sk.cms_query(sketch, terms[i])
+        assert est >= counts[i]
+        assert est <= counts[i] + eps_bound
+    # top-10 by estimate == top-10 by truth (heads dominate collisions)
+    est_all = {t_: sk.cms_query(sketch, t_) for t_ in terms[:200]}
+    top_est = sorted(est_all, key=lambda k: -est_all[k])[:10]
+    assert set(top_est) == {f"t{i}" for i in range(10)}
