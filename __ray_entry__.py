@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _webops().decontaminate,
         "vocab_hll_sketch": _sketches().vocab_hll_sketch,
         "term_cms_sketch": _sketches().term_cms_sketch,
+        "line_dedup_stats": _webops().line_dedup_stats,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -400,6 +401,8 @@ def oracle_sql() -> dict[str, str]:
         # distributed HLL: the full integer sketch state under the gate
         "vocab_hll_sketch": _sketches().vocab_hll_sketch_sql(),
         "term_cms_sketch": _sketches().term_cms_sketch_sql(),
+        # CCNet-style line-level boilerplate removal
+        "line_dedup_stats": _webops().line_dedup_stats_sql(),
         # money sums are EXACT integer cents (and cent×percent units
         # for discounted revenue): the 2-decimal source data makes the
         # aggregation order-independent and rounding-mode-free, so the

@@ -404,3 +404,182 @@ def decontaminate_sql() -> str:
         FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
         ORDER BY tr.doc_id
     """
+
+
+# ---------------------------------------------------- line-level dedup
+
+# CCNet-style line-level boilerplate removal (Wenzek et al. 2020): a
+# line that appears in many DOCUMENTS is boilerplate ("subscribe to our
+# newsletter", cookie banners, copyright footers) and is stripped from
+# every document before training.  The reference engine has no analog
+# (filesystem PDFs carry no cross-document boilerplate); every web
+# corpus pipeline runs this.
+
+LINE_WORDS = 10          # synthetic "line" = 10-word window (sf docs
+                         # are flat word streams with no newlines)
+LINE_DF_MIN = 5          # line document-frequency >= this => boilerplate
+# injected boilerplate lines are EXACTLY LINE_WORDS words so the window
+# split yields them as whole lines (prepended => lines 0..)
+_BOILER_1 = "subscribe to our newsletter for the latest updates every week"
+_BOILER_2 = "all rights reserved contact support at example dot com today"
+
+
+def _md5_low64(items: list[str]) -> np.ndarray:
+    """md5 low-64 hash (digest bytes 8..16 LE) — the DuckDB
+    ``md5_number_lower`` convention shared with pipelines/sketches."""
+    import hashlib
+
+    md5 = hashlib.md5
+    return np.array(
+        [int.from_bytes(md5(x.encode()).digest()[8:16], "little")
+         for x in items],
+        dtype=np.uint64)
+
+
+def _inject_boiler(t: pa.Table) -> pa.Table:
+    """Deterministic gate synth: docs with doc_id%3==0 get boilerplate
+    line 1 prepended, doc_id%7==0 line 2 (both => both, in order)."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p1 = pa.array(np.where(ids % 3 == 0, _BOILER_1 + " ", ""))
+    p2 = pa.array(np.where(ids % 7 == 0, _BOILER_2 + " ", ""))
+    txt = pc.binary_join_element_wise(p1, p2, t["text"], "")
+    return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+
+def _doc_lines(text: str) -> list[str]:
+    words = (text or "").split(" ")
+    return [" ".join(words[i:i + LINE_WORDS])
+            for i in range(0, len(words), LINE_WORDS)]
+
+
+def line_df(ds: rd.Dataset, df_min: int = LINE_DF_MIN) -> "rd.Dataset":
+    """Distributed line document-frequency: one streaming pass emits
+    per-batch (line_hash, partial_df) pairs — 8-byte hashes move, never
+    line text — a narrow int64 groupby sums them, and the df >= df_min
+    threshold is applied DISTRIBUTED (the detect_hot_terms shape:
+    the driver receives O(boilerplate lines), not the line vocabulary).
+    Input dataset must have columns (doc_id, text)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs: dict[int, int] = {}
+        for text in t["text"].to_pylist():
+            uniq = set(_doc_lines(text))
+            for h in _md5_low64(sorted(uniq)).view(np.int64):
+                h = int(h)
+                hs[h] = hs.get(h, 0) + 1
+        return pa.table({
+            "h": pa.array(list(hs.keys()), type=pa.int64()),
+            "df_part": pa.array(list(hs.values()), type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+    return agg.filter(expr=f"df >= {int(df_min)}")
+
+
+def line_dedup_stats(sf_dir: str) -> pa.Table:
+    """Gate query: per-document line-dedup stats after stripping
+    boilerplate lines (document frequency >= LINE_DF_MIN) —
+    (doc_id, n_lines, n_removed, kept_chars).
+
+    Scale shape: pass 1 is the narrow line-hash df above (text never
+    shuffles; the boilerplate set is O(hot lines) and is broadcast via
+    ``ray.put``); pass 2 streams the corpus once more and filters
+    lines locally.  Both passes are the decontaminate/broadcast
+    pattern — no all-to-all ever carries document text."""
+    import ray
+
+    src = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        .map_batches(_inject_boiler, batch_format="pyarrow")
+    )
+    hot_tbl = line_df(src, LINE_DF_MIN).to_pandas()
+    hot = frozenset(int(x) for x in hot_tbl["h"])
+    ref = ray.put(hot)
+
+    def stats(t: pa.Table) -> pa.Table:
+        hset = ray.get(ref)
+        ids, nl, nr, kc = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            lines = _doc_lines(text)
+            hs = _md5_low64(lines).view(np.int64)
+            keep = [ln for ln, h in zip(lines, hs) if int(h) not in hset]
+            ids.append(did)
+            nl.append(len(lines))
+            nr.append(len(lines) - len(keep))
+            kc.append(len(" ".join(keep)))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_lines": pa.array(nl, type=pa.int64()),
+            "n_removed": pa.array(nr, type=pa.int64()),
+            "kept_chars": pa.array(kc, type=pa.int64()),
+        })
+
+    out = src.map_batches(stats, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id")
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "n_lines": pa.array(out["n_lines"].astype("int64").tolist(),
+                            type=pa.int64()),
+        "n_removed": pa.array(out["n_removed"].astype("int64").tolist(),
+                              type=pa.int64()),
+        "kept_chars": pa.array(out["kept_chars"].astype("int64").tolist(),
+                               type=pa.int64()),
+    })
+
+
+def line_dedup_stats_sql() -> str:
+    """Oracle: DuckDB reinjects the boilerplate, rebuilds the 10-word
+    line windows (string_agg over word subscripts), computes line
+    document frequency and the per-doc removal stats independently —
+    membership by LINE STRING (the engine's 64-bit md5 keying is
+    collision-equivalent)."""
+    return f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0
+                         THEN '{_BOILER_1} ' ELSE '' END)
+                   || (CASE WHEN doc_id % 7 = 0
+                            THEN '{_BOILER_2} ' ELSE '' END)
+                   || text AS text
+            FROM documents
+        ),
+        tw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM synth
+        ),
+        lines AS (
+            SELECT doc_id, (i - 1) // {LINE_WORDS} AS li,
+                   string_agg(w, ' ' ORDER BY i) AS line
+            FROM tw GROUP BY doc_id, (i - 1) // {LINE_WORDS}
+        ),
+        df AS (
+            SELECT line, count(DISTINCT doc_id) AS df
+            FROM lines GROUP BY line
+        ),
+        hot AS (SELECT line FROM df WHERE df >= {LINE_DF_MIN}),
+        marked AS (
+            SELECT l.doc_id, l.line,
+                   (h.line IS NOT NULL) AS is_hot
+            FROM lines l LEFT JOIN hot h ON l.line = h.line
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               coalesce(sum(CASE WHEN is_hot THEN 1 END), 0) AS n_removed,
+               CAST(CASE WHEN count(*) - coalesce(
+                        sum(CASE WHEN is_hot THEN 1 END), 0) = 0 THEN 0
+                    ELSE coalesce(sum(CASE WHEN NOT is_hot
+                                      THEN length(line) END), 0)
+                         + count(*) - coalesce(
+                             sum(CASE WHEN is_hot THEN 1 END), 0) - 1
+                    END AS BIGINT) AS kept_chars
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+    """

@@ -82,3 +82,58 @@ def test_decontaminate_matches_oracle_and_plants_hits(ray_session):
     planted = t[t["doc_id"] % w.DECON_INJECT_MOD == 0]
     assert (planted["n_contaminated"] >= w.DECON_INJECT_WORDS
             - w.DECON_NGRAM + 1).all()
+
+
+def test_line_dedup_semantics_and_oracle(ray_session):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    t = w.line_dedup_stats(SF).to_pandas().reset_index(drop=True)
+    o = con.sql(w.line_dedup_stats_sql()).df().reset_index(drop=True)
+    assert t.equals(o.astype(t.dtypes.to_dict()))
+    # independent brute-force expectation in pure python (no engine
+    # code): inject, window into 10-word lines, df-count, strip
+    docs = con.sql("SELECT doc_id, text FROM documents "
+                   "ORDER BY doc_id").fetchall()
+    lines_by_doc = {}
+    for did, text in docs:
+        if did % 3 == 0:
+            text = w._BOILER_1 + " " + text
+        if did % 7 == 0:
+            # boilerplate 2 sits AFTER 1 when both (engine prepends 1|2)
+            text = text.split(w._BOILER_1 + " ", 1)
+            text = (w._BOILER_1 + " " + w._BOILER_2 + " " + text[1]
+                    if len(text) == 2 else w._BOILER_2 + " " + text[0])
+        ws = text.split(" ")
+        lines_by_doc[did] = [" ".join(ws[i:i + 10])
+                             for i in range(0, len(ws), 10)]
+    from collections import Counter
+    df = Counter()
+    for ls in lines_by_doc.values():
+        df.update(set(ls))
+    hot = {ln for ln, n in df.items() if n >= w.LINE_DF_MIN}
+    for _, row in t.iterrows():
+        ls = lines_by_doc[row["doc_id"]]
+        kept = [ln for ln in ls if ln not in hot]
+        assert row["n_lines"] == len(ls)
+        assert row["n_removed"] == len(ls) - len(kept)
+        assert row["kept_chars"] == len(" ".join(kept))
+    ids = t["doc_id"].to_numpy()
+    # injected boilerplate is always removed (df far above threshold)
+    exp_min = (ids % 3 == 0).astype(int) + (ids % 7 == 0).astype(int)
+    assert (t["n_removed"].to_numpy() >= exp_min).all()
+    assert exp_min.max() == 2  # a doc with BOTH boilerplates exists
+    # and natural df==1 lines survive: clean docs keep everything
+    assert len(hot) >= 2 and w._BOILER_1 in hot and w._BOILER_2 in hot
+
+
+def test_line_df_threshold_distributed(ray_session):
+    import ray.data as rd
+    # 6 docs: line A in 5 docs (hot at df_min=5), line B in 2 (cold)
+    la = "a b c d e f g h i j"
+    lb = "k l m n o p q r s t"
+    rows = [{"doc_id": i, "text": la if i < 5 else lb} for i in range(6)]
+    rows.append({"doc_id": 6, "text": lb})
+    hot = w.line_df(rd.from_items(rows), df_min=5).to_pandas()
+    want = int(w._md5_low64([la]).view(np.int64)[0])
+    assert hot["h"].tolist() == [want] and hot["df"].tolist() == [5]
