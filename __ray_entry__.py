@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_hll_sketch": _sketches().vocab_hll_sketch,
         "term_cms_sketch": _sketches().term_cms_sketch,
         "line_dedup_stats": _webops().line_dedup_stats,
+        "bloom_snapshot_dedup": _sketches().bloom_snapshot_dedup,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -403,6 +404,8 @@ def oracle_sql() -> dict[str, str]:
         "term_cms_sketch": _sketches().term_cms_sketch_sql(),
         # CCNet-style line-level boilerplate removal
         "line_dedup_stats": _webops().line_dedup_stats_sql(),
+        # cross-snapshot Bloom membership, bit positions SQL-reproduced
+        "bloom_snapshot_dedup": _sketches().bloom_snapshot_dedup_sql(),
         # money sums are EXACT integer cents (and cent×percent units
         # for discounted revenue): the 2-decimal source data makes the
         # aggregation order-independent and rounding-mode-free, so the

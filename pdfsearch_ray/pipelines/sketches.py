@@ -236,3 +236,160 @@ def term_cms_sketch_sql() -> str:
         SELECT r AS row, col, sum(c) AS n FROM cells
         GROUP BY r, col ORDER BY row, col
     """
+
+
+# ------------------------------------------------- bloom snapshot dedup
+
+# Cross-snapshot Bloom membership (the Dolma/CCNet incremental-crawl
+# shape): build a Bloom filter over a PREVIOUS snapshot's content keys
+# once, then stream the NEW snapshot through a membership pass —
+# "have I already trained on this page?" without joining two corpora.
+# Deterministic double hashing (Kirsch-Mitzenmacher) from the same
+# md5-low64 the HLL/CMS use, so the SQL oracle reproduces every bit
+# position exactly.
+
+BLOOM_M = 1 << 16    # filter bits; fp = (set_bits/M)^K ~ 1e-11 at sf0.01
+BLOOM_K = 7          # hash functions
+BLOOM_DUP_MOD = 11   # gate synth: odd docs with doc_id%11==0 are
+                     # planted duplicates of snapshot doc (doc_id - 1)
+
+
+def bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(n, K) bit positions via double hashing: pos_i = (h1 + i*h2) % M
+    with h1 = low32(h), h2 = high32(h)|1 — values stay < 2^36, so the
+    HUGEINT arithmetic in the oracle is exact."""
+    h = h.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(BLOOM_M)).astype(np.int64)
+
+
+def bloom_build(ds, text_col: str = "text") -> np.ndarray:
+    """Distributed Bloom build: per-batch DISTINCT bit positions stream
+    out (≤ M narrow int64 rows per batch), a tiny groupby dedups them,
+    and the driver packs O(M/64) words.  At 10^12 docs the filter
+    itself outgrows a broadcast (1.25 TB at 10 bits/key) — the scale
+    path is KEY-HASH SHARDING: partition both snapshots by
+    hash(key) % S, build one independent 1/S-size filter per shard,
+    and run membership co-partitioned, never moving a filter between
+    nodes.  This function is the per-shard kernel of that layout."""
+    def partial(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t[text_col].to_pylist()]
+        if not texts:
+            return pa.table({"pos": pa.array([], type=pa.int64())})
+        pos = np.unique(bloom_positions(_hash_u64(texts)))
+        return pa.table({"pos": pa.array(pos, type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pos").count().to_pandas()
+    words = np.zeros(BLOOM_M // 64, dtype=np.uint64)
+    p = parts["pos"].to_numpy().astype(np.int64)
+    np.bitwise_or.at(words, p // 64, np.uint64(1) << (p % 64).astype(np.uint64))
+    return words
+
+
+def bloom_member(words: np.ndarray, texts: list[str]) -> np.ndarray:
+    """Vectorized membership: all K bits set → 1."""
+    if not texts:
+        return np.zeros(0, dtype=np.int64)
+    pos = bloom_positions(_hash_u64(texts))
+    bits = (words[pos // 64] >> (pos % 64).astype(np.uint64)) \
+        & np.uint64(1)
+    return bits.all(axis=1).astype(np.int64)
+
+
+def bloom_snapshot_dedup(sf_dir: str) -> pa.Table:
+    """Gate query: (doc_id, member) for every NEW-snapshot doc (odd
+    doc_id) tested against a Bloom filter of the PREVIOUS snapshot
+    (even doc_id).  Planted dups (odd, doc_id%11==0, keyed on doc
+    doc_id-1's text) must flag member=1; everything else word-salad
+    distinct (fp ~1e-11 at this fill).
+
+    Scale shape: the snapshot streams once through the bloom_build
+    partials (positions, never text, shuffle); the filter (8 KB here)
+    broadcasts via ``ray.put``; the new snapshot streams once through
+    the membership pass.  The planted-dup text map is gate synth,
+    O(planted)."""
+    import ray
+
+    def _mod_take(mod: int, val: int, shift: int = 0):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids + shift) % mod == val))
+        return f
+
+    src = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    snap = src.map_batches(_mod_take(2, 0), batch_format="pyarrow")
+    words = bloom_build(snap, "text")
+    # gate synth: texts of dup sources (even ids whose successor is the
+    # planted odd doc) — O(planted dups) driver state
+    srcs = snap.map_batches(_mod_take(BLOOM_DUP_MOD, 0, shift=1),
+                            batch_format="pyarrow").to_pandas()
+    dup_src = {int(i) + 1: t for i, t in zip(srcs["doc_id"], srcs["text"])}
+    ref = ray.put((words, dup_src))
+
+    def member(t: pa.Table) -> pa.Table:
+        w, dmap = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [
+            dmap.get(int(d), x) if d % BLOOM_DUP_MOD == 0 else (x or "")
+            for d, x in zip(ids, t["text"].to_pylist())
+        ]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "member": pa.array(bloom_member(w, texts), type=pa.int64()),
+        })
+
+    out = src.map_batches(_mod_take(2, 1), batch_format="pyarrow") \
+        .map_batches(member, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id")
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "member": pa.array(out["member"].astype("int64").tolist(),
+                           type=pa.int64()),
+    })
+
+
+def bloom_snapshot_dedup_sql() -> str:
+    """Oracle: DuckDB recomputes every md5-low64 hash, the K
+    double-hashed bit positions of both sides, and membership as
+    'all K positions present in the snapshot position set'."""
+    return f"""
+        WITH snap AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        ),
+        test AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % {BLOOM_DUP_MOD} = 0
+                        THEN coalesce(s.text, d.text)
+                        ELSE d.text END AS key_text
+            FROM documents d
+            LEFT JOIN snap s ON s.doc_id = d.doc_id - 1
+            WHERE d.doc_id % 2 = 1
+        ),
+        spos AS (
+            SELECT DISTINCT CAST((
+                (CAST(md5_number_lower(text) AS HUGEINT) % 4294967296)
+                + i * ((CAST(md5_number_lower(text) AS HUGEINT)
+                        // 4294967296) | 1)
+            ) % {BLOOM_M} AS BIGINT) AS p
+            FROM snap, range({BLOOM_K}) t(i)
+        ),
+        tpos AS (
+            SELECT doc_id, CAST((
+                (CAST(md5_number_lower(key_text) AS HUGEINT) % 4294967296)
+                + i * ((CAST(md5_number_lower(key_text) AS HUGEINT)
+                        // 4294967296) | 1)
+            ) % {BLOOM_M} AS BIGINT) AS p
+            FROM test, range({BLOOM_K}) t(i)
+        )
+        SELECT tp.doc_id,
+               CAST(min(CASE WHEN sp.p IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS member
+        FROM tpos tp LEFT JOIN spos sp ON tp.p = sp.p
+        GROUP BY tp.doc_id ORDER BY tp.doc_id
+    """

@@ -97,3 +97,48 @@ def test_cms_heavy_hitters_synthetic():
     est_all = {t_: sk.cms_query(sketch, t_) for t_ in terms[:200]}
     top_est = sorted(est_all, key=lambda k: -est_all[k])[:10]
     assert set(top_est) == {f"t{i}" for i in range(10)}
+
+
+def test_bloom_kernel_no_false_negatives():
+    keys = [f"doc {i} content words" for i in range(2000)]
+    pos = sk.bloom_positions(sk._hash_u64(keys))
+    assert pos.shape == (2000, sk.BLOOM_K)
+    assert pos.min() >= 0 and pos.max() < sk.BLOOM_M
+    words = np.zeros(sk.BLOOM_M // 64, dtype=np.uint64)
+    p = pos.ravel()
+    np.bitwise_or.at(words, p // 64,
+                     np.uint64(1) << (p % 64).astype(np.uint64))
+    # every inserted key IS a member (Bloom guarantee: no false negs)
+    assert sk.bloom_member(words, keys).all()
+    # fp rate on fresh keys stays near theory ((fill)^K)
+    fresh = [f"other {i}" for i in range(5000)]
+    fp = sk.bloom_member(words, fresh).mean()
+    fill = np.unpackbits(words.view(np.uint8)).mean()
+    assert fp <= max(4 * fill ** sk.BLOOM_K, 1e-3)
+
+
+def test_bloom_snapshot_dedup_semantics(ray_session):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    t = sk.bloom_snapshot_dedup(sf).to_pandas()
+    # brute-force expectation: member iff key text is in the snapshot
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    snap = d[d.doc_id % 2 == 0]
+    stext = set(snap["text"])
+    by_id = dict(zip(d.doc_id, d.text))
+    exp = []
+    for did in sorted(d.doc_id[d.doc_id % 2 == 1]):
+        key = by_id.get(did - 1, by_id[did]) \
+            if did % sk.BLOOM_DUP_MOD == 0 else by_id[did]
+        exp.append(int(key in stext))
+    assert t["member"].tolist() == exp  # no fp at this fill (1e-11)
+    assert sum(exp) > 0                 # planted dups exist and flag
+    # oracle parity at this sf too
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    o = con.sql(sk.bloom_snapshot_dedup_sql()).df()
+    assert t["member"].tolist() == o["member"].astype(int).tolist()
