@@ -110,6 +110,12 @@ def _sketches():
     return sketches
 
 
+def _lm_surprisal(sf_dir: str):
+    from pdfsearch_ray.pipelines.textstats import lm_surprisal
+
+    return lm_surprisal(sf_dir)
+
+
 def _unit_topk_oracle():
     from pdfsearch_ray.pipelines import oracles as _oracles
     from pdfsearch_ray.pipelines.queries import (
@@ -145,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cms_sketch": _sketches().term_cms_sketch,
         "line_dedup_stats": _webops().line_dedup_stats,
         "bloom_snapshot_dedup": _sketches().bloom_snapshot_dedup,
+        "lm_surprisal": _lm_surprisal,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -406,6 +413,9 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_stats": _webops().line_dedup_stats_sql(),
         # cross-snapshot Bloom membership, bit positions SQL-reproduced
         "bloom_snapshot_dedup": _sketches().bloom_snapshot_dedup_sql(),
+        # integer-exact unigram LM quality filter (CCNet analog)
+        "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
+                                   fromlist=["x"]).lm_surprisal_sql(),
         # money sums are EXACT integer cents (and cent×percent units
         # for discounted revenue): the 2-decimal source data makes the
         # aggregation order-independent and rounding-mode-free, so the

@@ -208,3 +208,142 @@ def gopher_filter(docs: rd.Dataset) -> rd.Dataset:
         return batch.filter(pc.equal(flags["keep"], 1))
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------ unigram LM surprisal
+
+# CCNet-style LM quality filter (Wenzek et al. 2020 score docs with a
+# KenLM perplexity; low-perplexity ~ fluent text).  The stand-in that
+# stays exact under the driver's value-hash gate: a self-trained
+# UNIGRAM model with integer Zipf surprisal — per-token cost =
+# bit_length(N // tf) for the top-V vocabulary, a fixed OOV penalty of
+# bit_length(N)+1 otherwise (N = corpus token count).  Pure integer
+# arithmetic, so DuckDB (length(bin(x)) == bit_length, the HLL
+# precedent) reproduces every value bit-for-bit — no float log drift.
+
+LM_VOCAB_TOP = 20   # top-V terms by (tf desc, term asc); small V makes
+                    # OOV real on the sf word-salad corpora — at web
+                    # scale this is the usual 10^5-word LM vocabulary
+
+
+def unigram_lm_train(docs: rd.Dataset, top_v: int | None = None):
+    """Train the unigram table distributed: per-batch value_counts
+    partials → one narrow (term, tf) groupby → total N as a scalar
+    aggregate → top-V by (tf desc, term asc) via sort+limit on the
+    AGGREGATED table (vocabulary-sized, never the token stream).
+    Returns (vocab_bits: dict[str, int], oov_bits: int, n_total: int).
+    The driver holds O(V) state; at 10^12 docs the vocab table is
+    still the only thing sorted."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if top_v is None:
+        top_v = LM_VOCAB_TOP
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.flatten().value_counts()
+        terms = vc.field("values")
+        counts = vc.field("counts").cast(pa.int64())
+        keep = pc.not_equal(terms, "")
+        return pa.table({"term": pc.filter(terms, keep),
+                         "tf": pc.filter(counts, keep)})
+
+    tf = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("tf", alias_name="tf"))
+    n_total = int(tf.sum("tf"))
+    top = tf.sort(["tf", "term"], descending=[True, False]) \
+        .limit(top_v).to_pandas()
+    vocab_bits = {
+        t: (n_total // int(f)).bit_length()
+        for t, f in zip(top["term"], top["tf"])
+    }
+    return vocab_bits, n_total.bit_length() + 1, n_total
+
+
+def lm_surprisal(sf_dir: str) -> rd.Dataset:
+    """Gate query: per-doc unigram-LM surprisal
+    (doc_id, n_tokens, n_oov, bits_total) — the integer analog of a
+    perplexity filter; sort/filter on bits_total/n_tokens to keep
+    fluent documents.  Scale shape: train pass = narrow (term, tf)
+    shuffle; score pass = one streaming map with the O(V) model
+    broadcast via ``ray.put``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.tables import read_parquet_nometa
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    vocab_bits, oov_bits, _ = unigram_lm_train(docs)
+    ref = ray.put((vocab_bits, oov_bits))
+
+    def score(t: pa.Table) -> pa.Table:
+        vb, ob = ray.get(ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nt, nov, bits = [], [], []
+        for lst in toks.to_pylist():
+            lst = [w for w in lst if w]
+            s = pd.Series(lst, dtype=object).map(vb)
+            n_oov = int(s.isna().sum())
+            nt.append(len(lst))
+            nov.append(n_oov)
+            bits.append(int(s.fillna(ob).sum()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(nt, type=pa.int64()),
+            "n_oov": pa.array(nov, type=pa.int64()),
+            "bits_total": pa.array(bits, type=pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def lm_surprisal_sql() -> str:
+    """Oracle: DuckDB retrains the unigram table (same tokenizer,
+    same top-V tie-break) and rescans with length(bin(x)) ==
+    bit_length — integer-exact parity."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+')) AS term
+            FROM documents
+        ),
+        tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY term),
+        n AS (SELECT sum(tf) AS n FROM tf),
+        top AS (
+            SELECT term,
+                   length(bin(CAST((SELECT n FROM n) // tf AS BIGINT)))
+                       AS bits
+            FROM tf ORDER BY tf DESC, term LIMIT {LM_VOCAB_TOP}
+        ),
+        scored AS (
+            SELECT tk.doc_id,
+                   CASE WHEN top.term IS NULL THEN 1 ELSE 0 END AS oov,
+                   coalesce(top.bits,
+                            length(bin(CAST((SELECT n FROM n)
+                                            AS BIGINT))) + 1) AS bits
+            FROM tk LEFT JOIN top ON tk.term = top.term
+        )
+        ,
+        g AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(oov) AS n_oov, sum(bits) AS bits_total
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(g.n_tokens, 0) AS n_tokens,
+               coalesce(g.n_oov, 0) AS n_oov,
+               coalesce(g.bits_total, 0) AS bits_total
+        FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+        ORDER BY d.doc_id
+    """

@@ -139,3 +139,55 @@ def test_gopher_quality_rules(ray_session):
     kept = gopher_filter(docs).to_pandas()
     assert kept["doc_id"].tolist() == [0]
     assert kept["text"].tolist() == [ok]
+
+
+def test_unigram_lm_train_exact_math(ray_session):
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines import textstats as ts
+
+    # corpus: 'a' x6, 'b' x3, 'c' x1  => N=10
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "a a a b"},
+        {"doc_id": 1, "text": "a A b; b!"},
+        {"doc_id": 2, "text": "a c"},
+    ])
+    vb, oov_bits, n = ts.unigram_lm_train(docs, top_v=2)
+    assert n == 10 and oov_bits == n.bit_length() + 1 == 5
+    # top-2 by (tf desc, term asc) = {a:6, b:3}; bits = bit_length(N//tf)
+    assert vb == {"a": (10 // 6).bit_length(), "b": (10 // 3).bit_length()}
+    assert vb == {"a": 1, "b": 2}
+
+
+def test_lm_surprisal_scores_and_oov(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines import textstats as ts
+
+    # vocab-boundary tie: 'd' and 'c' both tf=2 -> top-V keeps the
+    # lexicographically smaller at the cut (deterministic both sides)
+    rows = {
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a a a b b c", "a b c d", "d rare"]),
+    }
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+    old = ts.LM_VOCAB_TOP
+    ts.LM_VOCAB_TOP = 3
+    try:
+        got = ts.lm_surprisal(str(tmp_path)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+        want = con.sql(ts.lm_surprisal_sql()).df()
+        assert got.equals(want.astype(got.dtypes.to_dict()))
+    finally:
+        ts.LM_VOCAB_TOP = old
+    # N=12: a:4 b:3 c:2 d:2 rare:1; top3 = a,b,c (c beats d on term asc)
+    # bits: a=bl(3)=2 b=bl(4)=3 c=bl(6)=3; oov = bl(12)+1 = 5
+    assert got.loc[0, "n_tokens"] == 6 and got.loc[0, "n_oov"] == 0
+    assert got.loc[0, "bits_total"] == 3 * 2 + 2 * 3 + 3
+    assert got.loc[1, "bits_total"] == 2 + 3 + 3 + 5  # d is OOV
+    assert got.loc[2, "n_oov"] == 2 and got.loc[2, "bits_total"] == 10
