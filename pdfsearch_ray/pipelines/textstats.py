@@ -285,18 +285,28 @@ def lm_surprisal(sf_dir: str) -> rd.Dataset:
 
     def score(t: pa.Table) -> pa.Table:
         vb, ob = ray.get(ref)
+        n_docs = t.num_rows
         toks = pc.split_pattern_regex(
             pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        nt, nov, bits = [], [], []
-        for lst in toks.to_pylist():
-            lst = [w for w in lst if w]
-            s = pd.Series(lst, dtype=object).map(vb)
-            n_oov = int(s.isna().sum())
-            nt.append(len(lst))
-            nov.append(n_oov)
-            bits.append(int(s.fillna(ob).sum()))
+        # flatten once; segment-sum back by the list parent index —
+        # no per-document python loop
+        parent = toks.value_parent_indices().to_numpy() \
+            .astype(np.int64)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        words = pd.Series(
+            np.asarray(flat)[keep], dtype=object).map(vb)
+        oov = words.isna().to_numpy()
+        b = words.fillna(ob).to_numpy().astype(np.int64)
+        nt = np.zeros(n_docs, dtype=np.int64)
+        nov = np.zeros(n_docs, dtype=np.int64)
+        bits = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(nt, parent, 1)
+        np.add.at(nov, parent, oov.astype(np.int64))
+        np.add.at(bits, parent, b)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_tokens": pa.array(nt, type=pa.int64()),
