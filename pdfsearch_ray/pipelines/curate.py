@@ -105,10 +105,18 @@ def curate_chunks(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    strip_boilerplate: bool = False,
+    boiler_df_min: int | None = None,
 ) -> rd.Dataset:
-    """The curated-chunk Dataset (lazy): dedup → quality → sample →
-    chunk.  Consume with write_parquet (curate_corpus) or collect at
-    gate scale."""
+    """The curated-chunk Dataset (lazy): [boilerplate-line strip →]
+    dedup → quality → sample → chunk.  Consume with write_parquet
+    (curate_corpus) or collect at gate scale.
+
+    ``strip_boilerplate=True`` prepends the CCNet line-level
+    boilerplate removal (pipelines/webops.strip_boiler_lines) BEFORE
+    the content-hash dedup, so corpus-wide boilerplate can neither
+    mask real duplicates nor split real clusters.  Default off — the
+    driver gate pins the historical 4-stage composition bitwise."""
     from functools import partial
 
     from .build import dedup_exact
@@ -121,6 +129,12 @@ def curate_chunks(
 
         ds = read_parquet_nometa(source,
                                  columns=[id_col, text_col, lang_col])
+    if strip_boilerplate:
+        from .webops import LINE_DF_MIN, strip_boiler_lines
+
+        ds = strip_boiler_lines(
+            ds, boiler_df_min if boiler_df_min is not None
+            else LINE_DF_MIN, text_col=text_col)
     ds = ds.map_batches(partial(_attach_md5, text_col=text_col),
                         batch_format="pyarrow")
     # dedup_exact consumes the hashed dataset twice (loser discovery,

@@ -583,3 +583,35 @@ def line_dedup_stats_sql() -> str:
                     END AS BIGINT) AS kept_chars
         FROM marked GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def strip_boiler_lines(ds: rd.Dataset, df_min: int = LINE_DF_MIN,
+                       text_col: str = "text") -> rd.Dataset:
+    """Rewrite ``text_col`` with boilerplate lines (document frequency
+    >= df_min) removed — the reusable kernel behind line_dedup_stats,
+    composable into curation pipelines (CCNet order: strip lines FIRST,
+    then content-hash dedup, so shared boilerplate can't mask real
+    duplicates or split real clusters).  Same scale shape: narrow
+    line-hash df pass + O(hot lines) broadcast; document text is
+    rewritten in place per batch, never shuffled."""
+    import ray
+
+    hot_tbl = line_df(
+        ds.select_columns([text_col]).map_batches(
+            lambda t: pa.table({"text": t[text_col]}),
+            batch_format="pyarrow"),
+        df_min).to_pandas()
+    ref = ray.put(frozenset(int(x) for x in hot_tbl["h"]))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        hset = ray.get(ref)
+        texts = []
+        for text in t[text_col].to_pylist():
+            lines = _doc_lines(text)
+            hs = _md5_low64(lines).view(np.int64)
+            texts.append(" ".join(
+                ln for ln, h in zip(lines, hs) if int(h) not in hset))
+        return t.set_column(t.schema.get_field_index(text_col),
+                            text_col, pa.array(texts, type=pa.string()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -137,3 +137,31 @@ def test_line_df_threshold_distributed(ray_session):
     hot = w.line_df(rd.from_items(rows), df_min=5).to_pandas()
     want = int(w._md5_low64([la]).view(np.int64)[0])
     assert hot["h"].tolist() == [want] and hot["df"].tolist() == [5]
+
+
+def test_strip_boiler_lines_in_curation(ray_session):
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.curate import curate_chunks
+
+    boiler = w._BOILER_1
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{i}x{j}" for j in range(60))
+        text = (boiler + " " + body) if i % 2 == 0 else body
+        rows.append({"doc_id": i, "text": text, "lang": "en"})
+    ds = rd.from_items(rows)
+    # kernel: boilerplate line stripped everywhere, bodies intact
+    out = w.strip_boiler_lines(ds, df_min=5).to_pandas() \
+        .sort_values("doc_id")
+    assert not out["text"].str.contains("subscribe").any()
+    assert out["text"].str.contains("x59").all()
+    # composed into curation: no boilerplate survives into chunk text
+    chunks = curate_chunks(rd.from_items(rows), default_rate=1.0,
+                           strip_boilerplate=True).to_pandas()
+    assert len(chunks) > 0
+    assert not chunks["chunk_text"].str.contains("newsletter").any()
+    # default-off keeps boilerplate (pins the historical composition)
+    chunks_off = curate_chunks(rd.from_items(rows),
+                               default_rate=1.0).to_pandas()
+    assert chunks_off["chunk_text"].str.contains("newsletter").any()
