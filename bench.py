@@ -165,6 +165,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # comparable with earlier rounds' totals
     extra: dict[str, float] = {}
     from pdfsearch_ray.pipelines import relational as rel
+    from pdfsearch_ray.pipelines import sketches, textstats, webops
     from pdfsearch_ray.pipelines.events import (
         asof_join_events,
         sliding_event_counts,
@@ -196,6 +197,16 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # full media pipelines and would double-count that cost here)
         ("embedding_dup_pairs_lsh", qmod.embedding_dup_pairs_lsh),
         ("curated_chunks", qmod.curated_chunks),
+        # round-5 additions (the new web-curation / sketch gates)
+        ("unit_topk", qmod.unit_topk),
+        ("url_dedup", webops.url_dedup),
+        ("pii_scrub_stats", webops.pii_scrub_stats),
+        ("decontaminate", webops.decontaminate),
+        ("line_dedup_stats", webops.line_dedup_stats),
+        ("vocab_hll_sketch", sketches.vocab_hll_sketch),
+        ("term_cms_sketch", sketches.term_cms_sketch),
+        ("bloom_snapshot_dedup", sketches.bloom_snapshot_dedup),
+        ("lm_surprisal", textstats.lm_surprisal),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,
