@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": _webops().line_dedup_stats,
         "bloom_snapshot_dedup": _sketches().bloom_snapshot_dedup,
         "lm_surprisal": _lm_surprisal,
+        "exact_substring_stats": _webops().exact_substring_stats,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
         "simhash_fps": q.simhash_fps,
@@ -413,6 +414,10 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_stats": _webops().line_dedup_stats_sql(),
         # cross-snapshot Bloom membership, bit positions SQL-reproduced
         "bloom_snapshot_dedup": _sketches().bloom_snapshot_dedup_sql(),
+        # ExactSubstr (Lee et al. 2022): sliding L-token windows, dup
+        # flagging and the per-doc interval union all recomputed by
+        # DuckDB window frames
+        "exact_substring_stats": _webops().exact_substring_stats_sql(),
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),

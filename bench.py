@@ -207,6 +207,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("term_cms_sketch", sketches.term_cms_sketch),
         ("bloom_snapshot_dedup", sketches.bloom_snapshot_dedup),
         ("lm_surprisal", textstats.lm_surprisal),
+        ("exact_substring_stats", webops.exact_substring_stats),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

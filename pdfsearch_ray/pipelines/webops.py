@@ -615,3 +615,220 @@ def strip_boiler_lines(ds: rd.Dataset, df_min: int = LINE_DF_MIN,
                             text_col, pa.array(texts, type=pa.string()))
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+# ------------------------------------------- exact-substring dedup
+# The ExactSubstr operator of Lee et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better"): any span of >= L tokens that
+# appears more than once in the corpus is duplicated text.  The paper
+# builds one giant suffix array on a single large-memory box; the
+# distributed reformulation used here is the standard map-reduce
+# equivalent — a span of length M >= L repeats iff every one of its
+# sliding L-token windows repeats, so flagging repeated L-windows and
+# taking their per-document interval union recovers exactly the
+# maximal repeated regions of length >= L.  No counterpart in the
+# reference (a filesystem PDF engine has no cross-document duplication
+# problem); every web-scale training corpus runs this before training.
+#
+# Scale shape: pass 1 ships 8-byte window hashes only (text never
+# shuffles) through per-batch partial counts -> one narrow int64
+# groupby -> a DISTRIBUTED cnt >= 2 filter; the duplicated-hash set is
+# broadcast once via ray.put for the pass-2 membership scan (the
+# decontaminate/line_dedup shape).  At 100 TB the dup-window set of a
+# crawl corpus is O(duplicated tokens) and can exceed one node's heap:
+# the scale path hash-partitions (h, doc_id, start) by h, joins
+# co-partitioned, and regroups by doc — same two narrow exchanges, no
+# broadcast; the gate-scale broadcast is the measured-small
+# convenience, the same documented trade as dedup_exact's loser-id
+# broadcast.  The md5-low64 window keying exists so DuckDB can
+# REPRODUCE the keys; a production deployment would swap in a 128-bit
+# rolling hash (O(tokens) instead of O(tokens x L) hashed bytes),
+# which is collision-equivalent.
+
+SUBSTR_WINDOW = 12       # ExactSubstr window length L, in words
+# injected shared spans (>= 2L words so interior windows flag; the
+# boundary windows straddling into per-doc unique text do NOT flag,
+# which is what makes the interval union land exactly on the span)
+_SPAN_A = ("the quick brown fox jumps over the lazy dog while the band "
+           "plays on and the crowd waves flags in the bright afternoon "
+           "sun near the old harbor wall")
+_SPAN_B = ("every large web crawl repeats navigation chrome footer text "
+           "and license boilerplate across millions of pages which the "
+           "filter must find and remove quickly")
+
+
+def _inject_spans(t: pa.Table) -> pa.Table:
+    """Deterministic gate synth: docs with doc_id%5==0 get span A
+    prepended, doc_id%7==0 span B appended (both => both)."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pre = pa.array(np.where(ids % 5 == 0, _SPAN_A + " ", ""))
+    post = pa.array(np.where(ids % 7 == 0, " " + _SPAN_B, ""))
+    txt = pc.binary_join_element_wise(pre, t["text"], post, "")
+    return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+
+def _doc_windows(text: str, window: int) -> list[str]:
+    words = (text or "").split(" ")
+    return [" ".join(words[i:i + window])
+            for i in range(len(words) - window + 1)]
+
+
+def dup_window_hashes(ds: rd.Dataset, window: int = SUBSTR_WINDOW,
+                      min_count: int = 2) -> rd.Dataset:
+    """Pass 1: distributed window-occurrence counts.  Emits per-batch
+    (window_hash, partial_count) pairs — 8-byte hashes move, never
+    text — sums them in one narrow int64 groupby and applies the
+    cnt >= min_count threshold DISTRIBUTED, so the driver-visible
+    result is O(duplicated windows).  Counts OCCURRENCES (a window
+    repeated within one document flags too, per ExactSubstr).
+    Input dataset must have a ``text`` column."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs: dict[int, int] = {}
+        for text in t["text"].to_pylist():
+            for h in _md5_low64(_doc_windows(text, window)).view(np.int64):
+                h = int(h)
+                hs[h] = hs.get(h, 0) + 1
+        return pa.table({
+            "h": pa.array(list(hs.keys()), type=pa.int64()),
+            "cnt_part": pa.array(list(hs.values()), type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("cnt_part", alias_name="cnt"))
+    )
+    return agg.filter(expr=f"cnt >= {int(min_count)}")
+
+
+def exact_substring_over(ds: rd.Dataset,
+                         window: int = SUBSTR_WINDOW) -> pa.Table:
+    """Two-pass ExactSubstr over a (doc_id, text) dataset: pass 1 above,
+    then one more streaming pass that recomputes each doc's window
+    hashes, flags members of the duplicated set, and takes the interval
+    union of flagged windows ([s, s+L) per flagged start s) with one
+    vectorized +1/-1 diff + prefix sum per doc.  Returns per-doc
+    (doc_id, n_windows, n_dup_windows, dup_tokens) where dup_tokens is
+    the number of token positions covered by at least one repeated
+    window — i.e. exactly the tokens inside maximal >= L repeated
+    spans."""
+    import ray
+
+    dup_tbl = dup_window_hashes(ds, window).to_pandas()
+    ref = ray.put(frozenset(int(x) for x in dup_tbl["h"]))
+
+    def stats(t: pa.Table) -> pa.Table:
+        dset = ray.get(ref)
+        ids, nw, nd, cov = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            wins = _doc_windows(text, window)
+            hs = _md5_low64(wins).view(np.int64)
+            flag = np.fromiter((int(h) in dset for h in hs),
+                               dtype=bool, count=len(hs))
+            starts = np.nonzero(flag)[0]
+            n_words = len(wins) + window - 1 if wins else 0
+            if starts.size:
+                diff = np.zeros(n_words + 1, dtype=np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, starts + window, -1)
+                covered = int((np.cumsum(diff[:-1], dtype=np.int64)
+                               > 0).sum())
+            else:
+                covered = 0
+            ids.append(did)
+            nw.append(len(wins))
+            nd.append(int(flag.sum()))
+            cov.append(covered)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_windows": pa.array(nw, type=pa.int64()),
+            "n_dup_windows": pa.array(nd, type=pa.int64()),
+            "dup_tokens": pa.array(cov, type=pa.int64()),
+        })
+
+    out = ds.map_batches(stats, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id")
+    return pa.table({
+        c: pa.array(out[c].astype("int64").tolist(), type=pa.int64())
+        for c in ("doc_id", "n_windows", "n_dup_windows", "dup_tokens")
+    })
+
+
+def exact_substring_stats(sf_dir: str) -> pa.Table:
+    """Gate query: inject deterministic shared spans (A into doc_id%5,
+    B onto doc_id%7) so the corpus contains cross-document repeated
+    substrings with known extents, then run ExactSubstr at
+    SUBSTR_WINDOW and report per-doc duplicate-span coverage."""
+    src = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        .map_batches(_inject_spans, batch_format="pyarrow")
+    )
+    return exact_substring_over(src, SUBSTR_WINDOW)
+
+
+def exact_substring_stats_sql() -> str:
+    """Oracle: DuckDB reinjects the spans, rebuilds every sliding
+    L-token window with a window-frame string_agg, counts window
+    occurrences, flags cnt >= 2, and recomputes the per-doc interval
+    union by unnesting each flagged window's token range — membership
+    by WINDOW STRING (the engine's 64-bit md5 keying is
+    collision-equivalent)."""
+    w = SUBSTR_WINDOW
+    return f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 5 = 0
+                         THEN '{_SPAN_A} ' ELSE '' END)
+                   || text
+                   || (CASE WHEN doc_id % 7 = 0
+                            THEN ' {_SPAN_B}' ELSE '' END) AS text
+            FROM documents
+        ),
+        tw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM synth
+        ),
+        win AS (
+            SELECT doc_id, i AS s,
+                   string_agg(w, ' ') OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW
+                       AND {w - 1} FOLLOWING) AS wstr,
+                   count(*) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW
+                       AND {w - 1} FOLLOWING) AS wlen
+            FROM tw
+        ),
+        valid AS (SELECT doc_id, s, wstr FROM win WHERE wlen = {w}),
+        cnt AS (SELECT wstr, count(*) AS c FROM valid GROUP BY wstr),
+        flag AS (
+            SELECT v.doc_id, v.s
+            FROM valid v JOIN cnt ON v.wstr = cnt.wstr
+            WHERE cnt.c >= 2
+        ),
+        cover AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, s + unnest(range({w})) AS tok FROM flag)
+        ),
+        nw AS (SELECT doc_id, count(*) AS n_windows
+               FROM valid GROUP BY doc_id),
+        nd AS (SELECT doc_id, count(*) AS n_dup_windows
+               FROM flag GROUP BY doc_id),
+        cv AS (SELECT doc_id, count(*) AS dup_tokens
+               FROM cover GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(nw.n_windows, 0) AS n_windows,
+               coalesce(nd.n_dup_windows, 0) AS n_dup_windows,
+               coalesce(cv.dup_tokens, 0) AS dup_tokens
+        FROM documents d
+        LEFT JOIN nw USING (doc_id)
+        LEFT JOIN nd USING (doc_id)
+        LEFT JOIN cv USING (doc_id)
+        ORDER BY d.doc_id
+    """

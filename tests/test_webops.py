@@ -165,3 +165,44 @@ def test_strip_boiler_lines_in_curation(ray_session):
     chunks_off = curate_chunks(rd.from_items(rows),
                                default_rate=1.0).to_pandas()
     assert chunks_off["chunk_text"].str.contains("newsletter").any()
+
+
+def test_exact_substring_hand_corpus(ray_session):
+    """ExactSubstr semantics on a hand corpus at window=3: cross-doc
+    shared span, within-doc self-repeat, and the interval union over
+    overlapping flagged windows."""
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a b c d e"},
+        {"doc_id": 2, "text": "x b c d y"},
+        {"doc_id": 3, "text": "p q r s t p q r s t"},
+        {"doc_id": 4, "text": "u v"},  # shorter than the window
+    ])
+    out = w.exact_substring_over(ds, window=3).to_pandas() \
+        .set_index("doc_id")
+    # docs 1/2 share exactly "b c d": one window each, covering 3 toks
+    assert out.loc[1].tolist() == [3, 1, 3]
+    assert out.loc[2].tolist() == [3, 1, 3]
+    # doc 3 self-repeats: windows at starts 0,1,2 recur at 5,6,7 (the
+    # wrap windows "s t p"/"t p q" are unique) -> 6 flagged windows
+    # whose union [0,5)+[5,10) covers all 10 tokens
+    assert out.loc[3].tolist() == [8, 6, 10]
+    assert out.loc[4].tolist() == [0, 0, 0]
+
+
+def test_exact_substring_gate_matches_oracle(ray_session):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    t = w.exact_substring_stats(SF).to_pandas().reset_index(drop=True)
+    o = con.sql(w.exact_substring_stats_sql()).df() \
+        .reset_index(drop=True)[t.columns].astype("int64")
+    assert t.astype("int64").equals(o)
+    # the planted span really flags: every doc_id%5==0 doc has at least
+    # span_A's interior windows and >= the span's token coverage
+    span_a_words = len(w._SPAN_A.split(" "))
+    marked = t[t.doc_id % 5 == 0]
+    assert (marked["n_dup_windows"]
+            >= span_a_words - w.SUBSTR_WINDOW + 1).all()
+    assert (marked["dup_tokens"] >= span_a_words).all()
