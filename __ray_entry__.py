@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": q.event_props_stats,
         "knn_label_accuracy": q.knn_label_accuracy,
         "source_mix": q.source_mix,
+        "temperature_mix": q.temperature_mix,
         "curated_chunks": q.curated_chunks,
     }
 
@@ -694,6 +695,11 @@ def oracle_sql() -> dict[str, str]:
                        // (SELECT count(*) FROM documents) AS share_bp
             FROM documents GROUP BY source, lang
         """,
+        # temperature-based source rebalancing (alpha=0.5): weights,
+        # targets, per-source thresholds and the splitmix64 keep rule
+        # all recomputed in integer-exact HUGEINT arithmetic
+        "temperature_mix": _oracles.temperature_mix_sql(
+            denom=q.TEMP_MIX_DENOM),
         "event_props_stats": f"""
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(regexp_extract(props, '{q.PROPS_KEY_RE}',

@@ -208,6 +208,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("bloom_snapshot_dedup", sketches.bloom_snapshot_dedup),
         ("lm_surprisal", textstats.lm_surprisal),
         ("exact_substring_stats", webops.exact_substring_stats),
+        ("temperature_mix", qmod.temperature_mix),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

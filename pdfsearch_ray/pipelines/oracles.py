@@ -1028,3 +1028,54 @@ def fulltext_en_sql(sf_dir: str, queries, *, k: int = 10,
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")
+
+
+def temperature_mix_sql(*, denom: int = 2) -> str:
+    """Oracle for queries.py:temperature_mix.  DuckDB recomputes the
+    per-source totals, the alpha=0.5 integer weights (floor(sqrt(x)) ==
+    isqrt for < 2^50 radicands — IEEE sqrt is correctly rounded and
+    cannot cross an integer), the integer targets/thresholds in HUGEINT
+    (2^64 parses as a HUGEINT literal), and the engine's splitmix64
+    finalizer bit-for-bit via the same 32-bit-limb multiplication as
+    sample_sql."""
+    U32 = 1 << 32
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    return f"""
+        WITH agg AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS tc
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_docs,
+                   CAST(floor(sqrt(CAST(tc AS DOUBLE))) AS BIGINT) AS w
+            FROM agg
+        ),
+        tot AS (SELECT sum(w) AS sw, sum(n_docs) AS nt FROM w),
+        lim AS (
+            SELECT source,
+                   CAST(least(n_docs,
+                              (w * (nt // {denom})) // sw) AS HUGEINT)
+                   * {U64} // n_docs AS thresh
+            FROM w CROSS JOIN tot
+        ),
+        m0 AS (
+            SELECT d.doc_id, d.source, l.thresh,
+                   CAST(d.doc_id AS HUGEINT) AS x
+            FROM documents d JOIN lim l USING (source)
+        ),
+        m1 AS (SELECT doc_id, source, thresh,
+                      {mulmod('xor(x, x >> 30)', C1)} AS x FROM m0),
+        m2 AS (SELECT doc_id, source, thresh,
+                      {mulmod('xor(x, x >> 27)', C2)} AS x FROM m1),
+        m3 AS (SELECT doc_id, source, thresh,
+                      xor(x, x >> 31) AS x FROM m2)
+        SELECT doc_id, source FROM m3 WHERE x < thresh
+    """

@@ -1908,3 +1908,84 @@ def source_mix(sf_dir: str) -> pa.Table:
         "share_bp": pa.array(agg["share_bp"].astype("int64").tolist(),
                              type=pa.int64()),
     })
+
+
+TEMP_MIX_DENOM = 2   # sampling budget = total_docs // TEMP_MIX_DENOM
+
+
+def temperature_mix(sf_dir: str) -> rd.Dataset:
+    """Temperature-based source mixing — the multilingual/multi-source
+    rebalancing sampler of mT5/ROOTS-style corpora: small sources are
+    UP-weighted relative to their raw share by sampling each source s
+    proportionally to ``size_s ** alpha`` (alpha = 0.5 here), so no
+    single giant crawl dominates the training mix.  All math is
+    INTEGER-EXACT so the value hash cannot flake on float rounding:
+
+    * weight  ``w_s   = isqrt(total_chars_s)``  (alpha = 0.5, exact —
+      DuckDB's floor(sqrt(x)) on a < 2^50 radicand equals isqrt because
+      IEEE sqrt is correctly rounded and cannot cross an integer),
+    * target  ``t_s   = min(n_docs_s, (w_s * budget) // sum_w)`` with
+      ``budget = total_docs // TEMP_MIX_DENOM``,
+    * keep rule: ``mix64(doc_id) < (t_s << 64) // n_docs_s`` — the
+      corpus_sample splitmix64 convention, per-source rate t_s/n_s in
+      pure 128-bit integer arithmetic (2^64 == keep-all when t_s==n_s).
+
+    Scale shape: pass 1 is a per-batch arrow combiner into a
+    sources-sized groupby (O(sources) driver state); pass 2 is a pure
+    per-batch filter against the broadcast O(sources) threshold table —
+    membership is a function of (doc_id, source) only, so every
+    retry/cluster-size reproduces the identical sample."""
+    import math
+
+    from ..functions.hashing import mix64
+    from ..functions.tables import read_parquet_nometa
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["source", "n_chars"]).group_by(["source"])
+             .aggregate([("n_chars", "count"), ("n_chars", "sum")]))
+        return pa.table({
+            "source": g["source"],
+            "n_docs": g["n_chars_count"].cast(pa.int64()),
+            "total_chars": g["n_chars_sum"].cast(pa.int64()),
+        })
+
+    agg = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    srcs = agg["source"].tolist()
+    nd = agg["n_docs"].astype("int64").tolist()
+    w = [math.isqrt(int(tc)) for tc in agg["total_chars"].tolist()]
+    sum_w = sum(w)
+    budget = sum(nd) // TEMP_MIX_DENOM
+    thresh = {
+        s: (min(int(n), (wi * budget) // sum_w) << 64) // int(n)
+        for s, n, wi in zip(srcs, nd, w)
+    }
+    ref = ray.put(thresh)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        order = sorted(th)
+        lim = np.array([min(th[s], (1 << 64) - 1) for s in order],
+                       dtype=np.uint64)
+        allmask = np.array([th[s] >= (1 << 64) for s in order],
+                           dtype=bool)
+        codes = pc.index_in(
+            t["source"], value_set=pa.array(order, type=pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mix64(ids)
+        mask = allmask[codes] | (h < lim[codes])
+        return t.filter(pa.array(mask))
+
+    return (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+        .map_batches(keep, batch_format="pyarrow")
+    )

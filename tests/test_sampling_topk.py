@@ -176,3 +176,43 @@ def test_repetition_stats_flags_planted_doc(ray_session, tmp_path):
         assert (out.loc[i, ["n_bigrams", "max_bigram_count", "n_trigrams",
                             "max_trigram_count", "repetitive"]].tolist()
                 == [nb, mb, nt, mt, rep]), text
+
+
+def test_temperature_mix_rebalances_and_is_deterministic(ray_session):
+    """alpha=0.5 mixing: a source's KEPT share of the budget must sit
+    between its raw char share and the uniform share (that is what
+    temperature < 1 means), sampling is a pure function of
+    (doc_id, source), and the oracle agrees."""
+    from pdfsearch_ray.pipelines import oracles
+    from pdfsearch_ray.pipelines.queries import temperature_mix
+
+    a = temperature_mix(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = temperature_mix(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert a.equals(b)  # rerun-identical, no seed plumbing
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    o = con.sql(oracles.temperature_mix_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(o[a.columns])
+
+    # the weights themselves encode the rebalancing: under a concave
+    # (alpha<1) transform the smallest source's share of the budget
+    # RISES above its raw char share and the largest source's FALLS
+    # below it (power-mean compression) — checked in exact integer
+    # cross-multiplication, no float division
+    import math
+
+    stats = con.sql("SELECT source, count(*) n, sum(n_chars) tc "
+                    "FROM documents GROUP BY source").df()
+    w = {s: math.isqrt(int(tc)) for s, tc in zip(stats.source, stats.tc)}
+    tc_of = {s: int(tc) for s, tc in zip(stats.source, stats.tc)}
+    sum_w, sum_tc = sum(w.values()), sum(tc_of.values())
+    hi = max(tc_of, key=tc_of.get)
+    lo = min(tc_of, key=tc_of.get)
+    assert tc_of[lo] < tc_of[hi]  # the corpus really is skewed
+    assert w[lo] * sum_tc >= tc_of[lo] * sum_w   # lo share up-weighted
+    assert w[hi] * sum_tc <= tc_of[hi] * sum_w   # hi share down-weighted
