@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ws_token_counts": q.ws_token_counts,
         "ann_ivf": q.ann_ivf,
         "embedding_dup_pairs": q.embedding_dup_pairs,
+        "semantic_dedup": q.semantic_dedup,
         "embedding_dup_pairs_lsh": q.embedding_dup_pairs_lsh,
         "windowed_event_counts": _windowed_event_counts,
         "user_sessions": _user_sessions,
@@ -262,6 +263,14 @@ def oracle_sql() -> dict[str, str]:
         extra["knn_label_accuracy"] = _oracles.knn_ivf_label_accuracy_sql(
             "/root/testdata/sf0.01", n_clusters=q.KNN_N_CLUSTERS,
             n_probe=q.KNN_N_PROBE)
+    except Exception:
+        pass
+    # SemDeDup oracle shares the same deterministic centroids; DuckDB
+    # recomputes assignment, in-cluster rank and the keep rule
+    try:
+        extra["semantic_dedup"] = _oracles.semantic_dedup_sql(
+            "/root/testdata/sf0.01", eps=q.SEMDEDUP_EPS,
+            n_clusters=q.SEMDEDUP_N_CLUSTERS)
     except Exception:
         pass
 

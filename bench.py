@@ -209,6 +209,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("lm_surprisal", textstats.lm_surprisal),
         ("exact_substring_stats", webops.exact_substring_stats),
         ("temperature_mix", qmod.temperature_mix),
+        ("semantic_dedup", qmod.semantic_dedup),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

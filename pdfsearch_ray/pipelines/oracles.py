@@ -1079,3 +1079,72 @@ def temperature_mix_sql(*, denom: int = 2) -> str:
                       xor(x, x >> 31) AS x FROM m2)
         SELECT doc_id, source FROM m3 WHERE x < thresh
     """
+
+
+def semantic_dedup_sql(sf_dir: str, *, eps: float = 0.35,
+                       n_clusters: int = 16) -> str:
+    """Oracle for similarity.semantic_dedup (SemDeDup).  Centroids come
+    from the SAME deterministic k-means the pipeline trains (shared
+    model, the ann_ivf/knn precedent); DuckDB independently recomputes
+    every vector's cluster assignment (argmax dot, first-max tie), its
+    centroid cosine (6 dp), the in-cluster (cent_sim DESC, vec_id ASC)
+    rank, all earlier-rank pairwise cosines (6 dp) and the keep rule
+    ``max earlier cos < eps``."""
+    from .similarity import ivf_centroids
+
+    cents = ivf_centroids(sf_dir, num_queries=0, n_clusters=n_clusters)
+    dim = cents.shape[1]
+    cent_vals = ", ".join(
+        f"({c}, {j}, {repr(float(cents[c, j]))})"
+        for c in range(n_clusters) for j in range(dim)
+    )
+    return f"""
+        WITH cents(c, j, w) AS (VALUES {cent_vals}),
+        be AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM be GROUP BY vec_id
+        ),
+        cdots AS (
+            SELECT b.vec_id, c.c, sum(b.v * c.w) AS dot
+            FROM be b JOIN cents c ON c.j = b.j
+            GROUP BY b.vec_id, c.c
+        ),
+        ranked AS (
+            SELECT vec_id, c, dot,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dot DESC, c ASC
+                   ) AS rn
+            FROM cdots
+        ),
+        members AS (
+            SELECT r.vec_id, r.c AS cluster,
+                   round(r.dot / n.nrm, 6) AS cent_sim
+            FROM ranked r JOIN norms n USING (vec_id)
+            WHERE r.rn = 1
+        ),
+        mrank AS (
+            SELECT vec_id, cluster, cent_sim,
+                   row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY cent_sim DESC, vec_id ASC
+                   ) AS rk
+            FROM members
+        ),
+        hits AS (
+            SELECT a.vec_id
+            FROM mrank a
+            JOIN mrank b ON b.cluster = a.cluster AND b.rk < a.rk
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(ea.embedding,
+                                               eb.embedding), 6) >= {eps}
+        )
+        SELECT m.vec_id, m.cluster, m.cent_sim,
+               m.vec_id NOT IN (SELECT vec_id FROM hits) AS keep
+        FROM mrank m
+        ORDER BY m.vec_id
+    """

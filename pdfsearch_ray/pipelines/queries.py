@@ -1025,6 +1025,16 @@ def embedding_dup_pairs(sf_dir: str) -> pa.Table:
     return _e(sf_dir, threshold=EMB_DUP_THRESHOLD)
 
 
+SEMDEDUP_EPS = 0.35
+SEMDEDUP_N_CLUSTERS = 16
+
+
+def semantic_dedup(sf_dir: str) -> rd.Dataset:
+    from .similarity import semantic_dedup as _s
+
+    return _s(sf_dir, eps=SEMDEDUP_EPS, n_clusters=SEMDEDUP_N_CLUSTERS)
+
+
 def windowed_event_counts(sf_dir: str) -> rd.Dataset:
     from .events import windowed_event_counts as _w
 

@@ -588,3 +588,92 @@ def ann_ivf_topk(
             dim=dim, exclude_below=num_queries,
         )
     return _probe_topk(f"{index_dir}/parts", q_ids, qn, probe_sets, dim, k)
+
+
+def semantic_dedup(
+    sf_dir: str,
+    *,
+    eps: float = 0.35,
+    n_clusters: int = 16,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning in embedding space — k-means-cluster the
+    corpus, then WITHIN each cluster order members by similarity to
+    their centroid (the paper keeps low-centroid-similarity examples)
+    and drop any member whose cosine to an EARLIER-ranked kept-or-not
+    member reaches ``eps``.  Complements the exact/LSH pair finders
+    above: those emit duplicate PAIRS; this emits the per-vector
+    keep/drop decision a curation pipeline consumes directly.
+
+    Ray shape (the 100 TB path): the cluster layout is the build-once
+    ``ivf_layout_cached`` artifact (atomic, fingerprint-keyed, shared
+    with ann_ivf/knn) — the ONE shuffle happened at layout build.  The
+    decision pass is a single job over partition ids: each task reads
+    only ITS cluster's members, computes the local (members × members)
+    cosine block with a triangular mask, and emits per-member verdicts
+    — O(Σ cluster²) work, zero all-to-all, O(1) driver state.  The
+    paper's own scaling knob applies verbatim: n_clusters grows with N
+    so per-cluster blocks stay bounded (they use 50k clusters at
+    LAION-440M scale).
+
+    Determinism: sims and centroid-sims round to 6 dp, the in-cluster
+    rank orders by (cent_sim DESC, vec_id ASC) — both reproduced
+    bit-for-bit by the DuckDB oracle (oracles.semantic_dedup_sql),
+    which retrains nothing: it inlines the shared centroids and
+    independently recomputes assignment, ranking, the pairwise sims
+    and the keep rule."""
+    cents, parts_dir = ivf_layout_cached(
+        sf_dir, n_clusters=n_clusters, exclude_below=0,
+    )
+    dim = cents.shape[1]
+    cents_ref = ray.put(cents)
+    have_parts = [p for p in range(n_clusters)
+                  if os.path.isdir(f"{parts_dir}/part={p}")]
+
+    def decide(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cents_ref)
+        out_id, out_cl, out_cs, out_keep = [], [], [], []
+        for part in batch["part"].to_pylist():
+            p = int(part)
+            mt = pq.read_table(f"{parts_dir}/part={p}",
+                               columns=["vec_id", "embedding"],
+                               use_threads=False)
+            if mt.num_rows == 0:
+                continue
+            ids = mt["vec_id"].to_numpy().astype(np.int64)
+            m = _embed_matrix(mt["embedding"], dim)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                                1e-12)
+            csim = np.round(mn @ cents_[p], 6)
+            order = np.lexsort((ids, -csim))  # cent_sim desc, vec_id asc
+            mo = mn[order]
+            s = np.round(mo @ mo.T, 6)
+            # triangular mask: member i only sees earlier-ranked j < i
+            s[np.triu(np.ones(s.shape, dtype=bool))] = -2.0
+            keep_o = s.max(axis=1) < eps if len(ids) > 1 else \
+                np.ones(1, dtype=bool)
+            keep = np.empty(len(ids), dtype=bool)
+            keep[order] = keep_o
+            out_id.append(ids)
+            out_cl.append(np.full(len(ids), p, dtype=np.int64))
+            out_cs.append(csim)
+            out_keep.append(keep)
+        if not out_id:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+                "cent_sim": pa.array([], type=pa.float64()),
+                "keep": pa.array([], type=pa.bool_()),
+            })
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "cluster": pa.array(np.concatenate(out_cl)),
+            "cent_sim": pa.array(np.concatenate(out_cs),
+                                 type=pa.float64()),
+            "keep": pa.array(np.concatenate(out_keep)),
+        })
+
+    return (
+        rd.from_items([{"part": p} for p in have_parts])
+        .map_batches(decide, batch_format="pyarrow", batch_size=1)
+    )
