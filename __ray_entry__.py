@@ -116,6 +116,12 @@ def _lm_surprisal(sf_dir: str):
     return lm_surprisal(sf_dir)
 
 
+def _dsir_weights(sf_dir: str):
+    from pdfsearch_ray.pipelines.textstats import dsir_weights
+
+    return dsir_weights(sf_dir)
+
+
 def _unit_topk_oracle():
     from pdfsearch_ray.pipelines import oracles as _oracles
     from pdfsearch_ray.pipelines.queries import (
@@ -152,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": _webops().line_dedup_stats,
         "bloom_snapshot_dedup": _sketches().bloom_snapshot_dedup,
         "lm_surprisal": _lm_surprisal,
+        "dsir_weights": _dsir_weights,
         "exact_substring_stats": _webops().exact_substring_stats,
         "ngram_jaccard": q.ngram_jaccard,
         "minhash_dedup": q.minhash_dedup,
@@ -431,6 +438,8 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),
+        "dsir_weights": __import__("pdfsearch_ray.pipelines.textstats",
+                                   fromlist=["x"]).dsir_weights_sql(),
         # money sums are EXACT integer cents (and cent×percent units
         # for discounted revenue): the 2-decimal source data makes the
         # aggregation order-independent and rounding-mode-free, so the

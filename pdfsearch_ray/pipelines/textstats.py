@@ -357,3 +357,206 @@ def lm_surprisal_sql() -> str:
         FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
         ORDER BY d.doc_id
     """
+
+
+DSIR_BUCKETS = 512     # hashed-feature space (DSIR uses 10^4 at web
+                       # scale; the model is O(B) either way)
+DSIR_TARGET_LANG = "en"  # the in-corpus "target distribution" proxy
+
+
+def _dsir_features(t: pa.Table):
+    """Flatten one batch to (parent_row, feature_string) for hashed
+    unigram+bigram features — the DSIR feature map.  Tokens are the
+    shared ``[^a-z0-9]+`` split; bigrams join consecutive same-doc
+    tokens with one space (the SQL oracle rebuilds both from
+    row_number windows).  Returns (parent: int64[], feats: object[])."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parent = toks.value_parent_indices().to_numpy().astype(np.int64)
+    flat = np.asarray(toks.flatten(), dtype=object)
+    keep = flat != ""
+    parent, flat = parent[keep], flat[keep]
+    # bigrams: consecutive positions with the same parent row
+    if len(flat) > 1:
+        adj = parent[:-1] == parent[1:]
+        big = flat[:-1][adj] + " " + flat[1:][adj]
+        bparent = parent[:-1][adj]
+        return (np.concatenate([parent, bparent]),
+                np.concatenate([flat, big]))
+    return parent, flat
+
+
+def _bucket_of(feats: np.ndarray, n_buckets: int) -> np.ndarray:
+    """md5-low64 % B per UNIQUE feature (the md5_number_lower
+    convention shared with webops/sketches), mapped back to instances."""
+    import hashlib
+
+    uniq, inv = np.unique(feats.astype(str), return_inverse=True)
+    md5 = hashlib.md5
+    hb = np.array(
+        [int.from_bytes(md5(u.encode()).digest()[8:16], "little")
+         % n_buckets for u in uniq],
+        dtype=np.int64)
+    return hb[inv]
+
+
+def dsir_weights(sf_dir: str) -> rd.Dataset:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how target-like its hashed n-gram profile
+    is — ``log p_target(x) - log p_raw(x)`` under bag-of-hashed-ngram
+    models — so a curation pipeline can resample raw web data toward a
+    quality/domain target.  Target here is the corpus's own
+    ``lang = 'en'`` slice (self-contained; swap in any doc predicate).
+
+    Integer-exact analog (the lm_surprisal convention, so the value
+    hash cannot flake): per hashed bucket b and model m,
+    ``bits_m(b) = bit_length(N_m // c_m(b))`` (zero count → the fixed
+    OOV penalty ``bit_length(N_m) + 1``); per document,
+    ``dsir_bits = Σ_features (bits_raw(b) - bits_tgt(b))`` — HIGHER
+    means more target-like.  Emits (doc_id, n_feats, dsir_bits).
+
+    Scale shape: train pass streams once into per-batch (bucket,
+    c_raw, c_tgt) partials → an O(B) groupby (B = DSIR_BUCKETS);
+    both bit tables broadcast as dense arrays via ``ray.put``; score
+    pass is one streaming map — no shuffle ever touches text.  This is
+    DSIR's own architecture (they use B = 10^4 for the full
+    Pile-scale run)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import read_parquet_nometa
+
+    B = DSIR_BUCKETS
+
+    def partial(t: pa.Table) -> pa.Table:
+        parent, feats = _dsir_features(t)
+        if len(feats) == 0:
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "c_raw": pa.array([], type=pa.int64()),
+                "c_tgt": pa.array([], type=pa.int64()),
+            })
+        b = _bucket_of(feats, B)
+        is_tgt = (t["lang"].to_numpy(zero_copy_only=False)
+                  == DSIR_TARGET_LANG)[parent]
+        c_raw = np.bincount(b, minlength=B)
+        c_tgt = np.bincount(b[is_tgt], minlength=B)
+        nz = (c_raw > 0).nonzero()[0]
+        return pa.table({
+            "bucket": pa.array(nz, type=pa.int64()),
+            "c_raw": pa.array(c_raw[nz], type=pa.int64()),
+            "c_tgt": pa.array(c_tgt[nz], type=pa.int64()),
+        })
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("c_raw", alias_name="c_raw"),
+                      Sum("c_tgt", alias_name="c_tgt"))
+           .to_pandas())
+    c_raw = np.zeros(B, dtype=np.int64)
+    c_tgt = np.zeros(B, dtype=np.int64)
+    c_raw[agg["bucket"].to_numpy()] = agg["c_raw"].to_numpy()
+    c_tgt[agg["bucket"].to_numpy()] = agg["c_tgt"].to_numpy()
+    n_raw = max(int(c_raw.sum()), 1)
+    n_tgt = max(int(c_tgt.sum()), 1)
+    bits_raw = np.array(
+        [(n_raw // int(c)).bit_length() if c else n_raw.bit_length() + 1
+         for c in c_raw], dtype=np.int64)
+    bits_tgt = np.array(
+        [(n_tgt // int(c)).bit_length() if c else n_tgt.bit_length() + 1
+         for c in c_tgt], dtype=np.int64)
+    ref = ray.put(bits_raw - bits_tgt)
+
+    def score(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        n_docs = t.num_rows
+        parent, feats = _dsir_features(t)
+        nf = np.zeros(n_docs, dtype=np.int64)
+        bits = np.zeros(n_docs, dtype=np.int64)
+        if len(feats):
+            b = _bucket_of(feats, B)
+            np.add.at(nf, parent, 1)
+            np.add.at(bits, parent, w[b])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_feats": pa.array(nf, type=pa.int64()),
+            "dsir_bits": pa.array(bits, type=pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights_sql() -> str:
+    """Oracle: DuckDB retrains BOTH hashed-feature models (same
+    tokenizer, same md5_number_lower % B bucketing, same bigram
+    windows via row_number) and rescans with length(bin(x)) ==
+    bit_length — integer-exact parity with dsir_weights."""
+    B = DSIR_BUCKETS
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(lower(text),
+                                         '[^a-z0-9]+') AS arr
+            FROM documents
+        ),
+        tok0 AS (
+            SELECT doc_id, lang, generate_subscripts(arr, 1) AS j,
+                   unnest(arr) AS term
+            FROM base
+        ),
+        tok AS (
+            SELECT doc_id, lang, term,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY j) AS rn
+            FROM tok0 WHERE term <> ''
+        ),
+        feats AS (
+            SELECT doc_id, lang, term AS feat FROM tok
+            UNION ALL
+            SELECT a.doc_id, a.lang, a.term || ' ' || b.term AS feat
+            FROM tok a JOIN tok b
+              ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+        ),
+        fb AS (
+            SELECT doc_id, lang,
+                   CAST(md5_number_lower(feat) % {B} AS BIGINT) AS b
+            FROM feats
+        ),
+        cnt AS (
+            SELECT b, count(*) AS c_raw,
+                   sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                       THEN 1 ELSE 0 END) AS c_tgt
+            FROM fb GROUP BY b
+        ),
+        tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt
+                FROM cnt),
+        bits AS (
+            SELECT b,
+                   length(bin(CAST((SELECT n_raw FROM tot) // c_raw
+                                   AS BIGINT))) AS br,
+                   CASE WHEN c_tgt = 0 THEN
+                       length(bin(CAST((SELECT n_tgt FROM tot)
+                                       AS BIGINT))) + 1
+                   ELSE
+                       length(bin(CAST((SELECT n_tgt FROM tot) // c_tgt
+                                       AS BIGINT)))
+                   END AS bt
+            FROM cnt
+        ),
+        g AS (
+            SELECT f.doc_id, count(*) AS n_feats,
+                   sum(bits.br - bits.bt) AS dsir_bits
+            FROM fb f JOIN bits ON bits.b = f.b
+            GROUP BY f.doc_id
+        )
+        SELECT d.doc_id, coalesce(g.n_feats, 0) AS n_feats,
+               coalesce(g.dsir_bits, 0) AS dsir_bits
+        FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """

@@ -191,3 +191,60 @@ def test_lm_surprisal_scores_and_oov(ray_session, tmp_path):
     assert got.loc[0, "bits_total"] == 3 * 2 + 2 * 3 + 3
     assert got.loc[1, "bits_total"] == 2 + 3 + 3 + 5  # d is OOV
     assert got.loc[2, "n_oov"] == 2 and got.loc[2, "bits_total"] == 10
+
+
+def test_dsir_weights_matches_oracle_and_prefers_target(ray_session,
+                                                        tmp_path):
+    """DSIR hashed-ngram importance weights: engine == DuckDB retrain
+    (integer-exact), and a doc written in the target slice's
+    vocabulary outscores a doc written in the other slice's."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines import textstats as ts
+
+    en = "the quick brown fox jumps over the lazy dog near the river"
+    xx = "zorblat frumix quandle vepp trosk mibble jarn klopzu wrenfa"
+    rows = {
+        "doc_id": pa.array(list(range(12)), type=pa.int64()),
+        "lang": pa.array(["en"] * 5 + ["xx"] * 5 + ["de", "de"]),
+        # probes 10/11 share no lang-label with the models: pure
+        # vocabulary should decide their scores
+        "text": pa.array([en] * 5 + [xx] * 5 + [en, xx]),
+    }
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+
+    got = ts.dsir_weights(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(ts.dsir_weights_sql()).df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    byid = got.set_index("doc_id")
+    # target-vocabulary probe beats the raw-only-vocabulary probe
+    assert byid.loc[10, "dsir_bits"] > byid.loc[11, "dsir_bits"]
+    # and target-slice docs sit above raw-slice docs in the ranking
+    assert byid.loc[0, "dsir_bits"] > byid.loc[5, "dsir_bits"]
+    # n_feats = tokens + bigrams (12 tokens -> 23 features)
+    assert byid.loc[0, "n_feats"] == 23
+
+
+def test_dsir_weights_oracle_parity_sf(ray_session):
+    import duckdb
+
+    from pdfsearch_ray.pipelines import textstats as ts
+
+    sf = "/root/testdata/sf0.001"
+    got = ts.dsir_weights(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = con.sql(ts.dsir_weights_sql()).df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # the score actually separates: the corpus has >1 lang, so weights
+    # must not be constant
+    assert got["dsir_bits"].nunique() > 10
