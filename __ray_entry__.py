@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_topk_simple": q.fulltext_topk_simple,
         "unit_topk": q.unit_topk,
         "url_dedup": _webops().url_dedup,
+        "domain_stats": _webops().domain_stats,
         "pii_scrub_stats": _webops().pii_scrub_stats,
         "decontaminate": _webops().decontaminate,
         "vocab_hll_sketch": _sketches().vocab_hll_sketch,
@@ -422,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         # web-corpus curation ops (round 5): DuckDB recomputes the
         # deterministic synth AND the string transforms independently
         "url_dedup": _webops().url_dedup_sql(),
+        "domain_stats": _webops().domain_stats_sql(),
         "pii_scrub_stats": _webops().pii_scrub_stats_sql(),
         "decontaminate": _webops().decontaminate_sql(),
         # distributed HLL: the full integer sketch state under the gate

@@ -200,6 +200,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # round-5 additions (the new web-curation / sketch gates)
         ("unit_topk", qmod.unit_topk),
         ("url_dedup", webops.url_dedup),
+        ("domain_stats", webops.domain_stats),
         ("pii_scrub_stats", webops.pii_scrub_stats),
         ("decontaminate", webops.decontaminate),
         ("line_dedup_stats", webops.line_dedup_stats),

@@ -832,3 +832,126 @@ def exact_substring_stats_sql() -> str:
         LEFT JOIN cv USING (doc_id)
         ORDER BY d.doc_id
     """
+
+
+# ------------------------------------------------------------- domains
+
+# host blocklist (the RefinedWeb/UT1 shape: a curated host set the
+# filter drops; inlined here — production swaps in the list file and
+# broadcasts it once)
+DOMAIN_BLOCKLIST = ("ex13.com", "ex37.com")
+
+
+def domain_stats(sf_dir: str) -> pa.Table:
+    """Per-domain curation stats + blocklist gate (the RefinedWeb
+    URL-filtering shape): synth urls → canonicalize → per-CANONICAL-url
+    rollup → host extraction → per-HOST rollup of
+    (n_canonical, n_docs, total_chars, n_en) plus the blocklist
+    verdict.  A curation pipeline reads this to drop blocked or
+    low-quality domains before any text-level work.
+
+    Scale shape: two narrow groupbys — canonical urls first (the SAME
+    key url_dedup shuffles, O(urls) rows of five ints), then hosts
+    (O(hosts)); text never moves, documents are read once with three
+    columns.  The blocklist is an O(|list|) broadcast membership test
+    applied to the HOST aggregate, not per document."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        st = _synth_urls(t)
+        return pa.table({
+            "canonical_url": canonicalize_urls(st["url"]),
+            "n_chars": t["n_chars"],
+            "is_en": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+        })
+
+    def hostify(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t["canonical_url"], r"^(?P<h>[^/?]+)"), "h")
+        return pa.table({
+            "host": host,
+            "n_docs": t["n_docs"],
+            "total_chars": t["total_chars"],
+            "n_en": t["n_en"],
+        })
+
+    out = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "n_chars"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("canonical_url")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="total_chars"),
+                   Sum("is_en", alias_name="n_en"))
+        .map_batches(hostify, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="n_canonical"),
+                   Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_chars", alias_name="total_chars"),
+                   Sum("n_en", alias_name="n_en"))
+        .to_pandas()
+        .sort_values("host")
+    )
+    blocked = out["host"].isin(DOMAIN_BLOCKLIST)
+    return pa.table({
+        "host": pa.array(out["host"].tolist(), type=pa.string()),
+        "n_canonical": pa.array(out["n_canonical"].astype("int64")
+                                .tolist(), type=pa.int64()),
+        "n_docs": pa.array(out["n_docs"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "total_chars": pa.array(out["total_chars"].astype("int64")
+                                .tolist(), type=pa.int64()),
+        "n_en": pa.array(out["n_en"].astype("int64").tolist(),
+                         type=pa.int64()),
+        "blocked": pa.array(blocked.tolist(), type=pa.bool_()),
+    })
+
+
+def domain_stats_sql() -> str:
+    """Oracle: DuckDB recomputes the synth, the canonicalization, the
+    host extraction and both rollups independently."""
+    bl = ", ".join(f"'{h}'" for h in DOMAIN_BLOCKLIST)
+    return r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.'
+                        WHEN 1 THEN 'https://' ELSE 'http://www.' END)
+                   || 'Ex' || ((doc_id // 3) % 50) || '.com/P/'
+                   || (doc_id // 3)
+                   || (CASE doc_id % 3
+                        WHEN 0 THEN '/?utm_source=a&utm_medium=b'
+                        WHEN 1 THEN '?utm_campaign=c' ELSE '/' END)
+                   AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(lower(url),
+                               '^https?://', ''),
+                           '^www\.', ''),
+                           '([?&])utm_[^&]*&', '\1', 'g'),
+                           '([?&])utm_[^&]*&', '\1', 'g'),
+                           '[?&]utm_[^&]*$', ''),
+                           '\?$', ''),
+                           '/$', '') AS canonical_url
+            FROM synth
+        ),
+        per_canon AS (
+            SELECT c.canonical_url, count(*) AS n_docs,
+                   sum(d.n_chars) AS total_chars,
+                   sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS n_en
+            FROM canon c JOIN documents d USING (doc_id)
+            GROUP BY c.canonical_url
+        )
+        SELECT regexp_extract(canonical_url, '^([^/?]+)', 1) AS host,
+               count(*) AS n_canonical,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(total_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_en) AS BIGINT) AS n_en,
+               host IN (""" + bl + r""") AS blocked
+        FROM per_canon
+        GROUP BY host
+        ORDER BY host
+    """

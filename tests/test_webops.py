@@ -206,3 +206,22 @@ def test_exact_substring_gate_matches_oracle(ray_session):
     assert (marked["n_dup_windows"]
             >= span_a_words - w.SUBSTR_WINDOW + 1).all()
     assert (marked["dup_tokens"] >= span_a_words).all()
+
+
+def test_domain_stats_rollup_and_blocklist(ray_session):
+    import pyarrow.parquet as pq
+
+    got = w.domain_stats(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(w.domain_stats_sql()).df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert got["n_docs"].sum() == n_docs           # every doc lands once
+    assert (got["n_canonical"] <= got["n_docs"]).all()
+    assert got["host"].str.match(r"^ex\d+\.com$").all()
+    assert set(got.loc[got["blocked"], "host"]) == set(w.DOMAIN_BLOCKLIST)
+    # the synth spreads docs over 50 hosts; a 500-doc corpus hits all
+    assert len(got) == 50
