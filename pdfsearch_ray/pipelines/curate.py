@@ -107,16 +107,24 @@ def curate_chunks(
     lang_col: str = "lang",
     strip_boilerplate: bool = False,
     boiler_df_min: int | None = None,
+    min_dsir_bits: int | None = None,
 ) -> rd.Dataset:
     """The curated-chunk Dataset (lazy): [boilerplate-line strip →]
-    dedup → quality → sample → chunk.  Consume with write_parquet
-    (curate_corpus) or collect at gate scale.
+    dedup → quality → [DSIR select →] sample → chunk.  Consume with
+    write_parquet (curate_corpus) or collect at gate scale.
 
     ``strip_boilerplate=True`` prepends the CCNet line-level
     boilerplate removal (pipelines/webops.strip_boiler_lines) BEFORE
     the content-hash dedup, so corpus-wide boilerplate can neither
     mask real duplicates nor split real clusters.  Default off — the
-    driver gate pins the historical 4-stage composition bitwise."""
+    driver gate pins the historical 4-stage composition bitwise.
+
+    ``min_dsir_bits`` (opt-in) inserts the DSIR importance-resampling
+    selection (textstats.dsir_filter) between the quality gate and
+    sampling — the Xie et al. 2023 stage order (select from the
+    cleaned pool, then rebalance).  The models train on the gated
+    stream itself, costing one extra upstream pass at gate scale
+    (same trade as dedup_exact's double read, documented there)."""
     from functools import partial
 
     from .build import dedup_exact
@@ -146,6 +154,11 @@ def curate_chunks(
     ds = dedup_exact(ds, hash_col="__chash", id_col=id_col,
                      num_buckets=num_buckets)
     ds = gopher_filter(ds)
+    if min_dsir_bits is not None:
+        from .textstats import dsir_filter
+
+        ds = dsir_filter(ds, min_dsir_bits, text_col=text_col,
+                         lang_col=lang_col)
     ds = ds.map_batches(
         partial(_strata_filter, rates=dict(rates or {}),
                 default_rate=default_rate, id_col=id_col,

@@ -364,7 +364,7 @@ DSIR_BUCKETS = 512     # hashed-feature space (DSIR uses 10^4 at web
 DSIR_TARGET_LANG = "en"  # the in-corpus "target distribution" proxy
 
 
-def _dsir_features(t: pa.Table):
+def _dsir_features(t: pa.Table, text_col: str = "text"):
     """Flatten one batch to (parent_row, feature_string) for hashed
     unigram+bigram features — the DSIR feature map.  Tokens are the
     shared ``[^a-z0-9]+`` split; bigrams join consecutive same-doc
@@ -373,7 +373,7 @@ def _dsir_features(t: pa.Table):
     import pyarrow.compute as pc
 
     toks = pc.split_pattern_regex(
-        pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        pc.utf8_lower(t[text_col]), pattern="[^a-z0-9]+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     parent = toks.value_parent_indices().to_numpy().astype(np.int64)
@@ -404,6 +404,81 @@ def _bucket_of(feats: np.ndarray, n_buckets: int) -> np.ndarray:
     return hb[inv]
 
 
+def dsir_train(docs: rd.Dataset, *, text_col: str = "text",
+               lang_col: str = "lang") -> np.ndarray:
+    """Train both DSIR hashed-feature models over ``docs`` and return
+    the dense per-bucket weight array ``bits_raw - bits_tgt``
+    (length DSIR_BUCKETS, int64) — one streaming pass into an O(B)
+    groupby; the driver holds O(B) ints."""
+    from ray.data.aggregate import Sum
+
+    B = DSIR_BUCKETS
+
+    def partial(t: pa.Table) -> pa.Table:
+        parent, feats = _dsir_features(t, text_col)
+        if len(feats) == 0:
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "c_raw": pa.array([], type=pa.int64()),
+                "c_tgt": pa.array([], type=pa.int64()),
+            })
+        b = _bucket_of(feats, B)
+        is_tgt = (t[lang_col].to_numpy(zero_copy_only=False)
+                  == DSIR_TARGET_LANG)[parent]
+        c_raw = np.bincount(b, minlength=B)
+        c_tgt = np.bincount(b[is_tgt], minlength=B)
+        nz = (c_raw > 0).nonzero()[0]
+        return pa.table({
+            "bucket": pa.array(nz, type=pa.int64()),
+            "c_raw": pa.array(c_raw[nz], type=pa.int64()),
+            "c_tgt": pa.array(c_tgt[nz], type=pa.int64()),
+        })
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("c_raw", alias_name="c_raw"),
+                      Sum("c_tgt", alias_name="c_tgt"))
+           .to_pandas())
+    c_raw = np.zeros(B, dtype=np.int64)
+    c_tgt = np.zeros(B, dtype=np.int64)
+    c_raw[agg["bucket"].to_numpy()] = agg["c_raw"].to_numpy()
+    c_tgt[agg["bucket"].to_numpy()] = agg["c_tgt"].to_numpy()
+    n_raw = max(int(c_raw.sum()), 1)
+    n_tgt = max(int(c_tgt.sum()), 1)
+    bits_raw = np.array(
+        [(n_raw // int(c)).bit_length() if c else n_raw.bit_length() + 1
+         for c in c_raw], dtype=np.int64)
+    bits_tgt = np.array(
+        [(n_tgt // int(c)).bit_length() if c else n_tgt.bit_length() + 1
+         for c in c_tgt], dtype=np.int64)
+    return bits_raw - bits_tgt
+
+
+def dsir_filter(ds: rd.Dataset, min_bits: int, *,
+                text_col: str = "text",
+                lang_col: str = "lang") -> rd.Dataset:
+    """Composable DSIR selection stage: train the hashed-feature
+    models on ``ds`` itself (one extra pass over the upstream
+    pipeline — the gate-scale trade; a 100 TB run trains once on a
+    sample or checkpoints the upstream projection first, the
+    curate_chunks/dedup_exact precedent), then keep only rows whose
+    ``dsir_bits >= min_bits``.  All columns pass through."""
+    import ray
+
+    B = DSIR_BUCKETS
+    ref = ray.put(dsir_train(ds, text_col=text_col, lang_col=lang_col))
+
+    def keep(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        parent, feats = _dsir_features(t, text_col)
+        bits = np.zeros(t.num_rows, dtype=np.int64)
+        if len(feats):
+            np.add.at(bits, parent, w[_bucket_of(feats, B)])
+        return t.filter(pa.array(bits >= min_bits))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def dsir_weights(sf_dir: str) -> rd.Dataset:
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
     score every document by how target-like its hashed n-gram profile
@@ -426,52 +501,13 @@ def dsir_weights(sf_dir: str) -> rd.Dataset:
     DSIR's own architecture (they use B = 10^4 for the full
     Pile-scale run)."""
     import ray
-    from ray.data.aggregate import Sum
 
     from ..functions.tables import read_parquet_nometa
 
     B = DSIR_BUCKETS
-
-    def partial(t: pa.Table) -> pa.Table:
-        parent, feats = _dsir_features(t)
-        if len(feats) == 0:
-            return pa.table({
-                "bucket": pa.array([], type=pa.int64()),
-                "c_raw": pa.array([], type=pa.int64()),
-                "c_tgt": pa.array([], type=pa.int64()),
-            })
-        b = _bucket_of(feats, B)
-        is_tgt = (t["lang"].to_numpy(zero_copy_only=False)
-                  == DSIR_TARGET_LANG)[parent]
-        c_raw = np.bincount(b, minlength=B)
-        c_tgt = np.bincount(b[is_tgt], minlength=B)
-        nz = (c_raw > 0).nonzero()[0]
-        return pa.table({
-            "bucket": pa.array(nz, type=pa.int64()),
-            "c_raw": pa.array(c_raw[nz], type=pa.int64()),
-            "c_tgt": pa.array(c_tgt[nz], type=pa.int64()),
-        })
-
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "text"])
-    agg = (docs.map_batches(partial, batch_format="pyarrow")
-           .groupby("bucket")
-           .aggregate(Sum("c_raw", alias_name="c_raw"),
-                      Sum("c_tgt", alias_name="c_tgt"))
-           .to_pandas())
-    c_raw = np.zeros(B, dtype=np.int64)
-    c_tgt = np.zeros(B, dtype=np.int64)
-    c_raw[agg["bucket"].to_numpy()] = agg["c_raw"].to_numpy()
-    c_tgt[agg["bucket"].to_numpy()] = agg["c_tgt"].to_numpy()
-    n_raw = max(int(c_raw.sum()), 1)
-    n_tgt = max(int(c_tgt.sum()), 1)
-    bits_raw = np.array(
-        [(n_raw // int(c)).bit_length() if c else n_raw.bit_length() + 1
-         for c in c_raw], dtype=np.int64)
-    bits_tgt = np.array(
-        [(n_tgt // int(c)).bit_length() if c else n_tgt.bit_length() + 1
-         for c in c_tgt], dtype=np.int64)
-    ref = ray.put(bits_raw - bits_tgt)
+    ref = ray.put(dsir_train(docs))
 
     def score(t: pa.Table) -> pa.Table:
         w = ray.get(ref)

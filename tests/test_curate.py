@@ -103,3 +103,27 @@ def test_curate_corpus_layout_and_manifest(ray_session, tmp_path):
         total += t.num_rows
         assert set(t.schema.names) >= {"doc_id", "chunk_id", "chunk_text"}
     assert total == m["n_chunks"]
+
+
+def test_curate_min_dsir_bits_stage(ray_session):
+    """Opt-in DSIR selection between quality gate and sampling: a
+    threshold below every score is a no-op (bitwise-equal output); a
+    high threshold strictly shrinks the output; surviving doc ids are
+    a subset of the no-op run's."""
+    from pdfsearch_ray.pipelines.curate import curate_chunks
+
+    def run(**kw):
+        return (curate_chunks(f"{SF}/documents.parquet", **kw)
+                .to_pandas()
+                .sort_values(["doc_id", "chunk_id"])
+                .reset_index(drop=True))
+
+    base = run()
+    noop = run(min_dsir_bits=-(10 ** 9))
+    assert base.equals(noop)
+
+    # corpus dsir_bits span ~[-17, 9]; 0 sits at the ~75th percentile,
+    # so the stage really selects without emptying the stream
+    tight = run(min_dsir_bits=0)
+    assert 0 < len(tight) < len(base)
+    assert set(tight["doc_id"]) <= set(base["doc_id"])
