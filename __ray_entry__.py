@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_accuracy": q.knn_label_accuracy,
         "source_mix": q.source_mix,
         "temperature_mix": q.temperature_mix,
+        "sequence_pack": q.sequence_pack,
         "curated_chunks": q.curated_chunks,
     }
 
@@ -720,6 +721,9 @@ def oracle_sql() -> dict[str, str]:
         # all recomputed in integer-exact HUGEINT arithmetic
         "temperature_mix": _oracles.temperature_mix_sql(
             denom=q.TEMP_MIX_DENOM),
+        # packed-layout oracle: one SQL window cumsum reproduces the
+        # distributed two-phase prefix scan bit-for-bit
+        "sequence_pack": q.sequence_pack_sql(),
         "event_props_stats": f"""
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(regexp_extract(props, '{q.PROPS_KEY_RE}',

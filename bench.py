@@ -212,6 +212,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("exact_substring_stats", webops.exact_substring_stats),
         ("temperature_mix", qmod.temperature_mix),
         ("semantic_dedup", qmod.semantic_dedup),
+        ("sequence_pack", qmod.sequence_pack),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

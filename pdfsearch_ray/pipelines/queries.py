@@ -1999,3 +1999,180 @@ def temperature_mix(sf_dir: str) -> rd.Dataset:
                             columns=["doc_id", "source"])
         .map_batches(keep, batch_format="pyarrow")
     )
+
+
+SEQ_PACK_LEN = 512          # tokens per packed training sequence
+SEQ_PACK_BUCKET_DOCS = 4096  # doc_id-range bucket width for the scan
+
+
+def sequence_pack(sf_dir: str) -> pa.Table:
+    """Concat-and-chunk sequence packing report — the GPT-style
+    pretraining layout: documents are concatenated in doc_id order
+    into one token stream, cut into fixed SEQ_PACK_LEN-token training
+    sequences; per document emit (doc_id, n_tokens, first_seq,
+    last_seq, offset_in_seq, crosses) so a loader can pack shards and
+    measure boundary-crossing mass without ever materializing the
+    stream.
+
+    The core primitive is a DISTRIBUTED ORDERED PREFIX SCAN (the
+    classic two-phase scan): docs bucket by doc_id range (bucket k's
+    ids all precede bucket k+1's, so bucket order IS stream order);
+    phase 1 spills narrow (doc_id, n_tokens) rows partitioned by
+    bucket (text is read once and never moves); phase 2 reduces each
+    bucket to its token sum (driver holds O(buckets) ints and
+    prefix-sums them); phase 3 finalizes each bucket locally —
+    in-bucket cumsum + the bucket's global offset.  No all-to-all:
+    every exchange is O(docs) ints through the spill dir and the
+    driver never sees text.  The oracle reproduces the whole layout
+    with one SQL window cumsum."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..functions.tables import read_parquet_nometa
+
+    L = SEQ_PACK_LEN
+    R = SEQ_PACK_BUCKET_DOCS
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = toks.value_parent_indices().to_numpy().astype(np.int64)
+        nonempty = pc.not_equal(toks.flatten(), "") \
+            .to_numpy(zero_copy_only=False)
+        nt = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(nt, parent[nonempty], 1)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array(ids // R, type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(nt, type=pa.int64()),
+        })
+
+    work = spill_dir(prefix="seqpack_")
+    try:
+        (read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+         .map_batches(counts, batch_format="pyarrow")
+         .write_parquet(work, partition_cols=["part"]))
+        parts = sorted(int(d.split("=")[1]) for d in os.listdir(work)
+                       if d.startswith("part="))
+
+        def bucket_sum(batch: pa.Table) -> pa.Table:
+            out_p, out_s = [], []
+            for p in batch["part"].to_pylist():
+                mt = pq.read_table(f"{work}/part={p}",
+                                   columns=["n_tokens"],
+                                   use_threads=False)
+                out_p.append(int(p))
+                out_s.append(int(pc.sum(mt["n_tokens"]).as_py() or 0))
+            return pa.table({
+                "part": pa.array(out_p, type=pa.int64()),
+                "total": pa.array(out_s, type=pa.int64()),
+            })
+
+        sums = (rd.from_items([{"part": p} for p in parts])
+                .map_batches(bucket_sum, batch_format="pyarrow",
+                             batch_size=8)
+                .to_pandas().set_index("part")["total"].to_dict())
+        offs, run = {}, 0
+        for p in parts:
+            offs[p] = run
+            run += sums[p]
+        offs_ref = ray.put(offs)
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            offs_ = ray.get(offs_ref)
+            cols = {k: [] for k in ("doc_id", "n_tokens", "first_seq",
+                                    "last_seq", "offset_in_seq",
+                                    "crosses")}
+            for p in batch["part"].to_pylist():
+                mt = pq.read_table(f"{work}/part={p}",
+                                   columns=["doc_id", "n_tokens"],
+                                   use_threads=False)
+                ids = mt["doc_id"].to_numpy().astype(np.int64)
+                nt = mt["n_tokens"].to_numpy().astype(np.int64)
+                o = np.argsort(ids, kind="stable")
+                ids, nt = ids[o], nt[o]
+                start = offs_[int(p)] + np.concatenate(
+                    ([0], np.cumsum(nt[:-1], dtype=np.int64)))
+                first = start // L
+                last = np.where(nt > 0, (start + nt - 1) // L, first)
+                cols["doc_id"].append(ids)
+                cols["n_tokens"].append(nt)
+                cols["first_seq"].append(first)
+                cols["last_seq"].append(last)
+                cols["offset_in_seq"].append(start % L)
+                cols["crosses"].append(last > first)
+            if not cols["doc_id"]:
+                return pa.table({
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "first_seq": pa.array([], type=pa.int64()),
+                    "last_seq": pa.array([], type=pa.int64()),
+                    "offset_in_seq": pa.array([], type=pa.int64()),
+                    "crosses": pa.array([], type=pa.bool_()),
+                })
+            return pa.table({
+                k: pa.array(np.concatenate(v),
+                            type=pa.bool_() if k == "crosses"
+                            else pa.int64())
+                for k, v in cols.items()
+            })
+
+        out = (rd.from_items([{"part": p} for p in parts])
+               .map_batches(finalize, batch_format="pyarrow",
+                            batch_size=1)
+               .to_pandas().sort_values("doc_id"))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].tolist(), type=pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"].tolist(),
+                                 type=pa.int64()),
+            "first_seq": pa.array(out["first_seq"].tolist(),
+                                  type=pa.int64()),
+            "last_seq": pa.array(out["last_seq"].tolist(),
+                                 type=pa.int64()),
+            "offset_in_seq": pa.array(out["offset_in_seq"].tolist(),
+                                      type=pa.int64()),
+            "crosses": pa.array(out["crosses"].tolist(),
+                                type=pa.bool_()),
+        })
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def sequence_pack_sql() -> str:
+    """Oracle: one window cumsum over per-doc token counts reproduces
+    the entire packed layout."""
+    L = SEQ_PACK_LEN
+    return f"""
+        WITH nt AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS start_tok
+            FROM nt
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(start_tok // {L} AS BIGINT) AS first_seq,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (start_tok + n_tokens - 1) // {L}
+                    ELSE start_tok // {L} END AS BIGINT) AS last_seq,
+               CAST(start_tok % {L} AS BIGINT) AS offset_in_seq,
+               (CASE WHEN n_tokens > 0
+                    THEN (start_tok + n_tokens - 1) // {L}
+                    ELSE start_tok // {L} END)
+                   > start_tok // {L} AS crosses
+        FROM c ORDER BY doc_id
+    """

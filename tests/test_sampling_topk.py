@@ -216,3 +216,76 @@ def test_temperature_mix_rebalances_and_is_deterministic(ray_session):
     assert tc_of[lo] < tc_of[hi]  # the corpus really is skewed
     assert w[lo] * sum_tc >= tc_of[lo] * sum_w   # lo share up-weighted
     assert w[hi] * sum_tc <= tc_of[hi] * sum_w   # hi share down-weighted
+
+
+def test_sequence_pack_matches_oracle_and_is_contiguous(ray_session):
+    """Two-phase distributed prefix scan == one SQL window cumsum, and
+    the packed layout is gapless: each doc starts exactly where the
+    previous one ends."""
+    import numpy as np
+
+    from pdfsearch_ray.pipelines import queries as q
+
+    got = q.sequence_pack(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(q.sequence_pack_sql()).df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    L = q.SEQ_PACK_LEN
+    start = got["first_seq"].to_numpy() * L + \
+        got["offset_in_seq"].to_numpy()
+    nt = got["n_tokens"].to_numpy()
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + nt[:-1]).all()     # gapless
+    assert ((got["last_seq"] > got["first_seq"]) ==
+            got["crosses"]).all()
+    assert got["crosses"].any()                          # L=512 < docs
+
+
+def test_sequence_pack_bucket_width_invariance(ray_session):
+    """The scan's bucket width is an execution knob, not a semantic
+    one: a 7-doc bucket (odd boundaries, many buckets) must reproduce
+    the default layout bit-for-bit."""
+    from pdfsearch_ray.pipelines import queries as q
+
+    base = q.sequence_pack(SF).to_pandas()
+    old = q.SEQ_PACK_BUCKET_DOCS
+    q.SEQ_PACK_BUCKET_DOCS = 7
+    try:
+        narrow = q.sequence_pack(SF).to_pandas()
+    finally:
+        q.SEQ_PACK_BUCKET_DOCS = old
+    assert base.equals(narrow)
+
+
+def test_sequence_pack_hand_layout(ray_session, tmp_path):
+    """Hand-checked tiny layout at L=5: a crossing doc, an aligned
+    doc, a zero-token doc, a doc starting mid-sequence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines import queries as q
+
+    rows = {
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "a b c d e f g",   # 7 tokens: seqs 0-1, crosses
+            "",                 # 0 tokens at offset 7->no row movement
+            "h i j",            # 3 tokens: fills seq 1 (7..9)
+            "k l m n",          # 4 tokens: 10..13 -> seq 2, no cross
+        ]),
+    }
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+    old = q.SEQ_PACK_LEN
+    q.SEQ_PACK_LEN = 5
+    try:
+        got = q.sequence_pack(str(tmp_path)).to_pandas()
+    finally:
+        q.SEQ_PACK_LEN = old
+    assert got["n_tokens"].tolist() == [7, 0, 3, 4]
+    assert got["first_seq"].tolist() == [0, 1, 1, 2]
+    assert got["last_seq"].tolist() == [1, 1, 1, 2]
+    assert got["offset_in_seq"].tolist() == [0, 2, 2, 0]
+    assert got["crosses"].tolist() == [True, False, False, False]
