@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q.temperature_mix,
         "sequence_pack": q.sequence_pack,
         "curated_chunks": q.curated_chunks,
+        "link_pagerank": _webops().link_pagerank,
     }
 
 
@@ -438,6 +439,10 @@ def oracle_sql() -> dict[str, str]:
         # flagging and the per-doc interval union all recomputed by
         # DuckDB window frames
         "exact_substring_stats": _webops().exact_substring_stats_sql(),
+        # integer-exact PageRank over the synthetic link graph: DuckDB
+        # resynthesizes the edge list and replays every scatter/gather
+        # round as chained CTEs in BIGINT arithmetic
+        "link_pagerank": _webops().link_pagerank_sql(),
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),

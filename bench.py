@@ -213,6 +213,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("temperature_mix", qmod.temperature_mix),
         ("semantic_dedup", qmod.semantic_dedup),
         ("sequence_pack", qmod.sequence_pack),
+        ("link_pagerank", webops.link_pagerank),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

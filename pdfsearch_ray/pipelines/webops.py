@@ -955,3 +955,183 @@ def domain_stats_sql() -> str:
         GROUP BY host
         ORDER BY host
     """
+
+
+# ------------------------------------------------------------ pagerank
+
+# Distributed PageRank over the crawl link graph — THE canonical
+# web-scale iterative computation (Page et al. 1999; every crawl
+# pipeline ranks pages for crawl ordering / quality weighting).  The
+# sf tables carry no link column, so the graph is synthesized
+# deterministically from doc_id (the url_dedup/_synth_urls precedent):
+# page i has outdeg(i) = 1 + i % 3 out-links, target j of page i is
+# mix64(4*i + j) % N — a fixed, hash-uniform directed graph (self-loops
+# permitted and documented; mix64 keys are distinct because j < 4).
+#
+# Arithmetic is INTEGER-EXACT so the result is bitwise parallelism-
+# independent and one SQL oracle can replay it: ranks are scaled by
+# PAGERANK_SCALE, each edge carries floor(r_src * 85 / (100 * outdeg)),
+# and the update is r' = floor(SCALE*15/100) + sum(in-contributions).
+# Floor-division losses make this an approximation of float PageRank
+# (bounded by E/SCALE per iteration — ~1e-9 relative), which is the
+# price of a deterministic distributed gate.
+#
+# Scale shape: ranks are a Dataset of (doc_id, rank) int64 pairs; each
+# iteration is one map_batches (synthesize this batch's out-edges from
+# doc_id alone — no edge table is ever stored — and pre-combine
+# contributions per dst WITHIN the batch via np.add.at) followed by one
+# narrow groupby-sum shuffle of (dst, contrib) int pairs.  Text never
+# moves, the driver holds only N and the loop counter, and per-
+# iteration traffic is O(E) 16-byte rows — the standard Pregel/PowerGraph
+# PageRank exchange.  mix64 in-degrees are hash-uniform, so there is no
+# hot dst key; a real crawl graph's power-law in-degree would pre-
+# combine across batches with a salted two-stage sum (the tfidf_topk
+# bucket precedent).
+
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 10 ** 9
+PAGERANK_DAMP_NUM = 85    # damping d = 0.85 as an exact ratio
+PAGERANK_DAMP_DEN = 100
+PAGERANK_MAX_DEG = 4      # outdeg < 4 keeps mix64 keys 4*i+j distinct
+
+
+def _synth_out_edges(ids: np.ndarray, n_docs: int):
+    """Deterministic out-edges of the synthetic link graph: returns
+    (src_rep, dst, outdeg_rep) with one row per edge."""
+    from ..functions.hashing import mix64
+
+    outdeg = 1 + (ids % 3)
+    src = np.repeat(ids, outdeg)
+    odeg = np.repeat(outdeg, outdeg)
+    starts = np.cumsum(outdeg, dtype=np.int64) - outdeg
+    j = np.arange(src.size, dtype=np.int64) - np.repeat(starts, outdeg)
+    key = (PAGERANK_MAX_DEG * src + j).astype(np.uint64)
+    dst = (mix64(key) % np.uint64(n_docs)).astype(np.int64)
+    return src, dst, odeg
+
+
+def link_pagerank(sf_dir: str) -> pa.Table:
+    """Gate query: PAGERANK_ITERS integer-exact PageRank iterations
+    over the synthetic link graph; returns (doc_id, rank_scaled) for
+    every page, sorted by doc_id."""
+    from ray.data.aggregate import Sum
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n_docs = docs.count()
+    base = (PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
+            ) // PAGERANK_DAMP_DEN
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "rank_scaled": pa.array(
+                np.full(t.num_rows, PAGERANK_SCALE, dtype=np.int64)),
+        })
+
+    def scatter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rank_scaled"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src, dst, odeg = _synth_out_edges(ids, n_docs)
+        contrib = (np.repeat(r, 1 + (ids % 3)) * PAGERANK_DAMP_NUM) \
+            // (PAGERANK_DAMP_DEN * odeg)
+        # pre-combine per dst within the batch, then append zero rows
+        # for this batch's own ids so zero-in-degree nodes survive the
+        # groupby (the distributed LEFT JOIN, without a join)
+        udst, inv = np.unique(dst, return_inverse=True)
+        sums = np.zeros(udst.size, dtype=np.int64)
+        np.add.at(sums, inv, contrib)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([udst, ids]),
+                               type=pa.int64()),
+            "c": pa.array(np.concatenate(
+                [sums, np.zeros(ids.size, dtype=np.int64)]),
+                type=pa.int64()),
+        })
+
+    def gather(t: pa.Table) -> pa.Table:
+        s = t["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "rank_scaled": pa.array(base + s, type=pa.int64()),
+        })
+
+    ranks = docs.map_batches(init, batch_format="pyarrow")
+    for _ in range(PAGERANK_ITERS):
+        ranks = (ranks
+                 .map_batches(scatter, batch_format="pyarrow")
+                 .groupby("doc_id")
+                 .aggregate(Sum("c"))
+                 .map_batches(gather, batch_format="pyarrow"))
+
+    out = ranks.to_pandas().sort_values("doc_id")
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "rank_scaled": pa.array(
+            out["rank_scaled"].astype("int64").tolist(),
+            type=pa.int64()),
+    })
+
+
+def link_pagerank_sql() -> str:
+    """Oracle: DuckDB resynthesizes the edge list (range() expansion +
+    the splitmix64 limb arithmetic of oracles.sample_sql) and replays
+    all PAGERANK_ITERS scatter/gather rounds as chained CTEs in exact
+    BIGINT arithmetic."""
+    U32, U64 = 1 << 32, 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    base = (PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
+            ) // PAGERANK_DAMP_DEN
+    it = []
+    for k in range(1, PAGERANK_ITERS + 1):
+        it.append(f"""
+        c{k} AS (
+            SELECT e.dst AS doc_id,
+                   sum((r.rank_scaled * {PAGERANK_DAMP_NUM})
+                       // ({PAGERANK_DAMP_DEN} * e.outdeg)) AS s
+            FROM edges e JOIN r{k - 1} r ON r.doc_id = e.src
+            GROUP BY e.dst
+        ),
+        r{k} AS (
+            SELECT d.doc_id,
+                   CAST({base} + coalesce(c{k}.s, 0) AS BIGINT)
+                       AS rank_scaled
+            FROM documents d LEFT JOIN c{k} USING (doc_id)
+        )""")
+    return f"""
+        WITH nn AS (SELECT count(*)::HUGEINT AS n FROM documents),
+        e0 AS (
+            SELECT d.doc_id AS src,
+                   CAST(1 + d.doc_id % 3 AS BIGINT) AS outdeg,
+                   CAST({PAGERANK_MAX_DEG} * d.doc_id + t.j
+                        AS HUGEINT) AS x
+            FROM documents d, range({PAGERANK_MAX_DEG - 1}) t(j)
+            WHERE t.j < 1 + d.doc_id % 3
+        ),
+        e1 AS (SELECT src, outdeg,
+                      {mulmod('xor(x, x >> 30)', C1)} AS x FROM e0),
+        e2 AS (SELECT src, outdeg,
+                      {mulmod('xor(x, x >> 27)', C2)} AS x FROM e1),
+        edges AS (
+            SELECT src, outdeg,
+                   CAST(xor(x, x >> 31) % (SELECT n FROM nn) AS BIGINT)
+                       AS dst
+            FROM e2
+        ),
+        r0 AS (
+            SELECT doc_id,
+                   CAST({PAGERANK_SCALE} AS BIGINT) AS rank_scaled
+            FROM documents
+        ),{",".join(it)}
+        SELECT doc_id, rank_scaled FROM r{PAGERANK_ITERS}
+        ORDER BY doc_id
+    """

@@ -225,3 +225,43 @@ def test_domain_stats_rollup_and_blocklist(ray_session):
     assert set(got.loc[got["blocked"], "host"]) == set(w.DOMAIN_BLOCKLIST)
     # the synth spreads docs over 50 hosts; a 500-doc corpus hits all
     assert len(got) == 50
+
+
+def test_link_pagerank_matches_oracle_and_dense_reference(ray_session):
+    """Distributed scatter/gather PageRank == the SQL oracle == a dense
+    single-process reference, bit-for-bit (integer-exact arithmetic is
+    parallelism-independent by construction)."""
+    import pyarrow.parquet as pq
+
+    got = w.link_pagerank(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(w.link_pagerank_sql()).df().reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    # dense reference: full edge list + np.add.at gather per iteration
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    src, dst, odeg = w._synth_out_edges(ids, n)
+    base = (w.PAGERANK_SCALE
+            * (w.PAGERANK_DAMP_DEN - w.PAGERANK_DAMP_NUM)
+            ) // w.PAGERANK_DAMP_DEN
+    r = np.full(n, w.PAGERANK_SCALE, dtype=np.int64)
+    for _ in range(w.PAGERANK_ITERS):
+        contrib = (r[src] * w.PAGERANK_DAMP_NUM) \
+            // (w.PAGERANK_DAMP_DEN * odeg)
+        nxt = np.full(n, base, dtype=np.int64)
+        np.add.at(nxt, dst, contrib)
+        r = nxt
+    assert got["doc_id"].to_numpy().tolist() == ids.tolist()
+    assert got["rank_scaled"].to_numpy().tolist() == r.tolist()
+
+    # graph/rank invariants: floor losses only ever shrink total mass;
+    # zero-in-degree nodes sit exactly at the teleport base
+    assert got["rank_scaled"].min() >= base
+    assert got["rank_scaled"].sum() <= n * w.PAGERANK_SCALE
+    sinks = np.setdiff1d(ids, np.unique(dst))
+    assert sinks.size > 0  # the synth graph really has such nodes
+    assert (got.set_index("doc_id").loc[sinks, "rank_scaled"]
+            == base).all()
