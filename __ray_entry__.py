@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": q.sequence_pack,
         "curated_chunks": q.curated_chunks,
         "link_pagerank": _webops().link_pagerank,
+        "anchor_text_agg": _webops().anchor_text_agg,
     }
 
 
@@ -443,6 +444,10 @@ def oracle_sql() -> dict[str, str]:
         # resynthesizes the edge list and replays every scatter/gather
         # round as chained CTEs in BIGINT arithmetic
         "link_pagerank": _webops().link_pagerank_sql(),
+        # anchor-text aggregation over the same synthetic link graph:
+        # DuckDB re-extracts the per-source anchor word and re-rolls
+        # the (target, term) counts over the resynthesized edges
+        "anchor_text_agg": _webops().anchor_text_agg_sql(),
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),

@@ -1075,11 +1075,11 @@ def link_pagerank(sf_dir: str) -> pa.Table:
     })
 
 
-def link_pagerank_sql() -> str:
-    """Oracle: DuckDB resynthesizes the edge list (range() expansion +
-    the splitmix64 limb arithmetic of oracles.sample_sql) and replays
-    all PAGERANK_ITERS scatter/gather rounds as chained CTEs in exact
-    BIGINT arithmetic."""
+def _link_edges_ctes() -> str:
+    """Shared DuckDB WITH-clauses resynthesizing the mix64 link graph:
+    `nn` (doc count), `e0..e2` (the splitmix64 finalizer limbs, the
+    oracles.sample_sql arithmetic), `edges(src, outdeg, dst)`.  Used by
+    every link-graph oracle (pagerank, anchor-text)."""
     U32, U64 = 1 << 32, 1 << 64
     C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
@@ -1089,6 +1089,33 @@ def link_pagerank_sql() -> str:
                 f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
                 f" * {U32}) % {U64})")
 
+    return f"""
+        nn AS (SELECT count(*)::HUGEINT AS n FROM documents),
+        e0 AS (
+            SELECT d.doc_id AS src,
+                   CAST(1 + d.doc_id % 3 AS BIGINT) AS outdeg,
+                   CAST({PAGERANK_MAX_DEG} * d.doc_id + t.j
+                        AS HUGEINT) AS x
+            FROM documents d, range({PAGERANK_MAX_DEG - 1}) t(j)
+            WHERE t.j < 1 + d.doc_id % 3
+        ),
+        e1 AS (SELECT src, outdeg,
+                      {mulmod('xor(x, x >> 30)', C1)} AS x FROM e0),
+        e2 AS (SELECT src, outdeg,
+                      {mulmod('xor(x, x >> 27)', C2)} AS x FROM e1),
+        edges AS (
+            SELECT src, outdeg,
+                   CAST(xor(x, x >> 31) % (SELECT n FROM nn) AS BIGINT)
+                       AS dst
+            FROM e2
+        )"""
+
+
+def link_pagerank_sql() -> str:
+    """Oracle: DuckDB resynthesizes the edge list (range() expansion +
+    the splitmix64 limb arithmetic of oracles.sample_sql) and replays
+    all PAGERANK_ITERS scatter/gather rounds as chained CTEs in exact
+    BIGINT arithmetic."""
     base = (PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
             ) // PAGERANK_DAMP_DEN
     it = []
@@ -1108,25 +1135,7 @@ def link_pagerank_sql() -> str:
             FROM documents d LEFT JOIN c{k} USING (doc_id)
         )""")
     return f"""
-        WITH nn AS (SELECT count(*)::HUGEINT AS n FROM documents),
-        e0 AS (
-            SELECT d.doc_id AS src,
-                   CAST(1 + d.doc_id % 3 AS BIGINT) AS outdeg,
-                   CAST({PAGERANK_MAX_DEG} * d.doc_id + t.j
-                        AS HUGEINT) AS x
-            FROM documents d, range({PAGERANK_MAX_DEG - 1}) t(j)
-            WHERE t.j < 1 + d.doc_id % 3
-        ),
-        e1 AS (SELECT src, outdeg,
-                      {mulmod('xor(x, x >> 30)', C1)} AS x FROM e0),
-        e2 AS (SELECT src, outdeg,
-                      {mulmod('xor(x, x >> 27)', C2)} AS x FROM e1),
-        edges AS (
-            SELECT src, outdeg,
-                   CAST(xor(x, x >> 31) % (SELECT n FROM nn) AS BIGINT)
-                       AS dst
-            FROM e2
-        ),
+        WITH {_link_edges_ctes()},
         r0 AS (
             SELECT doc_id,
                    CAST({PAGERANK_SCALE} AS BIGINT) AS rank_scaled
@@ -1134,4 +1143,97 @@ def link_pagerank_sql() -> str:
         ),{",".join(it)}
         SELECT doc_id, rank_scaled FROM r{PAGERANK_ITERS}
         ORDER BY doc_id
+    """
+
+
+# -------------------------------------------------------- anchor text
+
+# Anchor-text aggregation — the other canonical link-graph operator in
+# a web indexer (Brin & Page 1998 §2.2: anchor text is indexed WITH the
+# page it points at, because it describes the target better than the
+# target's own words).  For every link src→dst the source page
+# contributes an anchor term; the indexer aggregates, per target page,
+# how many in-links carry each term.  The edge list is the same
+# deterministic mix64 graph as `link_pagerank` (synthesized per batch
+# from doc_id, never stored); the anchor term is the source page's
+# lowercased first word — a deterministic function of src text, so one
+# SQL oracle can replay the whole thing.
+#
+# Scale shape: ONE scatter map_batches (extract the per-row anchor with
+# a single vectorized extract_regex, expand to edges, pre-combine
+# (dst, anchor) pairs within the batch via a packed-code np.unique) +
+# ONE narrow groupby-sum over short (int64, token, int64) rows.  Source
+# TEXT never moves — only the extracted anchor token crosses the wire,
+# which is what makes anchor aggregation feasible at crawl scale.  A
+# power-law in-degree (real graphs) would salt hot dst keys exactly as
+# the pagerank comment describes.
+
+_ANCHOR_RE = r"(?P<a>[A-Za-z]+)"
+
+
+def anchor_text_agg(sf_dir: str) -> pa.Table:
+    """Gate query: per (target page, anchor term) in-link counts over
+    the synthetic link graph; sorted by (target_doc_id, anchor_term)."""
+    from ray.data.aggregate import Sum
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def scatter(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.extract_regex(t["text"], _ANCHOR_RE)
+        anchors = pc.ascii_lower(pc.struct_field(m, "a"))
+        # factorize the per-ROW anchors once; edges inherit codes by
+        # np.repeat — no per-edge string work
+        codes, uniq = pd.factorize(
+            anchors.to_numpy(zero_copy_only=False), use_na_sentinel=True)
+        src, dst, _ = _synth_out_edges(ids, n_docs)
+        outdeg = 1 + (ids % 3)
+        ecode = np.repeat(codes, outdeg)
+        keep = ecode >= 0  # drop edges whose src has no word
+        packed = dst[keep] * np.int64(len(uniq) + 1) + ecode[keep]
+        upk, cnt = np.unique(packed, return_counts=True)
+        udst = upk // (len(uniq) + 1)
+        ucode = upk % (len(uniq) + 1)
+        return pa.table({
+            "target_doc_id": pa.array(udst, type=pa.int64()),
+            "anchor_term": pa.array(
+                np.asarray(uniq, dtype=object)[ucode], type=pa.string()),
+            "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        })
+
+    out = (docs.map_batches(scatter, batch_format="pyarrow")
+           .groupby(["target_doc_id", "anchor_term"])
+           .aggregate(Sum("c", alias_name="n_links"))
+           .to_pandas()
+           .sort_values(["target_doc_id", "anchor_term"]))
+    return pa.table({
+        "target_doc_id": pa.array(
+            out["target_doc_id"].astype("int64").tolist(), type=pa.int64()),
+        "anchor_term": pa.array(out["anchor_term"].tolist(),
+                                type=pa.string()),
+        "n_links": pa.array(out["n_links"].astype("int64").tolist(),
+                            type=pa.int64()),
+    })
+
+
+def anchor_text_agg_sql() -> str:
+    """Oracle: the shared mix64 edge CTEs + DuckDB's own first-word
+    extraction and the (dst, anchor) rollup."""
+    return f"""
+        WITH {_link_edges_ctes()},
+        anchors AS (
+            SELECT doc_id AS src,
+                   lower(regexp_extract(text, '[A-Za-z]+')) AS anchor_term
+            FROM documents
+            WHERE regexp_matches(text, '[A-Za-z]')
+        )
+        SELECT e.dst AS target_doc_id, a.anchor_term,
+               count(*) AS n_links
+        FROM edges e JOIN anchors a ON a.src = e.src
+        GROUP BY e.dst, a.anchor_term
+        ORDER BY target_doc_id, anchor_term
     """

@@ -265,3 +265,38 @@ def test_link_pagerank_matches_oracle_and_dense_reference(ray_session):
     assert sinks.size > 0  # the synth graph really has such nodes
     assert (got.set_index("doc_id").loc[sinks, "rank_scaled"]
             == base).all()
+
+
+def test_anchor_text_agg_matches_oracle_and_edge_totals(ray_session):
+    """Anchor-text aggregation == SQL oracle; totals tie out to the
+    dense edge list (every anchored edge counted exactly once)."""
+    import pyarrow.parquet as pq
+    import re
+
+    got = w.anchor_text_agg(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(w.anchor_text_agg_sql()).df().reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    # dense tie-out: n_links sums to the number of edges whose source
+    # page has at least one word (all of them, in the synth corpus)
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    n = tbl.num_rows
+    ids = np.arange(n, dtype=np.int64)
+    src, dst, _ = w._synth_out_edges(ids, n)
+    texts = tbl["text"].to_pylist()
+    anchored = np.array([bool(re.search("[A-Za-z]", t or ""))
+                         for t in texts])
+    assert got["n_links"].sum() == int(anchored[src].sum())
+    # every anchor term is a single lowercased word
+    assert got["anchor_term"].str.fullmatch("[a-z]+").all()
+    # per-target in-link totals match the dense in-degree restricted
+    # to anchored sources
+    import pandas as pd
+    dense = pd.Series(dst[anchored[src]]).value_counts().sort_index()
+    mine = got.groupby("target_doc_id")["n_links"].sum().sort_index()
+    assert mine.equals(dense.rename_axis("target_doc_id")
+                       .rename("n_links").astype("int64"))
