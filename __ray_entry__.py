@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_chunks": q.curated_chunks,
         "link_pagerank": _webops().link_pagerank,
         "anchor_text_agg": _webops().anchor_text_agg,
+        "crawl_frontier": _webops().crawl_frontier,
     }
 
 
@@ -448,6 +449,9 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB re-extracts the per-source anchor word and re-rolls
         # the (target, term) counts over the resynthesized edges
         "anchor_text_agg": _webops().anchor_text_agg_sql(),
+        # politeness-scheduled crawl frontier: url_dedup oracle nested
+        # as a CTE + row_number() per host in winner order
+        "crawl_frontier": _webops().crawl_frontier_sql(),
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),

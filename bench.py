@@ -215,6 +215,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("sequence_pack", qmod.sequence_pack),
         ("link_pagerank", webops.link_pagerank),
         ("anchor_text_agg", webops.anchor_text_agg),
+        ("crawl_frontier", webops.crawl_frontier),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -1237,3 +1237,152 @@ def anchor_text_agg_sql() -> str:
         GROUP BY e.dst, a.anchor_term
         ORDER BY target_doc_id, anchor_term
     """
+
+
+# ------------------------------------------------------ crawl frontier
+
+# Politeness-scheduled crawl frontier — the scheduling operator every
+# crawler runs between URL discovery and fetching (Heydon & Najork's
+# Mercator frontier; one fetch per host per politeness round).  Takes
+# the CANONICAL url set (the url_dedup winner rule), drops blocked
+# hosts (the domain_stats blocklist), and assigns each url its
+# ``fetch_round``: the 0-based rank of the url within its host in
+# deterministic priority order (ascending winner_doc_id) — in round r,
+# every host fetches its r-th url.
+#
+# Scale shape: one narrow groupby on canonical_url (the url_dedup
+# shuffle — urls, never documents, move), then the user_sessions
+# pattern: a map-side hash spill on fnv1a64(host) % B so every host's
+# urls land wholly in one bucket file, then ONE vectorized
+# lexsort+run-length rank pass per bucket.  No per-host Python, no
+# all-to-all sort; ``num_buckets`` bounds per-task memory at
+# O(urls/B) short rows.
+
+FRONTIER_BUCKETS = 16
+
+
+def crawl_frontier(sf_dir: str, *, num_buckets: int = FRONTIER_BUCKETS
+                   ) -> pa.Table:
+    """Gate query: (host, canonical_url, winner_doc_id, fetch_round)
+    for every unblocked canonical url, sorted by (host, fetch_round)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import fnv1a64_str
+    from ..functions.spill import spill_dir
+
+    def prep(t: pa.Table) -> pa.Table:
+        st = _synth_urls(t)
+        return pa.table({
+            "doc_id": st["doc_id"],
+            "canonical_url": canonicalize_urls(st["url"]),
+        })
+
+    def hostify(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t["canonical_url"], r"^(?P<h>[^/?]+)"), "h")
+        keep = pc.invert(pc.is_in(
+            host, value_set=pa.array(DOMAIN_BLOCKLIST)))
+        t = pa.table({
+            "host": host,
+            "canonical_url": t["canonical_url"],
+            "winner_doc_id": t["winner_doc_id"],
+        }).filter(keep)
+        # bucket by host hash — O(unique hosts per batch) Python (the
+        # tfidf_topk precedent), rows inherit codes via factorize
+        codes, uniq = pd.factorize(
+            t["host"].to_numpy(zero_copy_only=False))
+        b_uniq = np.array(
+            [fnv1a64_str(u) % num_buckets for u in uniq],
+            dtype=np.int32) if len(uniq) else np.array([], np.int32)
+        return t.append_column("bucket", pa.array(
+            b_uniq[codes] if len(uniq) else
+            np.array([], np.int32)))
+
+    work_dir = spill_dir(prefix="pdfsearch_frontier_")
+    (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("canonical_url")
+        .aggregate(Min("doc_id", alias_name="winner_doc_id"))
+        .map_batches(hostify, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .write_parquet(work_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{work_dir}/{d}" for d in os.listdir(work_dir)
+        if d.startswith("bucket="))
+
+    def rank_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bdir in batch["dir"].to_pylist():
+            t = pq.read_table(bdir, use_threads=False)
+            h = t["host"].to_numpy(zero_copy_only=False)
+            wid = t["winner_doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            codes, _ = pd.factorize(h)
+            order = np.lexsort((wid, codes))
+            hc = codes[order]
+            starts = np.r_[0, np.flatnonzero(hc[1:] != hc[:-1]) + 1] \
+                if hc.size else np.array([], np.int64)
+            counts = np.diff(np.r_[starts, hc.size]).astype(np.int64)
+            rank = (np.arange(hc.size, dtype=np.int64)
+                    - np.repeat(starts, counts))
+            outs.append(pa.table({
+                "host": pa.array(h[order], type=pa.string()),
+                "canonical_url": pa.array(
+                    t["canonical_url"].to_numpy(zero_copy_only=False)
+                    [order], type=pa.string()),
+                "winner_doc_id": pa.array(wid[order], type=pa.int64()),
+                "fetch_round": pa.array(rank, type=pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    out = (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(rank_bucket, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+        .sort_values(["host", "fetch_round"])
+    )
+    import shutil
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    return pa.table({
+        "host": pa.array(out["host"].tolist(), type=pa.string()),
+        "canonical_url": pa.array(out["canonical_url"].tolist(),
+                                  type=pa.string()),
+        "winner_doc_id": pa.array(
+            out["winner_doc_id"].astype("int64").tolist(),
+            type=pa.int64()),
+        "fetch_round": pa.array(
+            out["fetch_round"].astype("int64").tolist(),
+            type=pa.int64()),
+    })
+
+
+def crawl_frontier_sql() -> str:
+    """Oracle: the url_dedup oracle nested as a CTE, DuckDB's own host
+    extraction + blocklist filter, and ``row_number() - 1`` per host in
+    winner order."""
+    bl = ", ".join(f"'{h}'" for h in DOMAIN_BLOCKLIST)
+    return f"""
+        WITH dedup AS ({url_dedup_sql()}),
+        hosted AS (
+            SELECT regexp_extract(canonical_url, '^[^/?]+') AS host,
+                   canonical_url, winner_doc_id
+            FROM dedup
+            WHERE regexp_extract(canonical_url, '^[^/?]+')
+                  NOT IN ({bl})
+        )
+        SELECT host, canonical_url, winner_doc_id,
+               row_number() OVER (
+                   PARTITION BY host ORDER BY winner_doc_id
+               ) - 1 AS fetch_round
+        FROM hosted
+        ORDER BY host, fetch_round
+    """

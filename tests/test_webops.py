@@ -300,3 +300,25 @@ def test_anchor_text_agg_matches_oracle_and_edge_totals(ray_session):
     mine = got.groupby("target_doc_id")["n_links"].sum().sort_index()
     assert mine.equals(dense.rename_axis("target_doc_id")
                        .rename("n_links").astype("int64"))
+
+
+def test_crawl_frontier_matches_oracle_and_politeness_invariants(
+        ray_session):
+    """Frontier == SQL oracle; per-host fetch_round is a dense 0..n-1
+    permutation ordered by winner_doc_id; blocked hosts are absent."""
+    got = w.crawl_frontier(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(w.crawl_frontier_sql()).df().reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    assert not got["host"].isin(w.DOMAIN_BLOCKLIST).any()
+    for host, g in got.groupby("host"):
+        assert g["fetch_round"].tolist() == list(range(len(g)))
+        assert g["winner_doc_id"].is_monotonic_increasing
+    # bucketing is an implementation knob: a different bucket count
+    # gives the identical frontier
+    alt = w.crawl_frontier(SF, num_buckets=3).to_pandas() \
+        .reset_index(drop=True)
+    assert alt.equals(got)
