@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _webops().link_pagerank,
         "anchor_text_agg": _webops().anchor_text_agg,
         "crawl_frontier": _webops().crawl_frontier,
+        "host_graph": _webops().host_graph,
+        "link_components": _webops().link_components,
     }
 
 
@@ -452,6 +454,11 @@ def oracle_sql() -> dict[str, str]:
         # politeness-scheduled crawl frontier: url_dedup oracle nested
         # as a CTE + row_number() per host in winner order
         "crawl_frontier": _webops().crawl_frontier_sql(),
+        # host-level web-graph rollup over the shared edge CTEs
+        "host_graph": _webops().host_graph_sql(),
+        # hash-min connected components: chained min-over-neighbors
+        # rounds in pure BIGINT, replayed by DuckDB
+        "link_components": _webops().link_components_sql(),
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),

@@ -216,6 +216,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("link_pagerank", webops.link_pagerank),
         ("anchor_text_agg", webops.anchor_text_agg),
         ("crawl_frontier", webops.crawl_frontier),
+        ("host_graph", webops.host_graph),
+        ("link_components", webops.link_components),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

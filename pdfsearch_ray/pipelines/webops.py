@@ -1386,3 +1386,220 @@ def crawl_frontier_sql() -> str:
         FROM hosted
         ORDER BY host, fetch_round
     """
+
+
+# ----------------------------------------------------------- host graph
+
+# Host-graph rollup — the standard web-graph coarsening (Broder et al.
+# 2000 "Graph structure in the web" analyzes exactly this host-level
+# projection): collapse the page-level link graph to
+# (src_host, dst_host, n_links).  Node count drops ~10^4x, which is
+# what makes whole-graph analytics (components, centrality) tractable
+# after the rollup.  Hosts here are the canonical hosts of the
+# url_dedup synth ("ex{k}.com"), derivable arithmetically from doc_id —
+# so the scatter stays pure integer work until the final formatting.
+#
+# Scale shape: one scatter map_batches (synthesize this batch's edges,
+# project both endpoints to host codes, pre-combine packed
+# (src_host, dst_host) pairs via np.unique) + one narrow groupby-sum
+# over O(hosts²) short rows.  No strings on the wire until the
+# O(hosts²) result formats.
+
+_N_SYNTH_HOSTS = 50
+
+
+def _host_code(ids: np.ndarray) -> np.ndarray:
+    """Canonical host index of a page (the _synth_urls host rule)."""
+    return (ids // 3) % _N_SYNTH_HOSTS
+
+
+def host_graph(sf_dir: str) -> pa.Table:
+    """Gate query: host-level link rollup (src_host, dst_host, n_links)
+    over the synthetic page graph, sorted by (src_host, dst_host)."""
+    from ray.data.aggregate import Sum
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n_docs = docs.count()
+
+    def scatter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst, _ = _synth_out_edges(ids, n_docs)
+        packed = (_host_code(src) * np.int64(_N_SYNTH_HOSTS)
+                  + _host_code(dst))
+        upk, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "hh": pa.array(upk, type=pa.int64()),
+            "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        })
+
+    out = (docs.map_batches(scatter, batch_format="pyarrow")
+           .groupby("hh")
+           .aggregate(Sum("c", alias_name="n_links"))
+           .to_pandas()
+           .sort_values("hh"))
+    hh = out["hh"].to_numpy()
+    fmt = lambda a: [f"ex{int(x)}.com" for x in a]  # noqa: E731
+    return pa.table({
+        "src_host": pa.array(fmt(hh // _N_SYNTH_HOSTS), type=pa.string()),
+        "dst_host": pa.array(fmt(hh % _N_SYNTH_HOSTS), type=pa.string()),
+        "n_links": pa.array(out["n_links"].astype("int64").tolist(),
+                            type=pa.int64()),
+    })
+
+
+def host_graph_sql() -> str:
+    """Oracle: shared mix64 edge CTEs + DuckDB's own host projection
+    and rollup (sorted on the PACKED code, matching the engine's
+    integer sort order)."""
+    return f"""
+        WITH {_link_edges_ctes()}
+        SELECT 'ex' || ((src // 3) % {_N_SYNTH_HOSTS}) || '.com'
+                   AS src_host,
+               'ex' || ((dst // 3) % {_N_SYNTH_HOSTS}) || '.com'
+                   AS dst_host,
+               count(*) AS n_links
+        FROM edges
+        GROUP BY (src // 3) % {_N_SYNTH_HOSTS},
+                 (dst // 3) % {_N_SYNTH_HOSTS}
+        ORDER BY (src // 3) % {_N_SYNTH_HOSTS},
+                 (dst // 3) % {_N_SYNTH_HOSTS}
+    """
+
+
+# ---------------------------------------------------- connected comps
+
+# Connected components over the (undirected) link graph — the web-graph
+# analytics primitive behind Broder's bow-tie study and every
+# host/site clustering job.  Implemented as HASH-MIN label propagation
+# (the standard distributed CC kernel: each round every vertex takes
+# the min label among itself and its neighbors), run for a FIXED
+# LINKCC_ITERS synchronous rounds so the result is deterministic and a
+# chained-CTE SQL oracle can replay it — production iterates the same
+# round kernel to fixpoint (rounds ~ graph diameter; large-star/
+# small-star shortcutting cuts that to O(log n), the documented
+# evolution path).
+#
+# Round shape: forward contributions synthesize out-edges per batch
+# (the pagerank scatter — no edge table, no join); REVERSE
+# contributions need label(dst) at src, i.e. one bucket hash_join of
+# the edge list against the current labels; then one groupby-min over
+# (node, cand) pairs unioned with the self-labels.  Everything on the
+# wire is a 16-byte int pair.  At 100 TB the edge-by-dst spill would be
+# laid out ONCE before the loop and re-read per round (hash_join
+# re-spills per call here — O(E) extra per round, same asymptotics).
+
+LINKCC_ITERS = 3
+
+
+def link_components(sf_dir: str) -> pa.Table:
+    """Gate query: LINKCC_ITERS hash-min rounds over the undirected
+    synthetic link graph; returns (doc_id, label) sorted by doc_id."""
+    import shutil
+
+    from ray.data.aggregate import Min
+
+    from ..functions.joins import hash_join
+    from ..functions.spill import spill_dir
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n_docs = docs.count()
+
+    def edges_tbl(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst, _ = _synth_out_edges(ids, n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "label": pc.cast(t["doc_id"], pa.int64()),
+        })
+
+    def fwd(t: pa.Table) -> pa.Table:
+        # label(src) -> dst, pre-combined per dst (min within batch)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst, odeg = _synth_out_edges(ids, n_docs)
+        cand = np.repeat(lab, 1 + (ids % 3))
+        udst, inv = np.unique(dst, return_inverse=True)
+        mins = np.full(udst.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, cand)
+        # self-labels ride along so every node survives the groupby
+        return pa.table({
+            "node": pa.array(np.concatenate([udst, ids]), type=pa.int64()),
+            "cand": pa.array(np.concatenate([mins, lab]), type=pa.int64()),
+        })
+
+    def rev_map(t: pa.Table) -> pa.Table:
+        # joined rows carry (src, dst, doc_id==dst, label): label(dst) -> src
+        return pa.table({"node": pc.cast(t["src"], pa.int64()),
+                         "cand": pc.cast(t["label"], pa.int64())})
+
+    def relabel(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["node"], pa.int64()),
+                         "label": pc.cast(t["min(cand)"], pa.int64())})
+
+    labels = docs.map_batches(init, batch_format="pyarrow")
+    edges = docs.map_batches(edges_tbl, batch_format="pyarrow")
+    work_dirs = []
+    for k in range(LINKCC_ITERS):
+        wd = spill_dir(prefix=f"pdfsearch_cc_{k}_")
+        work_dirs.append(wd)
+        rev = hash_join(
+            edges,
+            labels.map_batches(
+                lambda t: pa.table({"doc_id": t["doc_id"],
+                                    "label": t["label"]}),
+                batch_format="pyarrow"),
+            left_on="dst", right_on="doc_id", work_dir=wd,
+        ).map_batches(rev_map, batch_format="pyarrow")
+        labels = (labels.map_batches(fwd, batch_format="pyarrow")
+                  .union(rev)
+                  .groupby("node")
+                  .aggregate(Min("cand"))
+                  .map_batches(relabel, batch_format="pyarrow")
+                  # checkpoint the O(n) 16-byte-per-row label state:
+                  # the next round's hash_join executes its inputs
+                  # eagerly, and without this the label lineage would
+                  # re-replay every prior round per call (the standard
+                  # iterative-algorithm materialization point)
+                  .materialize())
+    out = labels.to_pandas().sort_values("doc_id")
+    for wd in work_dirs:
+        shutil.rmtree(wd, ignore_errors=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "label": pa.array(out["label"].astype("int64").tolist(),
+                          type=pa.int64()),
+    })
+
+
+def link_components_sql() -> str:
+    """Oracle: shared edge CTEs + LINKCC_ITERS chained rounds, each one
+    `min over (self UNION ALL fwd-neighbor UNION ALL rev-neighbor)` —
+    pure BIGINT min, no float anywhere."""
+    it = []
+    for k in range(1, LINKCC_ITERS + 1):
+        it.append(f"""
+        l{k} AS (
+            SELECT doc_id, min(label) AS label FROM (
+                SELECT doc_id, label FROM l{k - 1}
+                UNION ALL
+                SELECT e.dst AS doc_id, l.label
+                FROM edges e JOIN l{k - 1} l ON l.doc_id = e.src
+                UNION ALL
+                SELECT e.src AS doc_id, l.label
+                FROM edges e JOIN l{k - 1} l ON l.doc_id = e.dst
+            ) GROUP BY doc_id
+        )""")
+    return f"""
+        WITH {_link_edges_ctes()},
+        l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+        {",".join(it)}
+        SELECT doc_id, label FROM l{LINKCC_ITERS}
+        ORDER BY doc_id
+    """

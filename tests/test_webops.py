@@ -322,3 +322,50 @@ def test_crawl_frontier_matches_oracle_and_politeness_invariants(
     alt = w.crawl_frontier(SF, num_buckets=3).to_pandas() \
         .reset_index(drop=True)
     assert alt.equals(got)
+
+
+def test_host_graph_matches_oracle_and_edge_conservation(ray_session):
+    """Host rollup == SQL oracle; link mass is conserved (sum n_links
+    == total page-level edges) and endpoints are real synth hosts."""
+    import pyarrow.parquet as pq
+
+    got = w.host_graph(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(w.host_graph_sql()).df().reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    src, _, _ = w._synth_out_edges(ids, n)
+    assert got["n_links"].sum() == src.size
+    hosts = {f"ex{k}.com" for k in range(w._N_SYNTH_HOSTS)}
+    assert set(got["src_host"]) <= hosts and set(got["dst_host"]) <= hosts
+
+
+def test_link_components_matches_oracle_and_dense_replay(ray_session):
+    """Hash-min CC == SQL oracle == a dense synchronous-rounds replay;
+    labels only ever decrease and real merging happens."""
+    import pyarrow.parquet as pq
+
+    got = w.link_components(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(w.link_components_sql()).df().reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    src, dst, _ = w._synth_out_edges(ids, n)
+    lab = ids.copy()
+    for _ in range(w.LINKCC_ITERS):
+        new = lab.copy()
+        np.minimum.at(new, dst, lab[src])
+        np.minimum.at(new, src, lab[dst])
+        lab = new
+    assert got["doc_id"].tolist() == ids.tolist()
+    assert got["label"].to_numpy().tolist() == lab.tolist()
+    assert (got["label"].to_numpy() <= ids).all()
+    assert got["label"].nunique() < n  # propagation actually merged
