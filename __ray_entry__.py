@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": _webops().crawl_frontier,
         "host_graph": _webops().host_graph,
         "link_components": _webops().link_components,
+        "anchor_boosted_topk": _webops().anchor_boosted_topk,
     }
 
 
@@ -459,6 +460,9 @@ def oracle_sql() -> dict[str, str]:
         # hash-min connected components: chained min-over-neighbors
         # rounds in pure BIGINT, replayed by DuckDB
         "link_components": _webops().link_components_sql(),
+        # anchor-boosted retrieval: text tf + anchor-in-link scoring,
+        # integer-exact, QUALIFY-cut per query
+        "anchor_boosted_topk": _webops().anchor_boosted_topk_sql(),
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),

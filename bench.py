@@ -218,6 +218,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("crawl_frontier", webops.crawl_frontier),
         ("host_graph", webops.host_graph),
         ("link_components", webops.link_components),
+        ("anchor_boosted_topk", webops.anchor_boosted_topk),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -1603,3 +1603,163 @@ def link_components_sql() -> str:
         SELECT doc_id, label FROM l{LINKCC_ITERS}
         ORDER BY doc_id
     """
+
+
+# ------------------------------------------------- anchor-boosted rank
+
+# Anchor-boosted retrieval — what anchor aggregation is FOR (Brin &
+# Page 1998 §2.2; web engines rank a page by its own text AND the text
+# of links pointing at it).  Integer scoring keeps the gate exact:
+#
+#   score(q, d) = sum_t tf_simple(t, d.text)
+#               + ANCHOR_BOOST_W * |in-links of d whose anchor is in q|
+#
+# over the simple-analyzer query tokens t.  Top-K per query by
+# (score DESC, doc_id ASC) — a total order, so the cut is unique.
+#
+# Scale shape: ONE pass over text computes the tf partials for ALL
+# queries (the _tok_codes dictionary-coded flat-token kernel — the
+# token stream never becomes Python objects) and the anchor partials
+# ride the pagerank edge scatter; both emit narrow
+# (query, doc_id, partial) rows into one groupby-sum, then per-block
+# partial top-K caps driver traffic at O(K · blocks · queries).
+
+ANCHOR_BOOST_W = 3
+ANCHOR_BOOST_K = 10
+ANCHOR_BOOST_QUERIES = ("hash join filter",
+                        "stream window merge",
+                        "batch scan column")
+
+
+def anchor_boosted_topk(sf_dir: str) -> pa.Table:
+    """Gate query: (query, rank, doc_id, score) — top-K docs per query
+    under text-tf + anchor-in-link scoring, sorted by (query, rank)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .queries import _tok_codes
+
+    qterms = {q: [t for t in q.split() if t] for q in ANCHOR_BOOST_QUERIES}
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def scatter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q: list[str] = []
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        # text tf partials — one tokenize for all queries
+        codes, doc_idx, vocab = _tok_codes(t)
+        code_of = {v: i for i, v in enumerate(vocab)}
+        for q, terms in qterms.items():
+            tset = np.array([code_of[x] for x in terms if x in code_of],
+                            dtype=np.int64)
+            if not tset.size:
+                continue
+            cnt = np.bincount(doc_idx[np.isin(codes, tset)],
+                              minlength=len(ids))
+            nz = np.flatnonzero(cnt)
+            out_q.extend([q] * nz.size)
+            out_d.append(ids[nz])
+            out_s.append(cnt[nz].astype(np.int64))
+        # anchor partials — one edge synthesis for all queries
+        m = pc.extract_regex(t["text"], _ANCHOR_RE)
+        anchors = pc.ascii_lower(pc.struct_field(m, "a"))
+        acodes, auniq = pd.factorize(
+            anchors.to_numpy(zero_copy_only=False), use_na_sentinel=True)
+        src, dst, _ = _synth_out_edges(ids, n_docs)
+        ecode = np.repeat(acodes, 1 + (ids % 3))
+        a_of = {v: i for i, v in enumerate(auniq)}
+        for q, terms in qterms.items():
+            aset = np.array([a_of[x] for x in terms if x in a_of],
+                            dtype=np.int64)
+            if not aset.size:
+                continue
+            hit = dst[np.isin(ecode, aset)]
+            udst, cnt = np.unique(hit, return_counts=True)
+            out_q.extend([q] * udst.size)
+            out_d.append(udst)
+            out_s.append(cnt.astype(np.int64) * ANCHOR_BOOST_W)
+        return pa.table({
+            "query": pa.array(out_q, type=pa.string()),
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else
+                np.array([], np.int64), type=pa.int64()),
+            "part": pa.array(
+                np.concatenate(out_s) if out_s else
+                np.array([], np.int64), type=pa.int64()),
+        })
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = (df.sort_values(["query", "score", "doc_id"],
+                             ascending=[True, False, True])
+              .groupby("query", sort=False).head(ANCHOR_BOOST_K))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"query": t["query"], "doc_id": t["doc_id"],
+                         "score": t["sum(part)"]})
+
+    parts = (docs.map_batches(scatter, batch_format="pyarrow")
+             .groupby(["query", "doc_id"])
+             .aggregate(Sum("part"))
+             .map_batches(rename, batch_format="pyarrow")
+             .map_batches(block_topk, batch_format="pyarrow")
+             .to_pandas())
+    final = (parts.sort_values(["query", "score", "doc_id"],
+                               ascending=[True, False, True])
+             .groupby("query", sort=False).head(ANCHOR_BOOST_K)
+             .reset_index(drop=True))
+    final["rank"] = final.groupby("query").cumcount() + 1
+    final = final.sort_values(["query", "rank"])
+    return pa.table({
+        "query": pa.array(final["query"].tolist(), type=pa.string()),
+        "rank": pa.array(final["rank"].astype("int64").tolist(),
+                         type=pa.int64()),
+        "doc_id": pa.array(final["doc_id"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "score": pa.array(final["score"].astype("int64").tolist(),
+                          type=pa.int64()),
+    })
+
+
+def anchor_boosted_topk_sql() -> str:
+    """Oracle: shared edge CTEs + DuckDB's own tokenize/anchor rollups
+    and a QUALIFY row_number() cut per query."""
+    per_q = []
+    for q in ANCHOR_BOOST_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in q.split())
+        per_q.append(f"""
+        SELECT '{q}' AS query, rank, doc_id, score FROM (
+            SELECT doc_id, sum(s)::BIGINT AS score,
+                   row_number() OVER (ORDER BY sum(s) DESC, doc_id)
+                       AS rank
+            FROM (
+                SELECT doc_id, count(*) AS s FROM toks
+                WHERE term IN ({terms}) GROUP BY doc_id
+                UNION ALL
+                SELECT e.dst AS doc_id,
+                       {ANCHOR_BOOST_W} * count(*) AS s
+                FROM edges e JOIN anchors a ON a.src = e.src
+                WHERE a.anchor_term IN ({terms}) GROUP BY e.dst
+            ) GROUP BY doc_id
+        ) WHERE rank <= {ANCHOR_BOOST_K}""")
+    return f"""
+        WITH {_link_edges_ctes()},
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+')) AS term
+            FROM documents
+        ),
+        anchors AS (
+            SELECT doc_id AS src,
+                   lower(regexp_extract(text, '[A-Za-z]+')) AS anchor_term
+            FROM documents
+            WHERE regexp_matches(text, '[A-Za-z]')
+        )
+        {" UNION ALL ".join(per_q)}
+        ORDER BY query, rank
+    """

@@ -369,3 +369,40 @@ def test_link_components_matches_oracle_and_dense_replay(ray_session):
     assert got["label"].to_numpy().tolist() == lab.tolist()
     assert (got["label"].to_numpy() <= ids).all()
     assert got["label"].nunique() < n  # propagation actually merged
+
+
+def test_anchor_boosted_topk_matches_oracle_and_boost_matters(
+        ray_session):
+    """Anchor-boosted ranking == SQL oracle; every query returns a full
+    K block with dense ranks; the anchor signal actually reorders the
+    tf-only ranking for at least one query."""
+    got = w.anchor_boosted_topk(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(w.anchor_boosted_topk_sql()).df() \
+        .reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    assert len(got) == len(w.ANCHOR_BOOST_QUERIES) * w.ANCHOR_BOOST_K
+    for q, g in got.groupby("query"):
+        assert g["rank"].tolist() == list(range(1, w.ANCHOR_BOOST_K + 1))
+        # total order: scores non-increasing, doc_id ascending on ties
+        s = g["score"].tolist()
+        assert s == sorted(s, reverse=True)
+
+    changed = 0
+    for q in w.ANCHOR_BOOST_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in q.split())
+        tf_only = con.sql(f"""
+            WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+                lower(text), '[^a-z0-9]+')) AS term FROM documents)
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY count(*) DESC, doc_id) r
+                FROM toks WHERE term IN ({terms}) GROUP BY doc_id
+            ) WHERE r <= {w.ANCHOR_BOOST_K}
+        """).df()["doc_id"].tolist()
+        if got[got["query"] == q]["doc_id"].tolist() != tf_only:
+            changed += 1
+    assert changed > 0
