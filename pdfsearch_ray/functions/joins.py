@@ -96,9 +96,25 @@ def _spill_schema(d: str) -> pa.Schema:
     return pq.read_schema(files[0])
 
 
+def spill_bucketed(ds: rd.Dataset, key: str, out: str,
+                   num_buckets: int = 16) -> str:
+    """Materialize one join side to its bucket-partitioned layout
+    (mix64(key) % num_buckets under ``__jb=``).  Pass the dir to
+    ``hash_join`` in place of that side's Dataset to reuse ONE layout
+    across many joins — the iterative-algorithm shape (e.g. hash-min
+    CC joins a static edge list against evolving labels every round).
+    The caller owns cleanup and must pass the SAME ``num_buckets``."""
+    _ensure_http_fs_importable()
+    ds.map_batches(
+        lambda t: _with_bucket(t, key, num_buckets),
+        batch_format="pyarrow",
+    ).write_parquet(out, partition_cols=["__jb"])
+    return out
+
+
 def hash_join(
-    left: rd.Dataset,
-    right: rd.Dataset,
+    left: rd.Dataset | str,
+    right: rd.Dataset | str,
     *,
     left_on: str,
     right_on: str,
@@ -108,13 +124,19 @@ def hash_join(
     """Distributed INNER equi-join on int64 keys via bucket-partitioned
     spill + per-bucket Arrow joins.
 
+    Either side may be a ``spill_bucketed`` directory (str) instead of
+    a Dataset — that side's spill is skipped and the layout is read as
+    is (it must have been written with the same ``num_buckets``).
+
     Returns a lazy Dataset of joined rows (left columns then right
     columns; when ``left_on != right_on`` both key columns survive).
     The spill lives until process exit unless the caller passes
-    ``work_dir`` and removes it after consuming the result.
+    ``work_dir`` and removes it after consuming the result
+    (prespilled dirs always stay the caller's).
     """
     work_dir = work_dir or spill_dir(prefix="pdfsearch_join_")
-    ldir, rdir = f"{work_dir}/l", f"{work_dir}/r"
+    ldir = left if isinstance(left, str) else f"{work_dir}/l"
+    rdir = right if isinstance(right, str) else f"{work_dir}/r"
 
     def _spill(ds: rd.Dataset, key: str, out: str) -> None:
         ds.map_batches(
@@ -128,9 +150,14 @@ def hash_join(
 
     _ensure_http_fs_importable()
 
+    todo = []
+    if not isinstance(left, str):
+        todo.append((left, left_on, ldir))
+    if not isinstance(right, str):
+        todo.append((right, right_on, rdir))
     with ThreadPoolExecutor(max_workers=2) as ex:
-        futs = [ex.submit(_spill, left, left_on, ldir),
-                ex.submit(_spill, right, right_on, rdir)]
+        futs = [ex.submit(_spill, ds, key, out)
+                for ds, key, out in todo]
         for f in futs:
             f.result()
     # empty-bucket blocks need the joined schema; an Acero join of two
