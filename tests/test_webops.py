@@ -406,3 +406,24 @@ def test_anchor_boosted_topk_matches_oracle_and_boost_matters(
         if got[got["query"] == q]["doc_id"].tolist() != tf_only:
             changed += 1
     assert changed > 0
+
+
+def test_link_graph_ops_on_empty_corpus(ray_session, tmp_path):
+    """Every link-graph operator returns a typed empty result on an
+    empty corpus instead of dividing by a zero doc count."""
+    import pyarrow.parquet as pq
+
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string()),
+        "source": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+    })
+    pq.write_table(empty, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    for fn in (w.link_pagerank, w.anchor_text_agg, w.crawl_frontier,
+               w.host_graph, w.link_components, w.anchor_boosted_topk):
+        out = fn(sf)
+        assert out.num_rows == 0, fn.__name__
+        assert out.num_columns >= 2, fn.__name__
