@@ -1019,9 +1019,12 @@ def link_pagerank(sf_dir: str) -> pa.Table:
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
     n_docs = docs.count()
-    if n_docs == 0:  # empty corpus: typed empty result,
-        # and no '% 0' in the edge synthesis
-        return pa.table({"doc_id": pa.array([], type=pa.int64()), "rank_scaled": pa.array([], type=pa.int64())})
+    if n_docs == 0:
+        # empty corpus: typed empty result, no "% 0" edge synthesis
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "rank_scaled": pa.array([], type=pa.int64()),
+        })
     base = (PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
             ) // PAGERANK_DAMP_DEN
 
@@ -1182,9 +1185,13 @@ def anchor_text_agg(sf_dir: str) -> pa.Table:
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     n_docs = docs.count()
-    if n_docs == 0:  # empty corpus: typed empty result,
-        # and no '% 0' in the edge synthesis
-        return pa.table({"target_doc_id": pa.array([], type=pa.int64()), "anchor_term": pa.array([], type=pa.string()), "n_links": pa.array([], type=pa.int64())})
+    if n_docs == 0:
+        # empty corpus: typed empty result, no "% 0" edge synthesis
+        return pa.table({
+            "target_doc_id": pa.array([], type=pa.int64()),
+            "anchor_term": pa.array([], type=pa.string()),
+            "n_links": pa.array([], type=pa.int64()),
+        })
 
     def scatter(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1437,9 +1444,13 @@ def host_graph(sf_dir: str) -> pa.Table:
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
     n_docs = docs.count()
-    if n_docs == 0:  # empty corpus: typed empty result,
-        # and no '% 0' in the edge synthesis
-        return pa.table({"src_host": pa.array([], type=pa.string()), "dst_host": pa.array([], type=pa.string()), "n_links": pa.array([], type=pa.int64())})
+    if n_docs == 0:
+        # empty corpus: typed empty result, no "% 0" edge synthesis
+        return pa.table({
+            "src_host": pa.array([], type=pa.string()),
+            "dst_host": pa.array([], type=pa.string()),
+            "n_links": pa.array([], type=pa.int64()),
+        })
 
     def scatter(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1524,9 +1535,12 @@ def link_components(sf_dir: str) -> pa.Table:
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
     n_docs = docs.count()
-    if n_docs == 0:  # empty corpus: typed empty result,
-        # and no '% 0' in the edge synthesis
-        return pa.table({"doc_id": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())})
+    if n_docs == 0:
+        # empty corpus: typed empty result, no "% 0" edge synthesis
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int64()),
+        })
 
     def edges_tbl(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1669,9 +1683,14 @@ def anchor_boosted_topk(sf_dir: str) -> pa.Table:
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     n_docs = docs.count()
-    if n_docs == 0:  # empty corpus: typed empty result,
-        # and no '% 0' in the edge synthesis
-        return pa.table({"query": pa.array([], type=pa.string()), "rank": pa.array([], type=pa.int64()), "doc_id": pa.array([], type=pa.int64()), "score": pa.array([], type=pa.int64())})
+    if n_docs == 0:
+        # empty corpus: typed empty result, no "% 0" edge synthesis
+        return pa.table({
+            "query": pa.array([], type=pa.string()),
+            "rank": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.int64()),
+        })
 
     def scatter(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
