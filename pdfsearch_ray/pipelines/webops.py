@@ -1605,8 +1605,11 @@ def link_components(sf_dir: str) -> pa.Table:
                   .union(rev)
                   .groupby("node")
                   .aggregate(Min("cand"))
-                  .map_batches(relabel, batch_format="pyarrow")
-                  .materialize())
+                  .map_batches(relabel, batch_format="pyarrow"))
+        if k < LINKCC_ITERS - 1:
+            # only intermediate rounds checkpoint — the final round
+            # flows straight into the collect below
+            labels = labels.materialize()
     out = labels.to_pandas().sort_values("doc_id")
     for wd in work_dirs:
         shutil.rmtree(wd, ignore_errors=True)
