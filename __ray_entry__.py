@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _webops().host_graph,
         "link_components": _webops().link_components,
         "anchor_boosted_topk": _webops().anchor_boosted_topk,
+        "link_indegree_hist": _webops().link_indegree_hist,
     }
 
 
@@ -463,6 +464,8 @@ def oracle_sql() -> dict[str, str]:
         # anchor-boosted retrieval: text tf + anchor-in-link scoring,
         # integer-exact, QUALIFY-cut per query
         "anchor_boosted_topk": _webops().anchor_boosted_topk_sql(),
+        # in-degree histogram over the shared edge CTEs (sinks at 0)
+        "link_indegree_hist": _webops().link_indegree_hist_sql(),
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),

@@ -219,6 +219,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("host_graph", webops.host_graph),
         ("link_components", webops.link_components),
         ("anchor_boosted_topk", webops.anchor_boosted_topk),
+        ("link_indegree_hist", webops.link_indegree_hist),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

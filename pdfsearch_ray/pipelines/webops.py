@@ -1814,3 +1814,73 @@ def anchor_boosted_topk_sql() -> str:
         {" UNION ALL ".join(per_q)}
         ORDER BY query, rank
     """
+
+
+# ------------------------------------------------- in-degree histogram
+
+# In-degree distribution — the first report every web-graph study
+# prints (Broder et al. 2000 fig. 2: in-degree is power-law; the
+# histogram is how you check your crawl sample isn't pathological).
+# Two narrow exchanges: per-page in-degree (the pagerank scatter with
+# count instead of rank mass, zero rows keeping sink pages visible),
+# then the O(distinct degrees) histogram rollup.
+
+
+def link_indegree_hist(sf_dir: str) -> pa.Table:
+    """Gate query: (in_degree, n_pages) over the synthetic link graph,
+    sorted by in_degree; sums to the corpus page count."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n_docs = docs.count()
+    if n_docs == 0:
+        return pa.table({
+            "in_degree": pa.array([], type=pa.int64()),
+            "n_pages": pa.array([], type=pa.int64()),
+        })
+
+    def scatter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, dst, _ = _synth_out_edges(ids, n_docs)
+        udst, cnt = np.unique(dst, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([udst, ids]),
+                               type=pa.int64()),
+            "c": pa.array(np.concatenate(
+                [cnt.astype(np.int64), np.zeros(ids.size, np.int64)]),
+                type=pa.int64()),
+        })
+
+    def hist_key(t: pa.Table) -> pa.Table:
+        return pa.table({"in_degree": pc.cast(t["sum(c)"], pa.int64())})
+
+    out = (docs.map_batches(scatter, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("c"))
+           .map_batches(hist_key, batch_format="pyarrow")
+           .groupby("in_degree")
+           .aggregate(Count(alias_name="n_pages"))
+           .to_pandas()
+           .sort_values("in_degree"))
+    return pa.table({
+        "in_degree": pa.array(out["in_degree"].astype("int64").tolist(),
+                              type=pa.int64()),
+        "n_pages": pa.array(out["n_pages"].astype("int64").tolist(),
+                            type=pa.int64()),
+    })
+
+
+def link_indegree_hist_sql() -> str:
+    """Oracle: shared edge CTEs + a LEFT JOIN per-page count (sinks at
+    0) + the histogram rollup."""
+    return f"""
+        WITH {_link_edges_ctes()},
+        indeg AS (
+            SELECT d.doc_id, count(e.dst) AS in_degree
+            FROM documents d LEFT JOIN edges e ON e.dst = d.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT in_degree, count(*) AS n_pages
+        FROM indeg GROUP BY in_degree ORDER BY in_degree
+    """

@@ -427,3 +427,23 @@ def test_link_graph_ops_on_empty_corpus(ray_session, tmp_path):
         out = fn(sf)
         assert out.num_rows == 0, fn.__name__
         assert out.num_columns >= 2, fn.__name__
+
+
+def test_link_indegree_hist_matches_oracle_and_mass(ray_session):
+    """In-degree histogram == SQL oracle; pages sum to the corpus size
+    and edge mass to the dense edge count; sinks (in_degree 0) exist."""
+    import pyarrow.parquet as pq
+
+    got = w.link_indegree_hist(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(w.link_indegree_hist_sql()).df().reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    src, _, _ = w._synth_out_edges(ids, n)
+    assert got["n_pages"].sum() == n
+    assert (got["in_degree"] * got["n_pages"]).sum() == src.size
+    assert got.loc[got["in_degree"] == 0, "n_pages"].sum() > 0
