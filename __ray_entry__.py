@@ -110,6 +110,12 @@ def _sketches():
     return sketches
 
 
+def _bpe():
+    from pdfsearch_ray.pipelines import bpe
+
+    return bpe
+
+
 def _lm_surprisal(sf_dir: str):
     from pdfsearch_ray.pipelines.textstats import lm_surprisal
 
@@ -208,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components": _webops().link_components,
         "anchor_boosted_topk": _webops().anchor_boosted_topk,
         "link_indegree_hist": _webops().link_indegree_hist,
+        "bpe_merges": _bpe().bpe_merges,
+        "bpe_token_stats": _bpe().bpe_token_stats,
     }
 
 
@@ -466,6 +474,13 @@ def oracle_sql() -> dict[str, str]:
         "anchor_boosted_topk": _webops().anchor_boosted_topk_sql(),
         # in-degree histogram over the shared edge CTEs (sinks at 0)
         "link_indegree_hist": _webops().link_indegree_hist_sql(),
+        # BPE tokenizer training: DuckDB replays word counts, every
+        # round's pair count/argmax and the literal paren-wrapped
+        # replace (exact greedy merge semantics) as chained CTEs
+        "bpe_merges": _bpe().bpe_merges_sql(),
+        # tokenizer APPLICATION: top-K subword tokens of the final
+        # segmentations, rolled up from the same CTE chain
+        "bpe_token_stats": _bpe().bpe_token_stats_sql(),
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),

@@ -166,6 +166,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     extra: dict[str, float] = {}
     from pdfsearch_ray.pipelines import relational as rel
     from pdfsearch_ray.pipelines import sketches, textstats, webops
+    from pdfsearch_ray.pipelines.bpe import bpe_merges as _bpe_merges
+    from pdfsearch_ray.pipelines.bpe import (
+        bpe_token_stats as _bpe_token_stats,
+    )
     from pdfsearch_ray.pipelines.events import (
         asof_join_events,
         sliding_event_counts,
@@ -220,6 +224,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("link_components", webops.link_components),
         ("anchor_boosted_topk", webops.anchor_boosted_topk),
         ("link_indegree_hist", webops.link_indegree_hist),
+        ("bpe_merges", _bpe_merges),
+        ("bpe_token_stats", _bpe_token_stats),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,
