@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _orders_by_nation,
         "region_part_revenue": _region_part_revenue,
         "chunk_dedup": q.chunk_dedup_docs,
+        "source_overlap": q.source_overlap_report,
         "gopher_quality": q.gopher_quality_flags,
         "stratified_sample": q.stratified_sample,
         "repetition_stats": q.repetition_stats,
@@ -672,6 +673,9 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
         """,
         "chunk_dedup": _oracles.chunk_dedup_sql(
+            words_per_chunk=_chunk_words()),
+        # cross-source segment-overlap provenance (same chunk CTEs)
+        "source_overlap": _oracles.source_overlap_sql(
             words_per_chunk=_chunk_words()),
         "curated_chunks": _oracles.curate_chunks_sql(
             rates=q.STRATA_RATES, default_rate=q.STRATA_DEFAULT_RATE,

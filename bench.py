@@ -164,6 +164,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # round-2 additions, timed under a SEPARATE key so `value` stays
     # comparable with earlier rounds' totals
     extra: dict[str, float] = {}
+    from pdfsearch_ray.pipelines import queries as _queries
     from pdfsearch_ray.pipelines import relational as rel
     from pdfsearch_ray.pipelines import sketches, textstats, webops
     from pdfsearch_ray.pipelines.bpe import bpe_merges as _bpe_merges
@@ -226,6 +227,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("link_indegree_hist", webops.link_indegree_hist),
         ("bpe_merges", _bpe_merges),
         ("bpe_token_stats", _bpe_token_stats),
+        ("source_overlap", _queries.source_overlap_report),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

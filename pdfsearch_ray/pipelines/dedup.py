@@ -718,3 +718,180 @@ def chunk_dedup(
         docs.select_columns(["doc_id", "text"])
         .map_batches(reassemble, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- cross-source overlap provenance
+
+
+def source_overlap(
+    docs: rd.Dataset,
+    *,
+    words_per_chunk: int = CHUNK_WORDS,
+    num_buckets: int = 16,
+) -> pa.Table:
+    """Cross-source duplicate provenance: for every unordered pair of
+    sources, how many DISTINCT full-length ``words_per_chunk``-word
+    segments appear in both — the curation diagnostic "how much content
+    do crawls/dumps share" (the doc-level exact-dup rate between e.g.
+    two CommonCrawl snapshots understates overlap badly; segment-level
+    is the standard measure).  Output per pair: shared distinct chunk
+    count, each side's distinct chunk count, and integer-basis-point
+    Jaccard ``floor(1e4·|A∩B| / |A∪B|)``.
+
+    Scale shape (text never shuffles; same election spill as
+    chunk_dedup):
+    1. per-batch: docs → full-length segments → 128-bit md5 as two
+       int64s → per-batch DISTINCT (h_hi, h_lo, source) rows;
+    2. narrow rows spill hash-bucket-partitioned (a chunk's every
+       occurrence lands in one bucket, so cross-bucket double counting
+       is impossible);
+    3. one vectorized pass per bucket: global distinct triples, then
+       per-source distinct-chunk partials and per-pair shared counts
+       (the only Python loop is over hashes shared by ≥2 sources —
+       O(shared chunks), the result size, not the corpus);
+    4. driver sums O(buckets × sources²) partial rows — with S sources
+       that is ≤ buckets·S²  rows regardless of corpus size.
+    """
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    w = words_per_chunk
+
+    def emit(batch: pa.Table) -> pa.Table:
+        hi, lo, srcs = [], [], []
+        seen: set[tuple[int, int, str]] = set()
+        for src, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for chunk in _doc_chunks(text or "", w):
+                if chunk.count(" ") != w - 1:  # short final segment
+                    continue
+                a, b = _md5_pair(chunk)
+                key = (a, b, src)
+                if key in seen:
+                    continue
+                seen.add(key)
+                hi.append(a)
+                lo.append(b)
+                srcs.append(src)
+        t = pa.table({
+            "h_hi": pa.array(hi, type=pa.int64()),
+            "h_lo": pa.array(lo, type=pa.int64()),
+            "source": pa.array(srcs, type=pa.string()),
+        })
+        b = (t["h_hi"].to_numpy().view(np.uint64)
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    root = spill_dir(prefix="source_overlap_")
+    try:
+        (
+            docs.select_columns(["source", "text"])
+            .map_batches(emit, batch_format="pyarrow")
+            # coalesce narrow rows so (blocks × buckets) stays a sane
+            # file count (same rationale as chunk_dedup's election)
+            .repartition(8)
+            .write_parquet(root, partition_cols=["bucket"])
+        )
+        bucket_dirs = sorted(
+            os.path.join(root, d) for d in os.listdir(root)
+            if d.startswith("bucket=")
+        ) if os.path.isdir(root) else []
+
+        def bucket_partials(batch: pa.Table) -> pa.Table:
+            """Per-bucket partials in ONE schema: per-source distinct
+            counts as (source_a, source_b='', n); shared-pair counts as
+            (source_a, source_b, n) with source_a < source_b."""
+            out_a: list[str] = []
+            out_b: list[str] = []
+            out_n: list[int] = []
+            for bdir in batch["dir"].to_pylist():
+                t = pq.read_table(bdir, columns=["h_hi", "h_lo", "source"],
+                                  use_threads=False)
+                if t.num_rows == 0:
+                    continue
+                srcs, codes = np.unique(
+                    np.asarray(t["source"].to_pylist(), dtype=object),
+                    return_inverse=True)
+                hi = t["h_hi"].to_numpy()
+                lo = t["h_lo"].to_numpy()
+                # global distinct triples, hash-major / code-minor so
+                # each hash group lists its sources in string order
+                order = np.lexsort((codes, lo, hi))
+                hi, lo, codes = hi[order], lo[order], codes[order]
+                first = np.empty(hi.size, dtype=bool)
+                first[0] = True
+                first[1:] = ((hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+                             | (codes[1:] != codes[:-1]))
+                hi, lo, codes = hi[first], lo[first], codes[first]
+                # per-source distinct chunk counts
+                cnt = np.bincount(codes, minlength=srcs.size)
+                for si in range(srcs.size):
+                    if cnt[si]:
+                        out_a.append(str(srcs[si]))
+                        out_b.append("")
+                        out_n.append(int(cnt[si]))
+                # hash groups with >=2 sources → all (a<b) pairs
+                gstart = np.empty(hi.size, dtype=bool)
+                gstart[0] = True
+                gstart[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+                starts = np.nonzero(gstart)[0]
+                lens = np.diff(np.append(starts, hi.size))
+                pair_n: dict[tuple[int, int], int] = {}
+                for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+                    grp = codes[s:s + L]
+                    for i in range(L - 1):
+                        for j in range(i + 1, L):
+                            k = (int(grp[i]), int(grp[j]))
+                            pair_n[k] = pair_n.get(k, 0) + 1
+                for (ia, ib), n in pair_n.items():
+                    out_a.append(str(srcs[ia]))
+                    out_b.append(str(srcs[ib]))
+                    out_n.append(n)
+            return pa.table({
+                "source_a": pa.array(out_a, type=pa.string()),
+                "source_b": pa.array(out_b, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            })
+
+        empty = pa.table({
+            "source_a": pa.array([], type=pa.string()),
+            "source_b": pa.array([], type=pa.string()),
+            "n_shared": pa.array([], type=pa.int64()),
+            "n_chunks_a": pa.array([], type=pa.int64()),
+            "n_chunks_b": pa.array([], type=pa.int64()),
+            "jaccard_bp": pa.array([], type=pa.int64()),
+        })
+        if not bucket_dirs:
+            return empty
+        partials = (
+            rd.from_items([{"dir": d} for d in bucket_dirs],
+                          override_num_blocks=len(bucket_dirs))
+            .map_batches(bucket_partials, batch_format="pyarrow",
+                         batch_size=1)
+            .to_pandas()  # O(buckets × sources²) rows — driver-safe
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    if partials.empty:
+        return empty
+    tot = (partials.groupby(["source_a", "source_b"], as_index=False)["n"]
+           .sum())
+    per_src = dict(zip(tot[tot["source_b"] == ""]["source_a"],
+                       tot[tot["source_b"] == ""]["n"]))
+    pairs = tot[tot["source_b"] != ""].sort_values(["source_a", "source_b"])
+    if pairs.empty:
+        return empty
+    na = pairs["source_a"].map(per_src).astype("int64")
+    nb = pairs["source_b"].map(per_src).astype("int64")
+    sh = pairs["n"].astype("int64")
+    return pa.table({
+        "source_a": pa.array(pairs["source_a"].tolist(), type=pa.string()),
+        "source_b": pa.array(pairs["source_b"].tolist(), type=pa.string()),
+        "n_shared": pa.array(sh.tolist(), type=pa.int64()),
+        "n_chunks_a": pa.array(na.tolist(), type=pa.int64()),
+        "n_chunks_b": pa.array(nb.tolist(), type=pa.int64()),
+        "jaccard_bp": pa.array(((10000 * sh) // (na + nb - sh)).tolist(),
+                               type=pa.int64()),
+    })

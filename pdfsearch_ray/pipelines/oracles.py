@@ -1148,3 +1148,44 @@ def semantic_dedup_sql(sf_dir: str, *, eps: float = 0.35,
         FROM mrank m
         ORDER BY m.vec_id
     """
+
+
+def source_overlap_sql(*, words_per_chunk: int = 8) -> str:
+    """Oracle for pipelines/dedup.py:source_overlap — distinct
+    full-length segment sets per source via the same chunking CTEs as
+    chunk_dedup_sql; shared counts via a self-join on md5(chunk) (the
+    identical equivalence classes as the engine's 128-bit md5 pair);
+    integer-basis-point Jaccard so no float rounding flakes the hash."""
+    w = int(words_per_chunk)
+    return f"""
+WITH words AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+  FROM documents
+), chunks AS (
+  SELECT doc_id, source, i // {w} AS chunk_idx,
+         string_agg(w, ' ' ORDER BY i) AS chunk,
+         count(*) AS n_words
+  FROM words GROUP BY doc_id, source, i // {w}
+), full_chunks AS (
+  SELECT DISTINCT source, md5(chunk) AS h
+  FROM chunks WHERE n_words = {w}
+), per_source AS (
+  SELECT source, count(*) AS n FROM full_chunks GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_shared
+  FROM full_chunks a JOIN full_chunks b
+    ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       sa.n::BIGINT AS n_chunks_a, sb.n::BIGINT AS n_chunks_b,
+       ((10000 * p.n_shared) // (sa.n + sb.n - p.n_shared))::BIGINT
+           AS jaccard_bp
+FROM pairs p
+JOIN per_source sa ON sa.source = p.source_a
+JOIN per_source sb ON sb.source = p.source_b
+ORDER BY source_a, source_b
+"""

@@ -2176,3 +2176,15 @@ def sequence_pack_sql() -> str:
                    > start_tok // {L} AS crosses
         FROM c ORDER BY doc_id
     """
+
+
+def source_overlap_report(sf_dir: str) -> pa.Table:
+    """Cross-source duplicate provenance (dedup.py:source_overlap):
+    per source pair, distinct shared full-length 8-word segments and
+    integer-bp Jaccard — "how much content do sources share"."""
+    from ..functions.tables import read_parquet_nometa
+    from .dedup import source_overlap
+
+    docs = read_parquet_nometa(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return source_overlap(docs)

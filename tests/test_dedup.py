@@ -168,3 +168,52 @@ def test_chunk_dedup_winner_is_min_doc_then_idx(ray_session):
     assert out.loc[3, "text_dedup"] == pad + " " + seg
     assert out.loc[7, "text_dedup"] == ""
     assert out.loc[7, "n_dropped"] == 1
+
+
+# --------------------------------------------------- source overlap
+
+
+def _w8(seed: str) -> str:
+    """A full 8-word segment built from a distinctive seed word."""
+    return " ".join(f"{seed}{i}" for i in range(8))
+
+
+def test_source_overlap_planted(ray_session):
+    from pdfsearch_ray.pipelines.dedup import source_overlap
+
+    shared_ab = _w8("ab")      # in A and B
+    shared_abc = _w8("abc")    # in A, B and C
+    only_a, only_b, only_c = _w8("xa"), _w8("xb"), _w8("xc")
+    docs = pa.table({
+        "source": pa.array(["A", "A", "B", "B", "C"], type=pa.string()),
+        "text": pa.array([
+            # A repeats shared_ab twice across docs: distinct-count = 1
+            shared_ab + " " + only_a,
+            shared_ab + " " + shared_abc,
+            shared_ab + " " + only_b,
+            shared_abc + " short tail",  # short tail never participates
+            shared_abc + " " + only_c,
+        ], type=pa.string()),
+    })
+    out = source_overlap(rd.from_arrow(docs)).to_pandas()
+    got = {(r.source_a, r.source_b): (r.n_shared, r.n_chunks_a,
+                                      r.n_chunks_b, r.jaccard_bp)
+           for r in out.itertuples()}
+    # A = {ab, xa, abc}, B = {ab, abc, xb}, C = {abc, xc}
+    assert got[("A", "B")] == (2, 3, 3, 10000 * 2 // 4)
+    assert got[("A", "C")] == (1, 3, 2, 10000 * 1 // 4)
+    assert got[("B", "C")] == (1, 3, 2, 10000 * 1 // 4)
+    assert len(got) == 3
+
+
+def test_source_overlap_no_overlap_is_empty(ray_session):
+    from pdfsearch_ray.pipelines.dedup import source_overlap
+
+    docs = pa.table({
+        "source": pa.array(["A", "B"], type=pa.string()),
+        "text": pa.array([_w8("pa"), _w8("pb")], type=pa.string()),
+    })
+    out = source_overlap(rd.from_arrow(docs))
+    assert out.num_rows == 0
+    assert out.column_names == ["source_a", "source_b", "n_shared",
+                                "n_chunks_a", "n_chunks_b", "jaccard_bp"]
