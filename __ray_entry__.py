@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_part_revenue": _region_part_revenue,
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
+        "decontaminate": q.decontaminate_report,
         "gopher_quality": q.gopher_quality_flags,
         "stratified_sample": q.stratified_sample,
         "repetition_stats": q.repetition_stats,
@@ -677,6 +678,9 @@ def oracle_sql() -> dict[str, str]:
         # cross-source segment-overlap provenance (same chunk CTEs)
         "source_overlap": _oracles.source_overlap_sql(
             words_per_chunk=_chunk_words()),
+        # GPT-3-style 13-gram eval decontamination (mix64 bench split)
+        "decontaminate": _oracles.decontaminate_sql(
+            n=_dedup().DECON_NGRAM, rate=_dedup().DECON_BENCH_RATE),
         "curated_chunks": _oracles.curate_chunks_sql(
             rates=q.STRATA_RATES, default_rate=q.STRATA_DEFAULT_RATE,
             chunk_size=_curate.CURATE_CHUNK_SIZE,
@@ -823,6 +827,12 @@ def _chunk_words() -> int:
     from pdfsearch_ray.pipelines.dedup import CHUNK_WORDS
 
     return CHUNK_WORDS
+
+
+def _dedup():
+    from pdfsearch_ray.pipelines import dedup
+
+    return dedup
 
 
 def _gopher_oracle() -> str:

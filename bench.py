@@ -228,6 +228,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("bpe_merges", _bpe_merges),
         ("bpe_token_stats", _bpe_token_stats),
         ("source_overlap", _queries.source_overlap_report),
+        ("decontaminate", _queries.decontaminate_report),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -895,3 +895,142 @@ def source_overlap(
         "jaccard_bp": pa.array(((10000 * sh) // (na + nb - sh)).tolist(),
                                type=pa.int64()),
     })
+
+
+# --------------------------------------------- benchmark decontamination
+
+# GPT-3-style eval decontamination (Brown et al. 2020 appendix C): flag
+# training docs sharing any N_GRAM-word span with the held-out benchmark
+# split.  The benchmark here is a deterministic mix64 sample of the
+# corpus (the sandbox has no external eval set); in production it is an
+# eval suite — SMALL BY DEFINITION and independent of corpus size, so
+# broadcasting its distinct gram set is the correct 100 TB shape (the
+# corpus streams, the benchmark is O(eval set) driver/worker state).
+DECON_NGRAM = 13
+# 8% of the synthetic corpus: large enough that the mix64 split catches
+# some of the planted long-span duplicates at every test scale (a 2%
+# split had zero partners at sf0.01, making the gate vacuous); a real
+# deployment passes its actual eval set instead.
+DECON_BENCH_RATE = 0.08
+
+_GRAM_P1 = np.uint64(0x9E3779B97F4A7C15)   # odd multipliers for the two
+_GRAM_P2 = np.uint64(0xC2B2AE3D27D4EB4F)   # independent 64-bit poly hashes
+
+
+def _word_hashes(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 hashes per word (md5 halves) — computed
+    once per DISTINCT word (the batch vocabulary), not per token."""
+    import hashlib
+
+    h1 = np.empty(words.size, dtype=np.uint64)
+    h2 = np.empty(words.size, dtype=np.uint64)
+    for i, w in enumerate(words):
+        d = np.frombuffer(hashlib.md5(str(w).encode("utf-8")).digest(),
+                          dtype="<u8")
+        h1[i] = d[0]
+        h2[i] = d[1]
+    return h1, h2
+
+
+def _gram_keys(batch: pa.Table, n: int) -> pa.Table:
+    """Per-doc DISTINCT n-gram keys, vectorized: split → batch-local
+    dictionary codes → md5 word-hashes (per distinct word) → two
+    rolling degree-(n-1) polynomial hashes over the word-hash sequence
+    (one uint64-wraparound multiply-add pass per window offset, no
+    Python over tokens).  Key = (g1, g2): effectively 128 bits, so
+    equality matches the oracle's exact string equality."""
+    import pyarrow.compute as pc
+
+    ids = batch["doc_id"].to_numpy()
+    split = pc.split_pattern(batch["text"].fill_null(""), pattern=" ")
+    flat = split.combine_chunks() if isinstance(split, pa.ChunkedArray) \
+        else split
+    offs = flat.offsets.to_numpy()          # doc i tokens: [offs[i], offs[i+1])
+    enc = flat.values.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    w1, w2 = _word_hashes(vocab)
+    t1, t2 = w1[codes], w2[codes]           # per-token hash sequences
+    total = codes.size
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "g1": pa.array([], type=pa.int64()),
+        "g2": pa.array([], type=pa.int64()),
+    })
+    if total < n:
+        return empty
+    m = total - n + 1                       # candidate window starts
+    g1 = np.zeros(m, dtype=np.uint64)
+    g2 = np.zeros(m, dtype=np.uint64)
+    for k in range(n):                      # n shifted multiply-adds
+        g1 = g1 * _GRAM_P1 + t1[k:k + m]
+        g2 = g2 * _GRAM_P2 + t2[k:k + m]
+    # a window is valid iff it stays inside one doc
+    doc_of = np.repeat(np.arange(ids.size), np.diff(offs))[:m]
+    valid = offs[doc_of + 1] - np.arange(m) >= n
+    doc_of, g1, g2 = doc_of[valid], g1[valid], g2[valid]
+    # per-doc distinct grams (docs are contiguous, one lexsort pass)
+    order = np.lexsort((g2, g1, doc_of))
+    d_s, a_s, b_s = doc_of[order], g1[order], g2[order]
+    first = np.empty(d_s.size, dtype=bool)
+    if d_s.size == 0:
+        return empty
+    first[0] = True
+    first[1:] = ((d_s[1:] != d_s[:-1]) | (a_s[1:] != a_s[:-1])
+                 | (b_s[1:] != b_s[:-1]))
+    return pa.table({
+        "doc_id": pa.array(ids[d_s[first]], type=pa.int64()),
+        "g1": pa.array(a_s[first].view(np.int64), type=pa.int64()),
+        "g2": pa.array(b_s[first].view(np.int64), type=pa.int64()),
+    })
+
+
+def decontaminate(
+    docs: rd.Dataset,
+    *,
+    n: int = DECON_NGRAM,
+    bench_rate: float = DECON_BENCH_RATE,
+) -> rd.Dataset:
+    """Flag training docs that share ≥1 distinct ``n``-word span with
+    the benchmark split: (doc_id, n_hit_grams) for contaminated
+    NON-benchmark docs.  Two streaming passes over the corpus; the only
+    collected state is the benchmark's distinct gram keys (O(eval
+    set)), shipped once via ``ray.put`` and joined per batch with
+    Arrow's multi-key hash join — no shuffle anywhere."""
+    import ray
+    import pyarrow.compute as pc
+
+    from .build import _sample_mask
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        mask = _sample_mask(batch["doc_id"].to_numpy(), bench_rate)
+        return _gram_keys(batch.filter(pa.array(mask)), n) \
+            .select(["g1", "g2"])
+
+    parts = docs.map_batches(bench_grams, batch_format="pyarrow") \
+        .take_all()
+    if parts:
+        bench = pa.Table.from_pylist(parts).group_by(["g1", "g2"]) \
+            .aggregate([])
+    else:
+        bench = pa.table({"g1": pa.array([], type=pa.int64()),
+                          "g2": pa.array([], type=pa.int64())})
+    bench_ref = ray.put(bench)
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        mask = _sample_mask(batch["doc_id"].to_numpy(), bench_rate)
+        grams = _gram_keys(batch.filter(pa.array(~mask)), n)
+        if grams.num_rows == 0 or b.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_hit_grams": pa.array([], type=pa.int64()),
+            })
+        hit = grams.join(b, keys=["g1", "g2"], join_type="inner")
+        g = hit.group_by("doc_id").aggregate([("g1", "count")])
+        return pa.table({
+            "doc_id": g["doc_id"].cast(pa.int64()),
+            "n_hit_grams": g["g1_count"].cast(pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

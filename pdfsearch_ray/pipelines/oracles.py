@@ -1189,3 +1189,47 @@ JOIN per_source sa ON sa.source = p.source_a
 JOIN per_source sb ON sb.source = p.source_b
 ORDER BY source_a, source_b
 """
+
+
+def decontaminate_sql(*, n: int = 13, rate: float = 0.02,
+                      mod: int = 1 << 16) -> str:
+    """Oracle for pipelines/dedup.py:decontaminate — benchmark split via
+    the same splitmix64 limb arithmetic as sample_sql; overlapping
+    n-word spans via list slicing over a LATERAL generate_series; hits
+    join on the exact gram STRING (the engine's 2×64-bit rolling key is
+    an equivalence-preserving stand-in)."""
+    U32 = 1 << 32
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    thresh = int(rate * mod)
+    w = int(n)
+    return f"""
+WITH m0 AS (
+    SELECT doc_id, text, CAST(doc_id AS HUGEINT) AS x FROM documents
+),
+m1 AS (SELECT doc_id, text, {mulmod('xor(x, x >> 30)', C1)} AS x FROM m0),
+m2 AS (SELECT doc_id, text, {mulmod('xor(x, x >> 27)', C2)} AS x FROM m1),
+m3 AS (SELECT doc_id, text, xor(x, x >> 31) AS x FROM m2),
+flagged AS (
+    SELECT doc_id, text, (x % {mod} < {thresh}) AS is_bench FROM m3
+),
+d AS (SELECT doc_id, is_bench, string_split(text, ' ') AS ws FROM flagged),
+ng AS (
+    SELECT doc_id, is_bench, array_to_string(ws[i:i+{w - 1}], ' ') AS g
+    FROM d, LATERAL unnest(generate_series(1, len(ws) - {w - 1})) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE is_bench),
+hits AS (
+    SELECT DISTINCT nn.doc_id, nn.g
+    FROM ng nn JOIN bench b USING (g)
+    WHERE NOT nn.is_bench
+)
+SELECT doc_id, count(*)::BIGINT AS n_hit_grams
+FROM hits GROUP BY doc_id
+"""

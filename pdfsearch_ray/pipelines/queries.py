@@ -2188,3 +2188,22 @@ def source_overlap_report(sf_dir: str) -> pa.Table:
     docs = read_parquet_nometa(
         f"{sf_dir}/documents.parquet", columns=["source", "text"])
     return source_overlap(docs)
+
+
+def decontaminate_report(sf_dir: str) -> rd.Dataset:
+    """GPT-3-style eval decontamination (dedup.py:decontaminate): docs
+    sharing ≥1 distinct 13-word span with the held-out benchmark split,
+    with the distinct-gram hit count."""
+    from .dedup import decontaminate
+
+    out = decontaminate(_docs(sf_dir)).to_pandas()
+    # pin the schema: an all-empty Dataset loses its column names in
+    # to_pandas, which would flake the driver's schema compare
+    return pa.table({
+        "doc_id": pa.array(
+            out["doc_id"].tolist() if len(out.columns) else [],
+            type=pa.int64()),
+        "n_hit_grams": pa.array(
+            out["n_hit_grams"].tolist() if len(out.columns) else [],
+            type=pa.int64()),
+    })

@@ -217,3 +217,65 @@ def test_source_overlap_no_overlap_is_empty(ray_session):
     assert out.num_rows == 0
     assert out.column_names == ["source_a", "source_b", "n_shared",
                                 "n_chunks_a", "n_chunks_b", "jaccard_bp"]
+
+
+# ------------------------------------------------ decontamination
+
+
+def test_gram_keys_match_brute_ngrams(ray_session):
+    """The rolling 2x64-bit keys give exactly the per-doc distinct
+    n-gram counts of a brute string n-gram set, and windows never
+    cross doc boundaries."""
+    from pdfsearch_ray.pipelines.dedup import _gram_keys
+
+    texts = [
+        "a b c d e f g",          # 4 distinct 4-grams
+        "a b c d a b c d a b c d",  # repeats collapse: 5 distinct
+        "x y z",                  # shorter than n: none
+        "",                       # empty: none
+        "a a a a a a",            # one distinct gram
+    ]
+    n = 4
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = _gram_keys(batch, n)
+    got = {}
+    for d in out["doc_id"].to_pylist():
+        got[d] = got.get(d, 0) + 1
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        brute = {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+        assert got.get(i, 0) == len(brute), (i, t)
+    # cross-doc windows must not exist: doc 0 x doc 1 share no gram
+    # with the planted distinct alphabets of docs 2-4
+    keys = set(zip(out["g1"].to_pylist(), out["g2"].to_pylist()))
+    assert len(keys) <= out.num_rows
+
+
+def test_decontaminate_planted(ray_session):
+    from pdfsearch_ray.pipelines.build import _sample_mask
+    from pdfsearch_ray.pipelines.dedup import decontaminate
+
+    rate = 0.08
+    ids = np.arange(200, dtype=np.int64)
+    mask = _sample_mask(ids, rate)
+    bench_id = int(ids[mask][0])
+    clean_ids = ids[~mask]
+    hit_id, miss_id = int(clean_ids[0]), int(clean_ids[1])
+    span = " ".join(f"w{i}" for i in range(13))      # exactly 13 words
+    texts = {
+        bench_id: span + " benchtail one two three",
+        hit_id: "lead in words " + span,             # shares the span
+        miss_id: " ".join(f"u{i}" for i in range(20)),
+    }
+    docs = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)],
+                         type=pa.string()),
+    })
+    out = decontaminate(rd.from_arrow(docs), n=13, bench_rate=rate) \
+        .to_pandas()
+    assert out["doc_id"].tolist() == [hit_id]
+    assert out["n_hit_grams"].tolist() == [1]
