@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
         "decontaminate": q.decontaminate_report,
+        "dedup_keep_best": q.dedup_keep_best,
         "gopher_quality": q.gopher_quality_flags,
         "stratified_sample": q.stratified_sample,
         "repetition_stats": q.repetition_stats,
@@ -555,6 +556,9 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= {_top_per_lang_k()}
         """,
         "minhash_dedup": _oracles.minhash_sql(threshold=JACCARD_THRESHOLD),
+        # quality-aware representative per MinHash cluster
+        "dedup_keep_best": _oracles.keep_best_sql(
+            threshold=JACCARD_THRESHOLD),
         "embedding_dup_pairs_lsh": _oracles.embedding_dup_lsh_sql(
             threshold=EMB_DUP_THRESHOLD, n_bands=q.EMB_LSH_BANDS,
             nbits=q.EMB_LSH_NBITS, seed=q.EMB_LSH_SEED,

@@ -1034,3 +1034,84 @@ def decontaminate(
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------- quality-aware representative
+
+def keep_best_dedup(
+    docs: rd.Dataset,
+    *,
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> pa.Table:
+    """Quality-aware near-dup representative selection: for every
+    MinHash-LSH cluster keep the member with the MOST simple-analyzer
+    tokens (tie-break lowest doc_id) instead of the min-id member —
+    the curation policy real pipelines want (drop the truncated /
+    boilerplate variant, keep the fullest copy).
+
+    Returns one row per cluster: (cluster_id, best_id, n_members,
+    best_n_tokens).  ``cluster_id`` is the min-label from
+    :func:`minhash_lsh_dedup`, so the output composes with it.
+
+    Scale shape: clustering is the fully distributed LSH path; the
+    quality pass streams the corpus ONCE computing token counts ONLY
+    for cluster members (the member-id set is ``ray.put`` broadcast —
+    O(dup docs), tiny by definition since most of a deduped corpus is
+    unique), and the driver argmax is O(members).  No extra shuffle.
+    """
+    import ray
+
+    clusters = minhash_lsh_dedup(docs, threshold=threshold, **lsh_kwargs)
+    empty = pa.table({
+        "cluster_id": pa.array([], type=pa.int64()),
+        "best_id": pa.array([], type=pa.int64()),
+        "n_members": pa.array([], type=pa.int64()),
+        "best_n_tokens": pa.array([], type=pa.int64()),
+    })
+    if clusters.num_rows == 0:
+        return empty
+    member_ids = np.sort(clusters["doc_id"].to_numpy())
+    members_ref = ray.put(member_ids)
+
+    def member_tokens(batch: pa.Table) -> pa.Table:
+        members = ray.get(members_ref)
+        ids = batch["doc_id"].to_numpy()
+        sel = np.searchsorted(members, ids)
+        sel[sel >= members.size] = 0
+        mask = members[sel] == ids
+        if not mask.any():
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            })
+        sub = batch.filter(pa.array(mask))
+        # O(members) total across the whole corpus — bounded loop
+        counts = [len(analyze_simple(t or ""))
+                  for t in sub["text"].to_pylist()]
+        return pa.table({
+            "doc_id": sub["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(counts, type=pa.int64()),
+        })
+
+    rows = docs.map_batches(member_tokens, batch_format="pyarrow") \
+        .take_all()                       # O(cluster members)
+    ntok = {r["doc_id"]: r["n_tokens"] for r in rows}
+    label = dict(zip(clusters["doc_id"].to_pylist(),
+                     clusters["keep_id"].to_pylist()))
+    best: dict[int, tuple[int, int]] = {}   # cluster -> (n_tokens, -best_id)
+    size: dict[int, int] = {}
+    for did, lab in label.items():
+        n = ntok.get(did, 0)
+        size[lab] = size.get(lab, 0) + 1
+        cand = (n, -did)
+        if lab not in best or cand > best[lab]:
+            best[lab] = cand
+    labs = sorted(best)
+    return pa.table({
+        "cluster_id": pa.array(labs, type=pa.int64()),
+        "best_id": pa.array([-best[c][1] for c in labs], type=pa.int64()),
+        "n_members": pa.array([size[c] for c in labs], type=pa.int64()),
+        "best_n_tokens": pa.array([best[c][0] for c in labs],
+                                  type=pa.int64()),
+    })

@@ -1233,3 +1233,34 @@ hits AS (
 SELECT doc_id, count(*)::BIGINT AS n_hit_grams
 FROM hits GROUP BY doc_id
 """
+
+
+def keep_best_sql(*, threshold: float = 0.5) -> str:
+    """Oracle for pipelines/dedup.py:keep_best_dedup — the full
+    minhash_sql cluster chain as a CTE, joined with simple-analyzer
+    token counts; per cluster keep (n_tokens desc, doc_id asc) rank 1."""
+    inner = minhash_sql(threshold=threshold)
+    return f"""
+WITH clusters AS ({inner}),
+toks AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS n_tokens
+    FROM documents
+),
+m AS (
+    SELECT c.keep_id AS cluster_id, c.doc_id, t.n_tokens
+    FROM clusters c JOIN toks t USING (doc_id)
+),
+best AS (
+    SELECT cluster_id, doc_id AS best_id, n_tokens AS best_n_tokens,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id ASC) AS rn
+    FROM m
+)
+SELECT b.cluster_id, b.best_id, n.n_members, b.best_n_tokens
+FROM best b
+JOIN (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY cluster_id) n
+  USING (cluster_id)
+WHERE b.rn = 1
+"""

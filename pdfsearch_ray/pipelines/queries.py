@@ -2207,3 +2207,11 @@ def decontaminate_report(sf_dir: str) -> rd.Dataset:
             out["n_hit_grams"].tolist() if len(out.columns) else [],
             type=pa.int64()),
     })
+
+
+def dedup_keep_best(sf_dir: str) -> pa.Table:
+    """Quality-aware near-dup representative per MinHash cluster
+    (dedup.py:keep_best_dedup): keep the fullest member, not min-id."""
+    from .dedup import keep_best_dedup
+
+    return keep_best_dedup(_docs(sf_dir), threshold=JACCARD_THRESHOLD)

@@ -279,3 +279,51 @@ def test_decontaminate_planted(ray_session):
         .to_pandas()
     assert out["doc_id"].tolist() == [hit_id]
     assert out["n_hit_grams"].tolist() == [1]
+
+
+# ------------------------------------------------ keep-best representative
+
+
+def test_keep_best_dedup_picks_fullest_member(ray_session):
+    """The cluster representative is the member with the most tokens
+    (NOT the min doc_id), tie-break lowest id."""
+    from pdfsearch_ray.pipelines.dedup import keep_best_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "across the wide green field near the old stone bridge")
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11], type=pa.int64()),
+        "text": pa.array([
+            base,                                    # truncated variant
+            base + " every single day without fail", # fullest — must win
+            base + " every single day",              # middle
+            "completely unrelated text about astronomy and telescopes",
+            "another unique document mentioning sailing and harbors",
+        ], type=pa.string()),
+    })
+    out = keep_best_dedup(rd.from_arrow(docs), threshold=0.5)
+    assert out.column_names == ["cluster_id", "best_id", "n_members",
+                                "best_n_tokens"]
+    rows = out.to_pylist()
+    assert len(rows) == 1                   # one cluster, singletons absent
+    (c,) = rows
+    assert c["cluster_id"] == 1             # min-label
+    assert c["best_id"] == 2                # fullest member, not min id
+    assert c["n_members"] == 3
+    assert c["best_n_tokens"] == len((base + " every single day without fail").split())
+
+
+def test_keep_best_dedup_no_clusters_is_empty(ray_session):
+    from pdfsearch_ray.pipelines.dedup import keep_best_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine ten",
+        ], type=pa.string()),
+    })
+    out = keep_best_dedup(rd.from_arrow(docs), threshold=0.5)
+    assert out.num_rows == 0
+    assert out.column_names == ["cluster_id", "best_id", "n_members",
+                                "best_n_tokens"]
