@@ -110,6 +110,12 @@ def _sketches():
     return sketches
 
 
+def _expand():
+    from pdfsearch_ray.pipelines import expand
+
+    return expand
+
+
 def _bpe():
     from pdfsearch_ray.pipelines import bpe
 
@@ -156,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_topk": q.fulltext_topk,
         "fulltext_topk_simple": q.fulltext_topk_simple,
         "unit_topk": q.unit_topk,
+        "fuzzy_topk": _expand().fuzzy_topk,
+        "prefix_topk": _expand().prefix_topk,
         "url_dedup": _webops().url_dedup,
         "domain_stats": _webops().domain_stats,
         "pii_scrub_stats": _webops().pii_scrub_stats,
@@ -193,7 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_part_revenue": _region_part_revenue,
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
-        "decontaminate": q.decontaminate_report,
+        # 13-gram GPT-3-style decontamination — distinct key from the
+        # 8-gram webops "decontaminate" gate (a duplicate dict key here
+        # silently shadowed that gate until round-5 session 5)
+        "decontaminate_13g": q.decontaminate_report,
         "dedup_keep_best": q.dedup_keep_best,
         "gopher_quality": q.gopher_quality_flags,
         "stratified_sample": q.stratified_sample,
@@ -439,6 +450,11 @@ def oracle_sql() -> dict[str, str]:
         # composite IDs and unit-granularity BM25 all recomputed by
         # DuckDB from raw text
         "unit_topk": _unit_topk_oracle(),
+        # fuzzy / prefix query rewrite (round 5): DuckDB recomputes the
+        # term dictionary, the levenshtein<=1 / LIKE rewrite and full
+        # BM25 over the expanded disjunction from raw text
+        "fuzzy_topk": _expand().fuzzy_topk_sql(),
+        "prefix_topk": _expand().prefix_topk_sql(),
         # web-corpus curation ops (round 5): DuckDB recomputes the
         # deterministic synth AND the string transforms independently
         "url_dedup": _webops().url_dedup_sql(),
@@ -683,7 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _oracles.source_overlap_sql(
             words_per_chunk=_chunk_words()),
         # GPT-3-style 13-gram eval decontamination (mix64 bench split)
-        "decontaminate": _oracles.decontaminate_sql(
+        "decontaminate_13g": _oracles.decontaminate_sql(
             n=_dedup().DECON_NGRAM, rate=_dedup().DECON_BENCH_RATE),
         "curated_chunks": _oracles.curate_chunks_sql(
             rates=q.STRATA_RATES, default_rate=q.STRATA_DEFAULT_RATE,

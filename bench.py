@@ -164,6 +164,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # round-2 additions, timed under a SEPARATE key so `value` stays
     # comparable with earlier rounds' totals
     extra: dict[str, float] = {}
+    from pdfsearch_ray.pipelines import expand as _expand
     from pdfsearch_ray.pipelines import queries as _queries
     from pdfsearch_ray.pipelines import relational as rel
     from pdfsearch_ray.pipelines import sketches, textstats, webops
@@ -228,7 +229,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("bpe_merges", _bpe_merges),
         ("bpe_token_stats", _bpe_token_stats),
         ("source_overlap", _queries.source_overlap_report),
-        ("decontaminate", _queries.decontaminate_report),
+        ("decontaminate_13g", _queries.decontaminate_report),
+        ("fuzzy_topk", _expand.fuzzy_topk),
+        ("prefix_topk", _expand.prefix_topk),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -1027,6 +1027,19 @@ class BM25Index:
 
     # -- public API ----------------------------------------------------
 
+    def score_terms(self, terms) -> tuple[np.ndarray, np.ndarray]:
+        """Exhaustive disjunctive BM25 over an EXPLICIT term set →
+        (doc_ids, scores) for every matching document, unranked.
+
+        This is the scoring half of a MultiTermQuery rewrite (fuzzy /
+        prefix / wildcard expansion, pipelines/expand.py): the caller
+        expands the pattern against the term dictionary, this scores
+        the disjunction with each term's own idf — bypassing query
+        analysis, which would re-stem or split the raw pattern."""
+        uniq = sorted(set(terms))
+        self._load_terms(uniq)
+        return self._score(uniq)
+
     def search(
         self,
         query: str,

@@ -1,0 +1,107 @@
+"""Fuzzy / prefix term expansion (pipelines/expand.py): the vectorized
+Levenshtein<=1 kernel against a brute-force reference, the distributed
+dictionary scan, and both gates value-checked against their DuckDB
+oracles end-to-end."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lev(a: str, b: str) -> int:
+    # classic O(len a * len b) DP reference
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def test_fuzzy1_mask_vs_brute():
+    from pdfsearch_ray.pipelines.expand import fuzzy1_mask
+
+    rng = np.random.default_rng(7)
+    alpha = np.array(list("abcdez0"))
+    vocab = np.array(sorted({
+        "".join(rng.choice(alpha, size=rng.integers(1, 8)))
+        for _ in range(600)
+    }))
+    for q in ("abc", "a", "zz", "deca", "abcdez", "qqqq", "e0d"):
+        got = fuzzy1_mask(vocab, q)
+        want = np.array([_lev(t, q) <= 1 for t in vocab])
+        assert (got == want).all(), (q, vocab[got != want].tolist())
+
+
+def test_fuzzy1_mask_edges():
+    from pdfsearch_ray.pipelines.expand import fuzzy1_mask
+
+    v = np.array(["part", "sort", "port", "pot", "porte", "pärt"])
+    got = fuzzy1_mask(v, "port")
+    # pärt is non-ASCII: declared unmatched (out of analyzer domain)
+    assert got.tolist() == [True, True, True, True, True, False]
+    assert fuzzy1_mask(np.empty(0, dtype=str), "x").size == 0
+    assert not fuzzy1_mask(v, "").any()
+
+
+def test_prefix_upper():
+    from pdfsearch_ray.pipelines.expand import _prefix_upper
+
+    assert _prefix_upper("ab") == "ac"
+    assert _prefix_upper("s") == "t"
+    # every string with the prefix sorts inside [p, upper)
+    for p in ("s", "qu", "zz"):
+        u = _prefix_upper(p)
+        assert p < p + "zzz" < u
+
+
+def test_expand_terms_scan(ray_session):
+    from pdfsearch_ray.pipelines.expand import (
+        expand_terms,
+        simple_index_cached,
+    )
+
+    d = simple_index_cached(SF)
+    exp = expand_terms(d, fuzzy=("port", "zzzq"), prefix=("s", "zz"))
+    assert exp["port"] == ["part", "port", "sort"] or \
+        exp["port"] == ["part", "sort"]  # "port" itself may not occur
+    assert exp["zzzq"] == [] and exp["zz"] == []
+    assert exp["s"] == sorted(t for t in exp["s"] if t.startswith("s"))
+    assert {"scan", "slow", "small", "sort", "spark", "stream"} <= set(exp["s"])
+
+
+def test_index_cache_reused(ray_session):
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+
+    d1 = simple_index_cached(SF)
+    d2 = simple_index_cached(SF)
+    assert d1 == d2  # same fingerprint => same layout, no rebuild
+
+
+@pytest.mark.parametrize("which", ["fuzzy", "prefix"])
+def test_gates_match_oracle(ray_session, which):
+    import duckdb
+
+    from pdfsearch_ray.pipelines import expand as E
+
+    fn = E.fuzzy_topk if which == "fuzzy" else E.prefix_topk
+    sql = E.fuzzy_topk_sql() if which == "fuzzy" else E.prefix_topk_sql()
+    got = fn(SF).to_pandas().sort_values(["query", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(sql).df().sort_values(
+        ["query", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["query"].values == want["query"].values).all()
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert (got["rank"].values == want["rank"].values).all()
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+    if which == "fuzzy":
+        # the multi-expansion query is live: "port" hits docs containing
+        # part OR sort, so some top hit must lack the literal query term
+        assert (got["query"] == "port").any()
