@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": _expand().fuzzy_topk,
         "prefix_topk": _expand().prefix_topk,
         "url_dedup": _webops().url_dedup,
+        "snapshot_diff": _webops().snapshot_diff,
+        "unimax_mix": q.unimax_mix,
         "domain_stats": _webops().domain_stats,
         "pii_scrub_stats": _webops().pii_scrub_stats,
         "decontaminate": _webops().decontaminate,
@@ -458,6 +460,13 @@ def oracle_sql() -> dict[str, str]:
         # web-corpus curation ops (round 5): DuckDB recomputes the
         # deterministic synth AND the string transforms independently
         "url_dedup": _webops().url_dedup_sql(),
+        # cross-snapshot crawl diff: DuckDB replays the three mix64
+        # membership/revision chains and both rollups
+        "snapshot_diff": _webops().snapshot_diff_sql(),
+        # UniMax waterfall: recursive-CTE budget allocation + splitmix64
+        # keep rule, all HUGEINT-exact
+        "unimax_mix": _oracles.unimax_mix_sql(
+            num=q.UNIMAX_NUM, den=q.UNIMAX_DEN),
         "domain_stats": _webops().domain_stats_sql(),
         "pii_scrub_stats": _webops().pii_scrub_stats_sql(),
         "decontaminate": _webops().decontaminate_sql(),

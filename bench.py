@@ -232,6 +232,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("decontaminate_13g", _queries.decontaminate_report),
         ("fuzzy_topk", _expand.fuzzy_topk),
         ("prefix_topk", _expand.prefix_topk),
+        ("snapshot_diff", webops.snapshot_diff),
+        ("unimax_mix", qmod.unimax_mix),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

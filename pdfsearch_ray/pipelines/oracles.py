@@ -1264,3 +1264,69 @@ JOIN (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY cluster_id) n
   USING (cluster_id)
 WHERE b.rn = 1
 """
+
+
+def unimax_mix_sql(*, num: int = 4, den: int = 5) -> str:
+    """UniMax waterfall oracle (pipelines/queries.py:unimax_mix):
+    DuckDB recomputes the per-lang char sizes, replays the
+    smallest-first budget waterfall as a RECURSIVE CTE in exact
+    HUGEINT arithmetic (floor divisions, carry of the remaining
+    budget), derives the 128-bit keep thresholds, and applies the
+    splitmix64 keep rule (the sample_sql limb chain) per doc."""
+    U32, U64 = 1 << 32, 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    return f"""
+        WITH RECURSIVE
+        szs AS (
+            SELECT lang, CAST(sum(n_chars) AS HUGEINT) AS sz
+            FROM documents GROUP BY lang
+        ),
+        ordered AS (
+            SELECT lang, sz,
+                   row_number() OVER (ORDER BY sz, lang) AS rn
+            FROM szs
+        ),
+        tot AS (
+            SELECT CAST(sum(sz) AS HUGEINT) * {num} // {den} AS budget,
+                   count(*)::BIGINT AS k
+            FROM szs
+        ),
+        alloc AS (
+            SELECT o.rn, o.lang, o.sz,
+                   least(o.sz, (SELECT budget FROM tot)
+                               // (SELECT k FROM tot)) AS quota,
+                   (SELECT budget FROM tot)
+                       - least(o.sz, (SELECT budget FROM tot)
+                                     // (SELECT k FROM tot)) AS rem
+            FROM ordered o WHERE o.rn = 1
+            UNION ALL
+            SELECT o.rn, o.lang, o.sz,
+                   least(o.sz, a.rem // ((SELECT k FROM tot) - a.rn)),
+                   a.rem - least(o.sz, a.rem // ((SELECT k FROM tot) - a.rn))
+            FROM alloc a JOIN ordered o ON o.rn = a.rn + 1
+        ),
+        th AS (
+            SELECT lang,
+                   CASE WHEN quota >= sz THEN CAST('{U64}' AS HUGEINT)
+                        ELSE (quota * CAST('{U64}' AS HUGEINT)) // sz
+                   END AS th
+            FROM alloc
+        ),
+        m0 AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS x
+               FROM documents),
+        m1 AS (SELECT doc_id, lang,
+                      {mulmod('xor(x, x >> 30)', C1)} AS x FROM m0),
+        m2 AS (SELECT doc_id, lang,
+                      {mulmod('xor(x, x >> 27)', C2)} AS x FROM m1),
+        m3 AS (SELECT doc_id, lang, xor(x, x >> 31) AS x FROM m2)
+        SELECT m3.doc_id, m3.lang
+        FROM m3 JOIN th USING (lang)
+        WHERE m3.x < th.th
+    """

@@ -2215,3 +2215,80 @@ def dedup_keep_best(sf_dir: str) -> pa.Table:
     from .dedup import keep_best_dedup
 
     return keep_best_dedup(_docs(sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+UNIMAX_NUM, UNIMAX_DEN = 4, 5   # char budget = total_chars * 4 // 5
+UNIMAX_EPOCHS = 1               # per-source cap = EPOCHS x source size
+
+
+def unimax_mix(sf_dir: str) -> rd.Dataset:
+    """UniMax source mixing (Chung et al. 2023) — the successor to
+    temperature sampling: instead of a power-law reweight, allocate a
+    TOTAL char budget across sources (languages here) by waterfilling —
+    visit sources smallest-first; each receives
+    ``min(EPOCHS * size_s, remaining_budget / remaining_sources)`` —
+    so no source exceeds its epoch cap and the leftover from capped
+    small sources flows to the large ones.  All arithmetic is
+    INTEGER-EXACT (floor divisions; keep thresholds in 128-bit), and
+    the keep rule is the corpus_sample splitmix64 convention
+    ``mix64(doc_id) < (alloc_s << 64) // size_s`` — membership is a
+    pure function of (doc_id, lang), parallelism-independent.
+
+    With UNIMAX_NUM/DEN = 4/5 over the sf lang skew the cap BINDS: the
+    small languages are kept whole (threshold == 2^64, the keep-all
+    branch) and the big one is rationed — both branches of the
+    waterfall are under the value hash.  Scale shape: pass 1 is a
+    per-batch combiner into an O(langs) groupby; the waterfall is
+    O(langs) driver ints; pass 2 is a pure per-batch broadcast-
+    threshold filter.  The oracle replays the waterfall as a recursive
+    CTE and the splitmix64 limbs in HUGEINT."""
+    from ..functions.hashing import mix64
+    from ..functions.tables import read_parquet_nometa
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["lang", "n_chars"]).group_by(["lang"])
+             .aggregate([("n_chars", "sum")]))
+        return pa.table({
+            "lang": g["lang"],
+            "size": g["n_chars_sum"].cast(pa.int64()),
+        })
+
+    agg = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("size", alias_name="size"))
+        .to_pandas()
+    )
+    sizes = {l: int(s) for l, s in zip(agg["lang"], agg["size"])}
+    rem = sum(sizes.values()) * UNIMAX_NUM // UNIMAX_DEN
+    k = len(sizes)
+    thresh: dict[str, int] = {}
+    for lang in sorted(sizes, key=lambda l: (sizes[l], l)):
+        quota = min(UNIMAX_EPOCHS * sizes[lang], rem // k)
+        rem -= quota
+        k -= 1
+        thresh[lang] = (1 << 64) if quota >= sizes[lang] \
+            else (quota << 64) // sizes[lang]
+    ref = ray.put(thresh)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        order = sorted(th)
+        lim = np.array([min(th[l], (1 << 64) - 1) for l in order],
+                       dtype=np.uint64)
+        allmask = np.array([th[l] >= (1 << 64) for l in order], dtype=bool)
+        codes = pc.index_in(
+            t["lang"], value_set=pa.array(order, type=pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mix64(ids)
+        mask = allmask[codes] | (h < lim[codes])
+        return t.filter(pa.array(mask))
+
+    return (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+        .map_batches(keep, batch_format="pyarrow")
+    )

@@ -1884,3 +1884,128 @@ def link_indegree_hist_sql() -> str:
         SELECT in_degree, count(*) AS n_pages
         FROM indeg GROUP BY in_degree ORDER BY in_degree
     """
+
+
+# ------------------------------------------------- cross-snapshot diff
+
+# Snapshot membership / revision synth (mix64 keys 4*doc_id + j are
+# distinct because j < 4 — the link-graph convention at :968):
+#   in_A      = mix64(4d)   % SNAP_IN_MOD != 0      (80% of the catalog)
+#   in_B      = mix64(4d+1) % SNAP_IN_MOD != 0      (independent 80%)
+#   changed   = mix64(4d+2) % SNAP_CHANGE_MOD == 0  (25% of the overlap)
+SNAP_IN_MOD = 5
+SNAP_CHANGE_MOD = 4
+SNAP_STATUSES = ("added", "changed", "removed", "unchanged")
+
+
+def snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Cross-snapshot crawl diff — the "what changed between crawl N-1
+    and crawl N" report every recurring-crawl corpus (Common Crawl
+    monthlies) is curated with: per (lang, status) the page count and
+    char mass, where status ∈ added / removed / changed / unchanged.
+
+    Two snapshots of the catalog are synthesized deterministically
+    (mix64 membership + revision bits per doc_id — the sf tables carry
+    one crawl, and the link-graph operators set the synth precedent);
+    because both sides key on the same catalog id, the per-url join is
+    the identity and the WHOLE diff fuses into ONE streaming pass:
+    per-batch status codes (pure uint64 arithmetic) + a per-batch
+    (lang, status) combiner, then a groupby-sum over O(langs × 4) rows.
+    With two INDEPENDENT snapshot tables the same report is the
+    url_dedup shape — canonical-url hash-bucket spill of both sides,
+    one per-bucket merge pass — i.e. one narrow shuffle of (url, rev)
+    pairs; text never moves either way.  The oracle replays the mix64
+    limb arithmetic and both rollups in DuckDB."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        four = np.uint64(4) * ids
+        in_a = mix64(four) % np.uint64(SNAP_IN_MOD) != 0
+        in_b = mix64(four + np.uint64(1)) % np.uint64(SNAP_IN_MOD) != 0
+        chg = mix64(four + np.uint64(2)) % np.uint64(SNAP_CHANGE_MOD) == 0
+        # 0 added, 1 changed, 2 removed, 3 unchanged; -1 excluded
+        code = np.full(ids.shape[0], -1, dtype=np.int64)
+        code[in_b & ~in_a] = 0
+        code[in_a & in_b & chg] = 1
+        code[in_a & ~in_b] = 2
+        code[in_a & in_b & ~chg] = 3
+        keep = code >= 0
+        sub = pa.table({
+            "lang": t["lang"].filter(pa.array(keep)),
+            "status": pa.array(
+                np.array(SNAP_STATUSES, dtype=object)[code[keep]],
+                type=pa.string()),
+            "n_chars": t["n_chars"].filter(pa.array(keep)),
+        })
+        g = sub.group_by(["lang", "status"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return pa.table({
+            "lang": g["lang"],
+            "status": g["status"],
+            "n_docs": g["n_chars_count"].cast(pa.int64()),
+            "n_chars": g["n_chars_sum"].cast(pa.int64()),
+        })
+
+    return (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "status"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_chars", alias_name="n_chars"))
+    )
+
+
+def snapshot_diff_sql() -> str:
+    """Oracle: the three mix64 chains (32-bit-limb mulmod, the
+    oracles.sample_sql arithmetic), the status CASE and the rollup."""
+    U32, U64 = 1 << 32, 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    def chain(col: str) -> list[str]:
+        return [
+            f"{mulmod(f'xor({col}, {col} >> 30)', C1)} AS {col}",
+            f"{mulmod(f'xor({col}, {col} >> 27)', C2)} AS {col}",
+            f"xor({col}, {col} >> 31) AS {col}",
+        ]
+
+    steps = []
+    for i in range(3):
+        cols = ", ".join(chain(c)[i] for c in ("xa", "xb", "xc"))
+        steps.append(
+            f"s{i + 1} AS (SELECT lang, n_chars, {cols} FROM s{i})")
+    return f"""
+        WITH s0 AS (
+            SELECT lang, n_chars,
+                   CAST(4 * doc_id AS HUGEINT) AS xa,
+                   CAST(4 * doc_id + 1 AS HUGEINT) AS xb,
+                   CAST(4 * doc_id + 2 AS HUGEINT) AS xc
+            FROM documents
+        ),
+        {", ".join(steps)},
+        st AS (
+            SELECT lang, n_chars,
+                   (xa % {SNAP_IN_MOD}) <> 0 AS in_a,
+                   (xb % {SNAP_IN_MOD}) <> 0 AS in_b,
+                   (xc % {SNAP_CHANGE_MOD}) = 0 AS chg
+            FROM s3
+        )
+        SELECT lang,
+               CASE WHEN in_a AND in_b AND chg THEN 'changed'
+                    WHEN in_a AND in_b THEN 'unchanged'
+                    WHEN in_a THEN 'removed'
+                    ELSE 'added' END AS status,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM st WHERE in_a OR in_b
+        GROUP BY 1, 2
+    """
