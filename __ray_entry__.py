@@ -116,6 +116,12 @@ def _expand():
     return expand
 
 
+def _boolquery():
+    from pdfsearch_ray.pipelines import boolquery
+
+    return boolquery
+
+
 def _bpe():
     from pdfsearch_ray.pipelines import bpe
 
@@ -164,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unit_topk": q.unit_topk,
         "fuzzy_topk": _expand().fuzzy_topk,
         "prefix_topk": _expand().prefix_topk,
+        "bm25_and_topk": _boolquery().bm25_and_topk,
+        "phrase_match_counts": _boolquery().phrase_match_counts,
         "url_dedup": _webops().url_dedup,
         "snapshot_diff": _webops().snapshot_diff,
         "unimax_mix": q.unimax_mix,
@@ -457,6 +465,12 @@ def oracle_sql() -> dict[str, str]:
         # BM25 over the expanded disjunction from raw text
         "fuzzy_topk": _expand().fuzzy_topk_sql(),
         "prefix_topk": _expand().prefix_topk_sql(),
+        # conjunctive BM25 (the reference's commented-out AND operator,
+        # search_pdfs.go:176) and the positional phrase path: DuckDB
+        # restates AND as HAVING-all-terms and re-derives token
+        # ordinality from raw text
+        "bm25_and_topk": _boolquery().bm25_and_sql(),
+        "phrase_match_counts": _boolquery().phrase_match_sql(),
         # web-corpus curation ops (round 5): DuckDB recomputes the
         # deterministic synth AND the string transforms independently
         "url_dedup": _webops().url_dedup_sql(),

@@ -164,6 +164,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # round-2 additions, timed under a SEPARATE key so `value` stays
     # comparable with earlier rounds' totals
     extra: dict[str, float] = {}
+    from pdfsearch_ray.pipelines import boolquery as _boolquery
     from pdfsearch_ray.pipelines import expand as _expand
     from pdfsearch_ray.pipelines import queries as _queries
     from pdfsearch_ray.pipelines import relational as rel
@@ -234,6 +235,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("prefix_topk", _expand.prefix_topk),
         ("snapshot_diff", webops.snapshot_diff),
         ("unimax_mix", qmod.unimax_mix),
+        ("bm25_and_topk", _boolquery.bm25_and_topk),
+        ("phrase_match_counts", _boolquery.phrase_match_counts),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

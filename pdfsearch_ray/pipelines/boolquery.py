@@ -1,0 +1,273 @@
+"""Boolean and positional query operators over the on-disk index.
+
+* **Conjunctive (AND) BM25** — the reference carries this as the
+  commented-out alternative operator on its one query
+  (internal/doclib/search_pdfs.go:176-177,
+  ``query0.SetOperator(query.MatchQueryOperatorAnd)``): a document must
+  match EVERY query term; scores stay the plain BM25 sum, so AND is a
+  candidate-set restriction of the OR gate (same idf/tf math, which is
+  exactly what bleve does).
+* **Positional phrase counting** — the first operator that reads the
+  index's POSITIONS STORE (pos_blob, SURVEY §2 S8) on the query side
+  as data rather than via text re-analysis: per phrase, how many
+  documents contain the exact token sequence and how many occurrences
+  exist.  Adjacency is checked entirely in integer space: positions
+  decode per posting (index/codec.decode_positions), docs densify to
+  codes, and a start position survives iff ``key + k`` exists in term
+  k's ``(doc_code << 32) | pos`` key set for every k — one
+  ``np.isin`` per phrase term, no per-doc Python.
+
+Scale shape: both operators touch only the queried terms' posting
+blocks (bucket + row-group pruned reads, the standard BM25Index path);
+phrase keys are O(postings of the rarest term after each isin) and the
+intersection shrinks monotonically.  The oracles recompute everything
+from raw text in DuckDB — token ordinality via generate_series over
+the token array (exactly the index's 1-based bleve position semantics
+for the simple analyzer) — so posting decode, position decode and the
+adjacency algebra are all under the driver's value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "score_terms_conjunctive",
+    "phrase_counts_from_index",
+    "bm25_and_topk",
+    "phrase_match_counts",
+    "bm25_and_sql",
+    "phrase_match_sql",
+    "AND_QUERIES",
+    "PHRASE_QUERIES",
+    "AND_K",
+]
+
+AND_QUERIES = ("fast scan merge", "table window",
+               "customer query small", "big slow vector")
+AND_K = 10
+PHRASE_QUERIES = ("fast scan", "table window", "data data",
+                  "the big table", "slow merge", "query scan")
+
+
+def score_terms_conjunctive(idx, terms) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, scores) of documents matching ALL terms; scores are the
+    standard BM25 sum over the query terms (OR scoring restricted to
+    the intersected candidate set).  Intersects smallest-first so the
+    running set only shrinks."""
+    uniq = sorted(set(terms))
+    idx._load_terms(uniq)
+    parts = []
+    for t in uniq:
+        ids_t, sc_t = idx._score([t])
+        if ids_t.size == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0)
+        parts.append((ids_t, sc_t))
+    parts.sort(key=lambda p: p[0].size)
+    ids, sc = parts[0]
+    for ids_t, sc_t in parts[1:]:
+        common, ia, ib = np.intersect1d(
+            ids, ids_t, assume_unique=True, return_indices=True)
+        ids, sc = common, sc[ia] + sc_t[ib]
+        if ids.size == 0:
+            break
+    return ids, sc
+
+
+def _term_position_keys(idx, term: str, common: np.ndarray) -> np.ndarray:
+    """All ``(doc_code << 32) | pos`` keys for the term's occurrences in
+    the ``common`` (sorted unique) candidate docs.  doc codes densify
+    through ``searchsorted`` because raw doc_ids are partition-prefixed
+    64-bit and would overflow the packed key."""
+    from ..index.codec import decode_positions
+
+    blocks = idx._term_cache.get(term, [])
+    idx._decode_blocks_bulk(blocks, idf=1.0)
+    keys = []
+    for blk in blocks:
+        ids = blk["ids"]
+        sel = np.isin(ids, common, assume_unique=True)
+        if not sel.any():
+            continue
+        plists = decode_positions(blk["pos_blob"], blk["n"])
+        lens = np.fromiter((p.size for p in plists), dtype=np.int64,
+                           count=blk["n"])
+        flat = np.concatenate(plists) if lens.sum() else \
+            np.empty(0, dtype=np.uint32)
+        doc_per_pos = np.repeat(ids, lens)
+        keep = np.repeat(sel, lens)
+        codes = np.searchsorted(common, doc_per_pos[keep]).astype(np.uint64)
+        keys.append((codes << np.uint64(32))
+                    | flat[keep].astype(np.uint64))
+    if not keys:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(keys)
+
+
+def phrase_counts_from_index(idx, phrase_terms: list[str]) -> tuple[int, int]:
+    """(n_docs, n_matches) of the exact token sequence, from posting
+    positions only — the doc text is never read."""
+    uniq = sorted(set(phrase_terms))
+    idx._load_terms(uniq)
+    id_sets = []
+    for t in uniq:
+        blocks = idx._term_cache.get(t, [])
+        idx._decode_blocks_bulk(blocks, idf=1.0)
+        ids = (np.concatenate([b["ids"] for b in blocks])
+               if blocks else np.empty(0, dtype=np.uint64))
+        if ids.size == 0:
+            return 0, 0
+        id_sets.append(np.sort(ids))
+    common = id_sets[0]
+    for s in id_sets[1:]:
+        common = np.intersect1d(common, s, assume_unique=True)
+    if common.size == 0:
+        return 0, 0
+    term_keys = {t: _term_position_keys(idx, t, common) for t in uniq}
+    starts = term_keys[phrase_terms[0]]
+    for k, t in enumerate(phrase_terms[1:], start=1):
+        if starts.size == 0:
+            return 0, 0
+        starts = starts[np.isin(starts + np.uint64(k), term_keys[t])]
+    n_docs = int(np.unique(starts >> np.uint64(32)).size)
+    return n_docs, int(starts.size)
+
+
+# ------------------------------------------------------------------ gates
+
+def bm25_and_topk(sf_dir: str) -> pa.Table:
+    """Conjunctive BM25 gate: every query term must occur; top-k on the
+    6-dp rounded score (exhaustive scoring — all candidates present, no
+    tie-boundary grow loop needed).  The oracle restates AND as
+    ``HAVING count(DISTINCT term) = n`` over the shared BM25 chain."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    out_q, out_d, out_s = [], [], []
+    for q in sorted(AND_QUERIES):
+        ids, sc = score_terms_conjunctive(idx, analyze_simple(q))
+        if not ids.size:
+            continue
+        sc = np.round(sc, 6)
+        order = np.lexsort((ids.astype(np.int64), -sc))[:AND_K]
+        out_q.extend([q] * order.size)
+        out_d.extend(ids[order].astype(np.int64).tolist())
+        out_s.extend(sc[order].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def phrase_match_counts(sf_dir: str) -> pa.Table:
+    """Positional phrase gate: per phrase the matching-doc count and the
+    exact occurrence count (overlaps included: 'data data data' holds
+    two 'data data' matches), computed from pos_blob alone.  The oracle
+    re-derives token ordinality from raw text."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    rows = []
+    for q in sorted(PHRASE_QUERIES):
+        nd, nm = phrase_counts_from_index(idx, analyze_simple(q))
+        rows.append((q, nd, nm))
+    return pa.table({
+        "query": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_matches": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------- oracles
+
+def bm25_and_sql(queries=AND_QUERIES, *, k: int = AND_K,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    """Conjunctive-BM25 oracle: the fulltext_simple_sql chain with a
+    per-query ``HAVING count(DISTINCT term) = n`` candidate filter."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        "tok AS (SELECT * FROM toks WHERE term <> ''),",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),
+        tfs{qi} AS (
+            SELECT t.doc_id, t.term, count(*) AS tf
+            FROM tok t JOIN q{qi} USING (term) GROUP BY t.doc_id, t.term
+        ),
+        hit{qi} AS (
+            SELECT doc_id FROM tfs{qi}
+            GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}
+        ),
+        dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+        sc{qi} AS (
+            SELECT tfs{qi}.doc_id,
+                   sum(ln(1 + (stats.n - dfs{qi}.df + 0.5) / (dfs{qi}.df + 0.5))
+                       * tfs{qi}.tf / (tfs{qi}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                   ) AS s
+            FROM tfs{qi}
+            JOIN hit{qi} ON tfs{qi}.doc_id = hit{qi}.doc_id
+            CROSS JOIN stats
+            JOIN dfs{qi} ON tfs{qi}.term = dfs{qi}.term
+            JOIN dl ON tfs{qi}.doc_id = dl.doc_id
+            GROUP BY tfs{qi}.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+def phrase_match_sql(queries=PHRASE_QUERIES) -> str:
+    """Phrase oracle: DuckDB re-derives 1-based token ordinality
+    (generate_series over the filtered token array — the bleve position
+    convention for the simple analyzer) and counts starts where every
+    ``arr[i + k]`` equals phrase term k."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    selects = []
+    for q in sorted(queries):
+        terms = analyze_simple(q)
+        conds = " AND ".join(
+            f"arr[i + {k}] = '{_sq(t)}'" for k, t in enumerate(terms))
+        selects.append(f"""
+        SELECT '{_sq(q)}' AS query, count(*) AS n_docs,
+               CAST(coalesce(sum(pairs), 0) AS BIGINT) AS n_matches
+        FROM (
+            SELECT doc_id, count(*) AS pairs FROM pos
+            WHERE {conds} GROUP BY doc_id
+        )""")
+    return (
+        "WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr FROM documents),"
+        "pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)))"
+        " AS i FROM arrs)"
+        + " UNION ALL ".join(selects) + " ORDER BY query"
+    )

@@ -1,0 +1,103 @@
+"""Conjunctive BM25 and positional phrase counting
+(pipelines/boolquery.py): oracle equivalence, AND-subset-of-OR,
+and overlap semantics on a planted corpus (the property the hash
+can't localize: positions really drive the count)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return con
+
+
+def test_and_matches_oracle(ray_session):
+    from pdfsearch_ray.pipelines import boolquery as B
+
+    got = B.bm25_and_topk(SF).to_pandas().reset_index(drop=True)
+    want = _con().execute(B.bm25_and_sql()).df()
+    assert len(got) == len(want) > 0
+    assert (got["query"].values == want["query"].values).all()
+    assert (got["doc_id"].values == want["doc_id"].astype("int64").values).all()
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+
+
+def test_phrase_matches_oracle(ray_session):
+    from pdfsearch_ray.pipelines import boolquery as B
+
+    got = B.phrase_match_counts(SF).to_pandas()
+    want = _con().execute(B.phrase_match_sql()).df()
+    assert got.values.tolist() == \
+        want[got.columns].astype(got.dtypes).values.tolist()
+    assert (got["n_matches"] >= got["n_docs"]).all()
+    assert (got["n_docs"] > 0).any()
+
+
+def test_and_subset_of_or_with_all_terms(ray_session):
+    """Every AND hit appears in the OR candidate set with the same
+    score, and its text truly contains every query term."""
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import boolquery as B
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    texts = dict(zip(*[
+        pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])[c].to_pylist()
+        for c in ("doc_id", "text")]))
+    for q in B.AND_QUERIES:
+        terms = sorted(set(analyze_simple(q)))
+        and_ids, and_sc = B.score_terms_conjunctive(idx, terms)
+        or_ids, or_sc = idx.score_terms(terms)
+        common, ia, ib = np.intersect1d(and_ids, or_ids,
+                                        return_indices=True)
+        assert common.size == and_ids.size  # AND ⊆ OR
+        assert np.allclose(and_sc[ia], or_sc[ib], atol=1e-12)
+        for d in and_ids[:20]:
+            toks = set(analyze_simple(texts[int(d)]))
+            assert set(terms) <= toks
+
+
+def test_phrase_overlap_semantics(ray_session, tmp_path):
+    """'data data data' holds TWO 'data data' occurrences — positions,
+    not non-overlapping regex counts, drive n_matches."""
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines import boolquery as B
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["data data data", "x data data y", "nothing"],
+                         type=pa.string()),
+        "lang": pa.array(["en"] * 3, type=pa.string()),
+    })
+    d = str(tmp_path / "phrase_idx")
+    build_index(rd.from_arrow(t), d, analyzer="simple", num_buckets=4)
+    idx = BM25Index(d)
+    n_docs, n_matches = B.phrase_counts_from_index(idx, ["data", "data"])
+    assert (n_docs, n_matches) == (2, 3)
+    n_docs, n_matches = B.phrase_counts_from_index(idx, ["data", "data", "data"])
+    assert (n_docs, n_matches) == (1, 1)
+    assert B.phrase_counts_from_index(idx, ["data", "zzz"]) == (0, 0)
+
+
+def test_and_oov_term_empty(ray_session):
+    from pdfsearch_ray.pipelines import boolquery as B
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    ids, sc = B.score_terms_conjunctive(idx, ["fast", "zzznotaword"])
+    assert ids.size == 0 and sc.size == 0
