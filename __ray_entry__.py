@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": _expand().prefix_topk,
         "bm25_and_topk": _boolquery().bm25_and_topk,
         "phrase_match_counts": _boolquery().phrase_match_counts,
+        "near_match_counts": _boolquery().near_match_counts,
         "url_dedup": _webops().url_dedup,
         "snapshot_diff": _webops().snapshot_diff,
         "unimax_mix": q.unimax_mix,
@@ -471,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         # ordinality from raw text
         "bm25_and_topk": _boolquery().bm25_and_sql(),
         "phrase_match_counts": _boolquery().phrase_match_sql(),
+        "near_match_counts": _boolquery().near_match_sql(),
         # web-corpus curation ops (round 5): DuckDB recomputes the
         # deterministic synth AND the string transforms independently
         "url_dedup": _webops().url_dedup_sql(),

@@ -271,3 +271,105 @@ def phrase_match_sql(queries=PHRASE_QUERIES) -> str:
         " AS i FROM arrs)"
         + " UNION ALL ".join(selects) + " ORDER BY query"
     )
+
+
+# ------------------------------------------------------------- proximity
+
+NEAR_W = 3  # max token distance (inclusive), either order
+NEAR_QUERIES = ("fast merge", "data window", "customer vector",
+                "scan scan", "big zzznope")
+
+
+def near_counts_from_index(idx, t1: str, t2: str,
+                           w: int = NEAR_W) -> tuple[int, int]:
+    """(n_docs, n_pairs) where an occurrence of ``t1`` lies within ``w``
+    tokens of an occurrence of ``t2`` (either order, distance >= 1) —
+    the classic NEAR/slop operator, computed from the positions store.
+    Pairs are ordered (p1 from t1, p2 from t2), matching the oracle's
+    positional self-join; for t1 == t2 both orders count, exactly as
+    SQL's join does."""
+    uniq = sorted({t1, t2})
+    idx._load_terms(uniq)
+    id_sets = []
+    for t in uniq:
+        blocks = idx._term_cache.get(t, [])
+        idx._decode_blocks_bulk(blocks, idf=1.0)
+        ids = (np.concatenate([b["ids"] for b in blocks])
+               if blocks else np.empty(0, dtype=np.uint64))
+        if ids.size == 0:
+            return 0, 0
+        id_sets.append(np.sort(ids))
+    common = id_sets[0]
+    for s in id_sets[1:]:
+        common = np.intersect1d(common, s, assume_unique=True)
+    if common.size == 0:
+        return 0, 0
+    k1 = _term_position_keys(idx, t1, common)
+    k2 = np.sort(_term_position_keys(idx, t2, common))
+    if not k1.size or not k2.size:
+        return 0, 0
+    n_pairs = 0
+    hit = np.zeros(k1.shape[0], dtype=bool)
+    for d in range(-w, w + 1):
+        if d == 0 and t1 == t2:
+            continue  # a position is not near itself
+        if d == 0:
+            m = np.isin(k1, k2)
+        else:
+            m = np.isin(k1 + np.uint64(np.int64(d)).astype(np.uint64), k2) \
+                if d > 0 else np.isin(k1 - np.uint64(-d), k2)
+        n_pairs += int(m.sum())
+        hit |= m
+    docs = np.unique(k1[hit] >> np.uint64(32))
+    return int(docs.size), n_pairs
+
+
+def near_match_counts(sf_dir: str) -> pa.Table:
+    """NEAR gate: per term pair, documents with the two terms within
+    NEAR_W tokens and the exact near-pair count; positions only, text
+    never read.  Oracle: positional self-join over re-derived token
+    ordinality."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    rows = []
+    for q in sorted(NEAR_QUERIES):
+        ts = analyze_simple(q)
+        nd, npair = near_counts_from_index(idx, ts[0], ts[1])
+        rows.append((q, nd, npair))
+    return pa.table({
+        "query": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_pairs": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+def near_match_sql(queries=NEAR_QUERIES, *, w: int = NEAR_W) -> str:
+    """Oracle: per pair, join t1 positions to t2 positions within the
+    window (distance >= 1), count pairs and distinct docs."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    selects = []
+    for q in sorted(queries):
+        t1, t2 = analyze_simple(q)[:2]
+        selects.append(f"""
+        SELECT '{_sq(q)}' AS query,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM (
+            SELECT a.doc_id
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND abs(a.i - b.i) <= {w} AND a.i <> b.i
+            WHERE a.arr[a.i] = '{_sq(t1)}' AND b.arr[b.i] = '{_sq(t2)}'
+        )""")
+    return (
+        "WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr FROM documents),"
+        "pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)))"
+        " AS i FROM arrs)"
+        + " UNION ALL ".join(selects) + " ORDER BY query"
+    )

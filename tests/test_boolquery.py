@@ -101,3 +101,41 @@ def test_and_oov_term_empty(ray_session):
     idx = BM25Index(simple_index_cached(SF))
     ids, sc = B.score_terms_conjunctive(idx, ["fast", "zzznotaword"])
     assert ids.size == 0 and sc.size == 0
+
+
+def test_near_matches_oracle(ray_session):
+    from pdfsearch_ray.pipelines import boolquery as B
+
+    got = B.near_match_counts(SF).to_pandas()
+    want = _con().execute(B.near_match_sql()).df()
+    assert got.values.tolist() == \
+        want[got.columns].astype(got.dtypes).values.tolist()
+    # a live pair and the planted dead pair both present
+    assert (got["n_docs"] > 0).any()
+    assert (got.loc[got["query"] == "big zzznope", "n_docs"] == 0).all()
+
+
+def test_near_window_semantics(ray_session, tmp_path):
+    """Window arithmetic on a planted doc: 'fast x y merge' has the pair
+    at distance 3 (inside W=3); 'fast x y z merge' at 4 (outside)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines import boolquery as B
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["fast x y merge", "fast x y z merge",
+                          "merge fast"], type=pa.string()),
+        "lang": pa.array(["en"] * 3, type=pa.string()),
+    })
+    d = str(tmp_path / "near_idx")
+    build_index(rd.from_arrow(t), d, analyzer="simple", num_buckets=4)
+    idx = BM25Index(d)
+    nd, npair = B.near_counts_from_index(idx, "fast", "merge", w=3)
+    assert (nd, npair) == (2, 2)  # docs 0 and 2; doc 1 is out of window
+    nd4, _ = B.near_counts_from_index(idx, "fast", "merge", w=4)
+    assert nd4 == 3
