@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _webops().url_dedup,
         "snapshot_diff": _webops().snapshot_diff,
         "unimax_mix": q.unimax_mix,
+        "shard_layout": q.shard_layout,
         "domain_stats": _webops().domain_stats,
         "pii_scrub_stats": _webops().pii_scrub_stats,
         "decontaminate": _webops().decontaminate,
@@ -483,6 +484,8 @@ def oracle_sql() -> dict[str, str]:
         # keep rule, all HUGEINT-exact
         "unimax_mix": _oracles.unimax_mix_sql(
             num=q.UNIMAX_NUM, den=q.UNIMAX_DEN),
+        # balanced contiguous shard cuts: one window cumsum
+        "shard_layout": q.shard_layout_sql(),
         "domain_stats": _webops().domain_stats_sql(),
         "pii_scrub_stats": _webops().pii_scrub_stats_sql(),
         "decontaminate": _webops().decontaminate_sql(),

@@ -2292,3 +2292,144 @@ def unimax_mix(sf_dir: str) -> rd.Dataset:
                             columns=["doc_id", "lang"])
         .map_batches(keep, batch_format="pyarrow")
     )
+
+
+SHARD_COUNT = 8              # target output shards
+SHARD_BUCKET_DOCS = 4096     # doc_id-range bucket width for the scan
+
+
+def shard_layout(sf_dir: str) -> pa.Table:
+    """Balanced contiguous shard layout — the resumable-output primitive
+    at 100 TB: cut the doc_id-ordered corpus into SHARD_COUNT contiguous
+    ranges of ~equal CHAR MASS (not doc count), so every output shard
+    costs the same to write/re-process and a failed run resumes by
+    skipping finished shards.  ``shard = cum_chars_before * K // total``
+    — a pure function of the ordered prefix sum, so the cut points are
+    deterministic and parallelism-independent.
+
+    Same distributed ordered prefix scan as sequence_pack: docs bucket
+    by doc_id range (bucket order IS corpus order), phase 1 spills
+    narrow (doc_id, n_chars) rows per bucket, phase 2 reduces buckets to
+    char sums (O(buckets) driver ints), phase 3 finalizes each bucket
+    locally and emits per-bucket PARTIAL shard rollups — the driver sees
+    O(buckets × shards) partials, never per-doc rows.  Output: per shard
+    (n_docs, n_chars, min_doc, max_doc); contiguity is checkable from
+    the min/max ranges.  Oracle: one window cumsum."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..functions.spill import spill_dir
+    from ..functions.tables import read_parquet_nometa
+
+    K = SHARD_COUNT
+    R = SHARD_BUCKET_DOCS
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array(ids // R, type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_chars": t["n_chars"].cast(pa.int64()),
+        })
+
+    work = spill_dir(prefix="shardlay_")
+    try:
+        (read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+         .map_batches(narrow, batch_format="pyarrow")
+         .write_parquet(work, partition_cols=["part"]))
+        parts = sorted(int(d.split("=")[1]) for d in os.listdir(work)
+                       if d.startswith("part="))
+
+        def bucket_sum(batch: pa.Table) -> pa.Table:
+            out_p, out_s = [], []
+            for p in batch["part"].to_pylist():
+                mt = pq.read_table(f"{work}/part={p}", columns=["n_chars"],
+                                   use_threads=False)
+                out_p.append(int(p))
+                out_s.append(int(pc.sum(mt["n_chars"]).as_py() or 0))
+            return pa.table({
+                "part": pa.array(out_p, type=pa.int64()),
+                "total": pa.array(out_s, type=pa.int64()),
+            })
+
+        sums = (rd.from_items([{"part": p} for p in parts])
+                .map_batches(bucket_sum, batch_format="pyarrow",
+                             batch_size=8)
+                .to_pandas().set_index("part")["total"].to_dict())
+        offs, run = {}, 0
+        for p in parts:
+            offs[p] = run
+            run += sums[p]
+        total = run
+        offs_ref = ray.put(offs)
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            offs_ = ray.get(offs_ref)
+            cols = {k: [] for k in ("shard", "n_docs", "n_chars",
+                                    "min_doc", "max_doc")}
+            for p in batch["part"].to_pylist():
+                mt = pq.read_table(f"{work}/part={p}",
+                                   columns=["doc_id", "n_chars"],
+                                   use_threads=False)
+                ids = mt["doc_id"].to_numpy().astype(np.int64)
+                nc = mt["n_chars"].to_numpy().astype(np.int64)
+                o = np.argsort(ids, kind="stable")
+                ids, nc = ids[o], nc[o]
+                cum = offs_[int(p)] + np.concatenate(
+                    ([0], np.cumsum(nc[:-1], dtype=np.int64)))
+                # object dtype keeps the * K exact at any corpus size
+                shard = np.minimum(cum * K // max(total, 1), K - 1)
+                for s in np.unique(shard):
+                    m = shard == s
+                    cols["shard"].append(int(s))
+                    cols["n_docs"].append(int(m.sum()))
+                    cols["n_chars"].append(int(nc[m].sum()))
+                    cols["min_doc"].append(int(ids[m].min()))
+                    cols["max_doc"].append(int(ids[m].max()))
+            return pa.table({k: pa.array(v, type=pa.int64())
+                             for k, v in cols.items()})
+
+        from ray.data.aggregate import Max, Min, Sum
+
+        out = (rd.from_items([{"part": p} for p in parts])
+               .map_batches(finalize, batch_format="pyarrow", batch_size=1)
+               .groupby("shard")
+               .aggregate(Sum("n_docs", alias_name="n_docs"),
+                          Sum("n_chars", alias_name="n_chars"),
+                          Min("min_doc", alias_name="min_doc"),
+                          Max("max_doc", alias_name="max_doc"))
+               .to_pandas().sort_values("shard"))
+        return pa.table({c: pa.array(out[c].astype("int64").tolist(),
+                                     type=pa.int64())
+                         for c in ("shard", "n_docs", "n_chars",
+                                   "min_doc", "max_doc")})
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def shard_layout_sql(*, k: int = SHARD_COUNT) -> str:
+    """Oracle: one window cumsum + the floor-division cut rule."""
+    return f"""
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   CAST(coalesce(sum(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS HUGEINT) AS cum
+            FROM documents
+        ),
+        tot AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS t FROM documents),
+        a AS (
+            SELECT doc_id, n_chars,
+                   CAST(least(cum * {k} // (SELECT t FROM tot), {k - 1})
+                        AS BIGINT) AS shard
+            FROM c
+        )
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM a GROUP BY shard ORDER BY shard
+    """

@@ -100,3 +100,25 @@ def test_unimax_parallelism_independent(ray_session):
     a = sorted(Q.unimax_mix(SF).to_pandas()["doc_id"])
     b = sorted(Q.unimax_mix(SF).to_pandas()["doc_id"])
     assert a == b
+
+
+def test_shard_layout_contiguous_and_balanced(ray_session):
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines import queries as Q
+
+    t = Q.shard_layout(SF).to_pandas().sort_values("shard")
+    want = _con().execute(Q.shard_layout_sql()).df()
+    assert t.values.tolist() == \
+        want[t.columns].astype("int64").values.tolist()
+    # contiguous, gap-free doc_id ranges covering the corpus
+    assert (t["min_doc"].values[1:] == t["max_doc"].values[:-1] + 1).all()
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])
+    total = int(src["n_chars"].to_pandas().sum())
+    assert t["n_chars"].sum() == total
+    assert t["n_docs"].sum() == src.num_rows
+    # balance: every shard within total/K +- the max single doc
+    max_doc = int(src["n_chars"].to_pandas().max())
+    K = Q.SHARD_COUNT
+    assert (t["n_chars"] <= total // K + max_doc + 1).all()
+    assert len(t) == K
