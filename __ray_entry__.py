@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": _boolquery().bm25_and_topk,
         "phrase_match_counts": _boolquery().phrase_match_counts,
         "near_match_counts": _boolquery().near_match_counts,
+        "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
         "snapshot_diff": _webops().snapshot_diff,
         "unimax_mix": q.unimax_mix,
@@ -474,6 +475,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": _boolquery().bm25_and_sql(),
         "phrase_match_counts": _boolquery().phrase_match_sql(),
         "near_match_counts": _boolquery().near_match_sql(),
+        # HITS hubs/authorities: chained LEFT-JOIN rounds over the
+        # shared mix64 edge CTEs
+        "link_hits": _webops().link_hits_sql(),
         # web-corpus curation ops (round 5): DuckDB recomputes the
         # deterministic synth AND the string transforms independently
         "url_dedup": _webops().url_dedup_sql(),

@@ -239,6 +239,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("phrase_match_counts", _boolquery.phrase_match_counts),
         ("near_match_counts", _boolquery.near_match_counts),
         ("shard_layout", qmod.shard_layout),
+        ("link_hits", webops.link_hits),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

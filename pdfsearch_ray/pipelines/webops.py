@@ -2009,3 +2009,164 @@ def snapshot_diff_sql() -> str:
         FROM st WHERE in_a OR in_b
         GROUP BY 1, 2
     """
+
+
+# ----------------------------------------------------------------- HITS
+
+HITS_ITERS = 2   # mutual-reinforcement rounds (hub -> auth -> hub)
+
+
+def link_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs & authorities (Kleinberg 1999) over the synthetic link
+    graph — the classic query-independent companion signal to PageRank:
+    ``auth(d) = Σ_{s→d} hub(s)``, ``hub(s) = Σ_{s→d} auth(d)``, run for
+    HITS_ITERS rounds from hub ≡ 1.  Scores stay RAW integers — the
+    per-round L1/L2 normalization of the published algorithm is a
+    positive scalar divide that never changes the ranking, so the
+    integer-exact unnormalized iterate is the hash-stable equivalent
+    (growth is bounded by (max_deg² )^ITERS, far inside int64 here;
+    a production run normalizes by a power of two every few rounds).
+
+    Distribution shape per round (the link_components machinery):
+    * auth pass — pure FORWARD scatter: out-edges synthesize from
+      doc_id inside each batch, per-batch np.add.at pre-combine, one
+      narrow (dst, contrib) groupby-sum with zero rows for sinks.
+    * hub pass — the REVERSE gather needs auth at each edge's dst, so
+      it is ONE bucket hash_join of the static by-dst edge layout
+      (spill_bucketed ONCE, reused every round) against the evolving
+      O(n) auth state, then a (src) groupby-sum.
+    The oracle replays every round as chained LEFT-JOIN CTEs over the
+    shared mix64 edge list."""
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join, spill_bucketed
+    from ..functions.spill import spill_dir
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n_docs = docs.count()
+    if n_docs == 0:
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "hub": pa.array([], type=pa.int64()),
+            "auth": pa.array([], type=pa.int64()),
+        })
+
+    def edges_tbl(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst, _ = _synth_out_edges(ids, n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "v": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    def scatter_fwd(t: pa.Table) -> pa.Table:
+        # hub(src) -> dst contributions, pre-combined per dst; zero
+        # rows keep sinks in the groupby
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst, _ = _synth_out_edges(ids, n_docs)
+        contrib = np.repeat(h, 1 + (ids % 3))
+        udst, inv = np.unique(dst, return_inverse=True)
+        sums = np.zeros(udst.size, dtype=np.int64)
+        np.add.at(sums, inv, contrib)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([udst, ids]),
+                               type=pa.int64()),
+            "c": pa.array(np.concatenate(
+                [sums, np.zeros(ids.size, dtype=np.int64)]),
+                type=pa.int64()),
+        })
+
+    def rename_sum(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "v": pc.cast(t["sum(c)"], pa.int64()),
+        })
+
+    def rev_map(t: pa.Table) -> pa.Table:
+        # joined rows carry (src, dst, doc_id==dst, v==auth): auth -> src
+        return pa.table({"doc_id": pc.cast(t["src"], pa.int64()),
+                         "c": pc.cast(t["v"], pa.int64())})
+
+    def zeros(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "c": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    edges_dir = spill_bucketed(
+        docs.map_batches(edges_tbl, batch_format="pyarrow"),
+        "dst", spill_dir(prefix="pdfsearch_hits_edges_"))
+    work_dirs = [edges_dir]
+    hub = docs.map_batches(init, batch_format="pyarrow")
+    auth = None
+    for k in range(HITS_ITERS):
+        auth = (hub.map_batches(scatter_fwd, batch_format="pyarrow")
+                .groupby("doc_id").aggregate(Sum("c"))
+                .map_batches(rename_sum, batch_format="pyarrow")
+                .materialize())  # joined below AND kept as the result
+        wd = spill_dir(prefix=f"pdfsearch_hits_{k}_")
+        work_dirs.append(wd)
+        hub = (hash_join(edges_dir, auth,
+                         left_on="dst", right_on="doc_id", work_dir=wd)
+               .map_batches(rev_map, batch_format="pyarrow")
+               .union(docs.map_batches(zeros, batch_format="pyarrow"))
+               .groupby("doc_id").aggregate(Sum("c"))
+               .map_batches(rename_sum, batch_format="pyarrow"))
+        if k < HITS_ITERS - 1:
+            hub = hub.materialize()
+
+    h = hub.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    a = auth.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for wd in work_dirs:
+        shutil.rmtree(wd, ignore_errors=True)
+    assert (h["doc_id"].values == a["doc_id"].values).all()
+    return pa.table({
+        "doc_id": pa.array(h["doc_id"].astype("int64").tolist(),
+                           type=pa.int64()),
+        "hub": pa.array(h["v"].astype("int64").tolist(), type=pa.int64()),
+        "auth": pa.array(a["v"].astype("int64").tolist(),
+                         type=pa.int64()),
+    })
+
+
+def link_hits_sql() -> str:
+    """Oracle: shared mix64 edge CTEs + HITS_ITERS chained rounds of
+    LEFT-JOIN sums (auth from hubs over in-edges, hubs from auths over
+    out-edges), sinks coalesced to 0."""
+    rounds = []
+    prev_h = "h0"
+    last_a = None
+    for r in range(1, HITS_ITERS + 1):
+        rounds.append(f"""
+        a{r} AS (
+            SELECT d.doc_id, CAST(coalesce(sum(h.v), 0) AS BIGINT) AS v
+            FROM documents d
+            LEFT JOIN edges e ON e.dst = d.doc_id
+            LEFT JOIN {prev_h} h ON h.doc_id = e.src
+            GROUP BY d.doc_id
+        ),
+        h{r} AS (
+            SELECT d.doc_id, CAST(coalesce(sum(a.v), 0) AS BIGINT) AS v
+            FROM documents d
+            LEFT JOIN edges e ON e.src = d.doc_id
+            LEFT JOIN a{r} a ON a.doc_id = e.dst
+            GROUP BY d.doc_id
+        )""")
+        prev_h = f"h{r}"
+        last_a = f"a{r}"
+    return f"""
+        WITH {_link_edges_ctes()},
+        h0 AS (SELECT doc_id, 1::BIGINT AS v FROM documents),
+        {", ".join(rounds)}
+        SELECT h.doc_id, h.v AS hub, a.v AS auth
+        FROM {prev_h} h JOIN {last_a} a USING (doc_id)
+        ORDER BY h.doc_id
+    """

