@@ -360,3 +360,61 @@ def prefix_topk_sql(queries=PREFIX_QUERIES, *, k: int = EXPAND_K) -> str:
 
     return _expansion_sql(
         queries, lambda q: f"term LIKE '{_sq(q)}%'", k=k)
+
+
+# ---------------------------------------------------------------- infix
+
+INFIX_QUERIES = ("ar", "ow", "ue", "al", "zz")
+
+
+def expand_terms_infix(index_dir: str,
+                       infixes: tuple[str, ...]) -> dict[str, list[str]]:
+    """Wildcard (``*s*``) expansion: the same one-pass dictionary scan
+    with a per-batch ``match_substring`` kernel.  No range pruning is
+    possible for an infix (the WildcardQuery cost model of every
+    fulltext engine) — the scan stays the full single-column pass."""
+    import os
+
+    from ..functions.tables import read_parquet_nometa
+
+    pdir = os.path.join(index_dir, "postings")
+    files = sorted(
+        os.path.join(pdir, f) for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+
+    def match(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["term"])
+        qs: list[str] = []
+        ts: list[str] = []
+        for s in infixes:
+            m = pc.match_substring(u, pattern=s)
+            hit = u.filter(m).to_pylist()
+            qs.extend([s] * len(hit))
+            ts.extend(hit)
+        return pa.table({
+            "q": pa.array(qs, type=pa.string()),
+            "term": pa.array(ts, type=pa.string()),
+        })
+
+    pairs = read_parquet_nometa(files, columns=["term"]) \
+        .map_batches(match, batch_format="pyarrow").to_pandas()
+    out: dict[str, list[str]] = {s: [] for s in infixes}
+    for q, grp in pairs.drop_duplicates().groupby("q"):
+        out[q] = sorted(grp["term"])
+    return out
+
+
+def wildcard_topk(sf_dir: str) -> pa.Table:
+    """Wildcard (infix) query gate: ``*s*`` rewrites to every dictionary
+    term containing the substring, then disjunctive BM25 top-k.
+    Oracle: ``LIKE '%s%'`` rewrite + end-to-end BM25."""
+    exp = expand_terms_infix(simple_index_cached(sf_dir), INFIX_QUERIES)
+    return _expanded_topk(sf_dir, exp, EXPAND_K)
+
+
+def wildcard_topk_sql(queries=INFIX_QUERIES, *, k: int = EXPAND_K) -> str:
+    from .oracles import _sq
+
+    return _expansion_sql(
+        queries, lambda q: f"term LIKE '%{_sq(q)}%'", k=k)

@@ -105,3 +105,32 @@ def test_gates_match_oracle(ray_session, which):
         # the multi-expansion query is live: "port" hits docs containing
         # part OR sort, so some top hit must lack the literal query term
         assert (got["query"] == "port").any()
+
+
+def test_wildcard_matches_oracle(ray_session):
+    import duckdb
+
+    from pdfsearch_ray.pipelines import expand as E
+
+    got = E.wildcard_topk(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(E.wildcard_topk_sql()).df()
+    assert len(got) == len(want) > 0
+    assert (got["doc_id"].values == want["doc_id"].astype("int64").values).all()
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+    # dead infix drops out on both sides
+    assert "zz" not in set(got["query"])
+
+
+def test_wildcard_expansion_sets(ray_session):
+    from pdfsearch_ray.pipelines.expand import (
+        expand_terms_infix,
+        simple_index_cached,
+    )
+
+    exp = expand_terms_infix(simple_index_cached(SF), ("ar", "ow", "zz"))
+    assert exp["ar"] == ["part", "spark"]
+    assert exp["ow"] == ["row", "slow", "window"]
+    assert exp["zz"] == []
