@@ -134,3 +134,30 @@ def test_wildcard_expansion_sets(ray_session):
     assert exp["ar"] == ["part", "spark"]
     assert exp["ow"] == ["row", "slow", "window"]
     assert exp["zz"] == []
+
+
+def test_prefix_range_filter_pushes_into_read(ray_session):
+    """The [p, next(p)) range filter must reach the parquet scanner —
+    a silently-dropped kwarg would leave correctness intact (the kernel
+    re-applies starts_with) but kill the row-group pruning this gate's
+    scale story depends on."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from pdfsearch_ray.functions.tables import read_parquet_nometa
+    from pdfsearch_ray.pipelines.expand import (
+        _prefix_upper,
+        simple_index_cached,
+    )
+
+    d = simple_index_cached(SF)
+    pdir = os.path.join(d, "postings")
+    files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                   if f.endswith(".parquet"))
+    full = read_parquet_nometa(files, columns=["term"]).count()
+    flt = (pc.field("term") >= "s") & (pc.field("term") < _prefix_upper("s"))
+    sub = read_parquet_nometa(files, columns=["term"], filter=flt)
+    rows = sub.to_pandas()["term"]
+    assert 0 < len(rows) < full
+    assert rows.str.startswith("s").all()
