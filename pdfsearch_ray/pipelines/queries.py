@@ -2380,7 +2380,8 @@ def shard_layout(sf_dir: str) -> pa.Table:
                 ids, nc = ids[o], nc[o]
                 cum = offs_[int(p)] + np.concatenate(
                     ([0], np.cumsum(nc[:-1], dtype=np.int64)))
-                # object dtype keeps the * K exact at any corpus size
+                # int64 cum*K is exact to ~10^18/K chars — far past any
+                # single corpus; the SQL oracle mirrors it in HUGEINT
                 shard = np.minimum(cum * K // max(total, 1), K - 1)
                 for s in np.unique(shard):
                     m = shard == s
