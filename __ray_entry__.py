@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": _expand().fuzzy_topk,
         "prefix_topk": _expand().prefix_topk,
         "wildcard_topk": _expand().wildcard_topk,
+        "rm3_topk": _expand().rm3_topk,
         "bm25_and_topk": _boolquery().bm25_and_topk,
         "phrase_match_counts": _boolquery().phrase_match_counts,
         "near_match_counts": _boolquery().near_match_counts,
@@ -470,6 +471,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": _expand().fuzzy_topk_sql(),
         "prefix_topk": _expand().prefix_topk_sql(),
         "wildcard_topk": _expand().wildcard_topk_sql(),
+        # RM3 pseudo-relevance feedback: DuckDB replays BOTH passes
+        # (top-F cut, feedback counts, top-E expansion, rescore)
+        "rm3_topk": _expand().rm3_topk_sql(),
         # conjunctive BM25 (the reference's commented-out AND operator,
         # search_pdfs.go:176) and the positional phrase path: DuckDB
         # restates AND as HAVING-all-terms and re-derives token

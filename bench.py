@@ -234,6 +234,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("fuzzy_topk", _expand.fuzzy_topk),
         ("prefix_topk", _expand.prefix_topk),
         ("wildcard_topk", _expand.wildcard_topk),
+        ("rm3_topk", _expand.rm3_topk),
         ("snapshot_diff", webops.snapshot_diff),
         ("unimax_mix", qmod.unimax_mix),
         ("bm25_and_topk", _boolquery.bm25_and_topk),

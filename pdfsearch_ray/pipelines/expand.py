@@ -418,3 +418,139 @@ def wildcard_topk_sql(queries=INFIX_QUERIES, *, k: int = EXPAND_K) -> str:
 
     return _expansion_sql(
         queries, lambda q: f"term LIKE '%{_sq(q)}%'", k=k)
+
+
+# ------------------------------------------------ pseudo-relevance feedback
+
+RM3_QUERIES = ("fast scan", "customer query", "data window merge")
+RM3_F = 10   # feedback depth (top-F first-pass docs)
+RM3_E = 3    # expansion terms taken from the feedback set
+RM3_K = 10
+
+
+def rm3_topk(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance feedback (Rocchio/RM3 family): run the query,
+    take the top-F docs as a silent relevance sample, add the E most
+    frequent non-query terms of that sample to the query, rescore —
+    the classic recall lever of every production search stack.
+
+    Determinism: both passes rank on the 6-dp rounded score with
+    doc_id tie-break, so the feedback set (and therefore the expansion)
+    is a total-order cut even through score ties; expansion candidates
+    rank by (count desc, term asc).  The feedback read is the standard
+    row-group-pruned fetch (fetch_doc_meta — O(F) docs); everything
+    else is posting reads.  The oracle replays BOTH passes: first-pass
+    BM25 → QUALIFY top-F → feedback term counts → top-E expansion →
+    second-pass BM25 over the union."""
+    from ..analysis.analyzer import analyze_simple
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    out_q, out_d, out_s = [], [], []
+    for q in sorted(RM3_QUERIES):
+        q_terms = sorted(set(analyze_simple(q)))
+        ids, sc = idx.score_terms(q_terms)
+        if not ids.size:
+            continue
+        sc6 = np.round(sc, 6)
+        order = np.lexsort((ids.astype(np.int64), -sc6))[:RM3_F]
+        fb = ids[order].astype(np.int64).tolist()
+        tbl, has_text = idx.fetch_doc_meta(fb, with_text=True)
+        assert has_text
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for txt in tbl["text"].to_pylist():
+            cnt.update(analyze_simple(txt))
+        orig = set(q_terms)
+        cand = sorted((t for t in cnt if t not in orig),
+                      key=lambda t: (-cnt[t], t))[:RM3_E]
+        final_terms = sorted(orig | set(cand))
+        ids2, sc2 = idx.score_terms(final_terms)
+        sc2 = np.round(sc2, 6)
+        o2 = np.lexsort((ids2.astype(np.int64), -sc2))[:RM3_K]
+        out_q.extend([q] * o2.size)
+        out_d.extend(ids2[o2].astype(np.int64).tolist())
+        out_s.extend(sc2[o2].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def rm3_topk_sql(queries=RM3_QUERIES, *, f: int = RM3_F, e: int = RM3_E,
+                 k: int = RM3_K, k1: float = 1.2, b: float = 0.75) -> str:
+    """Two-pass oracle: first-pass BM25 → top-F cut → feedback term
+    counts → top-E expansion (count desc, term asc) → UNION with the
+    original terms → second-pass BM25 → top-K."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    def score_cte(name: str, qsrc: str, qi: int) -> str:
+        return f"""
+        tfs{name} AS (
+            SELECT t.doc_id, t.term, count(*) AS tf
+            FROM tok t JOIN {qsrc} USING (term) GROUP BY t.doc_id, t.term
+        ),
+        dfs{name} AS (SELECT term, count(*) AS df FROM tfs{name} GROUP BY term),
+        sc{name} AS (
+            SELECT tfs{name}.doc_id,
+                   sum(ln(1 + (stats.n - dfs{name}.df + 0.5) / (dfs{name}.df + 0.5))
+                       * tfs{name}.tf / (tfs{name}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                   ) AS s
+            FROM tfs{name}
+            CROSS JOIN stats
+            JOIN dfs{name} ON tfs{name}.term = dfs{name}.term
+            JOIN dl ON tfs{name}.doc_id = dl.doc_id
+            GROUP BY tfs{name}.doc_id
+        )"""
+
+    parts = [
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        "tok AS (SELECT * FROM toks WHERE term <> ''),",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        not_in = ", ".join(f"'{_sq(t)}'" for t in terms)
+        parts.append(f""",
+        q0_{qi}(term) AS (VALUES {qvals}),{score_cte(f"0_{qi}", f"q0_{qi}", qi)},
+        fb{qi} AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY round(s, 6) DESC, doc_id ASC) AS rn
+                FROM sc0_{qi}
+            ) WHERE rn <= {f}
+        ),
+        exp{qi} AS (
+            SELECT term FROM (
+                SELECT term, row_number() OVER (
+                    ORDER BY count(*) DESC, term ASC) AS rn
+                FROM tok JOIN fb{qi} USING (doc_id)
+                WHERE term NOT IN ({not_in})
+                GROUP BY term
+            ) WHERE rn <= {e}
+        ),
+        q1_{qi}(term) AS (
+            SELECT term FROM exp{qi} UNION SELECT term FROM q0_{qi}
+        ),{score_cte(f"1_{qi}", f"q1_{qi}", qi)}""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc1_{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")

@@ -161,3 +161,35 @@ def test_prefix_range_filter_pushes_into_read(ray_session):
     rows = sub.to_pandas()["term"]
     assert 0 < len(rows) < full
     assert rows.str.startswith("s").all()
+
+
+def test_rm3_matches_oracle_and_expands(ray_session):
+    import duckdb
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import expand as E
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    got = E.rm3_topk(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(E.rm3_topk_sql()).df()
+    assert len(got) == len(want) > 0
+    assert (got["doc_id"].values == want["doc_id"].astype("int64").values).all()
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+
+    # the feedback loop is live: for at least one query the RM3 top-k
+    # differs from plain BM25 over the original terms
+    idx = BM25Index(E.simple_index_cached(SF))
+    changed = False
+    for q in E.RM3_QUERIES:
+        terms = sorted(set(analyze_simple(q)))
+        ids, sc = idx.score_terms(terms)
+        sc = np.round(sc, 6)
+        order = np.lexsort((ids.astype(np.int64), -sc))[:E.RM3_K]
+        plain = ids[order].astype(np.int64).tolist()
+        rm3 = got.loc[got["query"] == q, "doc_id"].tolist()
+        if plain != rm3:
+            changed = True
+    assert changed
