@@ -140,6 +140,18 @@ def _dsir_weights(sf_dir: str):
     return dsir_weights(sf_dir)
 
 
+def _quality_signals(sf_dir: str):
+    from pdfsearch_ray.pipelines.textstats import quality_signals
+
+    return quality_signals(sf_dir)
+
+
+def _quality_signals_sql():
+    from pdfsearch_ray.pipelines.textstats import quality_signals_sql
+
+    return quality_signals_sql()
+
+
 def _unit_topk_oracle():
     from pdfsearch_ray.pipelines import oracles as _oracles
     from pdfsearch_ray.pipelines.queries import (
@@ -172,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": _expand().prefix_topk,
         "wildcard_topk": _expand().wildcard_topk,
         "rm3_topk": _expand().rm3_topk,
+        "quality_signals": _quality_signals,
         "bm25_and_topk": _boolquery().bm25_and_topk,
         "phrase_match_counts": _boolquery().phrase_match_counts,
         "near_match_counts": _boolquery().near_match_counts,
@@ -474,6 +487,8 @@ def oracle_sql() -> dict[str, str]:
         # RM3 pseudo-relevance feedback: DuckDB replays BOTH passes
         # (top-F cut, feedback counts, top-E expansion, rescore)
         "rm3_topk": _expand().rm3_topk_sql(),
+        # fused one-pass quality-signal export (Dolma attributes shape)
+        "quality_signals": _quality_signals_sql(),
         # conjunctive BM25 (the reference's commented-out AND operator,
         # search_pdfs.go:176) and the positional phrase path: DuckDB
         # restates AND as HAVING-all-terms and re-derives token

@@ -235,6 +235,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("prefix_topk", _expand.prefix_topk),
         ("wildcard_topk", _expand.wildcard_topk),
         ("rm3_topk", _expand.rm3_topk),
+        ("quality_signals", textstats.quality_signals),
         ("snapshot_diff", webops.snapshot_diff),
         ("unimax_mix", qmod.unimax_mix),
         ("bm25_and_topk", _boolquery.bm25_and_topk),

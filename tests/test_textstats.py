@@ -248,3 +248,31 @@ def test_dsir_weights_oracle_parity_sf(ray_session):
     # the score actually separates: the corpus has >1 lang, so weights
     # must not be constant
     assert got["dsir_bits"].nunique() > 10
+
+
+def test_quality_signals_matches_oracle_and_vectorized_distinct(ray_session):
+    """Fused signals equal the DuckDB recompute; the packed-key distinct
+    counter equals a per-doc set() on raw text."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import textstats as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.quality_signals(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(T.quality_signals_sql()).df()
+    assert got.values.tolist() == \
+        want[got.columns].astype("int64").values.tolist()
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas().head(50)
+    ref = {int(r.doc_id): len(set(analyze_simple(r.text)))
+           for r in t.itertuples() if analyze_simple(r.text)}
+    sub = got.set_index("doc_id")["n_distinct"]
+    for did, nd in ref.items():
+        assert int(sub.loc[did]) == nd
