@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_topk": _expand().wildcard_topk,
         "rm3_topk": _expand().rm3_topk,
         "quality_signals": _quality_signals,
+        "compound_split_topk": _expand().compound_split_topk,
         "bm25_and_topk": _boolquery().bm25_and_topk,
         "phrase_match_counts": _boolquery().phrase_match_counts,
         "near_match_counts": _boolquery().near_match_counts,
@@ -489,6 +490,8 @@ def oracle_sql() -> dict[str, str]:
         "rm3_topk": _expand().rm3_topk_sql(),
         # fused one-pass quality-signal export (Dolma attributes shape)
         "quality_signals": _quality_signals_sql(),
+        # decompounding rewrite: dictionary self-join on concatenation
+        "compound_split_topk": _expand().compound_split_sql(),
         # conjunctive BM25 (the reference's commented-out AND operator,
         # search_pdfs.go:176) and the positional phrase path: DuckDB
         # restates AND as HAVING-all-terms and re-derives token

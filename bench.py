@@ -236,6 +236,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("wildcard_topk", _expand.wildcard_topk),
         ("rm3_topk", _expand.rm3_topk),
         ("quality_signals", textstats.quality_signals),
+        ("compound_split_topk", _expand.compound_split_topk),
         ("snapshot_diff", webops.snapshot_diff),
         ("unimax_mix", qmod.unimax_mix),
         ("bm25_and_topk", _boolquery.bm25_and_topk),

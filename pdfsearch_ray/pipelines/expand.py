@@ -554,3 +554,75 @@ def rm3_topk_sql(queries=RM3_QUERIES, *, f: int = RM3_F, e: int = RM3_E,
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")
+
+
+# ----------------------------------------------------------- decompounding
+
+COMPOUND_QUERIES = ("fastscan", "bigtable", "sortmerge", "zzznope")
+
+
+def dict_membership(index_dir: str, words: tuple[str, ...]) -> set[str]:
+    """Which of ``words`` exist in the term dictionary — one scan, a
+    per-batch ``is_in`` against the broadcast O(|words|) candidate set;
+    the driver receives only the members."""
+    import os
+
+    from ..functions.tables import read_parquet_nometa
+
+    pdir = os.path.join(index_dir, "postings")
+    files = sorted(
+        os.path.join(pdir, f) for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+    cand = pa.array(sorted(set(words)), type=pa.string())
+
+    def match(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["term"])
+        hit = u.filter(pc.is_in(u, value_set=cand))
+        return pa.table({"term": hit})
+
+    pairs = read_parquet_nometa(files, columns=["term"]) \
+        .map_batches(match, batch_format="pyarrow").to_pandas()
+    return set(pairs["term"])
+
+
+def compound_split_topk(sf_dir: str) -> pa.Table:
+    """Decompounding query rewrite (the Lucene/bleve compound-word
+    filter family): a run-together query like ``fastscan`` rewrites to
+    every 2-way split whose BOTH halves are dictionary terms, then
+    disjunctive BM25 over the union of the halves.  The candidate set
+    is O(len(query)) strings, so membership is ONE dictionary scan
+    against a broadcast candidate list — never a driver-side
+    vocabulary.  Oracle: dictionary self-join on string concatenation
+    (``d1.term || d2.term = q``) + the shared BM25 chain."""
+    d = simple_index_cached(sf_dir)
+    cands: set[str] = set()
+    for q in COMPOUND_QUERIES:
+        for i in range(1, len(q)):
+            cands.add(q[:i])
+            cands.add(q[i:])
+    present = dict_membership(d, tuple(cands))
+    exp: dict[str, list[str]] = {}
+    for q in COMPOUND_QUERIES:
+        terms: set[str] = set()
+        for i in range(1, len(q)):
+            if q[:i] in present and q[i:] in present:
+                terms |= {q[:i], q[i:]}
+        exp[q] = sorted(terms)
+    return _expanded_topk(sf_dir, exp, EXPAND_K)
+
+
+def compound_split_sql(queries=COMPOUND_QUERIES, *, k: int = EXPAND_K) -> str:
+    from .oracles import _sq
+
+    return _expansion_sql(
+        queries,
+        lambda q: (
+            "term IN ("
+            f"SELECT d1.term FROM dict d1 JOIN dict d2 "
+            f"ON d1.term || d2.term = '{_sq(q)}' "
+            f"UNION "
+            f"SELECT d2.term FROM dict d1 JOIN dict d2 "
+            f"ON d1.term || d2.term = '{_sq(q)}')"
+        ),
+        k=k)

@@ -193,3 +193,30 @@ def test_rm3_matches_oracle_and_expands(ray_session):
         if plain != rm3:
             changed = True
     assert changed
+
+
+def test_compound_split_matches_oracle(ray_session):
+    import duckdb
+
+    from pdfsearch_ray.pipelines import expand as E
+
+    got = E.compound_split_topk(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(E.compound_split_sql()).df()
+    assert len(got) == len(want) > 0
+    assert (got["doc_id"].values == want["doc_id"].astype("int64").values).all()
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+    assert "zzznope" not in set(got["query"])  # unsplittable drops out
+
+
+def test_dict_membership(ray_session):
+    from pdfsearch_ray.pipelines.expand import (
+        dict_membership,
+        simple_index_cached,
+    )
+
+    d = simple_index_cached(SF)
+    got = dict_membership(d, ("fast", "scan", "notaword", "big"))
+    assert got == {"fast", "scan", "big"}
