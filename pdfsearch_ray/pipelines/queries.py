@@ -206,26 +206,42 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 
 def quality_scores(sf_dir: str) -> rd.Dataset:
     """Per-doc quality features (integer-valued so the oracle hash is
-    float-free): token count, stopword hits, longest token."""
+    float-free): token count, stopword hits, longest token.
+
+    Round-5 session 5: the original per-doc Python loop (a per-row
+    anti-pattern in a stage that touches EVERY doc) was replaced by the
+    quality_signals kernels — one arrow regex split per batch, per-doc
+    segment reductions via np.add.at / np.maximum.at, stopword hits via
+    one is_in — outputs bitwise identical (same gate hash)."""
 
     def q(batch: pa.Table) -> pa.Table:
-        from ..analysis.analyzer import analyze_simple
-
-        stop = set(QUALITY_STOPWORDS)
-        ids, n_tok, n_stop, mx = [], [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = analyze_simple(text or "")
-            if not toks:
-                continue
-            ids.append(did)
-            n_tok.append(len(toks))
-            n_stop.append(sum(1 for t in toks if t in stop))
-            mx.append(max(len(t) for t in toks))
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parent = toks.value_parent_indices().to_numpy().astype(np.int64)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        n_tok = np.zeros(n, dtype=np.int64)
+        np.add.at(n_tok, parent[ok], 1)
+        stop_hit = pc.is_in(
+            flat, value_set=pa.array(sorted(QUALITY_STOPWORDS),
+                                     type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.zeros(n, dtype=np.int64)
+        np.add.at(n_stop, parent[ok & stop_hit], 1)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        np.maximum.at(mx, parent[ok], lens[ok])
+        keep = n_tok > 0
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "n_tokens": pa.array(n_tok, type=pa.int64()),
-            "n_stop": pa.array(n_stop, type=pa.int64()),
-            "max_token_len": pa.array(mx, type=pa.int64()),
+            "doc_id": batch["doc_id"].cast(pa.int64()).filter(
+                pa.array(keep)),
+            "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
+            "n_stop": pa.array(n_stop[keep], type=pa.int64()),
+            "max_token_len": pa.array(mx[keep], type=pa.int64()),
         })
 
     return _docs(sf_dir).map_batches(q, batch_format="pyarrow")
