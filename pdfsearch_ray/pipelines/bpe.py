@@ -164,16 +164,29 @@ def word_freq_table(sf_dir: str) -> rd.Dataset:
                 .groupby("word").aggregate(Sum("n")))
 
 
-def learn_bpe(vocab: rd.Dataset, n_merges: int = BPE_MERGES
-              ) -> tuple[pa.Table, rd.Dataset]:
+def learn_bpe(vocab: rd.Dataset, n_merges: int = BPE_MERGES,
+              checkpoint_every: int = 8) -> tuple[pa.Table, rd.Dataset]:
     """Run the merge loop over a (word, sum(n)) Dataset.  Returns the
     merge table (step, lhs, rhs, pair_count) and the final segmented
-    vocab Dataset (word, freq, seg)."""
+    vocab Dataset (word, freq, seg) — possibly with a short lazy tail
+    of pending merge applies (callers that reuse it across passes
+    should ``materialize()`` it once).
+
+    Job-count shape: the merge APPLY is left LAZY so it fuses into the
+    NEXT round's pair-count job (one Ray job per round instead of two
+    — apply+count run in the same ``map_batches`` task chain), with a
+    checkpoint ``materialize()`` every ``checkpoint_every`` rounds so
+    round k replays at most ``checkpoint_every`` pending string
+    replaces, never rounds 1..k (the link_components checkpoint
+    precedent; replays are vectorized ``replace_substring`` over the
+    sublinear vocab table, so a short replay tail is far cheaper than
+    a per-round materialize job at ~0.5 s fixed Ray-job latency)."""
     from ray.data.aggregate import Sum
 
     vf = vocab.map_batches(_init_seg, batch_format="pyarrow") \
               .materialize()
     steps: list[tuple[int, str, str, int]] = []
+    pending = 0
     for k in range(1, n_merges + 1):
         tops = (vf.map_batches(_pair_partial, batch_format="pyarrow")
                   .groupby("pair").aggregate(Sum("n"))
@@ -194,9 +207,11 @@ def learn_bpe(vocab: rd.Dataset, n_merges: int = BPE_MERGES
                                             replacement=repl),
             })
 
-        # checkpoint per round: round k+1 must not replay rounds 1..k
-        vf = vf.map_batches(apply_merge, batch_format="pyarrow") \
-               .materialize()
+        vf = vf.map_batches(apply_merge, batch_format="pyarrow")
+        pending += 1
+        if pending >= checkpoint_every:
+            vf = vf.materialize()
+            pending = 0
     if not steps:
         return _empty_result(), vf
     ks, ls, rs, cs = zip(*steps)
@@ -209,6 +224,33 @@ def learn_bpe(vocab: rd.Dataset, n_merges: int = BPE_MERGES
     return merges, vf
 
 
+# Training memo: (abspath, size, mtime_ns, n_merges) → (merge table,
+# MATERIALIZED final vocab Dataset).  Training is deterministic in its
+# input, so bpe_token_stats reuses bpe_merges' run instead of paying
+# the whole merge loop again (the ivf_layout_cached precedent,
+# similarity.py:440; in-process only — the vocab lives in the object
+# store as a materialized Dataset, O(sublinear vocab), not driver heap).
+_bpe_memo: dict[tuple, tuple[pa.Table, rd.Dataset]] = {}
+
+
+def trained_bpe(sf_dir: str, n_merges: int = BPE_MERGES
+                ) -> tuple[pa.Table, rd.Dataset]:
+    """Train-at-most-once per (corpus fingerprint, n_merges): returns
+    the merge table and the final segmented vocab (materialized)."""
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns,
+           int(n_merges))
+    hit = _bpe_memo.get(key)
+    if hit is None:
+        merges, vf = learn_bpe(word_freq_table(sf_dir), n_merges)
+        hit = (merges, vf.materialize())
+        _bpe_memo[key] = hit
+    return hit
+
+
 def bpe_merges(sf_dir: str) -> pa.Table:
     """Gate query: the first BPE_MERGES learned merges over the
     documents corpus — (step, lhs, rhs, pair_count) ordered by step."""
@@ -216,7 +258,7 @@ def bpe_merges(sf_dir: str) -> pa.Table:
                                columns=["text"])
     if docs.count() == 0:
         return _empty_result()
-    merges, _ = learn_bpe(word_freq_table(sf_dir))
+    merges, _ = trained_bpe(sf_dir)
     return merges
 
 
@@ -301,7 +343,7 @@ def bpe_token_stats(sf_dir: str, k: int = BPE_TOPK) -> pa.Table:
                          "total_count": pa.array([], type=pa.int64())})
     from ray.data.aggregate import Sum
 
-    _, vf = learn_bpe(word_freq_table(sf_dir))
+    _, vf = trained_bpe(sf_dir)
 
     def block_topk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
