@@ -640,10 +640,11 @@ def strip_boiler_lines(ds: rd.Dataset, df_min: int = LINE_DF_MIN,
 # co-partitioned, and regroups by doc — same two narrow exchanges, no
 # broadcast; the gate-scale broadcast is the measured-small
 # convenience, the same documented trade as dedup_exact's loser-id
-# broadcast.  The md5-low64 window keying exists so DuckDB can
-# REPRODUCE the keys; a production deployment would swap in a 128-bit
-# rolling hash (O(tokens) instead of O(tokens x L) hashed bytes),
-# which is collision-equivalent.
+# broadcast.  Window keys are md5-low64 per WORD combined with a
+# wrapping polynomial (see _ROLL_BASE) — O(vocab) hashed bytes +
+# vectorized numpy combine instead of O(tokens x L) per-window md5 —
+# and the DuckDB oracle compares window STRINGS, to which the keying
+# is collision-equivalent, so the oracle never needs to reproduce it.
 
 SUBSTR_WINDOW = 12       # ExactSubstr window length L, in words
 # injected shared spans (>= 2L words so interior windows flag; the
@@ -668,9 +669,65 @@ def _inject_spans(t: pa.Table) -> pa.Table:
 
 
 def _doc_windows(text: str, window: int) -> list[str]:
+    """Reference (scalar) window enumeration — kept for the unit test's
+    naive cross-check; the pipeline uses `_window_hash_arrays`."""
     words = (text or "").split(" ")
     return [" ".join(words[i:i + window])
             for i in range(len(words) - window + 1)]
+
+
+# Polynomial rolling combine base (odd 64-bit constant).  Window keys
+# are built as Σ_j md5_low64(word[s+j]) · BASE^(L-1-j) mod 2^64: words
+# are space-free (the split token), so window-STRING equality ⟺
+# word-sequence equality ⟺ key equality (w.h.p.) — i.e. the key is
+# collision-equivalent to hashing the joined window string, which is
+# what lets the string-based DuckDB oracle stay the authority.  The
+# md5 loop shrinks to the batch's word VOCABULARY; the window combine
+# is `window` wrapping uint64 multiply-adds over the flat word-hash
+# array — the "swap in a rolling hash" production path the module
+# comment names, without losing oracle reproducibility.
+_ROLL_BASE = 0x9E3779B97F4A7C15
+
+
+def _window_hash_arrays(texts, window: int):
+    """Vectorized per-batch sliding-window keys.  Returns
+    ``(win_h, win_doc, n_win, lens, starts, offs)``: uint64 key per
+    valid (non-doc-crossing) window, owning doc row per window,
+    windows-per-doc, words-per-doc, global flat-word start index per
+    window, and per-doc flat-word offsets (len n_docs+1)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    # fill_null("") → [""] matches the scalar (text or "").split(" ")
+    lst = pc.split_pattern(texts.fill_null(""), " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    lens = pc.list_value_length(lst).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([np.zeros(1, np.int64),
+                           np.cumsum(lens, dtype=np.int64)])
+    n_win = np.maximum(lens - window + 1, 0)
+    total = int(n_win.sum())
+    empty64 = np.zeros(0, dtype=np.uint64)
+    emptyi = np.zeros(0, dtype=np.int64)
+    if total == 0:
+        return empty64, emptyi, n_win, lens, emptyi, offs
+    flat = lst.flatten()
+    de = flat.dictionary_encode()
+    vocab_h = _md5_low64(de.dictionary.to_pylist())
+    wh = vocab_h[de.indices.to_numpy(zero_copy_only=False)]
+    n = wh.size
+    pows = np.array([pow(_ROLL_BASE, window - 1 - j, 1 << 64)
+                     for j in range(window)], dtype=np.uint64)
+    m = n - window + 1
+    H = np.zeros(m, dtype=np.uint64)
+    for j in range(window):
+        H += wh[j:j + m] * pows[j]
+    win_doc = np.repeat(np.arange(lens.size, dtype=np.int64), n_win)
+    grp0 = np.concatenate([np.zeros(1, np.int64),
+                           np.cumsum(n_win, dtype=np.int64)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(grp0, n_win)
+    starts = offs[:-1][win_doc] + within
+    return H[starts], win_doc, n_win, lens, starts, offs
 
 
 def dup_window_hashes(ds: rd.Dataset, window: int = SUBSTR_WINDOW,
@@ -685,14 +742,11 @@ def dup_window_hashes(ds: rd.Dataset, window: int = SUBSTR_WINDOW,
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        hs: dict[int, int] = {}
-        for text in t["text"].to_pylist():
-            for h in _md5_low64(_doc_windows(text, window)).view(np.int64):
-                h = int(h)
-                hs[h] = hs.get(h, 0) + 1
+        win_h, _, _, _, _, _ = _window_hash_arrays(t["text"], window)
+        u, c = np.unique(win_h, return_counts=True)
         return pa.table({
-            "h": pa.array(list(hs.keys()), type=pa.int64()),
-            "cnt_part": pa.array(list(hs.values()), type=pa.int64()),
+            "h": pa.array(u.view(np.int64), type=pa.int64()),
+            "cnt_part": pa.array(c.astype(np.int64), type=pa.int64()),
         })
 
     agg = (
@@ -717,34 +771,38 @@ def exact_substring_over(ds: rd.Dataset,
     import ray
 
     dup_tbl = dup_window_hashes(ds, window).to_pandas()
-    ref = ray.put(frozenset(int(x) for x in dup_tbl["h"]))
+    dup_sorted = np.sort(
+        dup_tbl["h"].to_numpy().astype(np.int64).view(np.uint64))
+    ref = ray.put(dup_sorted)
 
     def stats(t: pa.Table) -> pa.Table:
-        dset = ray.get(ref)
-        ids, nw, nd, cov = [], [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(),
-                             t["text"].to_pylist()):
-            wins = _doc_windows(text, window)
-            hs = _md5_low64(wins).view(np.int64)
-            flag = np.fromiter((int(h) in dset for h in hs),
-                               dtype=bool, count=len(hs))
-            starts = np.nonzero(flag)[0]
-            n_words = len(wins) + window - 1 if wins else 0
-            if starts.size:
-                diff = np.zeros(n_words + 1, dtype=np.int64)
-                np.add.at(diff, starts, 1)
-                np.add.at(diff, starts + window, -1)
-                covered = int((np.cumsum(diff[:-1], dtype=np.int64)
-                               > 0).sum())
-            else:
-                covered = 0
-            ids.append(did)
-            nw.append(len(wins))
-            nd.append(int(flag.sum()))
-            cov.append(covered)
+        dup = ray.get(ref)
+        win_h, win_doc, n_win, lens, starts, offs = \
+            _window_hash_arrays(t["text"], window)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.zeros(lens.size, dtype=np.int64)
+        cov = np.zeros(lens.size, dtype=np.int64)
+        if win_h.size and dup.size:
+            # sorted-array membership (binary search) on the broadcast
+            pos = np.searchsorted(dup, win_h)
+            flag = np.zeros(win_h.size, dtype=bool)
+            inb = pos < dup.size
+            flag[inb] = dup[pos[inb]] == win_h[inb]
+            np.add.at(nd, win_doc, flag.astype(np.int64))
+            # interval union over the GLOBAL flat word axis: windows
+            # never cross docs (valid starts satisfy s+L <= doc end),
+            # so per-position coverage decomposes per doc exactly
+            fs = starts[flag]
+            diff = np.zeros(int(offs[-1]) + 1, dtype=np.int64)
+            np.add.at(diff, fs, 1)
+            np.add.at(diff, fs + window, -1)
+            covered = np.cumsum(diff[:-1], dtype=np.int64) > 0
+            word_doc = np.repeat(np.arange(lens.size, dtype=np.int64),
+                                 lens)
+            np.add.at(cov, word_doc, covered.astype(np.int64))
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
-            "n_windows": pa.array(nw, type=pa.int64()),
+            "n_windows": pa.array(n_win, type=pa.int64()),
             "n_dup_windows": pa.array(nd, type=pa.int64()),
             "dup_tokens": pa.array(cov, type=pa.int64()),
         })

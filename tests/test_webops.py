@@ -447,3 +447,47 @@ def test_link_indegree_hist_matches_oracle_and_mass(ray_session):
     assert got["n_pages"].sum() == n
     assert (got["in_degree"] * got["n_pages"]).sum() == src.size
     assert got.loc[got["in_degree"] == 0, "n_pages"].sum() > 0
+
+
+def test_window_hash_arrays_vs_scalar_reference():
+    """The vectorized window keys are collision-equivalent to window
+    STRINGS: equal keys ⟺ equal joined window text, across docs, with
+    empty/null/short/multi-space texts and within-doc repeats."""
+    import pyarrow as pa
+
+    texts = [
+        "a b c d e",
+        "x b c d y",
+        "p q r s t p q r s t",
+        "u v",              # shorter than window
+        "",                 # empty → one empty word
+        None,               # null → as empty
+        "a  b c d",         # double space → empty token inside
+    ]
+    window = 3
+    H, win_doc, n_win, lens, starts, offs = w._window_hash_arrays(
+        pa.array(texts, type=pa.string()), window)
+    # enumerate the scalar reference windows in the same order
+    ref_wins, ref_doc = [], []
+    for d, txt in enumerate(texts):
+        ws = w._doc_windows(txt, window)
+        ref_wins += ws
+        ref_doc += [d] * len(ws)
+    assert win_doc.tolist() == ref_doc
+    assert n_win.tolist() == [len(w._doc_windows(t, window))
+                              for t in texts]
+    # key equality must exactly mirror string equality
+    seen: dict[int, str] = {}
+    for h, s in zip(H.tolist(), ref_wins):
+        if h in seen:
+            assert seen[h] == s
+        else:
+            seen[h] = s
+    # and distinct strings must get distinct keys here
+    assert len(set(seen.values())) == len(seen)
+    # starts index the flat word axis: window words match the split
+    flat_words = []
+    for txt in texts:
+        flat_words += (txt or "").split(" ")
+    for s, win_str in zip(starts.tolist(), ref_wins):
+        assert " ".join(flat_words[s:s + window]) == win_str
