@@ -436,6 +436,17 @@ def _md5_low64(items: list[str]) -> np.ndarray:
         dtype=np.uint64)
 
 
+def _sorted_member(sorted_arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``keys`` in a SORTED array (binary
+    search) — the broadcast-set probe used by the pass-2 scans."""
+    flag = np.zeros(keys.size, dtype=bool)
+    if sorted_arr.size and keys.size:
+        pos = np.searchsorted(sorted_arr, keys)
+        inb = pos < sorted_arr.size
+        flag[inb] = sorted_arr[pos[inb]] == keys[inb]
+    return flag
+
+
 def _inject_boiler(t: pa.Table) -> pa.Table:
     """Deterministic gate synth: docs with doc_id%3==0 get boilerplate
     line 1 prepended, doc_id%7==0 line 2 (both => both, in order)."""
@@ -447,9 +458,68 @@ def _inject_boiler(t: pa.Table) -> pa.Table:
 
 
 def _doc_lines(text: str) -> list[str]:
+    """Reference (scalar) line split — kept for the unit tests' naive
+    cross-check; the pipeline uses `_line_hash_arrays`."""
     words = (text or "").split(" ")
     return [" ".join(words[i:i + LINE_WORDS])
             for i in range(0, len(words), LINE_WORDS)]
+
+
+def _line_hash_arrays(texts, line_words: int = LINE_WORDS):
+    """Vectorized per-batch line keys over the fixed ``line_words``-word
+    line windows.  Line keys are md5-low64 per WORD combined with the
+    wrapping polynomial (Horner over the line's words, see _ROLL_BASE)
+    — line-STRING equality ⟺ word-sequence equality ⟺ key equality
+    (w.h.p.), so the string-based oracles stay the authority and the
+    md5 loop runs only over the batch's word vocabulary.
+
+    Returns ``(line_h, line_doc, n_lines, line_chars, word_doc,
+    word_line, flat_words, lens)``: uint64 key / owning doc / chars per
+    line (as the joined string's len), lines per doc, plus the flat
+    word axis (owning doc + GLOBAL line id per word, the word array,
+    words per doc) for consumers that rebuild text."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(texts.fill_null(""), " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    lens = pc.list_value_length(lst).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = lst.flatten()
+    n = len(flat)
+    ndocs = lens.size
+    n_lines = (lens + line_words - 1) // line_words  # lens >= 1 always
+    if n == 0:
+        z64 = np.zeros(0, dtype=np.uint64)
+        zi = np.zeros(0, dtype=np.int64)
+        return z64, zi, n_lines, zi, zi, zi, flat, lens
+    de = flat.dictionary_encode()
+    vocab_h = _md5_low64(de.dictionary.to_pylist())
+    wh = vocab_h[de.indices.to_numpy(zero_copy_only=False)]
+    word_doc = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    offs = np.concatenate([np.zeros(1, np.int64),
+                           np.cumsum(lens, dtype=np.int64)])
+    pos_in_doc = np.arange(n, dtype=np.int64) - offs[:-1][word_doc]
+    line_in_doc = pos_in_doc // line_words
+    pos_in_line = pos_in_doc - line_in_doc * line_words
+    line_offs = np.concatenate([np.zeros(1, np.int64),
+                                np.cumsum(n_lines, dtype=np.int64)])
+    word_line = line_offs[:-1][word_doc] + line_in_doc
+    # tail lines are shorter: this word's line length in words
+    line_len_w = np.minimum(lens[word_doc] - line_in_doc * line_words,
+                            line_words)
+    pows = np.array([pow(_ROLL_BASE, e, 1 << 64)
+                     for e in range(line_words)], dtype=np.uint64)
+    contrib = wh * pows[line_len_w - 1 - pos_in_line]
+    line_starts = np.flatnonzero(pos_in_line == 0)
+    line_h = np.add.reduceat(contrib, line_starts)
+    line_doc = word_doc[line_starts]
+    wchars = pc.utf8_length(flat).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    line_chars = (np.add.reduceat(wchars, line_starts)
+                  + line_len_w[line_starts] - 1)
+    return (line_h, line_doc, n_lines, line_chars, word_doc, word_line,
+            flat, lens)
 
 
 def line_df(ds: rd.Dataset, df_min: int = LINE_DF_MIN) -> "rd.Dataset":
@@ -462,15 +532,18 @@ def line_df(ds: rd.Dataset, df_min: int = LINE_DF_MIN) -> "rd.Dataset":
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        hs: dict[int, int] = {}
-        for text in t["text"].to_pylist():
-            uniq = set(_doc_lines(text))
-            for h in _md5_low64(sorted(uniq)).view(np.int64):
-                h = int(h)
-                hs[h] = hs.get(h, 0) + 1
+        line_h, line_doc, _, _, _, _, _, _ = \
+            _line_hash_arrays(t["text"])
+        # document frequency: count each (doc, line) pair ONCE — sort
+        # by (doc, hash), drop adjacent repeats, then count per hash
+        order = np.lexsort((line_h, line_doc))
+        sd, sh = line_doc[order], line_h[order]
+        first = np.ones(sh.size, dtype=bool)
+        first[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+        u, c = np.unique(sh[first], return_counts=True)
         return pa.table({
-            "h": pa.array(list(hs.keys()), type=pa.int64()),
-            "df_part": pa.array(list(hs.values()), type=pa.int64()),
+            "h": pa.array(u.view(np.int64), type=pa.int64()),
+            "df_part": pa.array(c.astype(np.int64), type=pa.int64()),
         })
 
     agg = (
@@ -499,24 +572,27 @@ def line_dedup_stats(sf_dir: str) -> pa.Table:
         .map_batches(_inject_boiler, batch_format="pyarrow")
     )
     hot_tbl = line_df(src, LINE_DF_MIN).to_pandas()
-    hot = frozenset(int(x) for x in hot_tbl["h"])
-    ref = ray.put(hot)
+    hot_sorted = np.sort(
+        hot_tbl["h"].to_numpy().astype(np.int64).view(np.uint64))
+    ref = ray.put(hot_sorted)
 
     def stats(t: pa.Table) -> pa.Table:
-        hset = ray.get(ref)
-        ids, nl, nr, kc = [], [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(),
-                             t["text"].to_pylist()):
-            lines = _doc_lines(text)
-            hs = _md5_low64(lines).view(np.int64)
-            keep = [ln for ln, h in zip(lines, hs) if int(h) not in hset]
-            ids.append(did)
-            nl.append(len(lines))
-            nr.append(len(lines) - len(keep))
-            kc.append(len(" ".join(keep)))
+        hot = ray.get(ref)
+        line_h, line_doc, n_lines, line_chars, _, _, _, _ = \
+            _line_hash_arrays(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flag = _sorted_member(hot, line_h)
+        nd = ids.size
+        nr = np.zeros(nd, dtype=np.int64)
+        np.add.at(nr, line_doc, flag.astype(np.int64))
+        kept_sum = np.zeros(nd, dtype=np.int64)
+        np.add.at(kept_sum, line_doc[~flag], line_chars[~flag])
+        n_kept = n_lines - nr
+        # len(" ".join(kept)) = Σ len(line) + (n_kept - 1) separators
+        kc = kept_sum + np.maximum(n_kept - 1, 0)
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
-            "n_lines": pa.array(nl, type=pa.int64()),
+            "n_lines": pa.array(n_lines, type=pa.int64()),
             "n_removed": pa.array(nr, type=pa.int64()),
             "kept_chars": pa.array(kc, type=pa.int64()),
         })
@@ -601,18 +677,32 @@ def strip_boiler_lines(ds: rd.Dataset, df_min: int = LINE_DF_MIN,
             lambda t: pa.table({"text": t[text_col]}),
             batch_format="pyarrow"),
         df_min).to_pandas()
-    ref = ray.put(frozenset(int(x) for x in hot_tbl["h"]))
+    hot_sorted = np.sort(
+        hot_tbl["h"].to_numpy().astype(np.int64).view(np.uint64))
+    ref = ray.put(hot_sorted)
 
     def rewrite(t: pa.Table) -> pa.Table:
-        hset = ray.get(ref)
-        texts = []
-        for text in t[text_col].to_pylist():
-            lines = _doc_lines(text)
-            hs = _md5_low64(lines).view(np.int64)
-            texts.append(" ".join(
-                ln for ln, h in zip(lines, hs) if int(h) not in hset))
+        hot = ray.get(ref)
+        line_h, _, _, _, word_doc, word_line, flat, lens = \
+            _line_hash_arrays(t[text_col])
+        # " ".join(kept lines) == the kept lines' WORDS joined by " "
+        # (lines partition the word axis), so the rebuild is one arrow
+        # filter + list-rebuild + binary_join — no Python strings
+        hot_line = _sorted_member(hot, line_h)
+        if not hot_line.any():
+            return t
+        keep_word = ~hot_line[word_line] if len(flat) else \
+            np.zeros(0, dtype=bool)
+        new_lens = np.zeros(lens.size, dtype=np.int64)
+        np.add.at(new_lens, word_doc[keep_word], 1)
+        offsets = np.concatenate([np.zeros(1, np.int64),
+                                  np.cumsum(new_lens, dtype=np.int64)])
+        kept = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            flat.filter(pa.array(keep_word)))
+        texts = pc.binary_join(kept, " ")
         return t.set_column(t.schema.get_field_index(text_col),
-                            text_col, pa.array(texts, type=pa.string()))
+                            text_col, pc.cast(texts, pa.string()))
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
 

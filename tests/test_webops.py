@@ -135,7 +135,9 @@ def test_line_df_threshold_distributed(ray_session):
     rows = [{"doc_id": i, "text": la if i < 5 else lb} for i in range(6)]
     rows.append({"doc_id": 6, "text": lb})
     hot = w.line_df(rd.from_items(rows), df_min=5).to_pandas()
-    want = int(w._md5_low64([la]).view(np.int64)[0])
+    import pyarrow as pa
+    want = int(w._line_hash_arrays(
+        pa.array([la], type=pa.string()))[0].view(np.int64)[0])
     assert hot["h"].tolist() == [want] and hot["df"].tolist() == [5]
 
 
@@ -491,3 +493,33 @@ def test_window_hash_arrays_vs_scalar_reference():
         flat_words += (txt or "").split(" ")
     for s, win_str in zip(starts.tolist(), ref_wins):
         assert " ".join(flat_words[s:s + window]) == win_str
+
+
+def test_line_hash_arrays_vs_scalar_reference():
+    """Line keys mirror line STRINGS across docs, including tail lines
+    shorter than LINE_WORDS, empty/null texts, and char counts."""
+    import pyarrow as pa
+
+    texts = ["a b c d e f g h i j k l m",   # 10-word line + 3-word tail
+             "a b c d e f g h i j",          # exactly one full line
+             "k l",                          # single short line
+             "", None,
+             "a  b"]                         # double space → empty word
+    (line_h, line_doc, n_lines, line_chars,
+     word_doc, word_line, flat, lens) = w._line_hash_arrays(
+        pa.array(texts, type=pa.string()))
+    ref_lines, ref_doc = [], []
+    for d, txt in enumerate(texts):
+        ls = w._doc_lines(txt)
+        ref_lines += ls
+        ref_doc += [d] * len(ls)
+    assert line_doc.tolist() == ref_doc
+    assert n_lines.tolist() == [len(w._doc_lines(t)) for t in texts]
+    assert line_chars.tolist() == [len(s) for s in ref_lines]
+    seen = {}
+    for h, s in zip(line_h.tolist(), ref_lines):
+        assert seen.setdefault(h, s) == s
+    assert len(set(seen.values())) == len(seen)
+    # shared first line of texts[0] and texts[1] must collide on key
+    assert line_h[0] == line_h[line_doc.index(1) if isinstance(
+        line_doc, list) else int(np.flatnonzero(line_doc == 1)[0])]
