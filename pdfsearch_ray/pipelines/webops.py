@@ -1658,26 +1658,35 @@ def host_graph_sql() -> str:
 # small-star shortcutting cuts that to O(log n), the documented
 # evolution path).
 #
-# Round shape: forward contributions synthesize out-edges per batch
-# (the pagerank scatter — no edge table, no join); REVERSE
-# contributions need label(dst) at src, i.e. one bucket hash_join of
-# the edge list against the current labels; then one groupby-min over
-# (node, cand) pairs unioned with the self-labels.  Everything on the
-# wire is a 16-byte int pair, and the static edge-by-dst bucket layout
-# is laid out ONCE before the loop (joins.spill_bucketed) and re-read
-# every round — only the evolving labels spill per round.
+# Round shape — ONE Ray job per round: the label state lives as a
+# bucket-partitioned parquet layout co-partitioned with the static
+# by-dst edge layout (same mix64 % B, laid out once), so a round is a
+# single pipeline  read label buckets → per-bucket contributions
+# (forward scatter synthesized from the bucket's own ids; REVERSE =
+# the co-partitioned edge bucket's label(dst) looked up by
+# searchsorted, no Acero, no separate join job) → one narrow
+# groupby-min → bucketed write of the next round's labels AS THE SINK.
+# The per-round label spill that hash_join used to run as its own job
+# is thereby fused into the previous round's sink; everything on the
+# wire is still a 16-byte int pair.  Round 0 is join-free entirely:
+# label(dst) == dst and a node's out-edges are synthesizable from its
+# id, so the first round streams the docs ids directly.
 
 LINKCC_ITERS = 3
+_LINKCC_BUCKETS = 16
 
 
 def link_components(sf_dir: str) -> pa.Table:
     """Gate query: LINKCC_ITERS hash-min rounds over the undirected
     synthetic link graph; returns (doc_id, label) sorted by doc_id."""
+    import os
     import shutil
+
+    import pyarrow.parquet as pq
 
     from ray.data.aggregate import Min
 
-    from ..functions.joins import hash_join, spill_bucketed
+    from ..functions.joins import spill_bucketed
     from ..functions.spill import spill_dir
 
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
@@ -1689,6 +1698,10 @@ def link_components(sf_dir: str) -> pa.Table:
             "doc_id": pa.array([], type=pa.int64()),
             "label": pa.array([], type=pa.int64()),
         })
+    NB = _LINKCC_BUCKETS
+    imax = np.iinfo(np.int64).max
+    empty_nc = pa.table({"node": pa.array([], type=pa.int64()),
+                         "cand": pa.array([], type=pa.int64())})
 
     def edges_tbl(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1696,69 +1709,109 @@ def link_components(sf_dir: str) -> pa.Table:
         return pa.table({"src": pa.array(src, type=pa.int64()),
                          "dst": pa.array(dst, type=pa.int64())})
 
-    def init(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
-            "label": pc.cast(t["doc_id"], pa.int64()),
-        })
-
-    def fwd(t: pa.Table) -> pa.Table:
-        # label(src) -> dst, pre-combined per dst (min within batch)
+    def contrib0(t: pa.Table) -> pa.Table:
+        # round 0, labels == ids: fwd scatter (src -> dst), rev pick-up
+        # (min dst per src — label(dst) is dst itself), and self rows
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         src, dst, odeg = _synth_out_edges(ids, n_docs)
-        cand = np.repeat(lab, 1 + (ids % 3))
         udst, inv = np.unique(dst, return_inverse=True)
-        mins = np.full(udst.size, np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(mins, inv, cand)
-        # self-labels ride along so every node survives the groupby
+        mins = np.full(udst.size, imax, dtype=np.int64)
+        np.minimum.at(mins, inv, src)
+        starts = np.cumsum(1 + (ids % 3), dtype=np.int64) - (1 + (ids % 3))
+        rev_min = np.minimum.reduceat(dst, starts) if dst.size else \
+            np.zeros(0, dtype=np.int64)
         return pa.table({
             "node": pa.array(np.concatenate([udst, ids]), type=pa.int64()),
-            "cand": pa.array(np.concatenate([mins, lab]), type=pa.int64()),
+            "cand": pa.array(np.concatenate(
+                [mins, np.minimum(ids, rev_min)]), type=pa.int64()),
         })
 
-    def rev_map(t: pa.Table) -> pa.Table:
-        # joined rows carry (src, dst, doc_id==dst, label): label(dst) -> src
-        return pa.table({"node": pc.cast(t["src"], pa.int64()),
-                         "cand": pc.cast(t["label"], pa.int64())})
+    def make_contrib(labels_dir: str, edges_dir: str):
+        def contrib(batch: pa.Table) -> pa.Table:
+            outs = []
+            for b in batch["b"].to_pylist():
+                lp = f"{labels_dir}/__jb={b}"
+                if not os.path.isdir(lp):
+                    continue
+                lt = pq.read_table(lp, columns=["doc_id", "label"],
+                                   use_threads=False)
+                ids = lt["doc_id"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                lab = lt["label"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                src, dst, _ = _synth_out_edges(ids, n_docs)
+                cand = np.repeat(lab, 1 + (ids % 3))
+                udst, inv = np.unique(dst, return_inverse=True)
+                mins = np.full(udst.size, imax, dtype=np.int64)
+                np.minimum.at(mins, inv, cand)
+                nodes = [udst, ids]
+                cands = [mins, lab]
+                ep = f"{edges_dir}/__jb={b}"
+                if os.path.isdir(ep):
+                    # co-partitioned: every dst in edge bucket b has its
+                    # label in THIS labels bucket — local searchsorted
+                    et = pq.read_table(ep, columns=["src", "dst"],
+                                       use_threads=False)
+                    d = et["dst"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    s = et["src"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    order = np.argsort(ids, kind="stable")
+                    sid, slab = ids[order], lab[order]
+                    pos = np.minimum(np.searchsorted(sid, d),
+                                     max(sid.size - 1, 0))
+                    ok = sid[pos] == d if sid.size else \
+                        np.zeros(d.size, dtype=bool)
+                    usrc, sinv = np.unique(s[ok], return_inverse=True)
+                    smin = np.full(usrc.size, imax, dtype=np.int64)
+                    np.minimum.at(smin, sinv, slab[pos[ok]])
+                    nodes.append(usrc)
+                    cands.append(smin)
+                outs.append(pa.table({
+                    "node": pa.array(np.concatenate(nodes),
+                                     type=pa.int64()),
+                    "cand": pa.array(np.concatenate(cands),
+                                     type=pa.int64()),
+                }))
+            if not outs:
+                return empty_nc
+            return pa.concat_tables(outs)
+        return contrib
 
     def relabel(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pc.cast(t["node"], pa.int64()),
                          "label": pc.cast(t["min(cand)"], pa.int64())})
 
-    # the edge list is static across rounds: lay its by-dst bucket
-    # layout out ONCE (joins.spill_bucketed) and reuse it in every
-    # round's join — re-spilling O(E) per round buys nothing.  The
-    # evolving O(n) 16-byte-per-row label state stays in the object
-    # store via a per-round materialize checkpoint: hash_join executes
-    # its Dataset inputs eagerly, so without the checkpoint each round
-    # would re-replay all prior rounds (a disk checkpoint of the label
-    # state measured ~35% slower here — per-round small-file
-    # round-trips cost more than object-store blocks at this state
-    # size; at true 100 TB the label state spills via Ray's own
-    # object-store spilling, same disks, no code change).
-    edges_dir = spill_bucketed(
-        docs.map_batches(edges_tbl, batch_format="pyarrow"),
-        "dst", spill_dir(prefix="pdfsearch_cc_edges_"))
-    work_dirs = [edges_dir]
-    labels = docs.map_batches(init, batch_format="pyarrow")
+    work_dirs: list[str] = []
+    edges_dir = None
+    if LINKCC_ITERS > 1:
+        edges_dir = spill_bucketed(
+            docs.map_batches(edges_tbl, batch_format="pyarrow"),
+            "dst", spill_dir(prefix="pdfsearch_cc_edges_"),
+            num_buckets=NB)
+        work_dirs.append(edges_dir)
+    labels_dir = None
+    out = None
     for k in range(LINKCC_ITERS):
-        wd = spill_dir(prefix=f"pdfsearch_cc_{k}_")
-        work_dirs.append(wd)
-        rev = hash_join(
-            edges_dir, labels,
-            left_on="dst", right_on="doc_id", work_dir=wd,
-        ).map_batches(rev_map, batch_format="pyarrow")
-        labels = (labels.map_batches(fwd, batch_format="pyarrow")
-                  .union(rev)
-                  .groupby("node")
+        if k == 0:
+            contrib_ds = docs.map_batches(contrib0,
+                                          batch_format="pyarrow")
+        else:
+            contrib_ds = (
+                rd.from_items([{"b": i} for i in range(NB)],
+                              override_num_blocks=NB)
+                .map_batches(make_contrib(labels_dir, edges_dir),
+                             batch_size=1, batch_format="pyarrow"))
+        labels = (contrib_ds.groupby("node")
                   .aggregate(Min("cand"))
                   .map_batches(relabel, batch_format="pyarrow"))
         if k < LINKCC_ITERS - 1:
-            # only intermediate rounds checkpoint — the final round
-            # flows straight into the collect below
-            labels = labels.materialize()
-    out = labels.to_pandas().sort_values("doc_id")
+            nd = spill_dir(prefix=f"pdfsearch_cc_{k}_")
+            work_dirs.append(nd)
+            spill_bucketed(labels, "doc_id", nd, num_buckets=NB)
+            labels_dir = nd
+        else:
+            out = labels.to_pandas().sort_values("doc_id")
     for wd in work_dirs:
         shutil.rmtree(wd, ignore_errors=True)
     return pa.table({
@@ -2175,21 +2228,29 @@ def link_hits(sf_dir: str) -> pa.Table:
     (growth is bounded by (max_deg² )^ITERS, far inside int64 here;
     a production run normalizes by a power of two every few rounds).
 
-    Distribution shape per round (the link_components machinery):
+    Distribution shape per round (the fused link_components machinery
+    — ONE Ray job per auth-state write plus one final collect):
     * auth pass — pure FORWARD scatter: out-edges synthesize from
       doc_id inside each batch, per-batch np.add.at pre-combine, one
-      narrow (dst, contrib) groupby-sum with zero rows for sinks.
-    * hub pass — the REVERSE gather needs auth at each edge's dst, so
-      it is ONE bucket hash_join of the static by-dst edge layout
-      (spill_bucketed ONCE, reused every round) against the evolving
-      O(n) auth state, then a (src) groupby-sum.
+      narrow (dst, contrib) groupby-sum with zero rows for sinks; the
+      auth state is written bucket-partitioned (mix64 % B, the same
+      layout as the static by-dst edge spill) AS THE PIPELINE SINK.
+    * hub pass — the REVERSE gather needs auth at each edge's dst:
+      the co-partitioned edge bucket looks auth(dst) up locally by
+      searchsorted (no Acero, no separate join job), then one (src)
+      groupby-sum; intermediate rounds chain the NEXT auth scatter
+      into the same pipeline, so a full hub→auth round is one job.
     The oracle replays every round as chained LEFT-JOIN CTEs over the
     shared mix64 edge list."""
+    import glob as _glob
+    import os
     import shutil
+
+    import pyarrow.parquet as pq
 
     from ray.data.aggregate import Sum
 
-    from ..functions.joins import hash_join, spill_bucketed
+    from ..functions.joins import spill_bucketed
     from ..functions.spill import spill_dir
 
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
@@ -2201,6 +2262,9 @@ def link_hits(sf_dir: str) -> pa.Table:
             "hub": pa.array([], type=pa.int64()),
             "auth": pa.array([], type=pa.int64()),
         })
+    NB = _LINKCC_BUCKETS
+    empty_dc = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "c": pa.array([], type=pa.int64())})
 
     def edges_tbl(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2238,41 +2302,90 @@ def link_hits(sf_dir: str) -> pa.Table:
             "v": pc.cast(t["sum(c)"], pa.int64()),
         })
 
-    def rev_map(t: pa.Table) -> pa.Table:
-        # joined rows carry (src, dst, doc_id==dst, v==auth): auth -> src
-        return pa.table({"doc_id": pc.cast(t["src"], pa.int64()),
-                         "c": pc.cast(t["v"], pa.int64())})
-
-    def zeros(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
-            "c": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-        })
+    def make_gather(auth_dir: str, edges_dir: str):
+        # per-bucket hub gather: auth(dst) looked up in the
+        # co-partitioned auth bucket; zero rows (from the bucket's own
+        # doc ids) keep sinks in the groupby
+        def gather(batch: pa.Table) -> pa.Table:
+            outs = []
+            for b in batch["b"].to_pylist():
+                ap = f"{auth_dir}/__jb={b}"
+                if not os.path.isdir(ap):
+                    continue
+                at = pq.read_table(ap, columns=["doc_id", "v"],
+                                   use_threads=False)
+                ids = at["doc_id"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                av = at["v"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                docs_c = [ids]
+                cs = [np.zeros(ids.size, dtype=np.int64)]
+                ep = f"{edges_dir}/__jb={b}"
+                if os.path.isdir(ep):
+                    et = pq.read_table(ep, columns=["src", "dst"],
+                                       use_threads=False)
+                    d = et["dst"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    s = et["src"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    order = np.argsort(ids, kind="stable")
+                    sid, sv = ids[order], av[order]
+                    pos = np.minimum(np.searchsorted(sid, d),
+                                     max(sid.size - 1, 0))
+                    ok = sid[pos] == d if sid.size else \
+                        np.zeros(d.size, dtype=bool)
+                    usrc, sinv = np.unique(s[ok], return_inverse=True)
+                    sums = np.zeros(usrc.size, dtype=np.int64)
+                    np.add.at(sums, sinv, sv[pos[ok]])
+                    docs_c.append(usrc)
+                    cs.append(sums)
+                outs.append(pa.table({
+                    "doc_id": pa.array(np.concatenate(docs_c),
+                                       type=pa.int64()),
+                    "c": pa.array(np.concatenate(cs), type=pa.int64()),
+                }))
+            if not outs:
+                return empty_dc
+            return pa.concat_tables(outs)
+        return gather
 
     edges_dir = spill_bucketed(
         docs.map_batches(edges_tbl, batch_format="pyarrow"),
-        "dst", spill_dir(prefix="pdfsearch_hits_edges_"))
+        "dst", spill_dir(prefix="pdfsearch_hits_edges_"), num_buckets=NB)
     work_dirs = [edges_dir]
-    hub = docs.map_batches(init, batch_format="pyarrow")
-    auth = None
-    for k in range(HITS_ITERS):
-        auth = (hub.map_batches(scatter_fwd, batch_format="pyarrow")
-                .groupby("doc_id").aggregate(Sum("c"))
-                .map_batches(rename_sum, batch_format="pyarrow")
-                .materialize())  # joined below AND kept as the result
-        wd = spill_dir(prefix=f"pdfsearch_hits_{k}_")
-        work_dirs.append(wd)
-        hub = (hash_join(edges_dir, auth,
-                         left_on="dst", right_on="doc_id", work_dir=wd)
-               .map_batches(rev_map, batch_format="pyarrow")
-               .union(docs.map_batches(zeros, batch_format="pyarrow"))
+    # round-1 auth from hub ≡ 1 (init fuses into the scatter pipeline)
+    auth_ds = (docs.map_batches(init, batch_format="pyarrow")
+               .map_batches(scatter_fwd, batch_format="pyarrow")
                .groupby("doc_id").aggregate(Sum("c"))
                .map_batches(rename_sum, batch_format="pyarrow"))
+    h = auth_dir = None
+    for k in range(HITS_ITERS):
+        auth_dir = spill_dir(prefix=f"pdfsearch_hits_a{k}_")
+        work_dirs.append(auth_dir)
+        spill_bucketed(auth_ds, "doc_id", auth_dir, num_buckets=NB)
+        hub_ds = (
+            rd.from_items([{"b": i} for i in range(NB)],
+                          override_num_blocks=NB)
+            .map_batches(make_gather(auth_dir, edges_dir),
+                         batch_size=1, batch_format="pyarrow")
+            .groupby("doc_id").aggregate(Sum("c"))
+            .map_batches(rename_sum, batch_format="pyarrow"))
         if k < HITS_ITERS - 1:
-            hub = hub.materialize()
-
-    h = hub.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    a = auth.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            # chain the next auth scatter into the same (lazy)
+            # pipeline — written by the next loop turn's sink
+            auth_ds = (hub_ds
+                       .map_batches(scatter_fwd, batch_format="pyarrow")
+                       .groupby("doc_id").aggregate(Sum("c"))
+                       .map_batches(rename_sum, batch_format="pyarrow"))
+        else:
+            h = hub_ds.to_pandas().sort_values("doc_id") \
+                .reset_index(drop=True)
+    # final auth: the last bucketed layout, read back on the driver
+    # (O(n) rows — the gate's own return is per-doc anyway)
+    afiles = sorted(_glob.glob(f"{auth_dir}/**/*.parquet",
+                               recursive=True))
+    a = pq.read_table(afiles, columns=["doc_id", "v"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
     for wd in work_dirs:
         shutil.rmtree(wd, ignore_errors=True)
     assert (h["doc_id"].values == a["doc_id"].values).all()
