@@ -208,13 +208,21 @@ def min_label_propagation(
     with label = min(node id in its component).  Returns (doc_id,
     keep_id) sorted by doc_id.
 
-    Iterative min-label flooding: each round every node takes the min of
-    its own label and its neighbors' labels (one hash_join edge⋈labels +
-    one groupby-min per round); converges in O(component diameter)
-    rounds, detected by the strictly-decreasing label sum reaching a
-    fixpoint.  All state lives in Datasets — no driver-side union-find,
-    so the edge set may exceed single-machine memory.
+    Iterative min-label flooding, ONE Ray job per round (the fused
+    link_components shape, pipelines/webops.py): the doubled edge list
+    spills bucket-partitioned by ``u`` ONCE; the evolving label state
+    lives as a CO-PARTITIONED bucket layout (same mix64 % B) written as
+    each round's pipeline sink, so a round is  read label buckets →
+    per-bucket local searchsorted lookup of label(u) against the edge
+    bucket + self rows → one narrow groupby-min → bucketed write.
+    Round 0 is lookup-free (label(u) == u).  Converges in O(component
+    diameter) rounds, detected by the non-increasing label sum reaching
+    a fixpoint — summed driver-side straight off the small label
+    parquet when it is tiny, else via a Ray aggregate.  No driver-side
+    union-find: the edge set may exceed single-machine memory.
     """
+    import glob as _glob
+
     from ray.data.aggregate import Min, Sum
 
     empty = pa.table({
@@ -236,47 +244,116 @@ def min_label_propagation(
             "v": pa.array(np.concatenate([b, a])),
         })
 
-    edges = pairs_ds.map_batches(_both_dirs, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
-        return empty
+    imax = np.iinfo(np.int64).max
+    empty_nc = pa.table({"node": pa.array([], type=pa.int64()),
+                         "cand": pa.array([], type=pa.int64())})
+    work = spill_dir(prefix="pdfsearch_lprop_")
+    try:
+        edges_dir = spill_bucketed(
+            pairs_ds.map_batches(_both_dirs, batch_format="pyarrow"),
+            "u", f"{work}/edges", num_buckets=num_buckets)
+        efiles = _glob.glob(f"{edges_dir}/**/*.parquet", recursive=True)
+        if not efiles or sum(pq.read_metadata(f).num_rows
+                             for f in efiles) == 0:
+            return empty
 
-    labels = (
-        edges.map_batches(
-            lambda t: pa.table({"node": t["u"], "label": t["u"]}),
-            batch_format="pyarrow",
-        )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
-    prev_sum = None
-    for _ in range(max_iter):
-        jdir = spill_dir(prefix="pdfsearch_lprop_")
-        try:
-            msgs = hash_join(
-                edges, labels, left_on="u", right_on="node",
-                num_buckets=num_buckets, work_dir=jdir,
-            ).map_batches(
-                lambda t: pa.table({
-                    "node": t["v"].cast(pa.int64()),
-                    "label": t["label"].cast(pa.int64()),
-                }),
-                batch_format="pyarrow",
-            )
-            labels = (
-                labels.union(msgs)
-                .groupby("node")
-                .aggregate(Min("label", alias_name="label"))
-                .materialize()
-            )
-        finally:
-            shutil.rmtree(jdir, ignore_errors=True)
-        s = int(labels.aggregate(Sum("label", alias_name="s"))["s"])
-        if prev_sum is not None and s == prev_sum:
-            break
-        prev_sum = s
+        def make_contrib(labels_dir: str | None):
+            def contrib(batch: pa.Table) -> pa.Table:
+                outs = []
+                for b in batch["b"].to_pylist():
+                    ep = f"{edges_dir}/__jb={b}"
+                    if not os.path.isdir(ep):
+                        continue
+                    et = pq.read_table(ep, columns=["u", "v"],
+                                       use_threads=False)
+                    u = et["u"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    v = et["v"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    if labels_dir is None:
+                        # round 0: label(u) == u — no lookup
+                        nodes = np.unique(u)
+                        msg_lab = u
+                        self_n, self_c = nodes, nodes
+                    else:
+                        lp = f"{labels_dir}/__jb={b}"
+                        if not os.path.isdir(lp):
+                            continue
+                        lt = pq.read_table(lp,
+                                           columns=["node", "label"],
+                                           use_threads=False)
+                        nid = lt["node"].to_numpy(
+                            zero_copy_only=False).astype(np.int64)
+                        nlab = lt["label"].to_numpy(
+                            zero_copy_only=False).astype(np.int64)
+                        order = np.argsort(nid, kind="stable")
+                        sid, slab = nid[order], nlab[order]
+                        pos = np.minimum(np.searchsorted(sid, u),
+                                         max(sid.size - 1, 0))
+                        # co-partition invariant: every u's label is in
+                        # THIS bucket (labels cover all nodes, same
+                        # mix64 % B) — a miss would corrupt silently
+                        assert sid.size and (sid[pos] == u).all(), \
+                            "label bucket missing edge endpoints"
+                        msg_lab = slab[pos]
+                        self_n, self_c = nid, nlab
+                    uv, vinv = np.unique(v, return_inverse=True)
+                    vmin = np.full(uv.size, imax, dtype=np.int64)
+                    np.minimum.at(vmin, vinv, msg_lab)
+                    outs.append(pa.table({
+                        "node": pa.array(
+                            np.concatenate([uv, self_n]),
+                            type=pa.int64()),
+                        "cand": pa.array(
+                            np.concatenate([vmin, self_c]),
+                            type=pa.int64()),
+                    }))
+                if not outs:
+                    return empty_nc
+                return pa.concat_tables(outs)
+            return contrib
 
-    out = labels.sort("node").to_pandas()
+        def relabel(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"].cast(pa.int64()),
+                "label": t["min(cand)"].cast(pa.int64()),
+            })
+
+        labels_dir = None
+        prev_sum = None
+        for k in range(max_iter):
+            nd = f"{work}/labels_{k}"
+            spill_bucketed(
+                rd.from_items([{"b": i} for i in range(num_buckets)],
+                              override_num_blocks=num_buckets)
+                .map_batches(make_contrib(labels_dir), batch_size=1,
+                             batch_format="pyarrow")
+                .groupby("node").aggregate(Min("cand"))
+                .map_batches(relabel, batch_format="pyarrow"),
+                "node", nd, num_buckets=num_buckets)
+            old = labels_dir
+            labels_dir = nd
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+            lfiles = sorted(_glob.glob(f"{nd}/**/*.parquet",
+                                       recursive=True))
+            if sum(os.path.getsize(f) for f in lfiles) < (1 << 28):
+                s = int(np.sum(pq.read_table(
+                    lfiles, columns=["label"])["label"].to_numpy()
+                    .astype(np.int64)))
+            else:
+                s = int(rd.read_parquet(lfiles).aggregate(
+                    Sum("label", alias_name="s"))["s"])
+            if prev_sum is not None and s == prev_sum:
+                break
+            prev_sum = s
+
+        lfiles = sorted(_glob.glob(f"{labels_dir}/**/*.parquet",
+                                   recursive=True))
+        out = pq.read_table(lfiles, columns=["node", "label"]) \
+            .to_pandas().sort_values("node")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return pa.table({
         "doc_id": pa.array(out["node"].astype("int64").tolist(), type=pa.int64()),
         "keep_id": pa.array(out["label"].astype("int64").tolist(), type=pa.int64()),

@@ -205,13 +205,37 @@ def _band_hash(band: np.ndarray) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little") >> 1
 
 
+def _affine_mod61(x: np.ndarray, a: np.uint64, b: np.uint64) -> np.ndarray:
+    """Exact ``(x·a + b) mod 2^61-1`` for a uint64 array — pure uint64
+    limb arithmetic (32-bit partial products, then the Mersenne fold
+    2^64 ≡ 8 mod M), no Python-object bigints.  Bit-identical to the
+    object-int reference (equivalence-tested in test_dedup)."""
+    M = np.uint64(_MERSENNE)
+    c61, c32, c3 = np.uint64(61), np.uint64(32), np.uint64(3)
+    mask32 = np.uint64(0xFFFFFFFF)
+    # reduce x below M first ((x·a) mod M is unchanged)
+    x = (x & M) + (x >> c61)
+    x = np.where(x >= M, x - M, x)
+    xh, xl = x >> c32, x & mask32
+    ah, al = a >> c32, a & mask32
+    t = xl * al
+    u = xh * al + (t >> c32)
+    v = xl * ah + (u & mask32)
+    hi = xh * ah + (u >> c32) + (v >> c32)      # < 2^58: x,a < 2^61
+    lo = (v << c32) | (t & mask32)
+    r = (hi << c3) + (lo & M) + (lo >> c61) + b  # < 2^63
+    r = (r & M) + (r >> c61)
+    return np.where(r >= M, r - M, r)
+
+
 def _minhash_sig(sh_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """K-permutation minhash via affine hashing mod 2^61-1 (vectorized)."""
     if sh_hashes.size == 0:
         return np.full(a.shape, np.uint64(_MERSENNE))
-    x = sh_hashes.astype(object)[:, None]  # python ints: exact mod-arithmetic
-    vals = (x * a.astype(object)[None, :] + b.astype(object)[None, :]) % _MERSENNE
-    return np.min(np.asarray(vals, dtype=np.uint64), axis=0)
+    return np.stack([
+        _affine_mod61(sh_hashes, a[k], b[k]).min()
+        for k in range(a.size)
+    ]).astype(np.uint64)
 
 
 class MinHashSigner:
@@ -232,16 +256,39 @@ class MinHashSigner:
         return _minhash_sig(sh, self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, sigs = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.signature(text)
-            if sig is None:
-                continue
+        # flat batch kernel: shingle strings per doc (the only per-doc
+        # Python), ONE md5 pass over all shingles (the SQL oracle
+        # reproduces exactly this hash), then per permutation one
+        # vectorized affine over the flat hash array + a per-doc
+        # minimum.reduceat — no per-(doc, perm) small-vector calls
+        ids, flat, counts = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = analyze_simple(text or "")
+            sh = _word_ngrams(toks, self.shingle_n)
+            if not sh:
+                continue  # never a near-dup candidate
             ids.append(did)
-            sigs.append(sig.tobytes())
+            flat.extend(sh)
+            counts.append(len(sh))
+        if not ids:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.large_binary()),
+            })
+        h = _hash_shingles(flat)
+        del flat
+        counts = np.asarray(counts, dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        sig_mat = np.empty((len(ids), self.a.size), dtype=np.uint64)
+        for k in range(self.a.size):
+            sig_mat[:, k] = np.minimum.reduceat(
+                _affine_mod61(h, self.a[k], self.b[k]), starts)
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
-            "sig": pa.array(sigs, type=pa.large_binary()),
+            "sig": pa.array([sig_mat[i].tobytes()
+                             for i in range(len(ids))],
+                            type=pa.large_binary()),
         })
 
 

@@ -327,3 +327,34 @@ def test_keep_best_dedup_no_clusters_is_empty(ray_session):
     assert out.num_rows == 0
     assert out.column_names == ["cluster_id", "best_id", "n_members",
                                 "best_n_tokens"]
+
+
+def test_affine_mod61_matches_object_int_reference():
+    """The uint64-limb (x·a+b) mod 2^61-1 kernel is bit-identical to
+    exact Python-int arithmetic across the full uint64 input range."""
+    from pdfsearch_ray.pipelines.dedup import (
+        _MERSENNE,
+        _affine_mod61,
+        _minhash_sig,
+        _perm_params,
+    )
+
+    rng = np.random.RandomState(7)
+    x = np.concatenate([
+        rng.randint(0, 1 << 62, size=500).astype(np.uint64),
+        np.array([0, 1, _MERSENNE - 1, _MERSENNE, _MERSENNE + 1,
+                  (1 << 64) - 1, 1 << 63], dtype=np.uint64),
+    ])
+    a, b = _perm_params(16)
+    for k in range(a.size):
+        got = _affine_mod61(x, a[k], b[k])
+        want = np.array(
+            [(int(xi) * int(a[k]) + int(b[k])) % _MERSENNE for xi in x],
+            dtype=np.uint64)
+        assert (got == want).all()
+    # and the per-doc signature path agrees with the object-int formula
+    sig = _minhash_sig(x, a, b)
+    want_sig = np.array([
+        min((int(xi) * int(a[k]) + int(b[k])) % _MERSENNE for xi in x)
+        for k in range(a.size)], dtype=np.uint64)
+    assert (sig == want_sig).all()
