@@ -388,6 +388,22 @@ class MinHashSigner:
         })
 
 
+# per-worker-process signer memo (keyed by params): lets the signature
+# stage run as a plain TASK pool — the "state" is cheap to build, so
+# paying actor-pool spawn for it is pure overhead
+_signer_memo: dict[tuple, "MinHashSigner"] = {}
+
+
+def _sign_batch(batch: pa.Table, *, num_perm: int, shingle_n: int,
+                seed: int = 42) -> pa.Table:
+    key = (num_perm, shingle_n, seed)
+    s = _signer_memo.get(key)
+    if s is None:
+        s = _signer_memo.setdefault(
+            key, MinHashSigner(num_perm, shingle_n, seed))
+    return s(batch)
+
+
 def _band_row_table(batch: pa.Table, *, bands: int, r: int) -> pa.Table:
     """(doc_id, sig) → (band_id, band_hash, doc_id) rows — the ONLY
     columns the LSH shuffle moves (the full signature stays in the sig
@@ -422,21 +438,31 @@ def minhash_lsh_dedup(
 
     1. signature pass → (doc_id, sig) parquet spill (consumed 2×)
     2. band rows (doc_id, band_id, band_hash) — 20 bytes/row, NOT the
-       1 KB signature → groupby(band) → candidate pairs (star-shaped for
+       1 KB signature — bucket-spilled by band_hash; each bucket task
+       lexsorts once and emits candidate pairs per (band_id, band_hash)
+       group with the vectorized offset sweep (star-shaped for
        oversize buckets: members of a huge bucket are near-identical,
-       so (min, other) edges suffice for clustering)
+       so (min, other) edges suffice for clustering).  No
+       ``groupby(band).map_groups`` — per-group Python dispatch over a
+       mostly-singleton band table is the measured pathology the
+       ngram_jaccard docstring records.
     3. distinct pairs ⋈ sig table twice (hash_join: bucket-partitioned
        spill join) → verify est. Jaccard = signature agreement ≥
        threshold inside the join tasks
     4. min-label propagation (functions/joins.py) → (doc_id, keep_id);
        no driver-side union-find, no O(corpus) driver gather.
     """
+    import os
     import shutil
-    import tempfile
+
+    import pyarrow.parquet as pq
 
     from ray.data.aggregate import Count
 
-    from ..functions.joins import hash_join, min_label_propagation
+    from ..functions.joins import hash_join, min_label_propagation, \
+        spill_bucketed
+
+    from functools import partial
 
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -444,40 +470,81 @@ def minhash_lsh_dedup(
     work_dir = work_dir or spill_dir(prefix="pdfsearch_minhash_")
     sig_dir = f"{work_dir}/sigs"
 
+    # task pool, not an actor pool: signer "state" is 2×num_perm seeded
+    # ints (microseconds to build, memoized per worker process) — actor
+    # spawn latency would dominate the stage at gate scale
     docs.map_batches(
-        MinHashSigner,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
+        partial(_sign_batch, num_perm=num_perm, shingle_n=shingle_n),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     ).write_parquet(sig_dir)
     sigs = rd.read_parquet(sig_dir)
 
-    from functools import partial
+    band_dir = f"{work_dir}/bands"
+    spill_bucketed(
+        sigs.map_batches(partial(_band_row_table, bands=bands, r=r),
+                         batch_format="pyarrow"),
+        "band_hash", band_dir)
 
-    band_rows = sigs.map_batches(
-        partial(_band_row_table, bands=bands, r=r), batch_format="pyarrow"
-    )
+    empty_ab = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
 
-    def candidates(g: pa.Table) -> pa.Table:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pa.table({
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-            })
-        if len(ids) > max_bucket:
-            a_idx = np.zeros(len(ids) - 1, dtype=np.int64)
-            b_idx = np.arange(1, len(ids))
-        else:
-            a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        return pa.table({
-            "doc_a": pa.array(ids[a_idx], type=pa.int64()),
-            "doc_b": pa.array(ids[b_idx], type=pa.int64()),
-        })
+    def band_pairs(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bi in batch["b"].to_pylist():
+            p = f"{band_dir}/__jb={bi}"
+            if not os.path.isdir(p):
+                continue
+            t = pq.read_table(
+                p, columns=["band_id", "band_hash", "doc_id"],
+                use_threads=False)
+            if t.num_rows < 2:
+                continue
+            bid = t["band_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            h = t["band_hash"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            d = t["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((d, h, bid))
+            bid, h, d = bid[order], h[order], d[order]
+            new = np.ones(d.size, dtype=bool)
+            new[1:] = (bid[1:] != bid[:-1]) | (h[1:] != h[:-1])
+            gid = np.cumsum(new, dtype=np.int64) - 1
+            sizes = np.bincount(gid)
+            a_parts, b_parts = [], []
+            # normal groups: all pairs via the offset sweep
+            ok_g = (sizes >= 2) & (sizes <= max_bucket)
+            if ok_g.any():
+                okrow = ok_g[gid]
+                for k in range(1, int(sizes[ok_g].max())):
+                    m = (gid[:-k] == gid[k:]) & okrow[:-k]
+                    if m.any():
+                        a_parts.append(d[:-k][m])
+                        b_parts.append(d[k:][m])
+            # oversize groups: star edges (min member, other) only
+            big_g = sizes > max_bucket
+            if big_g.any():
+                starts = np.flatnonzero(new)
+                bs = starts[big_g[gid[starts]]]
+                bsz = sizes[gid[bs]]
+                a_parts.append(np.repeat(d[bs], bsz - 1))
+                rows = big_g[gid] & ~new
+                b_parts.append(d[rows])
+            if a_parts:
+                outs.append(pa.table({
+                    "doc_a": pa.array(np.concatenate(a_parts),
+                                      type=pa.int64()),
+                    "doc_b": pa.array(np.concatenate(b_parts),
+                                      type=pa.int64()),
+                }))
+        if not outs:
+            return empty_ab
+        return pa.concat_tables(outs)
 
     pairs = (
-        band_rows.groupby(["band_id", "band_hash"])
-        .map_groups(candidates, batch_format="pyarrow")
+        rd.from_items([{"b": i} for i in range(16)],
+                      override_num_blocks=16)
+        .map_batches(band_pairs, batch_size=1, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
     )
