@@ -229,6 +229,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("link_indegree_hist", webops.link_indegree_hist),
         ("bpe_merges", _bpe_merges),
         ("bpe_token_stats", _bpe_token_stats),
+        # session-6 rework evidence: the two dedup pipelines whose
+        # shuffle shapes changed (bucket-spill pair election replacing
+        # multi-key groupby / map_groups)
+        ("ngram_jaccard", qmod.ngram_jaccard),
+        ("minhash_dedup", qmod.minhash_dedup),
         ("source_overlap", _queries.source_overlap_report),
         ("decontaminate_13g", _queries.decontaminate_report),
         ("fuzzy_topk", _expand.fuzzy_topk),
