@@ -122,6 +122,12 @@ def _boolquery():
     return boolquery
 
 
+def _ireval():
+    from pdfsearch_ray.pipelines import ireval
+
+    return ireval
+
+
 def _bpe():
     from pdfsearch_ray.pipelines import bpe
 
@@ -189,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": _boolquery().bm25_and_topk,
         "phrase_match_counts": _boolquery().phrase_match_counts,
         "near_match_counts": _boolquery().near_match_counts,
+        "ir_eval": _ireval().ir_eval,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
         "snapshot_diff": _webops().snapshot_diff,
@@ -499,6 +506,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": _boolquery().bm25_and_sql(),
         "phrase_match_counts": _boolquery().phrase_match_sql(),
         "near_match_counts": _boolquery().near_match_sql(),
+        # IR evaluation harness: conjunctive pseudo-qrels against the
+        # full OR-of-terms BM25 ranking; DuckDB recomputes tokenization,
+        # BM25, the full ranking and the qrel rule end-to-end
+        "ir_eval": _ireval().ir_eval_sql(),
         # HITS hubs/authorities: chained LEFT-JOIN rounds over the
         # shared mix64 edge CTEs
         "link_hits": _webops().link_hits_sql(),
