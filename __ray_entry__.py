@@ -128,6 +128,12 @@ def _ireval():
     return ireval
 
 
+def _searchx():
+    from pdfsearch_ray.pipelines import searchx
+
+    return searchx
+
+
 def _bpe():
     from pdfsearch_ray.pipelines import bpe
 
@@ -196,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_counts": _boolquery().phrase_match_counts,
         "near_match_counts": _boolquery().near_match_counts,
         "ir_eval": _ireval().ir_eval,
+        "facet_counts": _searchx().facet_counts,
+        "mlt_topk": _searchx().mlt_topk,
+        "search_after": _searchx().search_after,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
         "snapshot_diff": _webops().snapshot_diff,
@@ -510,6 +519,11 @@ def oracle_sql() -> dict[str, str]:
         # full OR-of-terms BM25 ranking; DuckDB recomputes tokenization,
         # BM25, the full ranking and the qrel rule end-to-end
         "ir_eval": _ireval().ir_eval_sql(),
+        # result-shaping features: facets, MLT rewrite, cursor paging —
+        # each oracle replays tokenization + BM25 + the feature algebra
+        "facet_counts": _searchx().facet_counts_sql(),
+        "mlt_topk": _searchx().mlt_topk_sql(),
+        "search_after": _searchx().search_after_sql(),
         # HITS hubs/authorities: chained LEFT-JOIN rounds over the
         # shared mix64 edge CTEs
         "link_hits": _webops().link_hits_sql(),

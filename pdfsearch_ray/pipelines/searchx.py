@@ -1,0 +1,313 @@
+"""Search-engine result-shaping features over the on-disk index:
+facets, more-like-this, and cursor (search-after) pagination.
+
+The reference serves raw ranked hit lists (internal/doclib/
+search_pdfs.go); every production deployment of such an engine
+immediately layers these three features on top, and bleve itself —
+the reference's index library — ships facets and pagination as
+first-class search-request fields.  All three are QUERY-side
+features: they reuse the one fingerprint-cached simple-analyzer
+index build (expand.simple_index_cached), so their marginal cost is
+posting reads.
+
+* **Faceted counts** (`facet_counts`) — for each query, group the
+  FULL OR-of-terms match set by a document metadata field (``lang``,
+  which the docs catalog already carries) and report per-bucket doc
+  counts + best score.  Scale shape: facet counting is a per-shard
+  partial ``(query, facet) -> (count, max_score)`` combine over the
+  posting match stream joined against the catalog's facet column —
+  a tiny groupby, never a doc shuffle.  At gate scale the catalog's
+  two facet columns are one pruned read and the join is a
+  ``searchsorted``.
+
+* **More-like-this** (`mlt_topk`) — classic MLT rewrite: take a seed
+  document, rank its terms by ``tf * idf`` (6-dp rounded, term-asc
+  tie), keep the top ``MLT_F``, score that disjunction with standard
+  BM25 and return the top ``MLT_K`` neighbours (seed excluded).  At
+  scale the selection consults the term dictionary's ``(term, df)``
+  metadata (the expand_terms one-pass scan shape) instead of loading
+  the seed's full posting set; the second pass is a plain OR query.
+
+* **Search-after pagination** (`search_after`) — deterministic cursor
+  paging: page 2 is computed from the page-1 cursor ``(score,
+  doc_id)`` with the strict-successor predicate ``score < s  OR
+  (score = s AND doc_id > d)`` over the total order (6-dp rounded
+  score desc, doc_id asc) — NOT by re-ranking and slicing — so the
+  oracle's rank-window equality proves the cursor algebra.  At scale
+  the cursor score is a block-max skip bound (blocks whose max BM25
+  cannot reach the cursor are never decoded).
+
+The DuckDB oracles recompute tokenization, BM25, df, the MLT term
+selection and the rank windows end-to-end from raw text, so posting
+decode and the feature algebra are all under the driver's value hash.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "facet_counts", "mlt_topk", "search_after",
+    "facet_counts_sql", "mlt_topk_sql", "search_after_sql",
+    "FACET_QUERIES", "MLT_SEEDS", "MLT_F", "MLT_K", "SA_QUERIES", "SA_K",
+]
+
+FACET_QUERIES = ("data processing pipeline", "window merge",
+                 "information", "customer query")
+MLT_SEEDS = (11, 42, 137, 256, 403)
+MLT_F = 8
+MLT_K = 10
+SA_QUERIES = ("data processing pipeline", "fast scan merge",
+              "information", "big slow vector")
+SA_K = 10
+
+_BM25_CHAIN = [
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+    "tok AS (SELECT * FROM toks WHERE term <> ''),",
+    "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
+    "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+]
+
+
+def _score_cte(name: str, qsrc: str, *, k1: float, b: float) -> str:
+    """The suite's standard per-query BM25 CTE triple, parameterized on
+    the term-source CTE (VALUES list or a computed selection)."""
+    return f"""
+    tfs{name} AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM tok t JOIN {qsrc} USING (term) GROUP BY t.doc_id, t.term
+    ),
+    dfs{name} AS (SELECT term, count(*) AS df FROM tfs{name} GROUP BY term),
+    sc{name} AS (
+        SELECT tfs{name}.doc_id,
+               sum(ln(1 + (stats.n - dfs{name}.df + 0.5) / (dfs{name}.df + 0.5))
+                   * tfs{name}.tf / (tfs{name}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+               ) AS s
+        FROM tfs{name}
+        CROSS JOIN stats
+        JOIN dfs{name} ON tfs{name}.term = dfs{name}.term
+        JOIN dl ON tfs{name}.doc_id = dl.doc_id
+        GROUP BY tfs{name}.doc_id
+    )"""
+
+
+def _ranked(ids: np.ndarray, sc: np.ndarray):
+    """(ids, 6-dp scores) sorted by the suite total order."""
+    sc6 = np.round(sc, 6)
+    order = np.lexsort((ids.astype(np.int64), -sc6))
+    return ids[order], sc6[order]
+
+
+# ------------------------------------------------------------------ facets
+
+def facet_counts(sf_dir: str) -> pa.Table:
+    """Per (query, lang): match count + best score over the full OR
+    candidate set."""
+    import pyarrow.dataset as pds
+
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    d = simple_index_cached(sf_dir)
+    idx = BM25Index(d)
+    cat = pds.dataset(os.path.join(d, "docs")).to_table(
+        columns=["doc_id", "lang"])
+    cat_ids = cat["doc_id"].to_numpy()
+    order = np.argsort(cat_ids)
+    cat_ids = cat_ids[order]
+    cat_langs = np.asarray(cat["lang"].to_pylist(), dtype=object)[order]
+
+    out_q, out_l, out_n, out_b = [], [], [], []
+    for q in sorted(FACET_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if ids.size == 0:
+            continue
+        sc6 = np.round(sc, 6)
+        langs = cat_langs[np.searchsorted(cat_ids, ids.astype(np.int64))]
+        uniq, inv = np.unique(langs, return_inverse=True)
+        n = np.bincount(inv, minlength=uniq.size)
+        best = np.full(uniq.size, -np.inf)
+        np.maximum.at(best, inv, sc6)
+        out_q.extend([q] * uniq.size)
+        out_l.extend(uniq.tolist())
+        out_n.extend(n.tolist())
+        out_b.extend(best.tolist())
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "lang": pa.array(out_l, type=pa.string()),
+        "n_docs": pa.array(out_n, type=pa.int64()),
+        "best_score": pa.array(out_b, type=pa.float64()),
+    })
+
+
+def facet_counts_sql(queries=FACET_QUERIES, *, k1: float = 1.2,
+                     b: float = 0.75) -> str:
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = list(_BM25_CHAIN)
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),{_score_cte(str(qi), f"q{qi}", k1=k1, b=b)}""")
+        selects.append(f"""
+        SELECT '{_sq(q)}' AS query, d.lang AS lang,
+               count(*) AS n_docs, max(round(s, 6)) AS best_score
+        FROM sc{qi} JOIN documents d USING (doc_id)
+        GROUP BY d.lang""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, lang")
+
+
+# ----------------------------------------------------------- more-like-this
+
+def mlt_topk(sf_dir: str) -> pa.Table:
+    """Top-``MLT_K`` BM25 neighbours of each seed doc via its top-
+    ``MLT_F`` tf-idf terms (seed excluded from the results)."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    out_seed, out_d, out_s, out_r = [], [], [], []
+    for seed in sorted(MLT_SEEDS):
+        tbl, has_text = idx.fetch_doc_meta([seed], with_text=True)
+        assert has_text
+        text = tbl["text"][0].as_py() if tbl.num_rows else ""
+        tf = Counter(analyze_simple(text))
+        doc_terms = sorted(tf)
+        if not doc_terms:
+            continue
+        # at scale: a (term, df) dictionary scan, not posting loads
+        idx._load_terms(doc_terms)
+        score = {t: round(tf[t] * idx._idf(t), 6) for t in doc_terms}
+        sel = sorted(score, key=lambda t: (-score[t], t))[:MLT_F]
+        ids, sc = idx.score_terms(sorted(sel))
+        keep = ids.astype(np.int64) != seed
+        r_ids, r_sc = _ranked(ids[keep], sc[keep])
+        k = min(MLT_K, r_ids.size)
+        out_seed.extend([seed] * k)
+        out_d.extend(r_ids[:k].astype(np.int64).tolist())
+        out_s.extend(r_sc[:k].tolist())
+        out_r.extend(range(1, k + 1))
+    return pa.table({
+        "seed_doc": pa.array(out_seed, type=pa.int64()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })
+
+
+def mlt_topk_sql(seeds=MLT_SEEDS, *, f: int = MLT_F, k: int = MLT_K,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    """Replays the whole MLT rewrite: per-seed term tf → corpus df →
+    6-dp-rounded tf-idf top-``f`` selection (term-asc tie) → BM25 over
+    the selection → top-``k`` with the seed excluded."""
+    parts = list(_BM25_CHAIN)
+    parts.append(""",
+    alldf AS (SELECT term, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY term)""")
+    selects = []
+    for qi, seed in enumerate(sorted(seeds)):
+        parts.append(f""",
+        tfq{qi} AS (SELECT term, count(*) AS tf FROM tok
+                    WHERE doc_id = {seed} GROUP BY term),
+        sel{qi} AS (
+            SELECT term FROM (
+                SELECT t.term, row_number() OVER (ORDER BY
+                    round(t.tf * ln(1 + (stats.n - a.df + 0.5) / (a.df + 0.5)), 6) DESC,
+                    t.term ASC) AS rn
+                FROM tfq{qi} t JOIN alldf a USING (term) CROSS JOIN stats
+            ) WHERE rn <= {f}
+        ),{_score_cte(f"m{qi}", f"sel{qi}", k1=k1, b=b)}""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT CAST({seed} AS BIGINT) AS seed_doc, doc_id,
+                   round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM scm{qi} WHERE doc_id <> {seed}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY seed_doc, rank")
+
+
+# ------------------------------------------------------------ search-after
+
+def search_after(sf_dir: str) -> pa.Table:
+    """Pages 1 and 2 of each query's ranking; page 2 via the cursor
+    strict-successor predicate, not a rank slice."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    out_q, out_p, out_r, out_d, out_s = [], [], [], [], []
+
+    def emit(q, page, rank0, ids, sc):
+        out_q.extend([q] * ids.size)
+        out_p.extend([page] * ids.size)
+        out_r.extend(range(rank0, rank0 + ids.size))
+        out_d.extend(ids.astype(np.int64).tolist())
+        out_s.extend(sc.tolist())
+
+    for q in sorted(SA_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if ids.size == 0:
+            continue
+        sc6 = np.round(sc, 6)
+        r_ids, r_sc = _ranked(ids, sc)
+        emit(q, 1, 1, r_ids[:SA_K], r_sc[:SA_K])
+        if r_ids.size > SA_K:
+            cs = r_sc[SA_K - 1]
+            cd = int(r_ids[SA_K - 1])
+            # the cursor predicate over the UNRANKED match set — at
+            # scale, cs doubles as a block-max skip bound
+            after = (sc6 < cs) | ((sc6 == cs) & (ids.astype(np.int64) > cd))
+            p_ids, p_sc = _ranked(ids[after], sc[after])
+            emit(q, 2, SA_K + 1, p_ids[:SA_K], p_sc[:SA_K])
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "page": pa.array(out_p, type=pa.int64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+    })
+
+
+def search_after_sql(queries=SA_QUERIES, *, k: int = SA_K,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    """Rank-window oracle: rows 1..2k of the full ranking with the page
+    derived from the rank — equality with the engine proves the
+    cursor predicate selects exactly ranks k+1..2k."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = list(_BM25_CHAIN)
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),{_score_cte(str(qi), f"q{qi}", k1=k1, b=b)}""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query,
+                   CASE WHEN rn <= {k} THEN 1 ELSE 2 END AS page,
+                   rn AS rank, doc_id, score
+            FROM (
+                SELECT doc_id, round(s, 6) AS score, row_number() OVER (
+                    ORDER BY round(s, 6) DESC, doc_id ASC) AS rn
+                FROM sc{qi}
+            )
+        ) WHERE rank <= {2 * k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")

@@ -1,0 +1,83 @@
+"""Result-shaping search features (pipelines/searchx.py): oracle
+equivalence on sf0.001 plus the structural invariants — facet counts
+partition the match set, MLT never returns its seed, and the
+search-after cursor reproduces the rank-sliced page exactly."""
+
+import duckdb
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return con
+
+
+def test_searchx_match_oracles(ray_session):
+    from pdfsearch_ray.pipelines import searchx as X
+
+    for fn, sql in ((X.facet_counts, X.facet_counts_sql()),
+                    (X.mlt_topk, X.mlt_topk_sql()),
+                    (X.search_after, X.search_after_sql())):
+        got = fn(SF).to_pandas()
+        want = _con().execute(sql).df()
+        assert len(got) == len(want) > 0, fn.__name__
+        for col in got.columns:
+            a, b = got[col].to_numpy(), want[col].to_numpy()
+            if a.dtype.kind == "f":
+                assert np.allclose(a, b.astype(float), atol=1e-9), (fn.__name__, col)
+            else:
+                assert (a.astype(str) == b.astype(str)).all(), (fn.__name__, col)
+
+
+def test_facets_partition_match_set(ray_session):
+    """Per query, the facet counts sum to the OR match-set size and the
+    per-facet best_score never exceeds the global best."""
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import searchx as X
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    t = X.facet_counts(SF).to_pandas()
+    for q, grp in t.groupby("query"):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        assert grp["n_docs"].sum() == ids.size
+        assert grp["best_score"].max() == np.round(sc, 6).max()
+
+
+def test_mlt_excludes_seed_and_is_ranked(ray_session):
+    from pdfsearch_ray.pipelines import searchx as X
+
+    t = X.mlt_topk(SF).to_pandas()
+    assert (t["seed_doc"] != t["doc_id"]).all()
+    for _, grp in t.groupby("seed_doc"):
+        s = grp.sort_values("rank")
+        assert (np.diff(s["score"].to_numpy()) <= 1e-12).all()
+        assert list(s["rank"]) == list(range(1, len(s) + 1))
+
+
+def test_search_after_cursor_matches_rank_slice(ray_session):
+    """Page 2 from the cursor predicate equals ranks K+1..2K of one
+    global ranking computed independently."""
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import searchx as X
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    t = X.search_after(SF).to_pandas()
+    for q, grp in t.groupby("query"):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        sc6 = np.round(sc, 6)
+        order = np.lexsort((ids.astype(np.int64), -sc6))
+        full_ids = ids[order].astype(np.int64)
+        got = grp.sort_values("rank")
+        n = len(got)
+        assert got["doc_id"].to_numpy().tolist() == full_ids[:n].tolist()
+        p2 = got[got["page"] == 2]
+        if len(p2):
+            assert p2["rank"].min() == X.SA_K + 1
