@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _searchx().facet_counts,
         "mlt_topk": _searchx().mlt_topk,
         "search_after": _searchx().search_after,
+        "filtered_topk": _searchx().filtered_topk,
+        "field_sorted_topk": _searchx().field_sorted_topk,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
         "snapshot_diff": _webops().snapshot_diff,
@@ -524,6 +526,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": _searchx().facet_counts_sql(),
         "mlt_topk": _searchx().mlt_topk_sql(),
         "search_after": _searchx().search_after_sql(),
+        "filtered_topk": _searchx().filtered_topk_sql(),
+        "field_sorted_topk": _searchx().field_sorted_topk_sql(),
         # HITS hubs/authorities: chained LEFT-JOIN rounds over the
         # shared mix64 edge CTEs
         "link_hits": _webops().link_hits_sql(),

@@ -52,8 +52,11 @@ import pyarrow as pa
 
 __all__ = [
     "facet_counts", "mlt_topk", "search_after",
+    "filtered_topk", "field_sorted_topk",
     "facet_counts_sql", "mlt_topk_sql", "search_after_sql",
+    "filtered_topk_sql", "field_sorted_topk_sql",
     "FACET_QUERIES", "MLT_SEEDS", "MLT_F", "MLT_K", "SA_QUERIES", "SA_K",
+    "FILTER_QUERIES", "FILTER_K", "SORT_QUERIES", "SORT_K",
 ]
 
 FACET_QUERIES = ("data processing pipeline", "window merge",
@@ -64,6 +67,11 @@ MLT_K = 10
 SA_QUERIES = ("data processing pipeline", "fast scan merge",
               "information", "big slow vector")
 SA_K = 10
+FILTER_QUERIES = (("data processing pipeline", "en"),
+                  ("window merge", "fr"), ("information", "zh"))
+FILTER_K = 10
+SORT_QUERIES = ("fast scan merge", "customer query")
+SORT_K = 10
 
 _BM25_CHAIN = [
     "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
@@ -103,25 +111,32 @@ def _ranked(ids: np.ndarray, sc: np.ndarray):
     return ids[order], sc6[order]
 
 
+def _doc_field(path: str, col: str, *, id_col: str = "doc_id"):
+    """(sorted doc_ids, aligned field values) from a column-pruned read
+    of a docs parquet dir/file — the lookup side of every field join
+    here (facets, filters, field sort).  At scale this column pair is a
+    broadcast per facet shard, not a driver table."""
+    import pyarrow.dataset as pds
+
+    cat = pds.dataset(path).to_table(columns=[id_col, col])
+    ids = cat[id_col].to_numpy()
+    order = np.argsort(ids)
+    vals = cat[col].to_numpy(zero_copy_only=False)[order]
+    return ids[order], vals
+
+
 # ------------------------------------------------------------------ facets
 
 def facet_counts(sf_dir: str) -> pa.Table:
     """Per (query, lang): match count + best score over the full OR
     candidate set."""
-    import pyarrow.dataset as pds
-
     from ..analysis.analyzer import analyze_simple
     from .expand import simple_index_cached
     from .query import BM25Index
 
     d = simple_index_cached(sf_dir)
     idx = BM25Index(d)
-    cat = pds.dataset(os.path.join(d, "docs")).to_table(
-        columns=["doc_id", "lang"])
-    cat_ids = cat["doc_id"].to_numpy()
-    order = np.argsort(cat_ids)
-    cat_ids = cat_ids[order]
-    cat_langs = np.asarray(cat["lang"].to_pylist(), dtype=object)[order]
+    cat_ids, cat_langs = _doc_field(os.path.join(d, "docs"), "lang")
 
     out_q, out_l, out_n, out_b = [], [], [], []
     for q in sorted(FACET_QUERIES):
@@ -309,5 +324,135 @@ def search_after_sql(queries=SA_QUERIES, *, k: int = SA_K,
                 FROM sc{qi}
             )
         ) WHERE rank <= {2 * k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+# -------------------------------------------------------- filtered search
+
+def filtered_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k restricted by a metadata term filter (bleve's
+    conjunction of a match query with a field term query): per
+    (query, lang) pair, rank only matching docs whose catalog ``lang``
+    equals the filter.  The filter applies to the CANDIDATE set —
+    scores stay the plain OR BM25, so filtering never re-weights.  At
+    scale the filter mask joins the posting stream against the facet
+    column broadcast; here it is one searchsorted over the catalog."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    d = simple_index_cached(sf_dir)
+    idx = BM25Index(d)
+    cat_ids, cat_langs = _doc_field(os.path.join(d, "docs"), "lang")
+    out_q, out_f, out_d, out_s, out_r = [], [], [], [], []
+    for q, flt in sorted(FILTER_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if ids.size == 0:
+            continue
+        langs = cat_langs[np.searchsorted(cat_ids, ids.astype(np.int64))]
+        keep = langs == flt
+        r_ids, r_sc = _ranked(ids[keep], sc[keep])
+        k = min(FILTER_K, r_ids.size)
+        out_q.extend([q] * k)
+        out_f.extend([flt] * k)
+        out_d.extend(r_ids[:k].astype(np.int64).tolist())
+        out_s.extend(r_sc[:k].tolist())
+        out_r.extend(range(1, k + 1))
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "lang": pa.array(out_f, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })
+
+
+def filtered_topk_sql(queries=FILTER_QUERIES, *, k: int = FILTER_K,
+                      k1: float = 1.2, b: float = 0.75) -> str:
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = list(_BM25_CHAIN)
+    selects = []
+    for qi, (q, flt) in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),{_score_cte(str(qi), f"q{qi}", k1=k1, b=b)}""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, '{_sq(flt)}' AS lang, doc_id,
+                   round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi} JOIN documents d USING (doc_id)
+            WHERE d.lang = '{_sq(flt)}'
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+# ------------------------------------------------------------- field sort
+
+def field_sorted_topk(sf_dir: str) -> pa.Table:
+    """Match-then-sort-by-stored-field (bleve SearchRequest.SortBy):
+    the OR match set ordered by a document attribute that lives in the
+    SOURCE store, not the index — ``n_chars`` desc, doc_id asc — with
+    the BM25 score carried along as an output column only.  The sort
+    key join is a pruned (doc_id, n_chars) read of the source parquet;
+    at scale a per-shard top-k over the match stream precedes one tiny
+    k*shards merge (no global sort)."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    cat_ids, cat_nc = _doc_field(
+        os.path.join(sf_dir, "documents.parquet"), "n_chars")
+    out_q, out_d, out_n, out_s, out_r = [], [], [], [], []
+    for q in sorted(SORT_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if ids.size == 0:
+            continue
+        sc6 = np.round(sc, 6)
+        nc = cat_nc[np.searchsorted(cat_ids, ids.astype(np.int64))]
+        order = np.lexsort((ids.astype(np.int64), -nc.astype(np.int64)))
+        k = min(SORT_K, order.size)
+        sel = order[:k]
+        out_q.extend([q] * k)
+        out_d.extend(ids[sel].astype(np.int64).tolist())
+        out_n.extend(nc[sel].astype(np.int64).tolist())
+        out_s.extend(sc6[sel].tolist())
+        out_r.extend(range(1, k + 1))
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "n_chars": pa.array(out_n, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })
+
+
+def field_sorted_topk_sql(queries=SORT_QUERIES, *, k: int = SORT_K,
+                          k1: float = 1.2, b: float = 0.75) -> str:
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = list(_BM25_CHAIN)
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),{_score_cte(str(qi), f"q{qi}", k1=k1, b=b)}""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, d.n_chars AS n_chars,
+                   round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY d.n_chars DESC, doc_id ASC) AS rank
+            FROM sc{qi} JOIN documents d USING (doc_id)
+        ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")

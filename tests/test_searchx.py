@@ -21,7 +21,9 @@ def test_searchx_match_oracles(ray_session):
 
     for fn, sql in ((X.facet_counts, X.facet_counts_sql()),
                     (X.mlt_topk, X.mlt_topk_sql()),
-                    (X.search_after, X.search_after_sql())):
+                    (X.search_after, X.search_after_sql()),
+                    (X.filtered_topk, X.filtered_topk_sql()),
+                    (X.field_sorted_topk, X.field_sorted_topk_sql())):
         got = fn(SF).to_pandas()
         want = _con().execute(sql).df()
         assert len(got) == len(want) > 0, fn.__name__
@@ -58,6 +60,45 @@ def test_mlt_excludes_seed_and_is_ranked(ray_session):
         s = grp.sort_values("rank")
         assert (np.diff(s["score"].to_numpy()) <= 1e-12).all()
         assert list(s["rank"]) == list(range(1, len(s) + 1))
+
+
+def test_filtered_is_score_preserving_subset(ray_session):
+    """Every filtered hit has the filter's lang (checked against the
+    raw docs) and carries the SAME score it has in the unfiltered
+    ranking — filtering restricts candidates, never re-weights."""
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import searchx as X
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    langs = dict(zip(*[pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang"])[c].to_pylist()
+        for c in ("doc_id", "lang")]))
+    idx = BM25Index(simple_index_cached(SF))
+    t = X.filtered_topk(SF).to_pandas()
+    assert len(t) > 0
+    flt_of = dict(X.FILTER_QUERIES)
+    for (q, f), grp in t.groupby(["query", "lang"]):
+        assert flt_of[q] == f
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        full = dict(zip(ids.astype(np.int64).tolist(),
+                        np.round(sc, 6).tolist()))
+        for d, s in zip(grp["doc_id"], grp["score"]):
+            assert langs[d] == f
+            assert full[d] == s
+
+
+def test_field_sort_orders_by_n_chars(ray_session):
+    from pdfsearch_ray.pipelines import searchx as X
+
+    t = X.field_sorted_topk(SF).to_pandas()
+    assert len(t) > 0
+    for _, grp in t.groupby("query"):
+        s = grp.sort_values("rank")
+        nc = s["n_chars"].to_numpy()
+        assert (np.diff(nc) <= 0).all()
 
 
 def test_search_after_cursor_matches_rank_slice(ray_session):
