@@ -165,6 +165,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # comparable with earlier rounds' totals
     extra: dict[str, float] = {}
     from pdfsearch_ray.pipelines import boolquery as _boolquery
+    from pdfsearch_ray.pipelines import ireval as _ireval
+    from pdfsearch_ray.pipelines import searchx as _searchx
     from pdfsearch_ray.pipelines import expand as _expand
     from pdfsearch_ray.pipelines import queries as _queries
     from pdfsearch_ray.pipelines import relational as rel
@@ -249,6 +251,15 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("near_match_counts", _boolquery.near_match_counts),
         ("shard_layout", qmod.shard_layout),
         ("link_hits", webops.link_hits),
+        # session-8 additions: IR eval + result-shaping features (all
+        # share the fingerprint-cached simple index with the expand
+        # gates, so their marginal cost is dictionary/posting reads)
+        ("ir_eval", _ireval.ir_eval),
+        ("facet_counts", _searchx.facet_counts),
+        ("mlt_topk", _searchx.mlt_topk),
+        ("search_after", _searchx.search_after),
+        ("filtered_topk", _searchx.filtered_topk),
+        ("field_sorted_topk", _searchx.field_sorted_topk),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,
