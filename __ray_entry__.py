@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": _searchx().search_after,
         "filtered_topk": _searchx().filtered_topk,
         "field_sorted_topk": _searchx().field_sorted_topk,
+        "spell_suggest": _searchx().spell_suggest,
+        "related_terms": _searchx().related_terms,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
         "snapshot_diff": _webops().snapshot_diff,
@@ -528,6 +530,10 @@ def oracle_sql() -> dict[str, str]:
         "search_after": _searchx().search_after_sql(),
         "filtered_topk": _searchx().filtered_topk_sql(),
         "field_sorted_topk": _searchx().field_sorted_topk_sql(),
+        # did-you-mean (DuckDB's levenshtein checks the banded distance
+        # kernel) and PMI related-terms (co-document counts vs df)
+        "spell_suggest": _searchx().spell_suggest_sql(),
+        "related_terms": _searchx().related_terms_sql(),
         # HITS hubs/authorities: chained LEFT-JOIN rounds over the
         # shared mix64 edge CTEs
         "link_hits": _webops().link_hits_sql(),

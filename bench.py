@@ -260,6 +260,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("search_after", _searchx.search_after),
         ("filtered_topk", _searchx.filtered_topk),
         ("field_sorted_topk", _searchx.field_sorted_topk),
+        ("spell_suggest", _searchx.spell_suggest),
+        ("related_terms", _searchx.related_terms),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -55,8 +55,11 @@ __all__ = [
     "filtered_topk", "field_sorted_topk",
     "facet_counts_sql", "mlt_topk_sql", "search_after_sql",
     "filtered_topk_sql", "field_sorted_topk_sql",
+    "spell_suggest", "spell_suggest_sql", "related_terms",
+    "related_terms_sql",
     "FACET_QUERIES", "MLT_SEEDS", "MLT_F", "MLT_K", "SA_QUERIES", "SA_K",
     "FILTER_QUERIES", "FILTER_K", "SORT_QUERIES", "SORT_K",
+    "SPELL_INPUTS", "PMI_TARGETS", "PMI_MIN_CO", "PMI_M",
 ]
 
 FACET_QUERIES = ("data processing pipeline", "window merge",
@@ -456,3 +459,254 @@ def field_sorted_topk_sql(queries=SORT_QUERIES, *, k: int = SORT_K,
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")
+
+
+# --------------------------------------------------------- spell suggest
+
+SPELL_INPUTS = ("tble", "scann", "mergee", "fast", "winow", "zzzq")
+
+
+def spell_suggest(sf_dir: str) -> pa.Table:
+    """Did-you-mean: for each input word, the best dictionary term
+    within Levenshtein distance 1, ranked distance asc (an exact hit
+    beats any neighbour), then df desc, then term asc.  One distributed
+    scan of the postings dictionary (term, n) — candidates are masked
+    per batch with the vectorized distance kernel (expand.fuzzy1_mask)
+    and the driver receives only matched terms' df partials, never the
+    vocabulary.  Inputs with no candidate emit no row."""
+    from ..functions.tables import read_parquet_nometa
+    from .expand import fuzzy1_mask, simple_index_cached
+
+    d = simple_index_cached(sf_dir)
+    pdir = os.path.join(d, "postings")
+    files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                   if f.endswith(".parquet"))
+    inputs = sorted(SPELL_INPUTS)
+
+    def match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # mask the batch VOCABULARY first (pc.unique is the cheap C++
+        # path); df partials are then summed over only the matched
+        # terms' rows — the full (term, n) column is never factorized
+        u = pc.unique(t["term"])
+        arr = u.to_numpy(zero_copy_only=False).astype(str)
+        masks = [(qi, fuzzy1_mask(arr, w)) for qi, w in enumerate(inputs)]
+        matched = set()
+        for _, m in masks:
+            if m.any():
+                matched.update(arr[m].tolist())
+        out_qi: list[int] = []
+        out_t: list[str] = []
+        out_df: list[int] = []
+        if matched:
+            sub = t.filter(pc.is_in(t["term"],
+                                    value_set=pa.array(sorted(matched))))
+            g = pa.TableGroupBy(sub, "term").aggregate([("n", "sum")])
+            sums = dict(zip(g["term"].to_pylist(), g["n_sum"].to_pylist()))
+            for qi, m in masks:
+                for term in arr[m].tolist():
+                    out_qi.append(qi)
+                    out_t.append(term)
+                    out_df.append(int(sums[term]))
+        return pa.table({
+            "qi": pa.array(out_qi, type=pa.int64()),
+            "term": pa.array(out_t, type=pa.string()),
+            "df_part": pa.array(out_df, type=pa.int64()),
+        })
+
+    cand = read_parquet_nometa(
+        files, columns=["term", "n"],
+    ).map_batches(match, batch_format="pyarrow").to_pandas()
+    out_w, out_s, out_d = [], [], []
+    if len(cand):
+        agg = cand.groupby(["qi", "term"], as_index=False)["df_part"].sum()
+        for qi, w in enumerate(inputs):
+            g = agg[agg["qi"] == qi]
+            if g.empty:
+                continue
+            g = g.assign(dist=(g["term"] != w).astype(int))
+            g = g.sort_values(["dist", "df_part", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            r = g.iloc[0]
+            out_w.append(w)
+            out_s.append(r["term"])
+            out_d.append(int(r["df_part"]))
+    return pa.table({
+        "input": pa.array(out_w, type=pa.string()),
+        "suggestion": pa.array(out_s, type=pa.string()),
+        "df": pa.array(out_d, type=pa.int64()),
+    })
+
+
+def spell_suggest_sql(inputs=SPELL_INPUTS) -> str:
+    """Oracle recomputes the dictionary + df from raw text and applies
+    DuckDB's own ``levenshtein`` — the engine's banded prefix/suffix
+    distance kernel is checked against the real metric."""
+    from .oracles import _sq
+
+    parts = list(_BM25_CHAIN)
+    parts.append(""",
+    pres AS (SELECT DISTINCT doc_id, term FROM tok),
+    dfs AS (SELECT term, count(*) AS df FROM pres GROUP BY term)""")
+    selects = []
+    for w in sorted(inputs):
+        selects.append(f"""
+        SELECT input, suggestion, df FROM (
+            SELECT '{_sq(w)}' AS input, term AS suggestion, df,
+                   row_number() OVER (ORDER BY
+                       levenshtein(term, '{_sq(w)}') ASC,
+                       df DESC, term ASC) AS rn
+            FROM dfs WHERE levenshtein(term, '{_sq(w)}') <= 1
+        ) WHERE rn = 1""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY input")
+
+
+# ---------------------------------------------------------- related terms
+
+PMI_TARGETS = ("data", "merge", "customer")
+PMI_MIN_CO = 5
+PMI_M = 15
+
+
+def related_terms(sf_dir: str) -> pa.Table:
+    """Related searches: top-``PMI_M`` terms by document-level pointwise
+    mutual information with each target term — ``pmi = ln(co·N /
+    (df_t·df_y))`` over co-document counts, co >= ``PMI_MIN_CO``.
+
+    Shape: the target doc-id sets come from the index postings (O(df)
+    reads); ONE map_batches pass over the docs table emits per-batch
+    (term, co_target...) partials ONLY for docs inside the targets'
+    union (searchsorted mask — non-member rows cost one binary search),
+    combined by a single-key groupby; global df reuses the shared
+    term-stats pass (queries._term_stats).  The driver holds the
+    co-candidate table — O(terms co-occurring with the targets), not
+    the vocabulary.  At 10^12 docs the union membership ships via
+    ray.put and df comes from the dictionary, not a corpus pass."""
+    from .expand import simple_index_cached
+    from .queries import _docs, _term_stats
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    targets = sorted(PMI_TARGETS)
+    tgt_ids = {}
+    for t in targets:
+        ids, _ = idx.score_terms([t])
+        tgt_ids[t] = np.sort(ids.astype(np.int64))
+    n_total = int(idx.manifest.n_docs)
+    union = tgt_ids[targets[0]]
+    for t in targets[1:]:
+        union = np.union1d(union, tgt_ids[t])
+    k = len(targets)
+    co_cols = [f"co_{i}" for i in range(k)]
+
+    def co_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..analysis.analyzer import analyze_simple
+
+        ids_np = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(union, ids_np)
+        pos[pos >= union.size] = union.size - 1 if union.size else 0
+        member = union.size > 0
+        in_union = (union[pos] == ids_np) if member else np.zeros(len(ids_np), bool)
+        if not in_union.any():
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             **{c: pa.array([], type=pa.int64())
+                                for c in co_cols}})
+        texts = batch["text"].to_pylist()
+        doc_rows, raw = [], []
+        for i in np.nonzero(in_union)[0]:
+            toks = analyze_simple(texts[i] or "")
+            raw.extend(toks)
+            doc_rows.extend([i] * len(toks))
+        if not raw:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             **{c: pa.array([], type=pa.int64())
+                                for c in co_cols}})
+        codes, uniq = pd.factorize(np.asarray(raw, dtype=object), sort=False)
+        v = len(uniq)
+        pairs = np.unique(np.asarray(doc_rows, dtype=np.int64) * v + codes)
+        p_doc = ids_np[pairs // v]
+        p_code = pairs % v
+        cols = {}
+        for ti, t in enumerate(targets):
+            hit = np.isin(p_doc, tgt_ids[t], assume_unique=False)
+            cols[co_cols[ti]] = np.bincount(
+                p_code[hit], minlength=v).astype(np.int64)
+        keep = np.zeros(v, dtype=bool)
+        for c in co_cols:
+            keep |= cols[c] > 0
+        return pa.table({
+            "term": pa.array(np.asarray(uniq, dtype=object)[keep].tolist(),
+                             type=pa.string()),
+            **{c: pa.array(cols[c][keep], type=pa.int64()) for c in co_cols},
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (_docs(sf_dir)
+           .map_batches(co_partial, batch_format="pyarrow", batch_size=512)
+           .groupby("term")
+           .aggregate(*[Sum(c, alias_name=c) for c in co_cols])
+           .to_pandas())
+    stats = _term_stats(sf_dir).select(["term", "df"]).to_pandas()
+    merged = agg.merge(stats, on="term", how="left")
+    out_t, out_term, out_co, out_pmi, out_r = [], [], [], [], []
+    for ti, t in enumerate(targets):
+        dfx = len(tgt_ids[t])
+        g = merged[(merged[co_cols[ti]] >= PMI_MIN_CO)
+                   & (merged["term"] != t)]
+        if g.empty or dfx == 0:
+            continue
+        co = g[co_cols[ti]].to_numpy(dtype=np.float64)
+        dfy = g["df"].to_numpy(dtype=np.float64)
+        pmi = np.round(np.log((co * n_total) / (dfx * dfy)), 6)
+        terms = g["term"].to_numpy()
+        order = np.lexsort((terms, -pmi))[:PMI_M]
+        m = order.size
+        out_t.extend([t] * m)
+        out_term.extend(terms[order].tolist())
+        out_co.extend(co[order].astype(np.int64).tolist())
+        out_pmi.extend(pmi[order].tolist())
+        out_r.extend(range(1, m + 1))
+    return pa.table({
+        "target": pa.array(out_t, type=pa.string()),
+        "term": pa.array(out_term, type=pa.string()),
+        "co": pa.array(out_co, type=pa.int64()),
+        "pmi": pa.array(out_pmi, type=pa.float64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })
+
+
+def related_terms_sql(targets=PMI_TARGETS, *, min_co: int = PMI_MIN_CO,
+                      m: int = PMI_M) -> str:
+    from .oracles import _sq
+
+    parts = list(_BM25_CHAIN)
+    parts.append(""",
+    pres AS (SELECT DISTINCT doc_id, term FROM tok),
+    dfs AS (SELECT term, count(*) AS df FROM pres GROUP BY term)""")
+    selects = []
+    for qi, t in enumerate(sorted(targets)):
+        parts.append(f""",
+        co{qi} AS (
+            SELECT p2.term AS term, count(*) AS co
+            FROM pres p1 JOIN pres p2 USING (doc_id)
+            WHERE p1.term = '{_sq(t)}' AND p2.term <> '{_sq(t)}'
+            GROUP BY p2.term
+        )""")
+        pmi = (f"round(ln((c.co * 1.0 * (SELECT n FROM stats)) / "
+               f"((SELECT df FROM dfs WHERE term = '{_sq(t)}') * d.df)), 6)")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(t)}' AS target, c.term, c.co, {pmi} AS pmi,
+                   row_number() OVER (
+                       ORDER BY {pmi} DESC, c.term ASC) AS rank
+            FROM co{qi} c JOIN dfs d USING (term)
+            WHERE c.co >= {min_co}
+        ) WHERE rank <= {m}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY target, rank")

@@ -122,3 +122,54 @@ def test_search_after_cursor_matches_rank_slice(ray_session):
         p2 = got[got["page"] == 2]
         if len(p2):
             assert p2["rank"].min() == X.SA_K + 1
+
+
+def test_spell_and_pmi_match_oracles(ray_session):
+    from pdfsearch_ray.pipelines import searchx as X
+
+    for fn, sql in ((X.spell_suggest, X.spell_suggest_sql()),
+                    (X.related_terms, X.related_terms_sql())):
+        got = fn(SF).to_pandas()
+        want = _con().execute(sql).df()
+        assert len(got) == len(want) > 0, fn.__name__
+        for col in got.columns:
+            a, b = got[col].to_numpy(), want[col].to_numpy()
+            if a.dtype.kind == "f":
+                assert np.allclose(a, b.astype(float), atol=1e-9), col
+            else:
+                assert (a.astype(str) == b.astype(str)).all(), (fn.__name__, col)
+
+
+def test_spell_exact_hit_wins_and_oov_drops(ray_session):
+    """An in-dictionary input suggests itself (distance 0 beats any df);
+    an input with no distance<=1 neighbour emits no row."""
+    from pdfsearch_ray.pipelines import searchx as X
+
+    t = X.spell_suggest(SF).to_pandas().set_index("input")
+    assert t.loc["fast", "suggestion"] == "fast"
+    assert "zzzq" not in t.index
+    assert (t["df"] > 0).all()
+
+
+def test_pmi_counts_are_bounded_and_recomputable(ray_session):
+    """co <= min(df_target, df_term); pmi recomputes from (co, dfs, N)."""
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import searchx as X
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    term_sets = {d: set(analyze_simple(t or "")) for d, t in
+                 zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+    n = sum(1 for s in term_sets.values() if s)
+    t = X.related_terms(SF).to_pandas()
+    assert len(t) > 0
+    for row in t.itertuples():
+        dfx = sum(1 for s in term_sets.values() if row.target in s)
+        dfy = sum(1 for s in term_sets.values() if row.term in s)
+        co = sum(1 for s in term_sets.values()
+                 if row.target in s and row.term in s)
+        assert co == row.co >= X.PMI_MIN_CO
+        assert co <= min(dfx, dfy)
+        assert abs(row.pmi - round(np.log((co * n) / (dfx * dfy)), 6)) < 1e-9
