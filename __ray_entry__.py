@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_signals": _quality_signals,
         "compound_split_topk": _expand().compound_split_topk,
         "bm25_and_topk": _boolquery().bm25_and_topk,
+        "bm25_not_topk": _boolquery().bm25_not_topk,
         "phrase_match_counts": _boolquery().phrase_match_counts,
         "near_match_counts": _boolquery().near_match_counts,
         "ir_eval": _ireval().ir_eval,
@@ -517,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         # restates AND as HAVING-all-terms and re-derives token
         # ordinality from raw text
         "bm25_and_topk": _boolquery().bm25_and_sql(),
+        "bm25_not_topk": _boolquery().bm25_not_sql(),
         "phrase_match_counts": _boolquery().phrase_match_sql(),
         "near_match_counts": _boolquery().near_match_sql(),
         # IR evaluation harness: conjunctive pseudo-qrels against the

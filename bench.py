@@ -247,6 +247,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("snapshot_diff", webops.snapshot_diff),
         ("unimax_mix", qmod.unimax_mix),
         ("bm25_and_topk", _boolquery.bm25_and_topk),
+        ("bm25_not_topk", _boolquery.bm25_not_topk),
         ("phrase_match_counts", _boolquery.phrase_match_counts),
         ("near_match_counts", _boolquery.near_match_counts),
         ("shard_layout", qmod.shard_layout),

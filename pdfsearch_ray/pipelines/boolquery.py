@@ -373,3 +373,106 @@ def near_match_sql(queries=NEAR_QUERIES, *, w: int = NEAR_W) -> str:
         " AS i FROM arrs)"
         + " UNION ALL ".join(selects) + " ORDER BY query"
     )
+
+
+# --------------------------------------------------------------- NOT gate
+
+# (positive query, excluded term): the -term / MUST_NOT operator of
+# every boolean search API (bleve: NewBooleanQuery MustNot clauses).
+NOT_QUERIES = (("data processing pipeline", "merge"),
+               ("fast scan", "table"),
+               ("customer query", "information"))
+NOT_K = 10
+
+
+def bm25_not_topk(sf_dir: str) -> pa.Table:
+    """OR-of-terms BM25 with a MUST_NOT term: candidates containing the
+    excluded term are dropped from the ranking; surviving scores are
+    the untouched disjunctive BM25 sum (exclusion restricts, never
+    re-weights — same law as the filter gate).  The exclusion set
+    comes from the index postings (O(df) reads) and is applied as one
+    sorted-array membership test; at scale it is a per-shard mask over
+    the posting match stream, never a shuffle."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    out_q, out_n, out_d, out_s = [], [], [], []
+    for q, neg in sorted(NOT_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if not ids.size:
+            continue
+        neg_terms = sorted(set(analyze_simple(neg)))
+        neg_ids, _ = idx.score_terms(neg_terms)
+        keep = ~np.isin(ids, neg_ids, assume_unique=True)
+        ids, sc = ids[keep], np.round(sc[keep], 6)
+        order = np.lexsort((ids.astype(np.int64), -sc))[:NOT_K]
+        out_q.extend([q] * order.size)
+        out_n.extend([neg] * order.size)
+        out_d.extend(ids[order].astype(np.int64).tolist())
+        out_s.extend(sc[order].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "not_term": pa.array(out_n, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def bm25_not_sql(queries=NOT_QUERIES, *, k: int = NOT_K,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    """Shared BM25 chain; exclusion restated as ``doc_id NOT IN
+    (SELECT doc_id FROM tok WHERE term IN neg-terms)``."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        "tok AS (SELECT * FROM toks WHERE term <> ''),",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, (q, neg) in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        neg_terms = sorted(set(analyze_simple(neg)))
+        neg_in = ", ".join(f"'{_sq(t)}'" for t in neg_terms) or "''"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),
+        tfs{qi} AS (
+            SELECT t.doc_id, t.term, count(*) AS tf
+            FROM tok t JOIN q{qi} USING (term) GROUP BY t.doc_id, t.term
+        ),
+        dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+        sc{qi} AS (
+            SELECT tfs{qi}.doc_id,
+                   sum(ln(1 + (stats.n - dfs{qi}.df + 0.5) / (dfs{qi}.df + 0.5))
+                       * tfs{qi}.tf / (tfs{qi}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                   ) AS s
+            FROM tfs{qi}
+            CROSS JOIN stats
+            JOIN dfs{qi} ON tfs{qi}.term = dfs{qi}.term
+            JOIN dl ON tfs{qi}.doc_id = dl.doc_id
+            GROUP BY tfs{qi}.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, '{_sq(neg)}' AS not_term, doc_id,
+                   round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+            WHERE doc_id NOT IN (
+                SELECT doc_id FROM tok WHERE term IN ({neg_in}))
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")

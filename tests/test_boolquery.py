@@ -139,3 +139,38 @@ def test_near_window_semantics(ray_session, tmp_path):
     assert (nd, npair) == (2, 2)  # docs 0 and 2; doc 1 is out of window
     nd4, _ = B.near_counts_from_index(idx, "fast", "merge", w=4)
     assert nd4 == 3
+
+
+def test_not_matches_oracle_and_excludes(ray_session):
+    """Oracle equivalence plus the semantic core: no result doc
+    contains any excluded term, and every result keeps its unfiltered
+    OR score."""
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import boolquery as B
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    got = B.bm25_not_topk(SF).to_pandas()
+    want = _con().execute(B.bm25_not_sql()).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        a, b = got[col].to_numpy(), want[col].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), atol=1e-9), col
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), col
+
+    texts = dict(zip(*[pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"])[c].to_pylist()
+        for c in ("doc_id", "text")]))
+    idx = BM25Index(simple_index_cached(SF))
+    for (q, neg), grp in got.groupby(["query", "not_term"]):
+        neg_set = set(analyze_simple(neg))
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        full = dict(zip(ids.astype(np.int64).tolist(),
+                        np.round(sc, 6).tolist()))
+        for d, s in zip(grp["doc_id"], grp["score"]):
+            assert not neg_set & set(analyze_simple(texts[d]))
+            assert full[d] == s
