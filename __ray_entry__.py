@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_terms": _searchx().related_terms,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
+        "cdc_chunk_stats": _webops().cdc_chunk_stats,
         "snapshot_diff": _webops().snapshot_diff,
         "unimax_mix": q.unimax_mix,
         "shard_layout": q.shard_layout,
@@ -542,6 +543,10 @@ def oracle_sql() -> dict[str, str]:
         # web-corpus curation ops (round 5): DuckDB recomputes the
         # deterministic synth AND the string transforms independently
         "url_dedup": _webops().url_dedup_sql(),
+        # content-defined chunking: identical md5_number_lower boundary
+        # rule; chunk identity = joined chunk string (engine polynomial
+        # key is collision-equivalent)
+        "cdc_chunk_stats": _webops().cdc_chunk_stats_sql(),
         # cross-snapshot crawl diff: DuckDB replays the three mix64
         # membership/revision chains and both rollups
         "snapshot_diff": _webops().snapshot_diff_sql(),

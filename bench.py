@@ -263,6 +263,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("field_sorted_topk", _searchx.field_sorted_topk),
         ("spell_suggest", _searchx.spell_suggest),
         ("related_terms", _searchx.related_terms),
+        ("cdc_chunk_stats", webops.cdc_chunk_stats),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -2431,3 +2431,161 @@ def link_hits_sql() -> str:
         FROM {prev_h} h JOIN {last_a} a USING (doc_id)
         ORDER BY h.doc_id
     """
+
+
+# ------------------------------------------------- content-defined chunking
+
+# Expected chunk length in words: a word ENDS its chunk when its
+# md5-low64 is ≡ 0 (mod CDC_D) — the gear/Rabin anchor-word rule with
+# window 1, the content-defined boundary that keeps chunk identity
+# stable under insertions (a fixed-stride splitter re-keys every chunk
+# after an edit; CDC re-keys only the edited chunk).
+CDC_D = 16
+
+
+def cdc_chunk_stats(sf_dir: str) -> pa.Table:
+    """Per-lang CDC dedup stats: chunk count, DISTINCT chunk count and
+    total words after content-defined chunking of every document — the
+    storage/training dedup measurement (how much of the corpus is
+    repeated chunk content).
+
+    Shape: ONE map_batches pass tokenizes (per-doc regex — the
+    tokenizer hot-loop convention), hashes the batch VOCABULARY once
+    (md5-low64), derives boundary flags and per-doc chunk ids from one
+    global cumsum, and keys each chunk with a positional polynomial
+    over its word hashes (``Σ h_j · BASE^j`` wrapping uint64) via one
+    ``add.reduceat`` — collision-equivalent to hashing the joined
+    chunk string, which the string-based oracle recomputes as the
+    authority.  Per-batch partials combine (key → count, words); ONE
+    narrow single-key groupby sums them; a post-aggregate map reduces
+    to per-lang (distinct, instances, words) partials so the driver
+    holds O(langs · blocks), never the chunk table."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    base = np.uint64(0x9E3779B97F4A7C15)
+    empty = pa.table({"k": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "w": pa.array([], type=pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..analysis.analyzer import analyze_simple
+
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        raw: list[str] = []
+        counts = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            toks = analyze_simple(t or "")
+            raw.extend(toks)
+            counts[i] = len(toks)
+        n = len(raw)
+        if n == 0:
+            return empty
+        codes, uniq = pd.factorize(np.asarray(raw, dtype=object),
+                                   sort=False)
+        del raw
+        wh = _md5_low64(list(uniq))[codes]
+        isb = (wh % np.uint64(CDC_D) == 0).astype(np.int64)
+        # boundaries strictly BEFORE each position, reset per doc
+        cs = np.concatenate([np.zeros(1, np.int64),
+                             np.cumsum(isb, dtype=np.int64)[:-1]])
+        offs = np.concatenate([np.zeros(1, np.int64),
+                               np.cumsum(counts, dtype=np.int64)])
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        cs_ext = np.append(cs, 0)
+        chunk = cs - cs_ext[offs[:-1]][doc_of]
+        start = np.ones(n, dtype=bool)
+        start[1:] = (doc_of[1:] != doc_of[:-1]) | (chunk[1:] != chunk[:-1])
+        starts_idx = np.nonzero(start)[0]
+        nw = np.diff(np.append(starts_idx, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts_idx, nw)
+        maxlen = int(pos.max()) + 1
+        pows = np.ones(maxlen, dtype=np.uint64)
+        if maxlen > 1:
+            pows[1:] = base
+            np.multiply.accumulate(pows, out=pows)
+        keys = np.add.reduceat(wh * pows[pos], starts_idx)
+        chunk_lang = [langs[d] for d in doc_of[starts_idx].tolist()]
+        kstr = [f"{l}|{k:016x}" for l, k in zip(chunk_lang, keys.tolist())]
+        g = (pd.DataFrame({"k": kstr, "w": nw})
+             .groupby("k", as_index=False)
+             .agg(n=("w", "size"), w=("w", "sum")))
+        return pa.table({"k": pa.array(g["k"], type=pa.string()),
+                         "n": pa.array(g["n"].astype("int64"),
+                                       type=pa.int64()),
+                         "w": pa.array(g["w"].astype("int64"),
+                                       type=pa.int64())})
+
+    def per_lang(batch: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        langs = [k.split("|", 1)[0] for k in batch["k"].to_pylist()]
+        df = pd.DataFrame({"lang": langs,
+                           "inst": batch["n"].to_numpy(),
+                           "words": batch["w"].to_numpy()})
+        g = (df.groupby("lang", as_index=False)
+             .agg(keys=("lang", "size"), inst=("inst", "sum"),
+                  words=("words", "sum")))
+        return pa.table({
+            "lang": pa.array(g["lang"], type=pa.string()),
+            "keys": pa.array(g["keys"].astype("int64"), type=pa.int64()),
+            "inst": pa.array(g["inst"].astype("int64"), type=pa.int64()),
+            "words": pa.array(g["words"].astype("int64"), type=pa.int64()),
+        })
+
+    parts = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=512)
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"), Sum("w", alias_name="w"))
+        .map_batches(per_lang, batch_format="pyarrow")
+        .to_pandas())
+    g = (parts.groupby("lang", as_index=False)
+         .agg(distinct_chunks=("keys", "sum"), n_chunks=("inst", "sum"),
+              total_words=("words", "sum"))
+         .sort_values("lang"))
+    return pa.table({
+        "lang": pa.array(g["lang"], type=pa.string()),
+        "n_chunks": pa.array(g["n_chunks"].astype("int64"),
+                             type=pa.int64()),
+        "distinct_chunks": pa.array(g["distinct_chunks"].astype("int64"),
+                                    type=pa.int64()),
+        "total_words": pa.array(g["total_words"].astype("int64"),
+                                type=pa.int64()),
+    })
+
+
+def cdc_chunk_stats_sql(*, d: int = CDC_D) -> str:
+    """Oracle rebuilds the chunking from raw text: DuckDB's own
+    ``md5_number_lower`` gives the identical boundary rule, a window
+    cumsum the chunk ids, and chunk identity is the JOINED CHUNK
+    STRING — the string authority the engine's polynomial key is
+    collision-equivalent to."""
+    return f"""
+    WITH arrs AS (
+        SELECT doc_id, lang, list_filter(regexp_split_to_array(
+            lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+        FROM documents),
+    pos AS (
+        SELECT doc_id, lang, arr[i] AS term, i
+        FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)),
+    cid AS (
+        SELECT doc_id, lang, term, i,
+               coalesce(sum(CASE WHEN md5_number_lower(term) % {d} = 0
+                                 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk
+        FROM pos),
+    chunks AS (
+        SELECT doc_id, lang, chunk,
+               string_agg(term, ' ' ORDER BY i) AS ctext,
+               count(*) AS nw
+        FROM cid GROUP BY doc_id, lang, chunk)
+    SELECT lang, count(*) AS n_chunks,
+           count(DISTINCT ctext) AS distinct_chunks,
+           CAST(sum(nw) AS BIGINT) AS total_words
+    FROM chunks GROUP BY lang ORDER BY lang"""

@@ -523,3 +523,60 @@ def test_line_hash_arrays_vs_scalar_reference():
     # shared first line of texts[0] and texts[1] must collide on key
     assert line_h[0] == line_h[line_doc.index(1) if isinstance(
         line_doc, list) else int(np.flatnonzero(line_doc == 1)[0])]
+
+
+def test_cdc_chunk_stats_planted_and_oracle(ray_session, tmp_path):
+    """Planted corpus: a repeated paragraph dedups (distinct < chunks),
+    the oracle agrees exactly, and the content-defined property holds —
+    a word inserted at the front re-keys only the first chunk(s), so
+    most chunks of the edited doc stay in the distinct set."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines import webops as W
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(50)]
+    para = " ".join(rng.choice(words, size=120).tolist())
+    other = " ".join(rng.choice(words, size=200).tolist())
+    edited = "zzz " + para
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([para, para, other, edited], type=pa.string()),
+        "lang": pa.array(["en", "en", "en", "en"], type=pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    got = W.cdc_chunk_stats(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    want = con.execute(W.cdc_chunk_stats_sql()).df()
+    assert got.values.tolist() == \
+        want[got.columns].astype(got.dtypes).values.tolist()
+    row = got.iloc[0]
+    # doc1 duplicates doc0's chunks entirely; doc3 shares all but the
+    # first chunk of doc0 (the inserted word only re-keys up to the
+    # first boundary) -> heavy dedup
+    assert row["distinct_chunks"] < row["n_chunks"]
+    assert row["total_words"] == 120 + 120 + 200 + 121
+    # edit-stability: per-doc chunk key sets via the oracle's string
+    # identity — doc3 must share all doc0 chunks except its first
+    per_doc = con.execute("""
+        WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(
+                 lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+             FROM documents),
+        pos AS (SELECT doc_id, arr[i] AS term, i
+                FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)),
+        cid AS (SELECT doc_id, term, i,
+                coalesce(sum(CASE WHEN md5_number_lower(term) % 16 = 0
+                             THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS chunk FROM pos)
+        SELECT doc_id, chunk, string_agg(term, ' ' ORDER BY i) AS ctext
+        FROM cid GROUP BY doc_id, chunk ORDER BY doc_id, chunk""").df()
+    c0 = set(per_doc[per_doc.doc_id == 0]["ctext"])
+    c3 = set(per_doc[per_doc.doc_id == 3]["ctext"])
+    assert len(c0 - c3) <= 1 and len(c3 - c0) <= 1
