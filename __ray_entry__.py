@@ -122,6 +122,12 @@ def _boolquery():
     return boolquery
 
 
+def _scorequery():
+    from pdfsearch_ray.pipelines import scorequery
+
+    return scorequery
+
+
 def _ireval():
     from pdfsearch_ray.pipelines import ireval
 
@@ -202,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_not_topk": _boolquery().bm25_not_topk,
         "phrase_match_counts": _boolquery().phrase_match_counts,
         "near_match_counts": _boolquery().near_match_counts,
+        "bm25_msm_topk": _scorequery().bm25_msm_topk,
+        "dismax_topk": _scorequery().dismax_topk,
+        "boosted_topk": _scorequery().boosted_topk,
         "ir_eval": _ireval().ir_eval,
         "facet_counts": _searchx().facet_counts,
         "mlt_topk": _searchx().mlt_topk,
@@ -522,6 +531,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not_topk": _boolquery().bm25_not_sql(),
         "phrase_match_counts": _boolquery().phrase_match_sql(),
         "near_match_counts": _boolquery().near_match_sql(),
+        # advanced disjunctive scoring controls: minimum_should_match
+        # (HAVING >= m), DisjunctionMax (max + tie * rest), per-term
+        # boosts (a (term, boost) VALUES join) — each oracle rebuilds
+        # the per-(doc, term) BM25 contribution table from raw text
+        "bm25_msm_topk": _scorequery().bm25_msm_sql(),
+        "dismax_topk": _scorequery().dismax_sql(),
+        "boosted_topk": _scorequery().boosted_sql(),
         # IR evaluation harness: conjunctive pseudo-qrels against the
         # full OR-of-terms BM25 ranking; DuckDB recomputes tokenization,
         # BM25, the full ranking and the qrel rule end-to-end

@@ -165,6 +165,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # comparable with earlier rounds' totals
     extra: dict[str, float] = {}
     from pdfsearch_ray.pipelines import boolquery as _boolquery
+    from pdfsearch_ray.pipelines import scorequery as _scorequery
     from pdfsearch_ray.pipelines import ireval as _ireval
     from pdfsearch_ray.pipelines import searchx as _searchx
     from pdfsearch_ray.pipelines import expand as _expand
@@ -264,6 +265,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("spell_suggest", _searchx.spell_suggest),
         ("related_terms", _searchx.related_terms),
         ("cdc_chunk_stats", webops.cdc_chunk_stats),
+        # session-9 scoring controls (share the cached simple index)
+        ("bm25_msm_topk", _scorequery.bm25_msm_topk),
+        ("dismax_topk", _scorequery.dismax_topk),
+        ("boosted_topk", _scorequery.boosted_topk),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -1,0 +1,330 @@
+"""Advanced disjunctive scoring operators over the on-disk index:
+minimum-should-match, disjunction-max, and per-term boosts.
+
+These are the three Lucene/bleve scoring controls the boolean gates
+(pipelines/boolquery.py) don't cover:
+
+* **minimum_should_match (m-of-n OR)** — a document must match at
+  least ``m`` of the ``n`` query terms (bleve:
+  ``NewDisjunctionQuery(...).SetMin(m)``); survivors keep the plain
+  disjunctive BM25 sum over their MATCHED terms.  ``m = 1`` degenerates
+  to the OR gate, ``m = n`` to the AND gate — both are pytest-pinned
+  invariants.
+* **dismax (disjunction max)** — score = ``max_t s_t + tie *
+  (sum_t s_t - max_t s_t)``, Lucene's DisjunctionMaxQuery with a tie
+  breaker: the best single term dominates and the others only
+  tie-break, the standard fix for cross-field/synonym score inflation.
+  ``tie = 1`` recovers the plain sum (pytest-pinned).
+* **per-term boosts** — the ``term^weight`` syntax of every query
+  string parser (bleve: ``query.SetBoost``); score = ``sum_t boost_t *
+  s_t``.  All-ones boosts recover the plain sum (pytest-pinned).
+
+All three reuse the BM25Index per-term TAAT scorer (``_score([t])``
+yields one term's exact contribution vector), so candidate generation
+is posting-pruned exactly like the OR/AND gates; the per-query work on
+top is a few aligned numpy vector ops over the candidate union.  At
+scale these are per-shard mask/blend steps on the posting match
+stream — no extra I/O and no shuffle beyond what the OR gate already
+pays.  Scoring is exhaustive over the candidate set (every match is
+scored before top-k, the bm25_and_topk precedent), so the rounded
+tie-boundary grow loop is not needed.
+
+The oracles restate each control in pure SQL over raw text — msm as
+``HAVING count(DISTINCT term) >= m``, dismax as ``max(c) + tie *
+(sum(c) - max(c))`` over per-(doc, term) contributions, boosts as a
+``(term, boost)`` VALUES join — so the index, posting decode and the
+blend algebra all sit under the driver's value hash.
+
+Reference anchor: the reference's one query uses bleve's default OR
+match (internal/doclib/search_pdfs.go:170-180); these gates are the
+query-API generalizations a search user reaches for next.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "bm25_msm_topk",
+    "dismax_topk",
+    "boosted_topk",
+    "bm25_msm_sql",
+    "dismax_sql",
+    "boosted_sql",
+    "MSM_QUERIES",
+    "DISMAX_QUERIES",
+    "BOOST_QUERIES",
+]
+
+# (query text, minimum number of distinct matched terms)
+MSM_QUERIES = (("fast scan merge window", 2),
+               ("table customer query data", 3),
+               ("big slow vector", 2),
+               ("join hash filter zzznope", 2))
+MSM_K = 10
+
+DISMAX_QUERIES = ("fast scan merge", "table window query",
+                  "customer big vector", "join filter")
+DISMAX_TIE = 0.3
+DISMAX_K = 10
+
+# term^boost atoms, the standard query-string boost syntax
+BOOST_QUERIES = ("fast^2 scan", "table window^0.5 query",
+                 "customer^3 vector slow", "hash^0 join")
+BOOST_K = 10
+
+
+def per_term_scores(idx, terms) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """term -> (sorted unique doc_ids, exact BM25 contributions) via the
+    index's exhaustive single-term TAAT path.  Empty terms (df = 0)
+    map to empty arrays."""
+    uniq = sorted(set(terms))
+    idx._load_terms(uniq)
+    return {t: idx._score([t]) for t in uniq}
+
+
+def aligned_contributions(
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+    """(candidate-union doc_ids sorted, term -> dense contribution
+    vector over that union, zero where the term is absent).  A BM25
+    contribution is > 0 wherever the term occurs (idf > 0 always under
+    the Lucene-smoothed formula), so presence tests are ``v > 0``."""
+    nonempty = [ids for ids, _ in per_term.values() if ids.size]
+    if not nonempty:
+        return np.empty(0, dtype=np.uint64), {}
+    union = np.unique(np.concatenate(nonempty))
+    dense = {}
+    for t, (ids, sc) in per_term.items():
+        v = np.zeros(union.size)
+        if ids.size:
+            v[np.searchsorted(union, ids)] = sc
+        dense[t] = v
+    return union, dense
+
+
+def _ranked_table(rows: list[tuple], extra_col: str | None = None,
+                  extra_type=None) -> pa.Table:
+    """rows of (query[, extra], doc_id, score) already in final order →
+    the standard ranked gate table with a per-query 1-based rank."""
+    ranks: list[int] = []
+    prev = None
+    for r in rows:
+        ranks.append(1 if r[0] != prev else ranks[-1] + 1)
+        prev = r[0]
+    cols = {"query": pa.array([r[0] for r in rows], type=pa.string())}
+    off = 1
+    if extra_col is not None:
+        cols[extra_col] = pa.array([r[1] for r in rows], type=extra_type)
+        off = 2
+    cols["doc_id"] = pa.array([r[off] for r in rows], type=pa.int64())
+    cols["score"] = pa.array([r[off + 1] for r in rows], type=pa.float64())
+    cols["rank"] = pa.array(ranks, type=pa.int64())
+    return pa.table(cols)
+
+
+def _topk_rows(q, ids: np.ndarray, sc: np.ndarray, k: int,
+               prefix: tuple = ()) -> list[tuple]:
+    sc = np.round(sc, 6)
+    order = np.lexsort((ids.astype(np.int64), -sc))[:k]
+    return [(q, *prefix, int(ids[i]), float(sc[i])) for i in order]
+
+
+# ------------------------------------------------------------------ gates
+
+def bm25_msm_topk(sf_dir: str) -> pa.Table:
+    """minimum_should_match gate: keep documents matching >= min_match
+    distinct query terms; score = BM25 sum over the matched terms."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    rows: list[tuple] = []
+    for q, m in sorted(MSM_QUERIES):
+        union, dense = aligned_contributions(
+            per_term_scores(idx, analyze_simple(q)))
+        if not union.size:
+            continue
+        mat = np.stack(list(dense.values()))
+        n_matched = (mat > 0).sum(axis=0)
+        keep = n_matched >= m
+        if not keep.any():
+            continue
+        rows.extend(_topk_rows(q, union[keep], mat[:, keep].sum(axis=0),
+                               MSM_K, prefix=(m,)))
+    return _ranked_table(rows, extra_col="min_match", extra_type=pa.int64())
+
+
+def dismax_topk(sf_dir: str) -> pa.Table:
+    """DisjunctionMax gate: score = max term contribution + DISMAX_TIE
+    × the sum of the remaining contributions."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    rows: list[tuple] = []
+    for q in sorted(DISMAX_QUERIES):
+        union, dense = aligned_contributions(
+            per_term_scores(idx, analyze_simple(q)))
+        if not union.size:
+            continue
+        mat = np.stack(list(dense.values()))
+        best = mat.max(axis=0)
+        score = best + DISMAX_TIE * (mat.sum(axis=0) - best)
+        rows.extend(_topk_rows(q, union, score, DISMAX_K))
+    return _ranked_table(rows)
+
+
+def parse_boost_query(q: str) -> dict[str, float]:
+    """``term^w`` atoms → analyzed-term -> boost (duplicate analyzed
+    terms sum their boosts, the Lucene repeated-clause rule).  Shared
+    by the gate and its oracle so both sides blend identically."""
+    from ..analysis.analyzer import analyze_simple
+
+    boosts: dict[str, float] = {}
+    for atom in q.split():
+        term, _, w = atom.partition("^")
+        weight = float(w) if w else 1.0
+        for t in analyze_simple(term):
+            boosts[t] = boosts.get(t, 0.0) + weight
+    return boosts
+
+
+def boosted_topk(sf_dir: str) -> pa.Table:
+    """Per-term boost gate: score = Σ boost_t × BM25_t.  A zero boost
+    keeps the term as a pure match signal with no score weight (docs
+    matching only that term score 0 but still rank by doc_id)."""
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    rows: list[tuple] = []
+    for q in sorted(BOOST_QUERIES):
+        boosts = parse_boost_query(q)
+        union, dense = aligned_contributions(
+            per_term_scores(idx, boosts.keys()))
+        if not union.size:
+            continue
+        score = np.zeros(union.size)
+        for t, v in dense.items():
+            score += boosts[t] * v
+        rows.extend(_topk_rows(q, union, score, BOOST_K))
+    return _ranked_table(rows)
+
+
+# ---------------------------------------------------------------- oracles
+
+_CHAIN = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+')) AS term FROM documents),"
+    "tok AS (SELECT * FROM toks WHERE term <> ''),"
+    "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),"
+    "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)"
+)
+
+
+def _contrib_ctes(qi: int, terms: list[str], *, k1: float, b: float,
+                  boosts: dict[str, float] | None = None) -> str:
+    """The shared per-(doc, term) BM25 contribution CTE chain for query
+    ``qi`` — tfs/dfs plus a ``c{qi}`` contribution relation (optionally
+    boost-weighted via a 2-column VALUES join)."""
+    from .oracles import _sq
+
+    if boosts is None:
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        qcte = f"q{qi}(term) AS (VALUES {qvals})"
+        weight = ""
+    else:
+        qvals = ", ".join(
+            f"('{_sq(t)}', {boosts[t]!r})" for t in terms) or "('', 0.0)"
+        qcte = f"q{qi}(term, boost) AS (VALUES {qvals})"
+        weight = f"q{qi}.boost * "
+    return f""",
+    {qcte},
+    tfs{qi} AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM tok t JOIN q{qi} USING (term) GROUP BY t.doc_id, t.term
+    ),
+    dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+    c{qi} AS (
+        SELECT tfs{qi}.doc_id, tfs{qi}.term,
+               {weight}ln(1 + (stats.n - dfs{qi}.df + 0.5) / (dfs{qi}.df + 0.5))
+                   * tfs{qi}.tf / (tfs{qi}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+               AS c
+        FROM tfs{qi}
+        CROSS JOIN stats
+        JOIN q{qi} ON tfs{qi}.term = q{qi}.term
+        JOIN dfs{qi} ON tfs{qi}.term = dfs{qi}.term
+        JOIN dl ON tfs{qi}.doc_id = dl.doc_id
+    )"""
+
+
+def bm25_msm_sql(queries=MSM_QUERIES, *, k: int = MSM_K,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts, selects = [_CHAIN], []
+    for qi, (q, m) in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        parts.append(_contrib_ctes(qi, terms, k1=k1, b=b))
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, CAST({m} AS BIGINT) AS min_match,
+                   doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM (
+                SELECT doc_id, sum(c) AS s FROM c{qi}
+                GROUP BY doc_id HAVING count(DISTINCT term) >= {m}
+            )
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+def dismax_sql(queries=DISMAX_QUERIES, *, k: int = DISMAX_K,
+               tie: float = DISMAX_TIE, k1: float = 1.2,
+               b: float = 0.75) -> str:
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts, selects = [_CHAIN], []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        parts.append(_contrib_ctes(qi, terms, k1=k1, b=b))
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM (
+                SELECT doc_id, max(c) + {tie} * (sum(c) - max(c)) AS s
+                FROM c{qi} GROUP BY doc_id
+            )
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+def boosted_sql(queries=BOOST_QUERIES, *, k: int = BOOST_K,
+                k1: float = 1.2, b: float = 0.75) -> str:
+    from .oracles import _sq
+
+    parts, selects = [_CHAIN], []
+    for qi, q in enumerate(sorted(queries)):
+        boosts = parse_boost_query(q)
+        parts.append(_contrib_ctes(qi, sorted(boosts), k1=k1, b=b,
+                                   boosts=boosts))
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM (SELECT doc_id, sum(c) AS s FROM c{qi} GROUP BY doc_id)
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
