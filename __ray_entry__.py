@@ -128,6 +128,12 @@ def _scorequery():
     return scorequery
 
 
+def _merge():
+    from pdfsearch_ray.pipelines import merge
+
+    return merge
+
+
 def _ireval():
     from pdfsearch_ray.pipelines import ireval
 
@@ -211,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
         "dismax_topk": _scorequery().dismax_topk,
         "boosted_topk": _scorequery().boosted_topk,
+        "merged_index_topk": _merge().merged_index_topk,
         "ir_eval": _ireval().ir_eval,
         "facet_counts": _searchx().facet_counts,
         "mlt_topk": _searchx().mlt_topk,
@@ -538,6 +545,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_msm_topk": _scorequery().bm25_msm_sql(),
         "dismax_topk": _scorequery().dismax_sql(),
         "boosted_topk": _scorequery().boosted_sql(),
+        # index merge (Lucene addIndexes analog): two independent
+        # half-corpus builds, segment-adopted into one index; the
+        # oracle is the FULL-corpus BM25 chain, so merged N / summed
+        # df / union avgdl are all under the value hash
+        "merged_index_topk": _merge().merged_index_sql(),
         # IR evaluation harness: conjunctive pseudo-qrels against the
         # full OR-of-terms BM25 ranking; DuckDB recomputes tokenization,
         # BM25, the full ranking and the qrel rule end-to-end

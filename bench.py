@@ -166,6 +166,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     extra: dict[str, float] = {}
     from pdfsearch_ray.pipelines import boolquery as _boolquery
     from pdfsearch_ray.pipelines import scorequery as _scorequery
+    from pdfsearch_ray.pipelines import merge as _merge
     from pdfsearch_ray.pipelines import ireval as _ireval
     from pdfsearch_ray.pipelines import searchx as _searchx
     from pdfsearch_ray.pipelines import expand as _expand
@@ -269,6 +270,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("bm25_msm_topk", _scorequery.bm25_msm_topk),
         ("dismax_topk", _scorequery.dismax_topk),
         ("boosted_topk", _scorequery.boosted_topk),
+        # two half-builds + hard-link merge on first call (fingerprint
+        # cached); the cold wall is ~2 half-index builds
+        ("merged_index_topk", _merge.merged_index_topk),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -1,0 +1,322 @@
+"""Index merge: combine independently-built indexes into one by segment
+adoption — the Lucene/scorch ``IndexWriter.addIndexes`` analog and the
+multi-crawl consolidation step of a web-scale corpus (build shards
+near the data, merge the shard indexes into the serving index).
+
+The reference has no multi-index merge (one bleve index per corpus,
+bleve_glue.go:16-29); this is the capability a user hits the moment
+builds are sharded.  Because this engine's postings store RAW tf/dl
+(avgdl enters only at decode — see append_index, build.py:1348) and
+idf is computed query-side from manifest-global N and per-term df
+summed across segments, a merge needs NO re-tokenization and NO
+posting rewrite: adopt every source segment as-is, union the corpus
+statistics, and exact TAAT over the merged index is bitwise-identical
+to a from-scratch build over the union corpus (same N, df, dl, avgdl
+⇒ same idf and wdl) — the property the driver gate's full-corpus SQL
+oracle hashes.
+
+Block-max metadata was baked under each source's own avgdl; each
+adopted segment keeps its source ``avgdl_baked`` and the query engine
+scales bounds by ``max(1, avgdl_now / avgdl_baked)`` (the established
+append-path envelope), so MaxScore pruning stays sound after merge.
+
+Mechanics and scale shape:
+
+* ``mode="link"`` (default) hard-links every docs/postings parquet
+  file into the output (copy fallback across filesystems): O(files)
+  metadata ops, zero data movement, self-contained result.
+* ``mode="ref"`` symlinks the segment DIRECTORIES: O(segments) ops,
+  zero copies — the sharded-build fast path when sources stay put.
+* Config compatibility is enforced (analyzer/version, k1, b,
+  num_buckets, block_size, positions, salt_spec): postings bucketing
+  and salting are layout decisions the query side reads from ONE
+  manifest, so mismatched sources must be rebuilt, not merged.
+* doc_id disjointness across sources is audited with the narrow
+  bucket-spill duplicate check (only the 8-byte id column moves,
+  build.duplicate_doc_ids) BEFORE the manifest commit — a colliding
+  merge is refused, never half-committed.
+* The manifest save is the atomic commit point (append_index rule):
+  an output dir without a manifest is invisible garbage, so a failed
+  merge can simply be re-run.
+* Tombstones carry over file-by-file with source-prefixed names;
+  doc_id spaces are disjoint so the union is exact.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+__all__ = ["merge_indexes", "MergeCompatibilityError",
+           "merged_index_cached", "merged_index_topk", "merged_index_sql",
+           "MERGE_QUERIES", "MERGE_K"]
+
+_CONFIG_KEYS = ("analyzer", "analyzer_version", "k1", "b", "num_buckets",
+                "block_size", "with_positions", "salt_spec")
+
+
+class MergeCompatibilityError(RuntimeError):
+    """Sources disagree on an index-layout parameter the query engine
+    reads from the single merged manifest."""
+
+
+def _source_segments(src: str, m) -> list[tuple[str, str, int, int, float]]:
+    """(name, dir, n_docs, total_dl, avgdl_baked) for every committed
+    segment of one source index, base included."""
+    total_dl = int(m.total_dl) if m.total_dl else int(round(m.avgdl * m.n_docs))
+    if not m.segments:
+        return [("base", src, m.n_docs, total_dl, float(m.avgdl))]
+    out = []
+    for s in m.segments:
+        d = src if s["name"] == "base" else f"{src}/segments/{s['name']}"
+        out.append((s["name"], d, int(s["n_docs"]), int(s["total_dl"]),
+                    float(s["avgdl_baked"])))
+    return out
+
+
+def _adopt(seg_dir: str, dst_dir: str, mode: str) -> None:
+    """Materialize one source segment at ``dst_dir``."""
+    if mode == "ref":
+        os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+        os.symlink(os.path.abspath(seg_dir), dst_dir)
+        return
+    for sub in ("docs", "postings"):
+        sdir = f"{seg_dir}/{sub}"
+        if not os.path.isdir(sdir):
+            continue
+        ddir = f"{dst_dir}/{sub}"
+        os.makedirs(ddir, exist_ok=True)
+        for f in sorted(glob.glob(f"{sdir}/*.parquet")):
+            dst = f"{ddir}/{os.path.basename(f)}"
+            try:
+                os.link(f, dst)
+            except OSError:
+                shutil.copy2(f, dst)
+
+
+def merge_indexes(
+    sources: list[str],
+    out_dir: str,
+    *,
+    mode: str = "link",
+    audit_unique: bool = True,
+    report=None,
+) -> "IndexManifest":
+    """Merge the committed indexes at ``sources`` into a new index at
+    ``out_dir``; returns the merged manifest.  See module docstring."""
+    from ..state.manifest import IndexManifest
+    from .build import (
+        BuildConsistencyError,
+        _committed_doc_files,
+        duplicate_doc_ids,
+    )
+
+    if mode not in ("link", "ref"):
+        raise ValueError(f"unknown merge mode {mode!r}")
+    if len(sources) < 2:
+        raise ValueError("merge_indexes needs at least two sources")
+    if os.path.isfile(os.path.join(out_dir, "manifest.json")):
+        raise FileExistsError(f"{out_dir} already holds a committed index")
+    t0 = time.time()
+    report = report or (lambda msg: None)
+
+    manifests = [IndexManifest.load(s) for s in sources]
+    ref = manifests[0]
+    for s, m in zip(sources[1:], manifests[1:]):
+        for k in _CONFIG_KEYS:
+            if getattr(m, k) != getattr(ref, k):
+                raise MergeCompatibilityError(
+                    f"{s}: {k}={getattr(m, k)!r} != "
+                    f"{sources[0]}'s {getattr(ref, k)!r}")
+
+    # disjointness audit first — never commit a colliding merge.  The
+    # union read is the narrow doc_id column only.
+    if audit_unique:
+        import ray.data as rd
+
+        files = [f for s, m in zip(sources, manifests)
+                 for f in _committed_doc_files(s, m)]
+        dups = duplicate_doc_ids(rd.read_parquet(files, columns=["doc_id"]))
+        if dups.size:
+            raise BuildConsistencyError(
+                f"merge would collide on {dups.size} doc_id(s); "
+                f"first few: {dups[:5].tolist()}")
+
+    # adopt segments: source 0's base becomes the merged base; every
+    # other segment lands under segments/m<i>-<name>
+    segments: list[dict] = []
+    for i, (src, m) in enumerate(zip(sources, manifests)):
+        for name, seg_dir, n_docs, total_dl, baked in _source_segments(src, m):
+            if i == 0 and name == "base":
+                new_name, dst = "base", out_dir
+                if mode == "ref":
+                    # the merged ROOT must hold the manifest, so base
+                    # subdirs are symlinked individually
+                    os.makedirs(out_dir, exist_ok=True)
+                    for sub in ("docs", "postings"):
+                        if os.path.isdir(f"{seg_dir}/{sub}"):
+                            os.symlink(os.path.abspath(f"{seg_dir}/{sub}"),
+                                       f"{out_dir}/{sub}")
+                else:
+                    _adopt(seg_dir, dst, mode)
+            else:
+                new_name = f"m{i:03d}-{name}"
+                dst = f"{out_dir}/segments/{new_name}"
+                _adopt(seg_dir, dst, mode)
+            segments.append({"name": new_name, "n_docs": n_docs,
+                             "total_dl": total_dl, "avgdl_baked": baked})
+            report(f"merge: adopted {src}:{name} as {new_name} "
+                   f"({n_docs} docs)")
+
+    # tombstones: carry over with source-prefixed names
+    tombstones: list[str] = []
+    for i, (src, m) in enumerate(zip(sources, manifests)):
+        for f in m.tombstones:
+            new_f = f"m{i:03d}-{f}"
+            os.makedirs(f"{out_dir}/tombstones", exist_ok=True)
+            shutil.copy2(f"{src}/tombstones/{f}",
+                         f"{out_dir}/tombstones/{new_f}")
+            tombstones.append(new_f)
+
+    n_docs = sum(s["n_docs"] for s in segments)
+    total_dl = sum(s["total_dl"] for s in segments)
+    merged = IndexManifest(
+        n_docs=n_docs,
+        avgdl=total_dl / max(n_docs, 1),
+        total_tokens=total_dl,
+        analyzer=ref.analyzer,
+        analyzer_version=ref.analyzer_version,
+        k1=ref.k1,
+        b=ref.b,
+        num_buckets=ref.num_buckets,
+        block_size=ref.block_size,
+        salt_spec=dict(ref.salt_spec or {}),
+        built_at=time.time(),
+        avgdl_exact=all(m.avgdl_exact for m in manifests),
+        total_dl=total_dl,
+        with_positions=ref.with_positions,
+        segments=segments,
+        tombstones=tombstones,
+        build_metrics={
+            "merged_from": [os.path.abspath(s) for s in sources],
+            "merge_mode": mode,
+            "merge_sec": round(time.time() - t0, 3),
+            "hash_provenance": ref.build_metrics.get(
+                "hash_provenance", "unknown"),
+            "store_text": all(m.build_metrics.get("store_text", True)
+                              for m in manifests),
+        },
+    )
+    merged.save(out_dir)  # atomic commit
+    return merged
+
+
+# ------------------------------------------------------------------ gate
+
+# OR-of-terms BM25 queries answered through a MERGED index built from
+# two independent half-corpus builds (doc_id parity split); exhaustive
+# scoring, so ranks are tie-complete by construction.
+MERGE_QUERIES = ("data processing", "fast scan merge",
+                 "customer table window", "slow vector join")
+MERGE_K = 10
+
+
+def merged_index_cached(sf_dir: str, *, num_buckets: int = 16) -> str:
+    """Build-once cached MERGED index over ``sf_dir``'s documents: two
+    independent simple-analyzer builds over the doc_id-parity halves,
+    hard-link merged (mode='link').  Fingerprint-keyed on source
+    identity + params, atomic tmp+rename — the simple_index_cached
+    discipline (expand.py:201), so the gate's marginal cost after the
+    first call is a manifest read."""
+    import hashlib
+    import tempfile
+
+    from .build import build_index
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.sha256(repr((
+        os.path.abspath(src), st.st_size, st.st_mtime_ns,
+        "merged-parity", num_buckets,
+    )).encode()).hexdigest()[:20]
+    root = os.environ.get("PDFSEARCH_SPILL_ROOT") or tempfile.gettempdir()
+    cdir = os.path.join(root, "pdfsearch_ftidx_cache", key)
+    if os.path.isfile(os.path.join(cdir, "manifest.json")):
+        return cdir
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.tables import read_parquet_nometa
+
+    def _half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity)
+            return t.filter(keep)
+        return f
+
+    tmp = f"{cdir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    halves = []
+    for parity in (0, 1):
+        ds = read_parquet_nometa(
+            src, columns=["doc_id", "text", "lang"],
+        ).map_batches(_half(parity), batch_format="pyarrow")
+        hdir = f"{tmp}/half{parity}"
+        build_index(ds, hdir, analyzer="simple", lang_col="lang",
+                    num_buckets=num_buckets, sample_rate=1.0)
+        halves.append(hdir)
+    merge_indexes(halves, f"{tmp}/merged", mode="link")
+    os.makedirs(os.path.dirname(cdir), exist_ok=True)
+    try:
+        os.rename(f"{tmp}/merged", cdir)
+    except OSError:
+        if not os.path.isfile(os.path.join(cdir, "manifest.json")):
+            raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return cdir
+
+
+def merged_index_topk(sf_dir: str):
+    """Driver gate: exhaustive OR-of-terms BM25 top-k answered through
+    the merged two-half index.  The oracle is the FULL-corpus BM25 SQL
+    chain — so segment adoption, cross-segment df summation and the
+    merged global stats are all under the value hash (a wrong merged N,
+    df or avgdl shifts every score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..analysis.analyzer import analyze_simple
+    from .query import BM25Index
+
+    idx = BM25Index(merged_index_cached(sf_dir))
+    out_q, out_d, out_s = [], [], []
+    for q in sorted(MERGE_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if not ids.size:
+            continue
+        sc = np.round(sc, 6)
+        order = np.lexsort((ids.astype(np.int64), -sc))[:MERGE_K]
+        out_q.extend([q] * order.size)
+        out_d.extend(ids[order].astype(np.int64).tolist())
+        out_s.extend(sc[order].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def merged_index_sql() -> str:
+    """Full-corpus BM25 oracle for the merged-index gate."""
+    from .oracles import fulltext_simple_sql
+
+    return fulltext_simple_sql(sorted(MERGE_QUERIES), k=MERGE_K)

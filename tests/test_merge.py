@@ -1,0 +1,126 @@
+"""Index merge (pipelines/merge.py): oracle equivalence of the merged
+two-half index vs full-corpus BM25, link/ref mode identity, config
+compatibility refusal, collision refusal, and tombstone carry-over —
+the invariants the driver hash can't localize."""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return con
+
+
+def test_merged_matches_full_corpus_oracle(ray_session):
+    from pdfsearch_ray.pipelines import merge as M
+
+    got = M.merged_index_topk(SF).to_pandas().reset_index(drop=True)
+    want = _con().execute(M.merged_index_sql()).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            assert np.allclose(got[c], want[c], atol=1e-9), c
+        else:
+            assert (got[c].values ==
+                    want[c].astype(got[c].dtype).values).all(), c
+
+
+def _build_halves(tmp_path):
+    import pyarrow.compute as pc
+
+    from pdfsearch_ray.functions.tables import read_parquet_nometa
+    from pdfsearch_ray.pipelines.build import build_index
+
+    halves = []
+    for parity in (0, 1):
+        ds = read_parquet_nometa(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"],
+        ).map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)),
+            batch_format="pyarrow")
+        d = str(tmp_path / f"half{parity}")
+        build_index(ds, d, analyzer="simple", lang_col="lang",
+                    num_buckets=16, sample_rate=1.0)
+        halves.append(d)
+    return halves
+
+
+def test_ref_mode_identical_to_link_and_stats_exact(ray_session, tmp_path):
+    from pdfsearch_ray.pipelines import merge as M
+    from pdfsearch_ray.pipelines.query import BM25Index
+    from pdfsearch_ray.state.manifest import IndexManifest
+
+    halves = _build_halves(tmp_path)
+    ma = M.merge_indexes(halves, str(tmp_path / "mlink"), mode="link")
+    mb = M.merge_indexes(halves, str(tmp_path / "mref"), mode="ref")
+    assert ma.n_docs == mb.n_docs == 500
+    assert ma.total_dl == mb.total_dl > 0
+    # merged stats equal the sum of the halves'
+    hs = [IndexManifest.load(h) for h in halves]
+    assert ma.n_docs == sum(h.n_docs for h in hs)
+    assert ma.total_dl == sum(h.total_dl for h in hs)
+
+    ia, ib = BM25Index(str(tmp_path / "mlink")), BM25Index(str(tmp_path / "mref"))
+    for q in ("data processing", "fast scan"):
+        terms = sorted(set(q.split()))
+        ids_a, sc_a = ia.score_terms(terms)
+        ids_b, sc_b = ib.score_terms(terms)
+        assert (ids_a == ids_b).all()
+        assert np.allclose(sc_a, sc_b, rtol=0, atol=0)  # bitwise
+        assert ia._term_df(terms[0]) == ib._term_df(terms[0]) > 0
+
+
+def test_merge_refuses_config_mismatch_and_collision(ray_session, tmp_path):
+    from pdfsearch_ray.pipelines import merge as M
+    from pdfsearch_ray.pipelines.build import BuildConsistencyError
+    from pdfsearch_ray.state.manifest import IndexManifest
+
+    halves = _build_halves(tmp_path)
+    # mutate one half's k1 → compatibility refusal
+    m = IndexManifest.load(halves[1])
+    m.k1 = 9.9
+    m.save(halves[1])
+    with pytest.raises(M.MergeCompatibilityError):
+        M.merge_indexes(halves, str(tmp_path / "bad1"))
+    m.k1 = 1.2
+    m.save(halves[1])
+
+    # self-merge → every doc_id collides, refused BEFORE commit
+    with pytest.raises(BuildConsistencyError):
+        M.merge_indexes([halves[0], halves[0]], str(tmp_path / "bad2"))
+    assert not os.path.isfile(tmp_path / "bad2" / "manifest.json")
+
+    # n<2 and committed-output refusals
+    with pytest.raises(ValueError):
+        M.merge_indexes([halves[0]], str(tmp_path / "bad3"))
+
+
+def test_tombstones_carry_over(ray_session, tmp_path):
+    from pdfsearch_ray.pipelines import merge as M
+    from pdfsearch_ray.pipelines.build import delete_docs
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    halves = _build_halves(tmp_path)
+    # find a doc matching 'data' in half0, tombstone it there
+    pre = BM25Index(halves[0])
+    ids, _ = pre.score_terms(["data"])
+    victim = int(ids[0])
+    delete_docs(halves[0], doc_ids=[victim])
+
+    merged = str(tmp_path / "mtomb")
+    man = M.merge_indexes(halves, merged, mode="link")
+    assert len(man.tombstones) == 1
+    idx = BM25Index(merged)
+    got, _ = idx.score_terms(["data"])
+    assert victim not in got.astype(np.int64)
+    # and the untombstoned sibling docs still match
+    assert got.size > 0
