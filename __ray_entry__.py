@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
         "dismax_topk": _scorequery().dismax_topk,
         "boosted_topk": _scorequery().boosted_topk,
+        "synonym_topk": _scorequery().synonym_topk,
         "merged_index_topk": _merge().merged_index_topk,
         "ir_eval": _ireval().ir_eval,
         "facet_counts": _searchx().facet_counts,
@@ -226,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_sorted_topk": _searchx().field_sorted_topk,
         "spell_suggest": _searchx().spell_suggest,
         "related_terms": _searchx().related_terms,
+        "collapse_topk": _searchx().collapse_topk,
+        "range_facets": _searchx().range_facets,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
         "cdc_chunk_stats": _webops().cdc_chunk_stats,
@@ -545,6 +548,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_msm_topk": _scorequery().bm25_msm_sql(),
         "dismax_topk": _scorequery().dismax_sql(),
         "boosted_topk": _scorequery().boosted_sql(),
+        # blended SynonymQuery: per synonym class tf is summed and df is
+        # the class's distinct-doc count, so the class idf is under the
+        # value hash (a plain-OR rewrite would hash-mismatch)
+        "synonym_topk": _scorequery().synonym_sql(),
         # index merge (Lucene addIndexes analog): two independent
         # half-corpus builds, segment-adopted into one index; the
         # oracle is the FULL-corpus BM25 chain, so merged N / summed
@@ -565,6 +572,10 @@ def oracle_sql() -> dict[str, str]:
         # kernel) and PMI related-terms (co-document counts vs df)
         "spell_suggest": _searchx().spell_suggest_sql(),
         "related_terms": _searchx().related_terms_sql(),
+        # field collapsing (one winner per source, two rank windows) and
+        # numeric-range facets (half-open n_chars bands)
+        "collapse_topk": _searchx().collapse_topk_sql(),
+        "range_facets": _searchx().range_facets_sql(),
         # HITS hubs/authorities: chained LEFT-JOIN rounds over the
         # shared mix64 edge CTEs
         "link_hits": _webops().link_hits_sql(),

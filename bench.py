@@ -270,6 +270,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("bm25_msm_topk", _scorequery.bm25_msm_topk),
         ("dismax_topk", _scorequery.dismax_topk),
         ("boosted_topk", _scorequery.boosted_topk),
+        ("synonym_topk", _scorequery.synonym_topk),
+        ("collapse_topk", _searchx.collapse_topk),
+        ("range_facets", _searchx.range_facets),
         # two half-builds + hard-link merge on first call (fingerprint
         # cached); the cold wall is ~2 half-index builds
         ("merged_index_topk", _merge.merged_index_topk),

@@ -49,12 +49,18 @@ __all__ = [
     "bm25_msm_topk",
     "dismax_topk",
     "boosted_topk",
+    "synonym_topk",
+    "score_synonym_groups",
+    "query_synonym_groups",
     "bm25_msm_sql",
     "dismax_sql",
     "boosted_sql",
+    "synonym_sql",
     "MSM_QUERIES",
     "DISMAX_QUERIES",
     "BOOST_QUERIES",
+    "SYNONYMS",
+    "SYN_QUERIES",
 ]
 
 # (query text, minimum number of distinct matched terms)
@@ -73,6 +79,19 @@ DISMAX_K = 10
 BOOST_QUERIES = ("fast^2 scan", "table window^0.5 query",
                  "customer^3 vector slow", "hash^0 join")
 BOOST_K = 10
+
+# Fixed query-side thesaurus for the blended SynonymQuery gate.  Each
+# query term expands to its class (self included); terms absent from
+# the map stay singleton clauses.
+SYNONYMS = {
+    "fast": ("fast", "quick", "rapid"),
+    "data": ("data", "information"),
+    "merge": ("merge", "join", "combine"),
+    "big": ("big", "large", "huge"),
+}
+SYN_QUERIES = ("fast data", "big merge scan",
+               "data merge window", "quick table")
+SYN_K = 10
 
 
 def per_term_scores(idx, terms) -> dict[str, tuple[np.ndarray, np.ndarray]]:
@@ -193,6 +212,99 @@ def parse_boost_query(q: str) -> dict[str, float]:
     return boosts
 
 
+def query_synonym_groups(q: str) -> list[tuple[str, ...]]:
+    """Analyzed query tokens → unique synonym classes (sorted terms,
+    sorted groups).  Shared by the gate and its oracle so both sides
+    expand identically; two query tokens in the same class collapse to
+    ONE clause (the Lucene SynonymQuery dedup rule)."""
+    from ..analysis.analyzer import analyze_simple
+
+    groups = {tuple(sorted(SYNONYMS.get(t, (t,))))
+              for t in analyze_simple(q)}
+    return sorted(groups)
+
+
+def _group_postings(idx, terms) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Blend one synonym class's postings: (sorted unique doc_ids,
+    summed tf, doc length) over the union of the member terms' posting
+    lists.  Terms must already be loaded (``_load_terms``)."""
+    id_parts, tf_parts, dl_parts = [], [], []
+    for t in terms:
+        blocks = idx._term_cache.get(t, [])
+        # decode with the member term's own idf so the memoized
+        # per-posting scores stay valid for other consumers
+        idx._decode_blocks_bulk(blocks, idx._idf(t))
+        for b in blocks:
+            id_parts.append(b["ids"])
+            tf_parts.append(b["tf"])
+            dl_parts.append(b["dl"])
+    if not id_parts:
+        return (np.empty(0, dtype=np.uint64), np.empty(0), np.empty(0))
+    ids = np.concatenate(id_parts)
+    tf = np.concatenate(tf_parts).astype(np.float64)
+    dl = np.concatenate(dl_parts).astype(np.float64)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    tf_sum = np.zeros(uniq.size)
+    np.add.at(tf_sum, inv, tf)
+    dls = np.zeros(uniq.size)
+    dls[inv] = dl  # every posting of a doc agrees on its length
+    return uniq, tf_sum, dls
+
+
+def score_synonym_groups(idx, groups) -> tuple[np.ndarray, np.ndarray]:
+    """Blended SynonymQuery scoring (Lucene ``SynonymQuery`` semantics,
+    the scoring-correct form of synonym expansion): each synonym class
+    scores as ONE pseudo-term — tf = Σ member tf within the doc, df =
+    |union of member posting lists| — so a rare synonym cannot inflate
+    idf the way a plain OR rewrite does (the failure dismax only
+    mitigates).  Doc score = Σ over classes of
+    ``idf(df_class) × tf_class / (tf_class + k1·(1-b+b·dl/avgdl))``.
+    Returns (sorted candidate doc_ids, scores), tombstones excluded.
+
+    Scale shape: per class this is the same posting-stream merge the
+    OR scorer already does, with the aggregate keyed on (class, doc)
+    instead of (term, doc) — no extra I/O, no shuffle; df_class is an
+    exact by-product of the merge."""
+    from .query import _aggregate_scores
+
+    m = idx.manifest
+    idx._load_terms(sorted({t for g in groups for t in g}))
+    id_parts, sc_parts = [], []
+    for g in groups:
+        uniq, tf, dl = _group_postings(idx, g)
+        if not uniq.size:
+            continue
+        df = uniq.size
+        idf = float(np.log(1.0 + (m.n_docs - df + 0.5) / (df + 0.5)))
+        wdl = tf / (tf + m.k1 * (1.0 - m.b + m.b * dl / m.avgdl))
+        id_parts.append(uniq)
+        sc_parts.append(idf * wdl)
+    if not id_parts:
+        return np.empty(0, dtype=np.uint64), np.empty(0)
+    ids, sc = _aggregate_scores(np.concatenate(id_parts),
+                                np.concatenate(sc_parts))
+    if idx._deleted is not None and ids.size:
+        keep = ~np.isin(ids, idx._deleted)
+        ids, sc = ids[keep], sc[keep]
+    return ids, sc
+
+
+def synonym_topk(sf_dir: str) -> pa.Table:
+    """Driver gate: blended SynonymQuery top-k over the fixed
+    ``SYNONYMS`` thesaurus (see score_synonym_groups)."""
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    rows: list[tuple] = []
+    for q in sorted(SYN_QUERIES):
+        ids, sc = score_synonym_groups(idx, query_synonym_groups(q))
+        if not ids.size:
+            continue
+        rows.extend(_topk_rows(q, ids, sc, SYN_K))
+    return _ranked_table(rows)
+
+
 def boosted_topk(sf_dir: str) -> pa.Table:
     """Per-term boost gate: score = Σ boost_t × BM25_t.  A zero boost
     keeps the term as a pure match signal with no score weight (docs
@@ -305,6 +417,47 @@ def dismax_sql(queries=DISMAX_QUERIES, *, k: int = DISMAX_K,
                 SELECT doc_id, max(c) + {tie} * (sum(c) - max(c)) AS s
                 FROM c{qi} GROUP BY doc_id
             )
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+def synonym_sql(queries=SYN_QUERIES, *, k: int = SYN_K,
+                k1: float = 1.2, b: float = 0.75) -> str:
+    """Replays the blended semantics exactly: per synonym class, tf is
+    counted over ``term IN (class)`` and df is the class's DISTINCT
+    matching-doc count, so the class-level idf and the per-class wdl
+    are both under the value hash."""
+    from .oracles import _sq
+
+    parts, selects = [_CHAIN], []
+    for qi, q in enumerate(sorted(queries)):
+        unions = []
+        for gi, g in enumerate(query_synonym_groups(q)):
+            in_list = ", ".join(f"'{_sq(t)}'" for t in g)
+            parts.append(f""",
+    gtf{qi}_{gi} AS (
+        SELECT doc_id, count(*) AS tf FROM tok
+        WHERE term IN ({in_list}) GROUP BY doc_id
+    ),
+    gc{qi}_{gi} AS (
+        SELECT t.doc_id,
+               ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf / (t.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+               AS c
+        FROM gtf{qi}_{gi} t
+        CROSS JOIN stats
+        CROSS JOIN (SELECT count(*) AS df FROM gtf{qi}_{gi}) d
+        JOIN dl ON t.doc_id = dl.doc_id
+    )""")
+            unions.append(f"SELECT * FROM gc{qi}_{gi}")
+        all_c = " UNION ALL ".join(unions)
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM (SELECT doc_id, sum(c) AS s FROM ({all_c}) GROUP BY doc_id)
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")

@@ -57,9 +57,12 @@ __all__ = [
     "filtered_topk_sql", "field_sorted_topk_sql",
     "spell_suggest", "spell_suggest_sql", "related_terms",
     "related_terms_sql",
+    "collapse_topk", "collapse_topk_sql",
+    "range_facets", "range_facets_sql",
     "FACET_QUERIES", "MLT_SEEDS", "MLT_F", "MLT_K", "SA_QUERIES", "SA_K",
     "FILTER_QUERIES", "FILTER_K", "SORT_QUERIES", "SORT_K",
     "SPELL_INPUTS", "PMI_TARGETS", "PMI_MIN_CO", "PMI_M",
+    "COLLAPSE_QUERIES", "COLLAPSE_K", "RANGE_QUERIES", "RANGE_BANDS",
 ]
 
 FACET_QUERIES = ("data processing pipeline", "window merge",
@@ -75,6 +78,14 @@ FILTER_QUERIES = (("data processing pipeline", "en"),
 FILTER_K = 10
 SORT_QUERIES = ("fast scan merge", "customer query")
 SORT_K = 10
+COLLAPSE_QUERIES = ("data processing pipeline", "fast scan merge",
+                    "customer window query")
+COLLAPSE_K = 10
+RANGE_QUERIES = ("data processing pipeline", "window merge",
+                 "customer query")
+# half-open [lo, hi) n_chars bands; None = unbounded (bleve
+# NumericRangeFacet convention)
+RANGE_BANDS = ((0, 200), (200, 350), (350, 500), (500, None))
 
 _BM25_CHAIN = [
     "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
@@ -710,3 +721,156 @@ def related_terms_sql(targets=PMI_TARGETS, *, min_co: int = PMI_MIN_CO,
         ) WHERE rank <= {m}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY target, rank")
+
+
+# ---------------------------------------------------------- field collapse
+
+def collapse_topk(sf_dir: str) -> pa.Table:
+    """Field collapsing (Lucene grouping / Elasticsearch ``collapse``):
+    per query, keep only the BEST-scoring document of each ``source``
+    group (score desc, doc_id asc within the group), then return the
+    global top-``COLLAPSE_K`` of the survivors — the result-diversity
+    control every web-search deployment applies per site/domain.
+
+    Scale shape: collapsing is per-shard group-argmax over the posting
+    match stream (a (source) -> (best score, best doc) combine — one
+    tiny per-shard state) followed by a merge of per-shard winners; no
+    doc shuffle.  At gate scale the group key is one pruned column
+    read + searchsorted."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    cat_ids, cat_src = _doc_field(
+        os.path.join(sf_dir, "documents.parquet"), "source")
+
+    out_q, out_src, out_d, out_s = [], [], [], []
+    for q in sorted(COLLAPSE_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if not ids.size:
+            continue
+        r_ids, r_sc = _ranked(ids, sc)  # total order: score desc, id asc
+        src = cat_src[np.searchsorted(cat_ids, r_ids.astype(np.int64))]
+        # first occurrence per group in ranked order == group argmax
+        _, first = np.unique(src, return_index=True)
+        keep = np.sort(first)[:COLLAPSE_K]
+        out_q.extend([q] * keep.size)
+        out_src.extend(src[keep].tolist())
+        out_d.extend(r_ids[keep].astype(np.int64).tolist())
+        out_s.extend(r_sc[keep].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "source": pa.array(out_src, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def collapse_topk_sql(queries=COLLAPSE_QUERIES, *, k: int = COLLAPSE_K,
+                      k1: float = 1.2, b: float = 0.75) -> str:
+    """Replays the collapse as two rank windows: row_number within the
+    source partition picks the group winner, a second row_number over
+    the winners cuts the global top-k."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = list(_BM25_CHAIN)
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),{_score_cte(str(qi), f"q{qi}", k1=k1, b=b)}""")
+        selects.append(f"""
+        SELECT query, source, doc_id, score, rank FROM (
+            SELECT *, row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS rank
+            FROM (
+                SELECT '{_sq(q)}' AS query, d.source AS source,
+                       doc_id, round(s, 6) AS score,
+                       row_number() OVER (PARTITION BY d.source
+                           ORDER BY round(s, 6) DESC, doc_id ASC) AS grn
+                FROM sc{qi} JOIN documents d USING (doc_id)
+            ) WHERE grn = 1
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+# ------------------------------------------------------ numeric range facets
+
+def _band_label(lo, hi) -> str:
+    return f"[{lo},{hi if hi is not None else 'inf'})"
+
+
+def range_facets(sf_dir: str) -> pa.Table:
+    """Numeric-range facets (bleve ``NumericRangeFacet``): per query,
+    match count + best score within each half-open ``n_chars`` band
+    over the FULL candidate set.  Empty bands are omitted (bleve
+    reports only populated ranges).  Same scale shape as the term
+    facet: a per-shard (query, band) partial combine."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    cat_ids, cat_nc = _doc_field(
+        os.path.join(sf_dir, "documents.parquet"), "n_chars")
+    edges = np.array([lo for lo, _ in RANGE_BANDS], dtype=np.int64)
+
+    out_q, out_band, out_n, out_b = [], [], [], []
+    for q in sorted(RANGE_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if not ids.size:
+            continue
+        sc6 = np.round(sc, 6)
+        nc = cat_nc[np.searchsorted(cat_ids, ids.astype(np.int64))]
+        band = np.searchsorted(edges, nc, side="right") - 1
+        for bi, (lo, hi) in enumerate(RANGE_BANDS):
+            m = band == bi
+            if not m.any():
+                continue
+            out_q.append(q)
+            out_band.append(_band_label(lo, hi))
+            out_n.append(int(m.sum()))
+            out_b.append(float(sc6[m].max()))
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "band": pa.array(out_band, type=pa.string()),
+        "n_docs": pa.array(out_n, type=pa.int64()),
+        "best_score": pa.array(out_b, type=pa.float64()),
+    })
+
+
+def range_facets_sql(queries=RANGE_QUERIES, *, k1: float = 1.2,
+                     b: float = 0.75) -> str:
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    cases = " ".join(
+        f"WHEN d.n_chars >= {lo}" +
+        (f" AND d.n_chars < {hi}" if hi is not None else "") +
+        f" THEN '{_band_label(lo, hi)}'"
+        for lo, hi in RANGE_BANDS)
+    parts = list(_BM25_CHAIN)
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),{_score_cte(str(qi), f"q{qi}", k1=k1, b=b)}""")
+        selects.append(f"""
+        SELECT '{_sq(q)}' AS query,
+               CASE {cases} END AS band,
+               count(*) AS n_docs, max(round(s, 6)) AS best_score
+        FROM sc{qi} JOIN documents d USING (doc_id)
+        GROUP BY band""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, band")

@@ -97,3 +97,70 @@ def test_boost_parse_and_identity(ray_session):
     or_ids, or_sc = idx.score_terms(terms)
     assert (union == or_ids).all()
     assert np.allclose(score, or_sc)
+
+
+def test_synonym_matches_oracle(ray_session):
+    from pdfsearch_ray.pipelines import scorequery as S
+
+    got = S.synonym_topk(SF).to_pandas().reset_index(drop=True)
+    want = _con().execute(S.synonym_sql()).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            assert np.allclose(got[c], want[c], atol=1e-9), c
+        else:
+            assert (got[c].values ==
+                    want[c].astype(got[c].dtype).values).all(), c
+
+
+def test_synonym_singleton_groups_equal_plain_or(ray_session):
+    """A query whose tokens are all outside the thesaurus scores
+    identically to the plain disjunctive BM25 path."""
+    from pdfsearch_ray.pipelines import scorequery as S
+
+    idx = _idx()
+    groups = S.query_synonym_groups("window scan table")
+    assert all(len(g) == 1 for g in groups)
+    ids, sc = S.score_synonym_groups(idx, groups)
+    or_ids, or_sc = idx.score_terms([g[0] for g in groups])
+    assert (ids == or_ids).all()
+    # same formula, different kernel association order -> 1e-12, not ==
+    assert np.allclose(sc, or_sc, rtol=0, atol=1e-12)
+
+
+def test_synonym_blended_df_tames_rare_synonym(ray_session, tmp_path):
+    """Planted corpus: 'fast' in docs 1..8, its synonym 'quick' only in
+    doc 9, all docs the same length.  A plain OR rewrite gives doc 9
+    the huge idf of the df=1 term and ranks it FIRST; the blended
+    class df (9) scores all nine docs EQUALLY — the SynonymQuery
+    property this gate exists for."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines import scorequery as S
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    rows = [{"doc_id": i, "text": "fast filler words here", "lang": "en"}
+            for i in range(1, 9)]
+    rows.append({"doc_id": 9, "text": "quick filler words here",
+                 "lang": "en"})
+    d = str(tmp_path / "syn")
+    build_index(rd.from_arrow(pa.Table.from_pylist(rows)), d,
+                analyzer="simple", lang_col="lang", num_buckets=4)
+    idx = BM25Index(d)
+
+    # plain OR rewrite: doc 9 strictly outranks every 'fast' doc
+    or_ids, or_sc = idx.score_terms(["fast", "quick"])
+    by_id = dict(zip(or_ids.astype(np.int64).tolist(), or_sc.tolist()))
+    assert all(by_id[9] > by_id[i] for i in range(1, 9))
+
+    # blended: one class, df=9 -> all nine docs tie exactly
+    ids, sc = S.score_synonym_groups(idx, [("fast", "quick", "rapid")])
+    assert ids.size == 9
+    assert np.allclose(sc, sc[0], rtol=0, atol=1e-12)
+    # and the common score is the hand formula at df=9, tf=1
+    m = idx.manifest
+    idf = np.log(1 + (m.n_docs - 9 + 0.5) / (9 + 0.5))
+    wdl = 1.0 / (1.0 + m.k1 * (1 - m.b + m.b * 4.0 / m.avgdl))
+    assert np.allclose(sc[0], idf * wdl)

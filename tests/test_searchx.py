@@ -173,3 +173,64 @@ def test_pmi_counts_are_bounded_and_recomputable(ray_session):
         assert co == row.co >= X.PMI_MIN_CO
         assert co <= min(dfx, dfy)
         assert abs(row.pmi - round(np.log((co * n) / (dfx * dfy)), 6)) < 1e-9
+
+
+def test_collapse_and_range_match_oracles(ray_session):
+    from pdfsearch_ray.pipelines import searchx as X
+
+    for fn, sql in ((X.collapse_topk, X.collapse_topk_sql()),
+                    (X.range_facets, X.range_facets_sql())):
+        got = fn(SF).to_pandas()
+        want = _con().execute(sql).df()
+        assert len(got) == len(want) > 0, fn.__name__
+        for col in got.columns:
+            a, b = got[col].to_numpy(), want[col].to_numpy()
+            if a.dtype.kind == "f":
+                assert np.allclose(a, b.astype(float), atol=1e-9), (fn.__name__, col)
+            else:
+                assert (a.astype(str) == b.astype(str)).all(), (fn.__name__, col)
+
+
+def test_collapse_one_winner_per_source_and_argmax(ray_session):
+    """Per query: sources are distinct, every returned doc is its
+    source's (score desc, doc_id asc) argmax over the full OR match
+    set, and the collapsed ranking is the winners' score order."""
+    import pyarrow.dataset as pds
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import searchx as X
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    cat = pds.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id", "source"])
+    src_of = dict(zip(cat["doc_id"].to_pylist(), cat["source"].to_pylist()))
+
+    df = X.collapse_topk(SF).to_pandas()
+    for q, grp in df.groupby("query"):
+        assert grp["source"].is_unique
+        assert (grp["score"].values[:-1] >= grp["score"].values[1:]).all()
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        sc6 = np.round(sc, 6)
+        for _, row in grp.iterrows():
+            members = [(s, int(i)) for i, s in zip(
+                ids.astype(np.int64), sc6) if src_of[int(i)] == row["source"]]
+            best = max(members, key=lambda t: (t[0], -t[1]))
+            assert (row["doc_id"], round(row["score"], 6)) == (
+                best[1], round(best[0], 6))
+
+
+def test_range_facets_partition_match_set(ray_session):
+    """Band counts sum to the OR match-set size per query (the bands
+    cover [0, inf) so nothing can fall outside)."""
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import searchx as X
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    df = X.range_facets(SF).to_pandas()
+    for q, grp in df.groupby("query"):
+        ids, _ = idx.score_terms(sorted(set(analyze_simple(q))))
+        assert grp["n_docs"].sum() == ids.size
