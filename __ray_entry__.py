@@ -158,6 +158,12 @@ def _lm_surprisal(sf_dir: str):
     return lm_surprisal(sf_dir)
 
 
+def _ccnet_buckets(sf_dir: str):
+    from pdfsearch_ray.pipelines.textstats import ccnet_buckets
+
+    return ccnet_buckets(sf_dir)
+
+
 def _dsir_weights(sf_dir: str):
     from pdfsearch_ray.pipelines.textstats import dsir_weights
 
@@ -243,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": _webops().line_dedup_stats,
         "bloom_snapshot_dedup": _sketches().bloom_snapshot_dedup,
         "lm_surprisal": _lm_surprisal,
+        "ccnet_buckets": _ccnet_buckets,
         "dsir_weights": _dsir_weights,
         "exact_substring_stats": _webops().exact_substring_stats,
         "ngram_jaccard": q.ngram_jaccard,
@@ -640,6 +647,10 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact unigram LM quality filter (CCNet analog)
         "lm_surprisal": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).lm_surprisal_sql(),
+        # CCNet head/middle/tail perplexity terciles: the oracle replays
+        # the LM retrain, ppl_milli and the per-lang rank-tercile window
+        "ccnet_buckets": __import__("pdfsearch_ray.pipelines.textstats",
+                                    fromlist=["x"]).ccnet_buckets_sql(),
         "dsir_weights": __import__("pdfsearch_ray.pipelines.textstats",
                                    fromlist=["x"]).dsir_weights_sql(),
         # money sums are EXACT integer cents (and cent×percent units

@@ -219,6 +219,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("term_cms_sketch", sketches.term_cms_sketch),
         ("bloom_snapshot_dedup", sketches.bloom_snapshot_dedup),
         ("lm_surprisal", textstats.lm_surprisal),
+        ("ccnet_buckets", textstats.ccnet_buckets),
         ("dsir_weights", textstats.dsir_weights),
         ("exact_substring_stats", webops.exact_substring_stats),
         ("temperature_mix", qmod.temperature_mix),

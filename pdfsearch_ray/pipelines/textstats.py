@@ -264,24 +264,14 @@ def unigram_lm_train(docs: rd.Dataset, top_v: int | None = None):
     return vocab_bits, n_total.bit_length() + 1, n_total
 
 
-def lm_surprisal(sf_dir: str) -> rd.Dataset:
-    """Gate query: per-doc unigram-LM surprisal
-    (doc_id, n_tokens, n_oov, bits_total) — the integer analog of a
-    perplexity filter; sort/filter on bits_total/n_tokens to keep
-    fluent documents.  Scale shape: train pass = narrow (term, tf)
-    shuffle; score pass = one streaming map with the O(V) model
-    broadcast via ``ray.put``."""
+def make_lm_scorer(ref, passthrough: tuple = ()):
+    """Batch map scoring one batch with the broadcast (vocab_bits,
+    oov_bits) model: (doc_id[, passthrough cols], n_tokens, n_oov,
+    bits_total).  Shared by lm_surprisal and ccnet_buckets."""
     import pandas as pd
     import pyarrow.compute as pc
 
     import ray
-
-    from ..functions.tables import read_parquet_nometa
-
-    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    vocab_bits, oov_bits, _ = unigram_lm_train(docs)
-    ref = ray.put((vocab_bits, oov_bits))
 
     def score(t: pa.Table) -> pa.Table:
         vb, ob = ray.get(ref)
@@ -307,14 +297,35 @@ def lm_surprisal(sf_dir: str) -> rd.Dataset:
         np.add.at(nt, parent, 1)
         np.add.at(nov, parent, oov.astype(np.int64))
         np.add.at(bits, parent, b)
-        return pa.table({
-            "doc_id": t["doc_id"],
+        cols = {"doc_id": t["doc_id"]}
+        for c in passthrough:
+            cols[c] = t[c]
+        cols.update({
             "n_tokens": pa.array(nt, type=pa.int64()),
             "n_oov": pa.array(nov, type=pa.int64()),
             "bits_total": pa.array(bits, type=pa.int64()),
         })
+        return pa.table(cols)
 
-    return docs.map_batches(score, batch_format="pyarrow")
+    return score
+
+
+def lm_surprisal(sf_dir: str) -> rd.Dataset:
+    """Gate query: per-doc unigram-LM surprisal
+    (doc_id, n_tokens, n_oov, bits_total) — the integer analog of a
+    perplexity filter; sort/filter on bits_total/n_tokens to keep
+    fluent documents.  Scale shape: train pass = narrow (term, tf)
+    shuffle; score pass = one streaming map with the O(V) model
+    broadcast via ``ray.put``."""
+    import ray
+
+    from ..functions.tables import read_parquet_nometa
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    vocab_bits, oov_bits, _ = unigram_lm_train(docs)
+    ref = ray.put((vocab_bits, oov_bits))
+    return docs.map_batches(make_lm_scorer(ref), batch_format="pyarrow")
 
 
 def lm_surprisal_sql() -> str:
@@ -697,4 +708,187 @@ def quality_signals_sql() -> str:
                (n_tokens - n_distinct) * 10000 // n_tokens AS dup_bp,
                digits * 10000 // greatest(chars, 1) AS digit_bp
         FROM sig ORDER BY doc_id
+    """
+
+
+# --------------------------------------------- CCNet perplexity buckets
+
+# CCNet (Wenzek et al. 2020) splits every language's documents into
+# head / middle / tail TERCILES of LM perplexity and trains on the
+# head (fluent) slice.  Integer-exact analog: per-token surprisal
+# ``ppl_milli = bits_total * 1000 // n_tokens`` over the shared unigram
+# model, per-lang rank ``r`` under (ppl_milli asc, doc_id asc), bucket
+# = ``(r-1)*3 // n`` — the NTILE(3) layout pinned to a deterministic
+# tie order.  Empty-token docs are excluded (CCNet drops them).
+#
+# Scale shape (no per-lang sort of the corpus): pass 1 aggregates the
+# tiny (lang, ppl_milli) histogram (distinct per-token surprisal
+# values are bounded by the model's bit range — O(langs × values)
+# driver state).  Cumulative counts give every histogram cell its rank
+# span [start+1, start+cnt]; a cell whose span sits inside ONE bucket
+# labels all its docs at once, and only the ≤ 2 boundary-straddling
+# cells per lang boundary need their member doc_ids (collected with a
+# broadcast-filter pass, O(ties) rows to the driver).  Pass 2 assigns
+# buckets streaming with the O(cells + ties) map broadcast once.
+
+CCNET_BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def ccnet_buckets(sf_dir: str) -> pa.Table:
+    """(doc_id, lang, ppl_milli, bucket) per non-empty doc."""
+    import ray
+
+    from ..functions.tables import read_parquet_nometa
+
+    docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    vocab_bits, oov_bits, _ = unigram_lm_train(docs)
+    ref = ray.put((vocab_bits, oov_bits))
+    scored = docs.map_batches(make_lm_scorer(ref, passthrough=("lang",)),
+                              batch_format="pyarrow")
+
+    def to_ppl(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy()
+        keep = nt > 0
+        bits = t["bits_total"].to_numpy()[keep]
+        return pa.table({
+            "doc_id": t["doc_id"].to_numpy()[keep],
+            "lang": t["lang"].to_numpy(zero_copy_only=False)[keep],
+            "ppl_milli": pa.array(bits * 1000 // nt[keep],
+                                  type=pa.int64()),
+        })
+
+    ppl = scored.map_batches(to_ppl, batch_format="pyarrow")
+
+    # pass 1: per-batch (lang, ppl) partials -> tiny global histogram
+    def hist_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "ppl_milli": t["ppl_milli"].to_numpy()})
+        g = df.groupby(["lang", "ppl_milli"], sort=False).size()
+        g = g.reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = (ppl.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["lang", "ppl_milli"])
+            .aggregate(Sum("n", alias_name="n"))  # tiny table: ok multi-key
+            .to_pandas().sort_values(["lang", "ppl_milli"]))
+
+    # rank spans per histogram cell; find boundary-straddling cells
+    cell_bucket: dict[tuple, int] = {}      # fully-inside cells
+    straddle: dict[str, set] = {}            # lang -> ppl values needing ties
+    n_of: dict[str, int] = {}
+    for lang, grp in hist.groupby("lang"):
+        n = int(grp["n"].sum())
+        n_of[lang] = n
+        start = 0
+        for _, row in grp.iterrows():
+            cnt = int(row["n"])
+            b_first = (start * 3) // n            # bucket of rank start+1
+            b_last = ((start + cnt - 1) * 3) // n
+            if b_first == b_last:
+                cell_bucket[(lang, int(row["ppl_milli"]))] = b_first
+            else:
+                straddle.setdefault(lang, set()).add(int(row["ppl_milli"]))
+            start += cnt
+
+    # collect ONLY straddling cells' doc_ids (O(ties) to the driver)
+    tie_bucket: dict[tuple, int] = {}
+    if straddle:
+        sref = ray.put(straddle)
+
+        def tie_rows(t: pa.Table) -> pa.Table:
+            sd = ray.get(sref)
+            langs = t["lang"].to_numpy(zero_copy_only=False)
+            pl = t["ppl_milli"].to_numpy()
+            keep = np.array([l in sd and int(p) in sd[l]
+                             for l, p in zip(langs, pl)])
+            if not keep.any():
+                return t.slice(0, 0)
+            return t.filter(pa.array(keep))
+
+        ties = ppl.map_batches(tie_rows, batch_format="pyarrow").to_pandas()
+        # per straddling cell: rank members by doc_id over the cell's span
+        hist_idx = hist.set_index(["lang", "ppl_milli"])["n"]
+        for (lang, pv), grp in ties.groupby(["lang", "ppl_milli"]):
+            cells = hist[hist["lang"] == lang]
+            start = int(cells[cells["ppl_milli"] < pv]["n"].sum())
+            n = n_of[lang]
+            for j, d in enumerate(sorted(grp["doc_id"].tolist())):
+                tie_bucket[(lang, int(d))] = ((start + j) * 3) // n
+        del hist_idx
+
+    # pass 2: streaming bucket assignment
+    bref = ray.put((cell_bucket, tie_bucket))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cb, tb = ray.get(bref)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        pl = t["ppl_milli"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        names = CCNET_BUCKET_NAMES
+        out = [names[cb[(l, int(p))]] if (l, int(p)) in cb
+               else names[tb[(l, int(d))]]
+               for l, p, d in zip(langs, pl, ids)]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "lang": t["lang"],
+            "ppl_milli": t["ppl_milli"],
+            "bucket": pa.array(out, type=pa.string()),
+        })
+
+    return ppl.map_batches(assign, batch_format="pyarrow")
+
+
+def ccnet_buckets_sql() -> str:
+    """Oracle: retrain the unigram model, recompute ppl_milli, and
+    replay the per-lang rank terciles with one window."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+')) AS term
+            FROM documents
+        ),
+        tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY term),
+        n AS (SELECT sum(tf) AS n FROM tf),
+        top AS (
+            SELECT term,
+                   length(bin(CAST((SELECT n FROM n) // tf AS BIGINT)))
+                       AS bits
+            FROM tf ORDER BY tf DESC, term LIMIT {LM_VOCAB_TOP}
+        ),
+        scored AS (
+            SELECT tk.doc_id,
+                   coalesce(top.bits,
+                            length(bin(CAST((SELECT n FROM n)
+                                            AS BIGINT))) + 1) AS bits
+            FROM tk LEFT JOIN top ON tk.term = top.term
+        ),
+        g AS (
+            SELECT doc_id, count(*) AS n_tokens, sum(bits) AS bits_total
+            FROM scored GROUP BY doc_id
+        ),
+        s AS (
+            SELECT d.doc_id, d.lang,
+                   g.bits_total * 1000 // g.n_tokens AS ppl_milli
+            FROM documents d JOIN g ON d.doc_id = g.doc_id
+            WHERE g.n_tokens > 0
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY ppl_milli, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS nl
+            FROM s
+        )
+        SELECT doc_id, lang, ppl_milli,
+               CASE (rk - 1) * 3 // nl
+                   WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+        FROM r ORDER BY doc_id
     """

@@ -276,3 +276,49 @@ def test_quality_signals_matches_oracle_and_vectorized_distinct(ray_session):
     sub = got.set_index("doc_id")["n_distinct"]
     for did, nd in ref.items():
         assert int(sub.loc[did]) == nd
+
+
+def test_ccnet_buckets_oracle_and_tercile_shape(ray_session, tmp_path):
+    """Planted corpus with a 5-way ppl tie STRADDLING a tercile
+    boundary (n=9, terciles of 3): engine == DuckDB oracle bit-for-bit
+    (so the doc_id tie split is exercised), per-lang bucket sizes
+    differ by at most 1, and head ppl <= tail ppl."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines import textstats as ts
+
+    # docs 0-4 identical text -> identical ppl, spanning head+middle;
+    # docs 5-8 increasingly OOV-heavy -> strictly higher ppl
+    texts = ["a a b c"] * 5 + ["a b zz1", "zz1 zz2 zz3",
+                               "zz1 zz2 zz3 zz4 zz5", "zz9 zz9 zz9 zz9"]
+    rows = {
+        "doc_id": pa.array(list(range(9)), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 9),
+        "source": pa.array(["s0"] * 9),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+    old = ts.LM_VOCAB_TOP
+    ts.LM_VOCAB_TOP = 3
+    try:
+        got = ts.ccnet_buckets(str(tmp_path)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+        want = con.sql(ts.ccnet_buckets_sql()).df()
+        assert got["bucket"].tolist() == want["bucket"].tolist()
+        assert got["ppl_milli"].tolist() == want["ppl_milli"].tolist()
+    finally:
+        ts.LM_VOCAB_TOP = old
+    # the 5-way tie splits by doc_id: ranks 1-3 head, 4-5 middle
+    tie = got[got["doc_id"] <= 4]["bucket"].tolist()
+    assert tie == ["head", "head", "head", "middle", "middle"]
+    sizes = got.groupby("bucket").size()
+    assert sizes.max() - sizes.min() <= 1
+    # bucket order respects ppl order
+    assert (got[got["bucket"] == "head"]["ppl_milli"].max()
+            <= got[got["bucket"] == "tail"]["ppl_milli"].min())
