@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": _expand().fuzzy_topk,
         "prefix_topk": _expand().prefix_topk,
         "wildcard_topk": _expand().wildcard_topk,
+        "regexp_topk": _expand().regexp_topk,
+        "term_range_topk": _expand().term_range_topk,
         "rm3_topk": _expand().rm3_topk,
         "quality_signals": _quality_signals,
         "compound_split_topk": _expand().compound_split_topk,
@@ -533,6 +535,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": _expand().fuzzy_topk_sql(),
         "prefix_topk": _expand().prefix_topk_sql(),
         "wildcard_topk": _expand().wildcard_topk_sql(),
+        # whole-term regexp (shared RE2 dialect) and [lo,hi) term range
+        "regexp_topk": _expand().regexp_topk_sql(),
+        "term_range_topk": _expand().term_range_topk_sql(),
         # RM3 pseudo-relevance feedback: DuckDB replays BOTH passes
         # (top-F cut, feedback counts, top-E expansion, rescore)
         "rm3_topk": _expand().rm3_topk_sql(),

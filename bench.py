@@ -244,6 +244,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("fuzzy_topk", _expand.fuzzy_topk),
         ("prefix_topk", _expand.prefix_topk),
         ("wildcard_topk", _expand.wildcard_topk),
+        ("regexp_topk", _expand.regexp_topk),
+        ("term_range_topk", _expand.term_range_topk),
         ("rm3_topk", _expand.rm3_topk),
         ("quality_signals", textstats.quality_signals),
         ("compound_split_topk", _expand.compound_split_topk),

@@ -55,6 +55,8 @@ __all__ = [
     "FUZZY_QUERIES",
     "PREFIX_QUERIES",
     "EXPAND_K",
+    "regexp_topk", "regexp_topk_sql", "REGEX_QUERIES",
+    "term_range_topk", "term_range_topk_sql", "TERMRANGE_QUERIES",
 ]
 
 
@@ -191,6 +193,8 @@ def expand_terms(
         files, columns=["term"], filter=flt,
     ).map_batches(match, batch_format="pyarrow").to_pandas()
     out: dict[str, list[str]] = {q: [] for q in fq + pq_}
+    if pairs.empty:  # the pushed filter can prune EVERY row group
+        return out
     for q, grp in pairs.drop_duplicates().groupby("q"):
         out[q] = sorted(grp["term"])
     return out
@@ -418,6 +422,147 @@ def wildcard_topk_sql(queries=INFIX_QUERIES, *, k: int = EXPAND_K) -> str:
 
     return _expansion_sql(
         queries, lambda q: f"term LIKE '%{_sq(q)}%'", k=k)
+
+
+# ------------------------------------------------------------- regexp
+
+# bleve RegexpQuery / Lucene RegexpQuery semantics: the pattern must
+# match the ENTIRE term.  Patterns stay in the RE2 subset both pyarrow
+# and DuckDB implement.  'z+q' matches nothing (query-dropout case).
+REGEX_QUERIES = (r"sc.n", r"s(mall|low|ort)", r"qu.*", r".*r.?w", r"z+q")
+
+
+def expand_terms_regex(index_dir: str,
+                       patterns: tuple[str, ...]) -> dict[str, list[str]]:
+    """Regexp expansion: the one-pass dictionary scan with a per-batch
+    anchored ``match_substring_regex`` kernel (``^(?:p)$``).  Like the
+    infix scan, no range pruning is possible for a general pattern —
+    engines special-case a literal prefix (Lucene's
+    ``RegExp.toAutomaton`` prefix extraction); documented, not done."""
+    import os
+
+    from ..functions.tables import read_parquet_nometa
+
+    pdir = os.path.join(index_dir, "postings")
+    files = sorted(
+        os.path.join(pdir, f) for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+
+    def match(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["term"])
+        qs: list[str] = []
+        ts: list[str] = []
+        for p in patterns:
+            m = pc.match_substring_regex(u, pattern=f"^(?:{p})$")
+            hit = u.filter(m).to_pylist()
+            qs.extend([p] * len(hit))
+            ts.extend(hit)
+        return pa.table({
+            "q": pa.array(qs, type=pa.string()),
+            "term": pa.array(ts, type=pa.string()),
+        })
+
+    pairs = read_parquet_nometa(files, columns=["term"]) \
+        .map_batches(match, batch_format="pyarrow").to_pandas()
+    out: dict[str, list[str]] = {p: [] for p in patterns}
+    for q, grp in pairs.drop_duplicates().groupby("q"):
+        out[q] = sorted(grp["term"])
+    return out
+
+
+def regexp_topk(sf_dir: str) -> pa.Table:
+    """Regexp query gate: pattern → every whole-term dictionary match →
+    disjunctive BM25 top-k.  Oracle: ``regexp_full_match`` rewrite +
+    end-to-end BM25 (DuckDB and pyarrow share the RE2 dialect)."""
+    exp = expand_terms_regex(simple_index_cached(sf_dir), REGEX_QUERIES)
+    return _expanded_topk(sf_dir, exp, EXPAND_K)
+
+
+def regexp_topk_sql(queries=REGEX_QUERIES, *, k: int = EXPAND_K) -> str:
+    from .oracles import _sq
+
+    return _expansion_sql(
+        queries, lambda q: f"regexp_full_match(term, '{_sq(q)}')", k=k)
+
+
+# --------------------------------------------------------------- range
+
+# half-open [lo, hi) dictionary ranges (bleve TermRangeQuery with
+# inclusive min / exclusive max); the third range is empty on purpose.
+TERMRANGE_QUERIES = (("m", "p"), ("scan", "tables"), ("zza", "zzb"))
+
+
+def _range_label(lo: str, hi: str) -> str:
+    return f"[{lo},{hi})"
+
+
+def expand_terms_range(index_dir: str,
+                       ranges: tuple[tuple[str, str], ...],
+                       ) -> dict[str, list[str]]:
+    """TermRangeQuery expansion: the union-of-ranges predicate is
+    PUSHED INTO the parquet read (exactly the prefix-scan pruning —
+    row groups whose term stats miss every range never leave disk);
+    the per-batch kernel re-applies the ranges to the distinct terms."""
+    import os
+
+    from ..functions.tables import read_parquet_nometa
+
+    pdir = os.path.join(index_dir, "postings")
+    files = sorted(
+        os.path.join(pdir, f) for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+    flt = None
+    for lo, hi in ranges:
+        rng = (pc.field("term") >= lo) & (pc.field("term") < hi)
+        flt = rng if flt is None else (flt | rng)
+
+    def match(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["term"])
+        arr = u.to_numpy(zero_copy_only=False).astype(str)
+        qs: list[str] = []
+        ts: list[np.ndarray] = []
+        for lo, hi in ranges:
+            m = (arr >= lo) & (arr < hi)
+            if m.any():
+                qs.extend([_range_label(lo, hi)] * int(m.sum()))
+                ts.append(arr[m])
+        terms = np.concatenate(ts) if ts else np.empty(0, dtype=str)
+        return pa.table({
+            "q": pa.array(qs, type=pa.string()),
+            "term": pa.array(terms.tolist(), type=pa.string()),
+        })
+
+    pairs = read_parquet_nometa(
+        files, columns=["term"], filter=flt,
+    ).map_batches(match, batch_format="pyarrow").to_pandas()
+    out: dict[str, list[str]] = {_range_label(lo, hi): []
+                                 for lo, hi in ranges}
+    if pairs.empty:  # the pushed filter can prune EVERY row group
+        return out
+    for q, grp in pairs.drop_duplicates().groupby("q"):
+        out[q] = sorted(grp["term"])
+    return out
+
+
+def term_range_topk(sf_dir: str) -> pa.Table:
+    """Term-range query gate: ``[lo, hi)`` over the dictionary order →
+    disjunctive BM25 top-k, range filter pushed to the read.  Oracle:
+    ``term >= lo AND term < hi`` rewrite + end-to-end BM25."""
+    exp = expand_terms_range(simple_index_cached(sf_dir),
+                             TERMRANGE_QUERIES)
+    return _expanded_topk(sf_dir, exp, EXPAND_K)
+
+
+def term_range_topk_sql(queries=TERMRANGE_QUERIES, *,
+                        k: int = EXPAND_K) -> str:
+    from .oracles import _sq
+
+    pred = {_range_label(lo, hi):
+            f"term >= '{_sq(lo)}' AND term < '{_sq(hi)}'"
+            for lo, hi in queries}
+    return _expansion_sql(tuple(pred), lambda lbl: pred[lbl], k=k)
 
 
 # ------------------------------------------------ pseudo-relevance feedback

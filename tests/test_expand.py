@@ -220,3 +220,58 @@ def test_dict_membership(ray_session):
     d = simple_index_cached(SF)
     got = dict_membership(d, ("fast", "scan", "notaword", "big"))
     assert got == {"fast", "scan", "big"}
+
+
+def test_regexp_and_range_match_oracles(ray_session):
+    import duckdb
+
+    from pdfsearch_ray.pipelines import expand as E
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    for fn, sql in ((E.regexp_topk, E.regexp_topk_sql()),
+                    (E.term_range_topk, E.term_range_topk_sql())):
+        got = fn(SF).to_pandas().reset_index(drop=True)
+        want = con.execute(sql).df()
+        assert len(got) == len(want) > 0, fn.__name__
+        assert (got["query"].astype(str).values ==
+                want["query"].astype(str).values).all()
+        assert (got["doc_id"].values ==
+                want["doc_id"].astype("int64").values).all()
+        assert np.allclose(got["score"], want["score"], atol=1e-9)
+
+
+def test_regexp_is_whole_term_anchored(ray_session):
+    """The pattern must match the ENTIRE term (bleve/Lucene RegexpQuery):
+    'u' alone expands to nothing even though many terms CONTAIN 'u',
+    and the alternation expands to exactly its three members."""
+    from pdfsearch_ray.pipelines.expand import (
+        expand_terms_regex,
+        simple_index_cached,
+    )
+
+    d = simple_index_cached(SF)
+    exp = expand_terms_regex(d, ("u", "s(mall|low|ort)", "r.w"))
+    assert exp["u"] == []
+    assert exp["s(mall|low|ort)"] == ["slow", "small", "sort"]
+    assert exp["r.w"] == ["row"]
+
+
+def test_term_range_is_dictionary_slice(ray_session):
+    """Range expansion equals the sorted dictionary slice [lo, hi) —
+    cross-checked against the full unfiltered dictionary scan."""
+    from pdfsearch_ray.pipelines.expand import (
+        expand_terms_range,
+        expand_terms_infix,
+        simple_index_cached,
+        _range_label,
+    )
+
+    d = simple_index_cached(SF)
+    # the full dictionary via the infix scan with an empty infix
+    vocab = sorted(expand_terms_infix(d, ("",))[""])
+    assert len(vocab) > 10
+    for lo, hi in (("m", "p"), ("a", "c"), ("zza", "zzb")):
+        got = expand_terms_range(d, ((lo, hi),))[_range_label(lo, hi)]
+        assert got == [t for t in vocab if lo <= t < hi], (lo, hi)
