@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_terms": _searchx().related_terms,
         "collapse_topk": _searchx().collapse_topk,
         "range_facets": _searchx().range_facets,
+        "explain_scores": _searchx().explain_scores,
+        "index_stats": _searchx().index_stats,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
         "cdc_chunk_stats": _webops().cdc_chunk_stats,
@@ -588,6 +590,10 @@ def oracle_sql() -> dict[str, str]:
         # numeric-range facets (half-open n_chars bands)
         "collapse_topk": _searchx().collapse_topk_sql(),
         "range_facets": _searchx().range_facets_sql(),
+        # Explain (per-hit per-term tf/df/contribution breakdown) and
+        # the index integrity counts recomputed from the postings files
+        "explain_scores": _searchx().explain_scores_sql(),
+        "index_stats": _searchx().index_stats_sql(),
         # HITS hubs/authorities: chained LEFT-JOIN rounds over the
         # shared mix64 edge CTEs
         "link_hits": _webops().link_hits_sql(),

@@ -276,6 +276,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("synonym_topk", _scorequery.synonym_topk),
         ("collapse_topk", _searchx.collapse_topk),
         ("range_facets", _searchx.range_facets),
+        ("explain_scores", _searchx.explain_scores),
+        ("index_stats", _searchx.index_stats),
         # two half-builds + hard-link merge on first call (fingerprint
         # cached); the cold wall is ~2 half-index builds
         ("merged_index_topk", _merge.merged_index_topk),

@@ -874,3 +874,160 @@ def range_facets_sql(queries=RANGE_QUERIES, *, k1: float = 1.2,
         GROUP BY band""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, band")
+
+
+# ----------------------------------------------------------------- explain
+
+EXPLAIN_QUERIES = ("data processing pipeline", "fast scan merge")
+EXPLAIN_TOP = 3
+
+def explain_scores(sf_dir: str) -> pa.Table:
+    """Score explanation (bleve/Lucene ``Explain``): for each query's
+    top-``EXPLAIN_TOP`` documents, one row per matched term with the
+    raw tf, the term's df, and the term's exact BM25 contribution —
+    the relevance-debugging surface every search API exposes.
+
+    Engine side this is free: the TAAT scorer already decodes
+    (ids, tf, dl) per term; explain just keeps the per-term rows for
+    the cut docs instead of summing them away.  At scale explanations
+    are computed per shard for the k merged winners only."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+    from .scorequery import _group_postings
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    m = idx.manifest
+    out = {k: [] for k in ("query", "rank", "doc_id", "term",
+                           "tf", "df", "score_part")}
+    for q in sorted(EXPLAIN_QUERIES):
+        terms = sorted(set(analyze_simple(q)))
+        ids, sc = idx.score_terms(terms)
+        if not ids.size:
+            continue
+        r_ids, _ = _ranked(ids, sc)
+        top = r_ids[:EXPLAIN_TOP].astype(np.int64)
+        rank_of = {int(d): r + 1 for r, d in enumerate(top)}
+        idx._load_terms(terms)
+        for t in terms:
+            uniq, tf, dl = _group_postings(idx, (t,))
+            if not uniq.size:
+                continue
+            df = idx._term_df(t)
+            idf = idx._idf(t)
+            part = idf * (tf / (tf + m.k1 * (1.0 - m.b + m.b * dl / m.avgdl)))
+            hit = np.isin(uniq.astype(np.int64), top)
+            for d, f, p in zip(uniq[hit].astype(np.int64),
+                               tf[hit], part[hit]):
+                out["query"].append(q)
+                out["rank"].append(rank_of[int(d)])
+                out["doc_id"].append(int(d))
+                out["term"].append(t)
+                out["tf"].append(int(f))
+                out["df"].append(df)
+                out["score_part"].append(round(float(p), 6))
+    order = sorted(range(len(out["query"])),
+                   key=lambda i: (out["query"][i], out["rank"][i],
+                                  out["term"][i]))
+    return pa.table({
+        "query": pa.array([out["query"][i] for i in order], type=pa.string()),
+        "rank": pa.array([out["rank"][i] for i in order], type=pa.int64()),
+        "doc_id": pa.array([out["doc_id"][i] for i in order], type=pa.int64()),
+        "term": pa.array([out["term"][i] for i in order], type=pa.string()),
+        "tf": pa.array([out["tf"][i] for i in order], type=pa.int64()),
+        "df": pa.array([out["df"][i] for i in order], type=pa.int64()),
+        "score_part": pa.array([out["score_part"][i] for i in order],
+                               type=pa.float64()),
+    })
+
+
+def explain_scores_sql(queries=EXPLAIN_QUERIES, *, top: int = EXPLAIN_TOP,
+                       k1: float = 1.2, b: float = 0.75) -> str:
+    """Replays the top cut AND every per-(doc, term) contribution, so
+    posting tf/df decode and the per-term algebra are all hashed."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = list(_BM25_CHAIN)
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),{_score_cte(str(qi), f"q{qi}", k1=k1, b=b)},
+        top{qi} AS (
+            SELECT doc_id, row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi} QUALIFY rank <= {top}
+        )""")
+        selects.append(f"""
+        SELECT '{_sq(q)}' AS query, t.rank, f.doc_id, f.term,
+               f.tf, d.df,
+               round(ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5))
+                     * f.tf / (f.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)),
+                     6) AS score_part
+        FROM tfs{qi} f
+        JOIN top{qi} t ON f.doc_id = t.doc_id
+        JOIN dfs{qi} d ON f.term = d.term
+        JOIN dl ON f.doc_id = dl.doc_id
+        CROSS JOIN stats""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank, term")
+
+
+# -------------------------------------------------------------- index stats
+
+def index_stats(sf_dir: str) -> pa.Table:
+    """Index integrity report, hash-checked against raw text: corpus
+    counts from the committed manifest (n_docs, total_tokens) plus
+    counts RECOMPUTED from the postings parquet itself (n_terms =
+    distinct dictionary terms, n_postings = Σ block n = distinct
+    (term, doc) pairs — salting splits postings across salt partitions
+    without duplication, so the sum stays exact).
+
+    Scale shape: one narrow (term, n) column scan with per-batch
+    partials; exact distinct-term counting is O(vocabulary) at the
+    driver — beyond ~10^8 terms use the vocab_hll_sketch gate
+    (pipelines/sketches.py) as the approximate path."""
+    from ..functions.tables import read_parquet_nometa
+    from ..state.manifest import IndexManifest
+    from .expand import simple_index_cached
+
+    d = simple_index_cached(sf_dir)
+    m = IndexManifest.load(d)
+    pdir = os.path.join(d, "postings")
+    files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                   if f.endswith(".parquet"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = pc.unique(t["term"])
+        n = int(pc.sum(t["n"]).as_py() or 0)
+        return pa.table({
+            "term": u,
+            "n_post": pa.array([n] + [0] * (len(u) - 1), type=pa.int64()),
+        })
+
+    agg = read_parquet_nometa(files, columns=["term", "n"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_docs": pa.array([int(m.n_docs)], type=pa.int64()),
+        "total_tokens": pa.array([int(m.total_dl)], type=pa.int64()),
+        "n_terms": pa.array([int(agg["term"].nunique())], type=pa.int64()),
+        "n_postings": pa.array([int(agg["n_post"].sum())], type=pa.int64()),
+    })
+
+
+def index_stats_sql() -> str:
+    """Oracle: the same four counts straight from raw text."""
+    return """
+        WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+            lower(text), '[^a-z0-9]+')) AS term FROM documents),
+        tok AS (SELECT * FROM toks WHERE term <> '')
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM tok) AS total_tokens,
+               (SELECT count(DISTINCT term) FROM tok) AS n_terms,
+               (SELECT count(DISTINCT (term, doc_id)) FROM tok)
+                   AS n_postings
+    """

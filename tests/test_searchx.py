@@ -234,3 +234,36 @@ def test_range_facets_partition_match_set(ray_session):
     for q, grp in df.groupby("query"):
         ids, _ = idx.score_terms(sorted(set(analyze_simple(q))))
         assert grp["n_docs"].sum() == ids.size
+
+
+def test_explain_and_stats_match_oracles(ray_session):
+    from pdfsearch_ray.pipelines import searchx as X
+
+    for fn, sql in ((X.explain_scores, X.explain_scores_sql()),
+                    (X.index_stats, X.index_stats_sql())):
+        got = fn(SF).to_pandas()
+        want = _con().execute(sql).df()
+        assert len(got) == len(want) > 0, fn.__name__
+        for col in got.columns:
+            a, b = got[col].to_numpy(), want[col].to_numpy()
+            if a.dtype.kind == "f":
+                assert np.allclose(a, b.astype(float), atol=1e-9), (fn.__name__, col)
+            else:
+                assert (a.astype(str) == b.astype(str)).all(), (fn.__name__, col)
+
+
+def test_explain_parts_sum_to_score(ray_session):
+    """Per (query, doc): the per-term contributions sum to the doc's
+    BM25 score on the plain ranking — the Explain invariant."""
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import searchx as X
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    df = X.explain_scores(SF).to_pandas()
+    assert df["rank"].max() == X.EXPLAIN_TOP
+    for (q, d), grp in df.groupby(["query", "doc_id"]):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        s = float(sc[ids.astype(np.int64) == d][0])
+        assert abs(grp["score_part"].sum() - s) < 5e-6, (q, d)
