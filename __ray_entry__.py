@@ -146,6 +146,12 @@ def _searchx():
     return searchx
 
 
+def _hybrid():
+    from pdfsearch_ray.pipelines import hybrid
+
+    return hybrid
+
+
 def _bpe():
     from pdfsearch_ray.pipelines import bpe
 
@@ -227,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosted_topk": _scorequery().boosted_topk,
         "synonym_topk": _scorequery().synonym_topk,
         "merged_index_topk": _merge().merged_index_topk,
+        "compacted_index_topk": _merge().compacted_index_topk,
+        "hybrid_rrf_topk": _hybrid().hybrid_rrf_topk,
         "ir_eval": _ireval().ir_eval,
         "facet_counts": _searchx().facet_counts,
         "mlt_topk": _searchx().mlt_topk,
@@ -571,6 +579,15 @@ def oracle_sql() -> dict[str, str]:
         # oracle is the FULL-corpus BM25 chain, so merged N / summed
         # df / union avgdl are all under the value hash
         "merged_index_topk": _merge().merged_index_sql(),
+        # delete→compact lifecycle: tombstone doc_id % 7 == 3, compact
+        # (physical purge + stats recompute); the oracle is the BM25
+        # chain over ONLY the survivors, so a stale pre-delete N / df /
+        # avgdl or a leaked tombstoned doc flips the hash
+        "compacted_index_topk": _merge().compacted_index_sql(),
+        # hybrid lexical+dense retrieval: BM25 list + cosine list fused
+        # with RRF; DuckDB recomputes both retrievers' rankings AND the
+        # 1/(k0+rank) fusion algebra from the raw tables
+        "hybrid_rrf_topk": _hybrid().hybrid_rrf_sql(),
         # IR evaluation harness: conjunctive pseudo-qrels against the
         # full OR-of-terms BM25 ranking; DuckDB recomputes tokenization,
         # BM25, the full ranking and the qrel rule end-to-end

@@ -170,6 +170,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     from pdfsearch_ray.pipelines import ireval as _ireval
     from pdfsearch_ray.pipelines import searchx as _searchx
     from pdfsearch_ray.pipelines import expand as _expand
+    from pdfsearch_ray.pipelines import hybrid as _hybrid
     from pdfsearch_ray.pipelines import queries as _queries
     from pdfsearch_ray.pipelines import relational as rel
     from pdfsearch_ray.pipelines import sketches, textstats, webops
@@ -281,6 +282,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # two half-builds + hard-link merge on first call (fingerprint
         # cached); the cold wall is ~2 half-index builds
         ("merged_index_topk", _merge.merged_index_topk),
+        # session-10: delete→compact lifecycle (fingerprint cached —
+        # cold wall is one build + compact) and hybrid RRF fusion
+        ("compacted_index_topk", _merge.compacted_index_topk),
+        ("hybrid_rrf_topk", _hybrid.hybrid_rrf_topk),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -320,3 +320,109 @@ def merged_index_sql() -> str:
     from .oracles import fulltext_simple_sql
 
     return fulltext_simple_sql(sorted(MERGE_QUERIES), k=MERGE_K)
+
+
+# ------------------------------------------------- delete -> compact gate
+
+COMPACT_QUERIES = ("data processing pipeline", "stream window merge",
+                   "information", "customer query")
+COMPACT_K = 10
+# deterministic delete predicate: doc_id % COMPACT_MOD == COMPACT_RESIDUE
+COMPACT_MOD = 7
+COMPACT_RESIDUE = 3
+
+
+def compacted_index_cached(sf_dir: str, *, num_buckets: int = 16) -> str:
+    """Build-once cached DELETE→COMPACT index over ``sf_dir``'s
+    documents: fresh simple-analyzer build, tombstone every doc with
+    ``doc_id % COMPACT_MOD == COMPACT_RESIDUE`` (delete_docs — the
+    Lucene lazy-delete analog), then compact_index (the scorch
+    segment-merge / forceMerge-with-expungeDeletes analog) so the
+    tombstoned rows are physically dropped and N/df/avgdl are
+    recomputed over the survivors.  Fingerprint-keyed + atomic rename,
+    the simple_index_cached discipline.
+
+    At scale the delete side is a delete-by-query stream (ids arrive
+    from a filter pipeline, tombstones append per shard); here the id
+    list is read from the source parquet's id column — O(deleted)
+    driver state, the same shape delete_docs commits."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .build import build_index, compact_index, delete_docs
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.sha256(repr((
+        os.path.abspath(src), st.st_size, st.st_mtime_ns,
+        "compacted", num_buckets, COMPACT_MOD, COMPACT_RESIDUE,
+    )).encode()).hexdigest()[:20]
+    root = os.environ.get("PDFSEARCH_SPILL_ROOT") or tempfile.gettempdir()
+    cdir = os.path.join(root, "pdfsearch_ftidx_cache", key)
+    if os.path.isfile(os.path.join(cdir, "manifest.json")):
+        return cdir
+    tmp = f"{cdir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    idir = f"{tmp}/idx"
+    build_index(src, idir, analyzer="simple", lang_col="lang",
+                num_buckets=num_buckets, sample_rate=1.0)
+    ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
+    doomed = ids[ids % COMPACT_MOD == COMPACT_RESIDUE].tolist()
+    delete_docs(idir, doc_ids=doomed)
+    compact_index(idir)
+    os.makedirs(os.path.dirname(cdir), exist_ok=True)
+    try:
+        os.rename(idir, cdir)
+    except OSError:
+        if not os.path.isfile(os.path.join(cdir, "manifest.json")):
+            raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return cdir
+
+
+def compacted_index_topk(sf_dir: str):
+    """Driver gate: exhaustive BM25 top-k through the
+    delete→compact→query lifecycle.  The oracle is the BM25 chain over
+    ONLY the surviving rows — so the tombstone algebra, the physical
+    purge and the recomputed corpus stats (a stale pre-delete N, df or
+    avgdl shifts every score) all sit under the value hash."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..analysis.analyzer import analyze_simple
+    from .query import BM25Index
+
+    idx = BM25Index(compacted_index_cached(sf_dir))
+    out_q, out_d, out_s = [], [], []
+    for q in sorted(COMPACT_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if not ids.size:
+            continue
+        sc = np.round(sc, 6)
+        order = np.lexsort((ids.astype(np.int64), -sc))[:COMPACT_K]
+        out_q.extend([q] * order.size)
+        out_d.extend(ids[order].astype(np.int64).tolist())
+        out_s.extend(sc[order].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def compacted_index_sql() -> str:
+    """Survivors-only BM25 oracle for the compaction gate."""
+    from .oracles import fulltext_simple_sql
+
+    return fulltext_simple_sql(
+        sorted(COMPACT_QUERIES), k=COMPACT_K,
+        where=f"doc_id % {COMPACT_MOD} <> {COMPACT_RESIDUE}")

@@ -585,18 +585,24 @@ def simhash_sql() -> str:
 
 
 def fulltext_simple_sql(queries, *, k: int = 10,
-                        k1: float = 1.2, b: float = 0.75) -> str:
+                        k1: float = 1.2, b: float = 0.75,
+                        where: str | None = None) -> str:
     """End-to-end BM25 oracle for the ``simple``-analyzer ENGINE path
     (pipelines/queries.py:fulltext_topk_simple): DuckDB recomputes
     tokenization, corpus stats, idf and the tf normalization from raw
     text — independently of the index codec — per query in the fixed
     set.  Shared stats CTEs; one scores CTE per query (query terms are
-    inlined as the engine's own simple-analysis of the query string)."""
+    inlined as the engine's own simple-analysis of the query string).
+    ``where`` restricts the corpus (the compacted-index gate's
+    survivor predicate) — N/df/avgdl are then recomputed over the
+    filtered rows, exactly like a from-scratch build over them."""
     from ..analysis.analyzer import analyze_simple
 
+    src = (f"(SELECT * FROM documents WHERE {where})" if where
+           else "documents")
     parts = [
         "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
-        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        f"lower(text), '[^a-z0-9]+')) AS term FROM {src}),",
         "tok AS (SELECT * FROM toks WHERE term <> ''),",
         "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
         "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
