@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_index_topk": _merge().merged_index_topk,
         "compacted_index_topk": _merge().compacted_index_topk,
         "hybrid_rrf_topk": _hybrid().hybrid_rrf_topk,
+        "hybrid_interp_topk": _hybrid().hybrid_interp_topk,
         "ir_eval": _ireval().ir_eval,
         "facet_counts": _searchx().facet_counts,
         "mlt_topk": _searchx().mlt_topk,
@@ -588,6 +589,10 @@ def oracle_sql() -> dict[str, str]:
         # with RRF; DuckDB recomputes both retrievers' rankings AND the
         # 1/(k0+rank) fusion algebra from the raw tables
         "hybrid_rrf_topk": _hybrid().hybrid_rrf_sql(),
+        # the convex-combination sibling: min-max normalization over
+        # each depth-N list (degenerate list → 1.0) and the alpha blend
+        # are recomputed by DuckDB window functions
+        "hybrid_interp_topk": _hybrid().hybrid_interp_sql(),
         # IR evaluation harness: conjunctive pseudo-qrels against the
         # full OR-of-terms BM25 ranking; DuckDB recomputes tokenization,
         # BM25, the full ranking and the qrel rule end-to-end

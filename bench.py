@@ -286,6 +286,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # cold wall is one build + compact) and hybrid RRF fusion
         ("compacted_index_topk", _merge.compacted_index_topk),
         ("hybrid_rrf_topk", _hybrid.hybrid_rrf_topk),
+        ("hybrid_interp_topk", _hybrid.hybrid_interp_topk),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -46,7 +46,9 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["hybrid_rrf_topk", "hybrid_rrf_sql",
-           "HYBRID_QUERIES", "HYBRID_N", "HYBRID_K", "RRF_K0"]
+           "hybrid_interp_topk", "hybrid_interp_sql",
+           "HYBRID_QUERIES", "HYBRID_N", "HYBRID_K", "RRF_K0",
+           "INTERP_ALPHA"]
 
 # (lexical text query, query vec_id) — the vec_id doubles as the doc
 # whose embedding plays the dense query vector.
@@ -58,23 +60,31 @@ HYBRID_K = 10   # fused result cut
 RRF_K0 = 60     # the canonical RRF constant from the paper
 
 
-def _lex_ranked(idx, query: str, n: int):
-    """Full-match-set BM25 ranks for ``query`` cut at depth ``n`` →
-    {doc_id: rank}.  Exhaustive scoring (score_terms) means the rank
-    window needs no tie-growth loop — every match is present."""
+def _lex_list(idx, query: str, n: int):
+    """Full-match-set BM25 list for ``query`` cut at depth ``n`` →
+    (doc_ids, 6-dp scores) in rank order.  Exhaustive scoring
+    (score_terms) means the rank window needs no tie-growth loop —
+    every match is present."""
     from ..analysis.analyzer import analyze_simple
 
     ids, sc = idx.score_terms(sorted(set(analyze_simple(query))))
     if not ids.size:
-        return {}
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     sc6 = np.round(sc, 6)
     order = np.lexsort((ids.astype(np.int64), -sc6))[:n]
-    return {int(ids[i]): r + 1 for r, i in enumerate(order)}
+    return ids[order].astype(np.int64), sc6[order]
 
 
-def _dense_ranked(sf_dir: str, qvecs, n: int):
-    """Per-query dense cosine ranks at depth ``n`` →
-    {qvec: {vec_id: rank}} via the broadcast-matmul batch kernel."""
+def _lex_ranked(idx, query: str, n: int):
+    """{doc_id: rank} view of _lex_list."""
+    ids, _ = _lex_list(idx, query, n)
+    return {int(d): r + 1 for r, d in enumerate(ids)}
+
+
+def _dense_lists(sf_dir: str, qvecs, n: int):
+    """Per-query dense cosine lists at depth ``n`` →
+    {qvec: (vec_ids, 6-dp sims)} in rank order, via the
+    broadcast-matmul batch kernel."""
     import pyarrow.parquet as pq
     import ray
 
@@ -126,7 +136,7 @@ def _dense_ranked(sf_dir: str, qvecs, n: int):
     ).map_batches(sims, batch_format="pyarrow", batch_size=4096)
     t = part.to_arrow_refs()
     t = pa.concat_tables([ray.get(r) for r in t])
-    out: dict[int, dict[int, int]] = {}
+    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     gq = t["query_id"].to_numpy()
     gv = t["vec_id"].to_numpy()
     gs = np.round(t["sim"].to_numpy(), 6)
@@ -134,8 +144,14 @@ def _dense_ranked(sf_dir: str, qvecs, n: int):
         m = gq == qid
         vids, ss = gv[m], gs[m]
         order = np.lexsort((vids, -ss))[:n]
-        out[int(qid)] = {int(vids[i]): r + 1 for r, i in enumerate(order)}
+        out[int(qid)] = (vids[order].astype(np.int64), ss[order])
     return out
+
+
+def _dense_ranked(sf_dir: str, qvecs, n: int):
+    """{qvec: {vec_id: rank}} view of _dense_lists."""
+    return {qv: {int(d): r + 1 for r, d in enumerate(ids)}
+            for qv, (ids, _) in _dense_lists(sf_dir, qvecs, n).items()}
 
 
 def hybrid_rrf_topk(sf_dir: str) -> pa.Table:
@@ -234,6 +250,152 @@ def hybrid_rrf_sql(queries=HYBRID_QUERIES, *, n: int = HYBRID_N,
                    row_number() OVER (
                        ORDER BY rrf_score DESC, doc_id ASC) AS rank
             FROM fused{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+# -------------------------------------- convex-combination (alpha) fusion
+
+INTERP_ALPHA = 0.5  # lexical weight; (1 - alpha) goes to the dense side
+
+
+def _minmax(sc6: np.ndarray) -> np.ndarray:
+    """Min-max normalize a retrieved list's 6-dp scores; a degenerate
+    list (all scores equal) normalizes to all-1.0 — the convention both
+    sides of the oracle share."""
+    if not sc6.size:
+        return sc6
+    lo, hi = float(sc6.min()), float(sc6.max())
+    if hi == lo:
+        return np.ones_like(sc6)
+    return (sc6 - lo) / (hi - lo)
+
+
+def hybrid_interp_topk(sf_dir: str) -> pa.Table:
+    """Driver gate: the OTHER canonical hybrid fusion — a convex
+    combination of min-max-normalized list scores,
+    ``alpha·lex_norm + (1-alpha)·dense_norm`` (the ES/Vespa weighted
+    linear blend), over the same depth-N lists as the RRF gate.  RRF is
+    calibration-free; the blend preserves score MAGNITUDE — a doc that
+    wins its list by a mile stays ahead of a pack of narrow winners,
+    which is exactly what RRF erases.  Docs absent from a list
+    contribute 0 from that side.  Output keeps the per-side normalized
+    scores (0.0 = absent sentinel, NaN-free hash)."""
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    dense = _dense_lists(sf_dir, [qv for _, qv in HYBRID_QUERIES],
+                         HYBRID_N)
+    cols = {"query": [], "doc_id": [], "mix_score": [],
+            "lex_norm": [], "vec_norm": [], "rank": []}
+    for q, qvec in sorted(HYBRID_QUERIES):
+        lids, lsc = _lex_list(idx, q, HYBRID_N)
+        vids, vsc = dense[qvec]
+        ln = dict(zip(lids.tolist(), _minmax(lsc).tolist()))
+        vn = dict(zip(vids.tolist(), _minmax(vsc).tolist()))
+        fused = []
+        for d in set(ln) | set(vn):
+            a, b = ln.get(d, 0.0), vn.get(d, 0.0)
+            fused.append((d, round(INTERP_ALPHA * a
+                                   + (1 - INTERP_ALPHA) * b, 6),
+                          round(a, 6), round(b, 6)))
+        fused.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, mix, a, b) in enumerate(fused[:HYBRID_K], 1):
+            cols["query"].append(q)
+            cols["doc_id"].append(d)
+            cols["mix_score"].append(mix)
+            cols["lex_norm"].append(a)
+            cols["vec_norm"].append(b)
+            cols["rank"].append(r)
+    return pa.table({
+        "query": pa.array(cols["query"], type=pa.string()),
+        "doc_id": pa.array(cols["doc_id"], type=pa.int64()),
+        "mix_score": pa.array(cols["mix_score"], type=pa.float64()),
+        "lex_norm": pa.array(cols["lex_norm"], type=pa.float64()),
+        "vec_norm": pa.array(cols["vec_norm"], type=pa.float64()),
+        "rank": pa.array(cols["rank"], type=pa.int64()),
+    })
+
+
+def hybrid_interp_sql(queries=HYBRID_QUERIES, *, n: int = HYBRID_N,
+                      k: int = HYBRID_K, alpha: float = INTERP_ALPHA,
+                      k1: float = 1.2, b: float = 0.75) -> str:
+    """End-to-end oracle for the alpha blend: both retrievals, the
+    depth-N windows, the min-max normalization (degenerate list → 1.0)
+    and the convex combination all recomputed by DuckDB."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+    from .searchx import _BM25_CHAIN, _score_cte
+
+    parts = list(_BM25_CHAIN)
+    parts.append(""",
+    be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+    bn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM be GROUP BY vec_id)""")
+    selects = []
+    for qi, (q, qvec) in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),{_score_cte(str(qi), f"q{qi}", k1=k1, b=b)},
+        qe{qi} AS (SELECT i, v FROM be WHERE vec_id = {qvec}),
+        qn{qi} AS (SELECT sqrt(sum(v * v)) AS nrm FROM qe{qi}),
+        sims{qi} AS (
+            SELECT b.vec_id,
+                   sum(q.v * b.v) / (qn{qi}.nrm * bn.nrm) AS sim
+            FROM qe{qi} q JOIN be b USING (i)
+            CROSS JOIN qn{qi}
+            JOIN bn ON b.vec_id = bn.vec_id
+            WHERE b.vec_id <> {qvec}
+            GROUP BY b.vec_id, qn{qi}.nrm, bn.nrm
+        ),
+        lr{qi} AS (
+            SELECT doc_id, round(s, 6) AS s6, row_number() OVER (
+                ORDER BY round(s, 6) DESC, doc_id ASC) AS r
+            FROM sc{qi}
+        ),
+        lnorm{qi} AS (
+            SELECT doc_id,
+                   CASE WHEN max(s6) OVER () = min(s6) OVER () THEN 1.0
+                        ELSE (s6 - min(s6) OVER ())
+                             / (max(s6) OVER () - min(s6) OVER ())
+                   END AS nrm
+            FROM lr{qi} WHERE r <= {n}
+        ),
+        vrr{qi} AS (
+            SELECT vec_id AS doc_id, round(sim, 6) AS s6,
+                   row_number() OVER (
+                       ORDER BY round(sim, 6) DESC, vec_id ASC) AS r
+            FROM sims{qi}
+        ),
+        vnorm{qi} AS (
+            SELECT doc_id,
+                   CASE WHEN max(s6) OVER () = min(s6) OVER () THEN 1.0
+                        ELSE (s6 - min(s6) OVER ())
+                             / (max(s6) OVER () - min(s6) OVER ())
+                   END AS nrm
+            FROM vrr{qi} WHERE r <= {n}
+        ),
+        blend{qi} AS (
+            SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                   round({alpha} * coalesce(l.nrm, 0)
+                         + (1 - {alpha}) * coalesce(v.nrm, 0), 6)
+                       AS mix_score,
+                   round(coalesce(l.nrm, 0), 6) AS lex_norm,
+                   round(coalesce(v.nrm, 0), 6) AS vec_norm
+            FROM lnorm{qi} l FULL OUTER JOIN vnorm{qi} v
+                ON l.doc_id = v.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, mix_score,
+                   lex_norm, vec_norm,
+                   row_number() OVER (
+                       ORDER BY mix_score DESC, doc_id ASC) AS rank
+            FROM blend{qi}
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")

