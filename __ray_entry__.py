@@ -152,6 +152,12 @@ def _hybrid():
     return hybrid
 
 
+def _percolate():
+    from pdfsearch_ray.pipelines import percolate
+
+    return percolate
+
+
 def _bpe():
     from pdfsearch_ray.pipelines import bpe
 
@@ -236,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compacted_index_topk": _merge().compacted_index_topk,
         "hybrid_rrf_topk": _hybrid().hybrid_rrf_topk,
         "hybrid_interp_topk": _hybrid().hybrid_interp_topk,
+        "percolate_matches": _percolate().percolate_matches,
         "ir_eval": _ireval().ir_eval,
         "facet_counts": _searchx().facet_counts,
         "mlt_topk": _searchx().mlt_topk,
@@ -593,6 +600,10 @@ def oracle_sql() -> dict[str, str]:
         # each depth-N list (degenerate list → 1.0) and the alpha blend
         # are recomputed by DuckDB window functions
         "hybrid_interp_topk": _hybrid().hybrid_interp_sql(),
+        # percolator (stored-query matching over a doc stream): DuckDB
+        # recomputes distinct-term sets and the AND cover per registered
+        # query, so the broadcast registry + counting algebra are hashed
+        "percolate_matches": _percolate().percolate_sql(),
         # IR evaluation harness: conjunctive pseudo-qrels against the
         # full OR-of-terms BM25 ranking; DuckDB recomputes tokenization,
         # BM25, the full ranking and the qrel rule end-to-end
