@@ -158,6 +158,12 @@ def _percolate():
     return percolate
 
 
+def _sigterms():
+    from pdfsearch_ray.pipelines import sigterms
+
+    return sigterms
+
+
 def _bpe():
     from pdfsearch_ray.pipelines import bpe
 
@@ -243,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": _hybrid().hybrid_rrf_topk,
         "hybrid_interp_topk": _hybrid().hybrid_interp_topk,
         "percolate_matches": _percolate().percolate_matches,
+        "significant_terms": _sigterms().significant_terms,
         "ir_eval": _ireval().ir_eval,
         "facet_counts": _searchx().facet_counts,
         "mlt_topk": _searchx().mlt_topk,
@@ -604,6 +611,10 @@ def oracle_sql() -> dict[str, str]:
         # recomputes distinct-term sets and the AND cover per registered
         # query, so the broadcast registry + counting algebra are hashed
         "percolate_matches": _percolate().percolate_sql(),
+        # significant terms (ES significant_terms analog): DuckDB
+        # recomputes the OR match sets, fg/bg doc frequencies and the
+        # lift = (fg·N)/(n_fg·bg) ranking from raw text
+        "significant_terms": _sigterms().significant_terms_sql(),
         # IR evaluation harness: conjunctive pseudo-qrels against the
         # full OR-of-terms BM25 ranking; DuckDB recomputes tokenization,
         # BM25, the full ranking and the qrel rule end-to-end

@@ -172,6 +172,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     from pdfsearch_ray.pipelines import expand as _expand
     from pdfsearch_ray.pipelines import hybrid as _hybrid
     from pdfsearch_ray.pipelines import percolate as _percolate
+    from pdfsearch_ray.pipelines import sigterms as _sigterms
     from pdfsearch_ray.pipelines import queries as _queries
     from pdfsearch_ray.pipelines import relational as rel
     from pdfsearch_ray.pipelines import sketches, textstats, webops
@@ -289,6 +290,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("hybrid_rrf_topk", _hybrid.hybrid_rrf_topk),
         ("hybrid_interp_topk", _hybrid.hybrid_interp_topk),
         ("percolate_matches", _percolate.percolate_matches),
+        ("significant_terms", _sigterms.significant_terms),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

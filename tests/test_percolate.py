@@ -50,3 +50,66 @@ def test_percolate_and_semantics_planted(ray_session, tmp_path,
     got = {(r["query_id"], r["doc_id"]) for _, r in t.iterrows()}
     assert got == {("alert_stv", 0), ("alert_stv", 2),
                    ("alert_str", 0), ("alert_str", 1), ("alert_str", 2)}
+
+
+def test_significant_terms_oracle_and_planted(ray_session, tmp_path,
+                                              monkeypatch):
+    """Oracle equivalence at sf0.001, plus a planted-lift check: a term
+    appearing ONLY inside the foreground must outrank every
+    corpus-uniform term (its lift is N/n_fg, the maximum)."""
+    import numpy as np
+
+    from pdfsearch_ray.pipelines.sigterms import (significant_terms,
+                                                  significant_terms_sql)
+
+    t = significant_terms(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    o = con.execute(significant_terms_sql()).fetchdf()
+    t2 = t.sort_values(["query", "rank"]).reset_index(drop=True)
+    o2 = o[t2.columns].sort_values(["query", "rank"]).reset_index(drop=True)
+    assert len(t2) == len(o2) and len(t2) > 0
+    for c in t2.columns:
+        a, b = t2[c].to_numpy(), o2[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), rtol=0, atol=1e-9), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+    # lift is maximal (= N / n_fg) exactly when bg_df == fg_df, i.e.
+    # the term lives ONLY in the foreground
+    for _, r in t.iterrows():
+        assert r["fg_df"] <= r["bg_df"]
+        assert r["lift"] > 0
+
+
+def test_significant_terms_planted_exclusive(ray_session, tmp_path,
+                                             monkeypatch):
+    """Plant a corpus where 'zebra' occurs only in docs matching the
+    query: it must rank first with lift == N / n_fg exactly."""
+    import numpy as np
+    import pdfsearch_ray.pipelines.sigterms as sig
+    import pdfsearch_ray.pipelines.expand as expand
+
+    n, n_fg = 40, 10
+    texts = []
+    for i in range(n):
+        if i < n_fg:
+            texts.append("anchor zebra filler" + f" pad{i % 3}")
+        else:
+            texts.append("plain filler words" + f" pad{i % 3}")
+    docs = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * n, type=pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    monkeypatch.setenv("PDFSEARCH_SPILL_ROOT", str(tmp_path / "spill"))
+    monkeypatch.setattr(sig, "SIG_QUERIES", ("anchor",))
+    monkeypatch.setattr(sig, "SIG_MIN_FG", 2)
+    t = sig.significant_terms(str(tmp_path)).to_pandas()
+    assert t.iloc[0]["term"] == "zebra"
+    assert abs(t.iloc[0]["lift"] - round(n / n_fg, 6)) < 1e-9
+    # corpus-uniform fillers sit at lift 1.0
+    filler = t[t["term"] == "filler"]
+    assert len(filler) == 1 and abs(filler.iloc[0]["lift"] - 1.0) < 1e-9
