@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_interp_topk": _hybrid().hybrid_interp_topk,
         "percolate_matches": _percolate().percolate_matches,
         "significant_terms": _sigterms().significant_terms,
+        "complete_prefix": _expand().complete_prefix,
         "ir_eval": _ireval().ir_eval,
         "facet_counts": _searchx().facet_counts,
         "mlt_topk": _searchx().mlt_topk,
@@ -615,6 +616,10 @@ def oracle_sql() -> dict[str, str]:
         # recomputes the OR match sets, fg/bg doc frequencies and the
         # lift = (fg·N)/(n_fg·bg) ranking from raw text
         "significant_terms": _sigterms().significant_terms_sql(),
+        # autocomplete: top-K dictionary completions per prefix by df;
+        # engine df comes from the index (Σ block n), oracle df from
+        # raw text — the index_stats postings identity under the hash
+        "complete_prefix": _expand().complete_prefix_sql(),
         # IR evaluation harness: conjunctive pseudo-qrels against the
         # full OR-of-terms BM25 ranking; DuckDB recomputes tokenization,
         # BM25, the full ranking and the qrel rule end-to-end

@@ -291,6 +291,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("hybrid_interp_topk", _hybrid.hybrid_interp_topk),
         ("percolate_matches", _percolate.percolate_matches),
         ("significant_terms", _sigterms.significant_terms),
+        ("complete_prefix", _expand.complete_prefix),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

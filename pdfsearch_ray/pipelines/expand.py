@@ -771,3 +771,111 @@ def compound_split_sql(queries=COMPOUND_QUERIES, *, k: int = EXPAND_K) -> str:
             f"ON d1.term || d2.term = '{_sq(q)}')"
         ),
         k=k)
+
+
+# ------------------------------------------------------- autocomplete
+
+COMPLETE_PREFIXES = ("c", "f", "s", "t", "zz")
+COMPLETE_K = 5
+
+
+def complete_prefix(sf_dir: str) -> pa.Table:
+    """Autocomplete (suggest-as-you-type): top-K term-dictionary
+    completions per prefix ranked by document frequency (df desc,
+    term asc) — bleve/ES completion-suggester semantics with df as the
+    popularity weight, answered from the INDEX (df = Σ block ``n``,
+    exact across salt splits — the index_stats identity).
+
+    Scale shape: one narrow (term, n) postings scan with the
+    union-of-prefix-ranges filter pushed into the parquet read (row
+    groups outside every range never leave storage); per-batch
+    (prefix, term, df_part) partials via factorize+bincount; the
+    driver combines O(matched dictionary entries) rows — prefix-scoped
+    vocabulary, not the corpus."""
+    import pandas as pd
+
+    from ..functions.tables import read_parquet_nometa
+
+    d = simple_index_cached(sf_dir)
+    pdir = os.path.join(d, "postings")
+    files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                   if f.endswith(".parquet"))
+    prefixes = tuple(sorted(COMPLETE_PREFIXES))
+    flt = None
+    for p in prefixes:
+        rng = (pc.field("term") >= p) & (pc.field("term") < _prefix_upper(p))
+        flt = rng if flt is None else (flt | rng)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_p, out_t, out_n = [], [], []
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        ns = t["n"].to_numpy().astype(np.int64)
+        tarr = terms.to_numpy(zero_copy_only=False)
+        for p in prefixes:
+            m = pc.starts_with(terms, pattern=p) \
+                .to_numpy(zero_copy_only=False)
+            m = np.asarray(m, dtype=bool)
+            if not m.any():
+                continue
+            codes, uniq = pd.factorize(tarr[m])
+            dfp = np.bincount(codes, weights=ns[m]).astype(np.int64)
+            out_p.extend([p] * len(uniq))
+            out_t.extend(uniq.tolist())
+            out_n.extend(dfp.tolist())
+        return pa.table({
+            "prefix": pa.array(out_p, type=pa.string()),
+            "term": pa.array(out_t, type=pa.string()),
+            "df_part": pa.array(out_n, type=pa.int64()),
+        })
+
+    parts = read_parquet_nometa(files, columns=["term", "n"],
+                                filter=flt) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = {"prefix": [], "term": [], "df": [], "rank": []}
+    if len(parts):
+        agg = parts.groupby(["prefix", "term"], sort=True)["df_part"] \
+            .sum().reset_index()
+        for p in prefixes:
+            g = agg[agg["prefix"] == p].copy()
+            if not len(g):
+                continue
+            g = g.sort_values(["df_part", "term"],
+                              ascending=[False, True],
+                              kind="mergesort").head(COMPLETE_K)
+            out["prefix"].extend([p] * len(g))
+            out["term"].extend(g["term"].tolist())
+            out["df"].extend(g["df_part"].astype("int64").tolist())
+            out["rank"].extend(range(1, len(g) + 1))
+    return pa.table({
+        "prefix": pa.array(out["prefix"], type=pa.string()),
+        "term": pa.array(out["term"], type=pa.string()),
+        "df": pa.array(out["df"], type=pa.int64()),
+        "rank": pa.array(out["rank"], type=pa.int64()),
+    })
+
+
+def complete_prefix_sql(prefixes=COMPLETE_PREFIXES, *,
+                        k: int = COMPLETE_K) -> str:
+    """df-per-term oracle from raw text, one LIKE window per prefix."""
+    from .oracles import _sq
+
+    parts = [
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        "tok AS (SELECT DISTINCT doc_id, term FROM toks "
+        "WHERE term <> ''),",
+        "dfs AS (SELECT term, count(*) AS df FROM tok GROUP BY term)",
+    ]
+    selects = []
+    for p in sorted(prefixes):
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(p)}' AS prefix, term, df,
+                   row_number() OVER (
+                       ORDER BY df DESC, term ASC) AS rank
+            FROM dfs WHERE term LIKE '{_sq(p)}%'
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY prefix, rank")

@@ -275,3 +275,33 @@ def test_term_range_is_dictionary_slice(ray_session):
     for lo, hi in (("m", "p"), ("a", "c"), ("zza", "zzb")):
         got = expand_terms_range(d, ((lo, hi),))[_range_label(lo, hi)]
         assert got == [t for t in vocab if lo <= t < hi], (lo, hi)
+
+
+def test_complete_prefix_oracle_and_ranks(ray_session):
+    """Autocomplete gate: oracle equivalence at sf0.001; ranks are
+    contiguous per prefix under (df desc, term asc); every completion
+    starts with its prefix; the no-match prefix is absent."""
+    import duckdb
+
+    from pdfsearch_ray.pipelines.expand import (COMPLETE_K,
+                                                complete_prefix,
+                                                complete_prefix_sql)
+
+    sf = "/root/testdata/sf0.001"
+    t = complete_prefix(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    o = con.execute(complete_prefix_sql()).fetchdf()
+    t2 = t.sort_values(["prefix", "rank"]).reset_index(drop=True)
+    o2 = o[t2.columns].sort_values(["prefix", "rank"]).reset_index(drop=True)
+    assert len(t2) == len(o2) and len(t2) > 0
+    for c in t2.columns:
+        assert (t2[c].to_numpy() == o2[c].to_numpy()).all(), c
+    assert "zz" not in set(t["prefix"])
+    for p, g in t.groupby("prefix"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= COMPLETE_K
+        assert all(term.startswith(p) for term in g["term"])
+        keys = list(zip(-g["df"], g["term"]))
+        assert keys == sorted(keys)
