@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": _scorequery().synonym_topk,
         "merged_index_topk": _merge().merged_index_topk,
         "compacted_index_topk": _merge().compacted_index_topk,
+        "federated_topk": _merge().federated_topk,
         "hybrid_rrf_topk": _hybrid().hybrid_rrf_topk,
         "hybrid_interp_topk": _hybrid().hybrid_interp_topk,
         "percolate_matches": _percolate().percolate_matches,
@@ -600,6 +601,11 @@ def oracle_sql() -> dict[str, str]:
         # chain over ONLY the survivors, so a stale pre-delete N / df /
         # avgdl or a leaked tombstoned doc flips the hash
         "compacted_index_topk": _merge().compacted_index_sql(),
+        # federated (no-merge) scatter-gather query across two
+        # independent half-indexes with GLOBAL N / summed df / union
+        # avgdl — the oracle is the full-corpus BM25 chain, so a wrong
+        # distributed-stats correction flips the hash
+        "federated_topk": _merge().federated_topk_sql(),
         # hybrid lexical+dense retrieval: BM25 list + cosine list fused
         # with RRF; DuckDB recomputes both retrievers' rankings AND the
         # 1/(k0+rank) fusion algebra from the raw tables

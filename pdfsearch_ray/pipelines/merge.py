@@ -51,7 +51,12 @@ import time
 
 __all__ = ["merge_indexes", "MergeCompatibilityError",
            "merged_index_cached", "merged_index_topk", "merged_index_sql",
-           "MERGE_QUERIES", "MERGE_K"]
+           "MERGE_QUERIES", "MERGE_K",
+           "compacted_index_cached", "compacted_index_topk",
+           "compacted_index_sql", "COMPACT_QUERIES", "COMPACT_K",
+           "COMPACT_MOD", "COMPACT_RESIDUE",
+           "parity_half_indexes_cached", "federated_score_terms",
+           "federated_topk", "federated_topk_sql"]
 
 _CONFIG_KEYS = ("analyzer", "analyzer_version", "k1", "b", "num_buckets",
                 "block_size", "with_positions", "salt_spec")
@@ -426,3 +431,159 @@ def compacted_index_sql() -> str:
     return fulltext_simple_sql(
         sorted(COMPACT_QUERIES), k=COMPACT_K,
         where=f"doc_id % {COMPACT_MOD} <> {COMPACT_RESIDUE}")
+
+
+# ------------------------------------------------ federated (no-merge) query
+
+def parity_half_indexes_cached(sf_dir: str, *,
+                               num_buckets: int = 16) -> tuple[str, str]:
+    """Two independently-built simple-analyzer indexes over the doc_id
+    parity halves, each its own fingerprint-cached artifact — the
+    sharded-crawl fixture for merge AND federated query gates."""
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.tables import read_parquet_nometa
+    from .build import build_index
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    root = os.environ.get("PDFSEARCH_SPILL_ROOT") or tempfile.gettempdir()
+    dirs = []
+    for parity in (0, 1):
+        key = hashlib.sha256(repr((
+            os.path.abspath(src), st.st_size, st.st_mtime_ns,
+            "parity-half", parity, num_buckets,
+        )).encode()).hexdigest()[:20]
+        cdir = os.path.join(root, "pdfsearch_ftidx_cache", key)
+        if not os.path.isfile(os.path.join(cdir, "manifest.json")):
+            def _half(t: pa.Table, parity=parity) -> pa.Table:
+                return t.filter(pc.equal(
+                    pc.bit_wise_and(t["doc_id"], 1), parity))
+            tmp = f"{cdir}.tmp.{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ds = read_parquet_nometa(
+                src, columns=["doc_id", "text", "lang"],
+            ).map_batches(_half, batch_format="pyarrow")
+            build_index(ds, tmp, analyzer="simple", lang_col="lang",
+                        num_buckets=num_buckets, sample_rate=1.0)
+            os.makedirs(os.path.dirname(cdir), exist_ok=True)
+            try:
+                os.rename(tmp, cdir)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isfile(os.path.join(cdir, "manifest.json")):
+                    raise
+        dirs.append(cdir)
+    return dirs[0], dirs[1]
+
+
+def federated_score_terms(handles, terms):
+    """Disjunctive BM25 over SEVERAL independent indexes with GLOBAL
+    statistics — federated search without a merge job (the distributed
+    ``df`` problem every scatter-gather engine must solve: Lucene/ES
+    use the same correction for cross-shard scoring).
+
+    Global N / total_dl come from the manifests; per-term global df is
+    the sum of per-index dfs (each index's _term_df after one pruned
+    metadata load).  Posting blocks cache raw (ids, tf, dl) at decode,
+    so contributions are recomputed here as
+    ``idf_global · bm25_wdl(tf, dl, k1, b, avgdl_global)`` — identical
+    algebra to a merged or from-scratch build over the union corpus,
+    which is exactly what the SQL oracle hashes.
+
+    Handles must be PRIVATE to this call: decode is triggered with a
+    placeholder idf, so the blocks' cached ``scores`` are not reusable
+    by the handle's own scorers afterwards.
+    """
+    import numpy as np
+
+    from ..index.codec import bm25_wdl
+
+    n_total = sum(h.manifest.n_docs for h in handles)
+    total_dl = sum(h.manifest.total_dl for h in handles)
+    k1 = handles[0].manifest.k1
+    b = handles[0].manifest.b
+    for h in handles[1:]:
+        if (h.manifest.k1, h.manifest.b) != (k1, b):
+            raise MergeCompatibilityError("k1/b mismatch across handles")
+    if n_total == 0:
+        return np.empty(0, np.int64), np.empty(0)
+    avgdl = total_dl / n_total
+    for h in handles:
+        h._load_terms(terms)
+    ids_parts, sc_parts = [], []
+    for t in terms:
+        df = sum(h._term_df(t) for h in handles)
+        if df == 0:
+            continue
+        idf = float(np.log(1.0 + (n_total - df + 0.5) / (df + 0.5)))
+        for h in handles:
+            blocks = h._term_cache.get(t, [])
+            if not blocks:
+                continue
+            h._decode_blocks_bulk(blocks, 0.0)
+            for blk in blocks:
+                ids = blk["ids"]
+                sc = idf * bm25_wdl(blk["tf"], blk["dl"], k1, b, avgdl)
+                if h._deleted is not None and ids.size:
+                    live = ~np.isin(ids, h._deleted)
+                    ids, sc = ids[live], sc[live]
+                ids_parts.append(ids.astype(np.int64))
+                sc_parts.append(sc)
+    if not ids_parts:
+        return np.empty(0, np.int64), np.empty(0)
+    all_ids = np.concatenate(ids_parts)
+    all_sc = np.concatenate(sc_parts)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    sums = np.zeros(uniq.size)
+    np.add.at(sums, inv, all_sc)
+    return uniq, sums
+
+
+def federated_topk(sf_dir: str):
+    """Driver gate: the MERGE_QUERIES set answered ACROSS the two
+    parity-half indexes with zero data movement — the oracle is the
+    same full-corpus BM25 chain as the merged gate, so a wrong global
+    N, summed df, or union avgdl flips the hash exactly as a bad merge
+    would."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..analysis.analyzer import analyze_simple
+    from .query import BM25Index
+
+    d0, d1 = parity_half_indexes_cached(sf_dir)
+    handles = [BM25Index(d0), BM25Index(d1)]
+    out_q, out_d, out_s = [], [], []
+    for q in sorted(MERGE_QUERIES):
+        ids, sc = federated_score_terms(
+            handles, sorted(set(analyze_simple(q))))
+        if not ids.size:
+            continue
+        sc = np.round(sc, 6)
+        order = np.lexsort((ids, -sc))[:MERGE_K]
+        out_q.extend([q] * order.size)
+        out_d.extend(ids[order].tolist())
+        out_s.extend(sc[order].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def federated_topk_sql() -> str:
+    """Full-corpus BM25 oracle — federated == merged == from-scratch."""
+    from .oracles import fulltext_simple_sql
+
+    return fulltext_simple_sql(sorted(MERGE_QUERIES), k=MERGE_K)

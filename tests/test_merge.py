@@ -124,3 +124,50 @@ def test_tombstones_carry_over(ray_session, tmp_path):
     assert victim not in got.astype(np.int64)
     # and the untombstoned sibling docs still match
     assert got.size > 0
+
+
+def test_federated_equals_merged_and_local_stats_differ(ray_session):
+    """Federated (no-merge) scoring across the parity halves is
+    row-identical to the merged-index gate at 6 dp — and scoring one
+    half with its own LOCAL stats provably disagrees, demonstrating
+    the distributed-df correction is load-bearing."""
+    import numpy as np
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines.merge import (
+        MERGE_QUERIES,
+        federated_score_terms,
+        federated_topk,
+        merged_index_topk,
+        parity_half_indexes_cached,
+    )
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    sf = "/root/testdata/sf0.001"
+    f = federated_topk(sf).to_pandas().reset_index(drop=True)
+    m = merged_index_topk(sf).to_pandas().reset_index(drop=True)
+    assert len(f) > 0 and f.equals(m)
+
+    d0, _ = parity_half_indexes_cached(sf)
+    q = sorted(MERGE_QUERIES)[0]
+    terms = sorted(set(analyze_simple(q)))
+    # global-stat scores for the half-0 docs
+    ids_g, sc_g = federated_score_terms([BM25Index(d0)], terms)
+    # NB: a single-handle federated call still uses that handle's own
+    # (N, df, avgdl) — identical to local scoring — so compare the
+    # TWO-handle global scores against the one-handle local scores
+    h0 = BM25Index(d0)
+    ids_l, sc_l = h0.score_terms(terms)
+    order = np.argsort(ids_l.astype(np.int64))
+    ids_l, sc_l = ids_l.astype(np.int64)[order], sc_l[order]
+    assert (ids_g == ids_l).all()
+    assert np.allclose(sc_g, sc_l)  # sanity: same stats -> same scores
+
+    d0b, d1b = parity_half_indexes_cached(sf)
+    ids_fed, sc_fed = federated_score_terms(
+        [BM25Index(d0b), BM25Index(d1b)], terms)
+    half0 = np.isin(ids_fed, ids_l)
+    sc_fed0 = sc_fed[half0]
+    # global N (=2x) and summed df shift idf: local-scored half must
+    # NOT match the federated scores for the same docs
+    assert not np.allclose(np.sort(sc_fed0), np.sort(sc_l))
