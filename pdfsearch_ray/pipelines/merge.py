@@ -229,16 +229,15 @@ MERGE_K = 10
 
 
 def merged_index_cached(sf_dir: str, *, num_buckets: int = 16) -> str:
-    """Build-once cached MERGED index over ``sf_dir``'s documents: two
-    independent simple-analyzer builds over the doc_id-parity halves,
+    """Build-once cached MERGED index over ``sf_dir``'s documents: the
+    two cached doc_id-parity half-indexes (parity_half_indexes_cached —
+    shared with the federated gate, so the halves build ONCE for both),
     hard-link merged (mode='link').  Fingerprint-keyed on source
     identity + params, atomic tmp+rename — the simple_index_cached
     discipline (expand.py:201), so the gate's marginal cost after the
     first call is a manifest read."""
     import hashlib
     import tempfile
-
-    from .build import build_index
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
@@ -250,29 +249,10 @@ def merged_index_cached(sf_dir: str, *, num_buckets: int = 16) -> str:
     cdir = os.path.join(root, "pdfsearch_ftidx_cache", key)
     if os.path.isfile(os.path.join(cdir, "manifest.json")):
         return cdir
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..functions.tables import read_parquet_nometa
-
-    def _half(parity: int):
-        def f(t: pa.Table) -> pa.Table:
-            keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity)
-            return t.filter(keep)
-        return f
-
+    halves = parity_half_indexes_cached(sf_dir, num_buckets=num_buckets)
     tmp = f"{cdir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    halves = []
-    for parity in (0, 1):
-        ds = read_parquet_nometa(
-            src, columns=["doc_id", "text", "lang"],
-        ).map_batches(_half(parity), batch_format="pyarrow")
-        hdir = f"{tmp}/half{parity}"
-        build_index(ds, hdir, analyzer="simple", lang_col="lang",
-                    num_buckets=num_buckets, sample_rate=1.0)
-        halves.append(hdir)
-    merge_indexes(halves, f"{tmp}/merged", mode="link")
+    merge_indexes(list(halves), f"{tmp}/merged", mode="link")
     os.makedirs(os.path.dirname(cdir), exist_ok=True)
     try:
         os.rename(f"{tmp}/merged", cdir)
