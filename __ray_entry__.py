@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": _boolquery().bm25_and_topk,
         "bm25_not_topk": _boolquery().bm25_not_topk,
         "phrase_match_counts": _boolquery().phrase_match_counts,
+        "phrase_topk": _boolquery().phrase_topk,
         "near_match_counts": _boolquery().near_match_counts,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
         "dismax_topk": _scorequery().dismax_topk,
@@ -579,6 +580,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": _boolquery().bm25_and_sql(),
         "bm25_not_topk": _boolquery().bm25_not_sql(),
         "phrase_match_counts": _boolquery().phrase_match_sql(),
+        # RANKED PhraseQuery: per-doc phrase tf from the positions
+        # store scored with BM25 (idf from phrase df); DuckDB re-derives
+        # ordinality, tf, df, stats and the scoring algebra from text
+        "phrase_topk": _boolquery().phrase_topk_sql(),
         "near_match_counts": _boolquery().near_match_sql(),
         # advanced disjunctive scoring controls: minimum_should_match
         # (HAVING >= m), DisjunctionMax (max + tie * rest), per-term

@@ -288,6 +288,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # cold wall is one build + compact) and hybrid RRF fusion
         ("compacted_index_topk", _merge.compacted_index_topk),
         ("federated_topk", _merge.federated_topk),
+        ("phrase_topk", _boolquery.phrase_topk),
         ("hybrid_rrf_topk", _hybrid.hybrid_rrf_topk),
         ("hybrid_interp_topk", _hybrid.hybrid_interp_topk),
         ("percolate_matches", _percolate.percolate_matches),

@@ -39,8 +39,12 @@ __all__ = [
     "phrase_match_counts",
     "bm25_and_sql",
     "phrase_match_sql",
+    "phrase_topk",
+    "phrase_topk_sql",
     "AND_QUERIES",
     "PHRASE_QUERIES",
+    "PHRASE_TOPK_QUERIES",
+    "PHRASE_TOPK_K",
     "AND_K",
 ]
 
@@ -105,9 +109,12 @@ def _term_position_keys(idx, term: str, common: np.ndarray) -> np.ndarray:
     return np.concatenate(keys)
 
 
-def phrase_counts_from_index(idx, phrase_terms: list[str]) -> tuple[int, int]:
-    """(n_docs, n_matches) of the exact token sequence, from posting
-    positions only — the doc text is never read."""
+def _phrase_starts(idx, phrase_terms: list[str]):
+    """(sorted candidate doc_ids, packed ``(doc_code << 32) | pos``
+    phrase-START keys) of the exact token sequence, from posting
+    positions only — the doc text is never read.  doc_code indexes into
+    the returned candidate array."""
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
     uniq = sorted(set(phrase_terms))
     idx._load_terms(uniq)
     id_sets = []
@@ -117,19 +124,28 @@ def phrase_counts_from_index(idx, phrase_terms: list[str]) -> tuple[int, int]:
         ids = (np.concatenate([b["ids"] for b in blocks])
                if blocks else np.empty(0, dtype=np.uint64))
         if ids.size == 0:
-            return 0, 0
+            return empty
         id_sets.append(np.sort(ids))
     common = id_sets[0]
     for s in id_sets[1:]:
         common = np.intersect1d(common, s, assume_unique=True)
     if common.size == 0:
-        return 0, 0
+        return empty
     term_keys = {t: _term_position_keys(idx, t, common) for t in uniq}
     starts = term_keys[phrase_terms[0]]
     for k, t in enumerate(phrase_terms[1:], start=1):
         if starts.size == 0:
-            return 0, 0
+            return common, np.empty(0, dtype=np.uint64)
         starts = starts[np.isin(starts + np.uint64(k), term_keys[t])]
+    return common, starts
+
+
+def phrase_counts_from_index(idx, phrase_terms: list[str]) -> tuple[int, int]:
+    """(n_docs, n_matches) of the exact token sequence, from posting
+    positions only — the doc text is never read."""
+    _common, starts = _phrase_starts(idx, phrase_terms)
+    if starts.size == 0:
+        return 0, 0
     n_docs = int(np.unique(starts >> np.uint64(32)).size)
     return n_docs, int(starts.size)
 
@@ -473,6 +489,120 @@ def bm25_not_sql(queries=NOT_QUERIES, *, k: int = NOT_K,
             FROM sc{qi}
             WHERE doc_id NOT IN (
                 SELECT doc_id FROM tok WHERE term IN ({neg_in}))
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+# --------------------------------------------------- ranked phrase query
+
+PHRASE_TOPK_QUERIES = ("fast scan", "table window", "data data",
+                       "slow merge", "query scan")
+PHRASE_TOPK_K = 10
+
+
+def phrase_topk(sf_dir: str) -> pa.Table:
+    """RANKED PhraseQuery (Lucene semantics): tf = exact phrase
+    occurrence count per doc (positions store), df = docs with ≥ 1
+    occurrence, score = idf(N, df) · tf / (tf + k1·(1−b+b·dl/avgdl))
+    with the corpus N/avgdl from the manifest — the scoring sibling of
+    the counting gate ``phrase_match_counts``.  dl is gathered from
+    the first phrase term's postings (a doc's dl rides on every one of
+    its postings), so the doc text is never read.
+
+    Scale shape: the positional intersection is per-candidate-doc work
+    over posting blocks (block-pruned reads as usual); per-doc tf is a
+    bincount over packed start keys; everything downstream is
+    O(matching docs)."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    m = idx.manifest
+    out_q, out_d, out_t, out_s = [], [], [], []
+    for q in sorted(PHRASE_TOPK_QUERIES):
+        terms = analyze_simple(q)
+        common, starts = _phrase_starts(idx, terms)
+        if starts.size == 0:
+            continue
+        codes, tf = np.unique(starts >> np.uint64(32),
+                              return_counts=True)
+        docs = common[codes.astype(np.int64)].astype(np.int64)
+        df = int(docs.size)
+        idf = float(np.log(1.0 + (m.n_docs - df + 0.5) / (df + 0.5)))
+        # dl lookup from the first term's decoded blocks
+        blocks = idx._term_cache.get(sorted(set(terms))[0], [])
+        ids_all = np.concatenate([b["ids"] for b in blocks])
+        dl_all = np.concatenate([b["dl"] for b in blocks])
+        order = np.argsort(ids_all)
+        pos = np.searchsorted(ids_all[order], docs.astype(np.uint64))
+        dl = dl_all[order][pos].astype(np.float64)
+        sc = idf * tf / (tf + m.k1 * (1 - m.b + m.b * dl / m.avgdl))
+        sc = np.round(sc, 6)
+        cut = np.lexsort((docs, -sc))[:PHRASE_TOPK_K]
+        out_q.extend([q] * cut.size)
+        out_d.extend(docs[cut].tolist())
+        out_t.extend(tf[cut].astype(np.int64).tolist())
+        out_s.extend(sc[cut].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "phrase_tf": pa.array(out_t, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def phrase_topk_sql(queries=PHRASE_TOPK_QUERIES, *,
+                    k: int = PHRASE_TOPK_K, k1: float = 1.2,
+                    b: float = 0.75) -> str:
+    """Oracle: DuckDB re-derives token ordinality, per-doc phrase tf,
+    phrase df, corpus stats and the BM25 algebra from raw text."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr FROM documents),",
+        "pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)))"
+        " AS i FROM arrs),",
+        "dl AS (SELECT doc_id, len(arr) AS dl FROM arrs "
+        "WHERE len(arr) > 0),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = analyze_simple(q)
+        conds = " AND ".join(
+            f"arr[i + {j}] = '{_sq(t)}'" for j, t in enumerate(terms))
+        parts.append(f""",
+        ptf{qi} AS (
+            SELECT doc_id, count(*) AS tf FROM pos
+            WHERE {conds} GROUP BY doc_id
+        ),
+        pdf{qi} AS (SELECT count(*) AS df FROM ptf{qi}),
+        sc{qi} AS (
+            SELECT p.doc_id, p.tf,
+                   ln(1 + (stats.n - pdf{qi}.df + 0.5) / (pdf{qi}.df + 0.5))
+                       * p.tf / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                       AS s
+            FROM ptf{qi} p
+            CROSS JOIN stats CROSS JOIN pdf{qi}
+            JOIN dl ON p.doc_id = dl.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, tf AS phrase_tf,
+                   round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")

@@ -174,3 +174,47 @@ def test_not_matches_oracle_and_excludes(ray_session):
         for d, s in zip(grp["doc_id"], grp["score"]):
             assert not neg_set & set(analyze_simple(texts[d]))
             assert full[d] == s
+
+
+def test_phrase_topk_oracle_and_tf_consistency(ray_session):
+    """Ranked PhraseQuery: oracle equivalence at sf0.001; per-query tf
+    totals agree with the counting gate; scores are monotone in rank."""
+    import duckdb
+    import numpy as np
+
+    from pdfsearch_ray.pipelines.boolquery import (
+        PHRASE_TOPK_QUERIES,
+        phrase_counts_from_index,
+        phrase_topk,
+        phrase_topk_sql,
+    )
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    sf = "/root/testdata/sf0.001"
+    t = phrase_topk(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    o = con.execute(phrase_topk_sql()).fetchdf()
+    t2 = t.sort_values(["query", "rank"]).reset_index(drop=True)
+    o2 = o[t2.columns].sort_values(["query", "rank"]).reset_index(drop=True)
+    assert len(t2) == len(o2) and len(t2) > 0
+    for c in t2.columns:
+        a, b = t2[c].to_numpy(), o2[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), rtol=0, atol=1e-9), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+    idx = BM25Index(simple_index_cached(sf))
+    for q, g in t.groupby("query"):
+        assert (g["score"].to_numpy()[:-1]
+                >= g["score"].to_numpy()[1:]).all()
+        n_docs, n_matches = phrase_counts_from_index(
+            idx, analyze_simple(q))
+        # the gate's per-doc tfs are a subset (top-K) of the counting
+        # gate's totals
+        assert g["phrase_tf"].sum() <= n_matches
+        assert len(g) <= n_docs
