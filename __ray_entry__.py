@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_counts": _boolquery().phrase_match_counts,
         "phrase_topk": _boolquery().phrase_topk,
         "near_match_counts": _boolquery().near_match_counts,
+        "sloppy_phrase_topk": _boolquery().sloppy_phrase_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
         "dismax_topk": _scorequery().dismax_topk,
         "boosted_topk": _scorequery().boosted_topk,
@@ -585,6 +586,10 @@ def oracle_sql() -> dict[str, str]:
         # ordinality, tf, df, stats and the scoring algebra from text
         "phrase_topk": _boolquery().phrase_topk_sql(),
         "near_match_counts": _boolquery().near_match_sql(),
+        # proximity-RANKED phrase (Lucene sloppy PhraseQuery): the
+        # within-window pair join, exact integer 1/d distance weights
+        # and the BM25-over-sloppy-tf algebra all recomputed from text
+        "sloppy_phrase_topk": _boolquery().sloppy_phrase_sql(),
         # advanced disjunctive scoring controls: minimum_should_match
         # (HAVING >= m), DisjunctionMax (max + tie * rest), per-term
         # boosts (a (term, boost) VALUES join) — each oracle rebuilds

@@ -41,6 +41,8 @@ __all__ = [
     "phrase_match_sql",
     "phrase_topk",
     "phrase_topk_sql",
+    "sloppy_phrase_topk",
+    "sloppy_phrase_sql",
     "AND_QUERIES",
     "PHRASE_QUERIES",
     "PHRASE_TOPK_QUERIES",
@@ -557,6 +559,161 @@ def phrase_topk(sf_dir: str) -> pa.Table:
         "score": pa.array(out_s, type=pa.float64()),
         "rank": pa.array(ranks, type=pa.int64()),
     })
+
+
+SLOP_QUERIES = ("fast merge", "data window", "table scan",
+                "scan scan", "customer vector")
+SLOP_W = 4            # max token distance (inclusive), either order
+SLOP_SCALE = 12       # lcm(1..SLOP_W): 12/d is exact for d in 1..4
+SLOP_K = 10
+
+
+def sloppy_weights_from_index(idx, t1: str, t2: str, *, w: int = SLOP_W,
+                              scale: int = SLOP_SCALE):
+    """(doc_ids, integer-scaled sloppy tf) of the two-term proximity
+    query: every ordered occurrence pair (p1 from t1, p2 from t2) with
+    ``1 <= |p1-p2| <= w`` contributes ``scale // |p1-p2|`` — the Lucene
+    sloppy-PhraseQuery frequency shape (closer pairs weigh more),
+    scaled to an EXACT integer so the value hash cannot flake on float
+    summation order.  Positions store only; doc text never read."""
+    uniq = sorted({t1, t2})
+    idx._load_terms(uniq)
+    id_sets = []
+    for t in uniq:
+        blocks = idx._term_cache.get(t, [])
+        idx._decode_blocks_bulk(blocks, idf=1.0)
+        ids = (np.concatenate([b["ids"] for b in blocks])
+               if blocks else np.empty(0, dtype=np.uint64))
+        if ids.size == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        id_sets.append(np.sort(ids))
+    common = id_sets[0]
+    for s in id_sets[1:]:
+        common = np.intersect1d(common, s, assume_unique=True)
+    if common.size == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    k1 = _term_position_keys(idx, t1, common)
+    k2 = np.sort(_term_position_keys(idx, t2, common))
+    acc = np.zeros(common.size, dtype=np.int64)
+    for d in range(1, w + 1):
+        wgt = scale // d
+        for keys in (k1 + np.uint64(d), k1 - np.uint64(d)):
+            m = np.isin(keys, k2)
+            if m.any():
+                codes = (k1[m] >> np.uint64(32)).astype(np.int64)
+                np.add.at(acc, codes, wgt)
+    hit = acc > 0
+    return common[hit], acc[hit]
+
+
+def sloppy_phrase_topk(sf_dir: str) -> pa.Table:
+    """Proximity-RANKED phrase (Lucene sloppy PhraseQuery analog): per
+    doc, sloppy tf = Σ 1/|p1-p2| over within-window ordered occurrence
+    pairs of the two query terms (integer-scaled ×SLOP_SCALE for exact
+    arithmetic), df = docs with ≥ 1 pair, score = BM25 over the sloppy
+    tf with corpus N/avgdl from the manifest and dl gathered off the
+    first term's postings.  The counting sibling is
+    ``near_match_counts``; this gate puts the *scoring* algebra —
+    distance weighting included — under the driver's value hash.
+
+    Scale shape: identical to phrase_topk — per-candidate posting-block
+    work, O(matching docs) downstream, no shuffle."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    m = idx.manifest
+    out_q, out_d, out_w, out_s = [], [], [], []
+    for q in sorted(SLOP_QUERIES):
+        t1, t2 = analyze_simple(q)[:2]
+        docs_u, w12 = sloppy_weights_from_index(idx, t1, t2)
+        if docs_u.size == 0:
+            continue
+        docs = docs_u.astype(np.int64)
+        df = int(docs.size)
+        idf = float(np.log(1.0 + (m.n_docs - df + 0.5) / (df + 0.5)))
+        blocks = idx._term_cache.get(sorted({t1, t2})[0], [])
+        ids_all = np.concatenate([b["ids"] for b in blocks])
+        dl_all = np.concatenate([b["dl"] for b in blocks])
+        order = np.argsort(ids_all)
+        pos = np.searchsorted(ids_all[order], docs_u)
+        dl = dl_all[order][pos].astype(np.float64)
+        stf = w12 / float(SLOP_SCALE)
+        sc = idf * stf / (stf + m.k1 * (1 - m.b + m.b * dl / m.avgdl))
+        sc = np.round(sc, 6)
+        cut = np.lexsort((docs, -sc))[:SLOP_K]
+        out_q.extend([q] * cut.size)
+        out_d.extend(docs[cut].tolist())
+        out_w.extend(w12[cut].tolist())
+        out_s.extend(sc[cut].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "sloppy_tf_x12": pa.array(out_w, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def sloppy_phrase_sql(queries=SLOP_QUERIES, *, w: int = SLOP_W,
+                      scale: int = SLOP_SCALE, k: int = SLOP_K,
+                      k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle: DuckDB re-derives token ordinality, the within-window
+    ordered pair join, the integer distance weights (scale // d is
+    exact), df, corpus stats and the BM25 algebra from raw text."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr FROM documents),",
+        "pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)))"
+        " AS i FROM arrs),",
+        "dl AS (SELECT doc_id, len(arr) AS dl FROM arrs "
+        "WHERE len(arr) > 0),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        t1, t2 = analyze_simple(q)[:2]
+        parts.append(f""",
+        pw{qi} AS (
+            SELECT a.doc_id,
+                   CAST(sum({scale} // abs(a.i - b.i)) AS BIGINT) AS w12
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND abs(a.i - b.i) <= {w} AND a.i <> b.i
+            WHERE a.arr[a.i] = '{_sq(t1)}' AND b.arr[b.i] = '{_sq(t2)}'
+            GROUP BY a.doc_id
+        ),
+        pdf{qi} AS (SELECT count(*) AS df FROM pw{qi}),
+        sc{qi} AS (
+            SELECT p.doc_id, p.w12,
+                   ln(1 + (stats.n - pdf{qi}.df + 0.5) / (pdf{qi}.df + 0.5))
+                       * (p.w12 / {scale}.0)
+                       / ((p.w12 / {scale}.0)
+                          + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                       AS s
+            FROM pw{qi} p
+            CROSS JOIN stats CROSS JOIN pdf{qi}
+            JOIN dl ON p.doc_id = dl.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, w12 AS sloppy_tf_x12,
+                   round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
 
 
 def phrase_topk_sql(queries=PHRASE_TOPK_QUERIES, *,

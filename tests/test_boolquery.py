@@ -218,3 +218,60 @@ def test_phrase_topk_oracle_and_tf_consistency(ray_session):
         # gate's totals
         assert g["phrase_tf"].sum() <= n_matches
         assert len(g) <= n_docs
+
+
+def test_sloppy_phrase_oracle(ray_session):
+    """Proximity-ranked phrase: oracle equivalence at sf0.001; sloppy
+    weights are positive multiples of SLOP_SCALE/SLOP_W."""
+    import numpy as np
+
+    from pdfsearch_ray.pipelines.boolquery import (
+        SLOP_SCALE,
+        SLOP_W,
+        sloppy_phrase_sql,
+        sloppy_phrase_topk,
+    )
+
+    got = sloppy_phrase_topk(SF).to_pandas()
+    want = _con().execute(sloppy_phrase_sql()).df()
+    t2 = got.sort_values(["query", "rank"]).reset_index(drop=True)
+    o2 = want[t2.columns].sort_values(
+        ["query", "rank"]).reset_index(drop=True)
+    assert len(t2) == len(o2) > 0
+    for c in t2.columns:
+        a, b = t2[c].to_numpy(), o2[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), rtol=0, atol=1e-9), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+    # every weight is a sum of {scale//d : d in 1..w} terms -> >= min
+    assert (got["sloppy_tf_x12"] >= SLOP_SCALE // SLOP_W).all()
+
+
+def test_sloppy_distance_weighting_drives_rank(ray_session, tmp_path):
+    """Planted corpus: same terms, same dl, same df — the doc with the
+    ADJACENT pair must outrank the doc with the distance-3 pair, and
+    the weights must be exactly scale//1 vs scale//3."""
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.boolquery import (
+        SLOP_SCALE,
+        sloppy_weights_from_index,
+    )
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["alpha beta pad pad pad", "alpha pad pad beta pad"],
+        "lang": ["en", "en"],
+    })
+    src = tmp_path / "docs.parquet"
+    import pyarrow.parquet as pq
+    pq.write_table(t, src)
+    out = tmp_path / "idx"
+    build_index(str(src), str(out), analyzer="simple", num_buckets=2)
+    idx = BM25Index(str(out))
+    docs, w = sloppy_weights_from_index(idx, "alpha", "beta")
+    m = dict(zip(docs.astype(np.int64).tolist(), w.tolist()))
+    assert m == {1: SLOP_SCALE // 1, 2: SLOP_SCALE // 3}
