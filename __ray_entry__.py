@@ -116,6 +116,12 @@ def _expand():
     return expand
 
 
+def _prune():
+    from pdfsearch_ray.pipelines import prune
+
+    return prune
+
+
 def _boolquery():
     from pdfsearch_ray.pipelines import boolquery
 
@@ -242,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": _boolquery().phrase_topk,
         "near_match_counts": _boolquery().near_match_counts,
         "sloppy_phrase_topk": _boolquery().sloppy_phrase_topk,
+        "champion_topk": _prune().champion_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
         "dismax_topk": _scorequery().dismax_topk,
         "boosted_topk": _scorequery().boosted_topk,
@@ -590,6 +597,10 @@ def oracle_sql() -> dict[str, str]:
         # within-window pair join, exact integer 1/d distance weights
         # and the BM25-over-sloppy-tf algebra all recomputed from text
         "sloppy_phrase_topk": _boolquery().sloppy_phrase_sql(),
+        # champion-list static pruning: only each term's R highest-tf
+        # postings score (unpruned df/N/avgdl for idf); DuckDB replays
+        # the champion rank window + the BM25 algebra from raw text
+        "champion_topk": _prune().champion_topk_sql(),
         # advanced disjunctive scoring controls: minimum_should_match
         # (HAVING >= m), DisjunctionMax (max + tie * rest), per-term
         # boosts (a (term, boost) VALUES join) — each oracle rebuilds
