@@ -116,6 +116,12 @@ def _expand():
     return expand
 
 
+def _fields():
+    from pdfsearch_ray.pipelines import fields
+
+    return fields
+
+
 def _prune():
     from pdfsearch_ray.pipelines import prune
 
@@ -249,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_match_counts": _boolquery().near_match_counts,
         "sloppy_phrase_topk": _boolquery().sloppy_phrase_topk,
         "champion_topk": _prune().champion_topk,
+        "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
         "dismax_topk": _scorequery().dismax_topk,
         "boosted_topk": _scorequery().boosted_topk,
@@ -601,6 +608,10 @@ def oracle_sql() -> dict[str, str]:
         # postings score (unpruned df/N/avgdl for idf); DuckDB replays
         # the champion rank window + the BM25 algebra from raw text
         "champion_topk": _prune().champion_topk_sql(),
+        # BM25F multi-field: positional title/body split, per-field
+        # soft length normalization, weight-before-saturate blend and
+        # cross-field df all recomputed by DuckDB from raw text
+        "bm25f_topk": _fields().bm25f_topk_sql(),
         # advanced disjunctive scoring controls: minimum_should_match
         # (HAVING >= m), DisjunctionMax (max + tie * rest), per-term
         # boosts (a (term, boost) VALUES join) — each oracle rebuilds
