@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_index_topk": _merge().merged_index_topk,
         "compacted_index_topk": _merge().compacted_index_topk,
         "federated_topk": _merge().federated_topk,
+        "shard_selected_topk": _merge().shard_selected_topk,
         "hybrid_rrf_topk": _hybrid().hybrid_rrf_topk,
         "hybrid_interp_topk": _hybrid().hybrid_interp_topk,
         "percolate_matches": _percolate().percolate_matches,
@@ -638,6 +639,12 @@ def oracle_sql() -> dict[str, str]:
         # avgdl — the oracle is the full-corpus BM25 chain, so a wrong
         # distributed-stats correction flips the hash
         "federated_topk": _merge().federated_topk_sql(),
+        # resource selection (CORI/Taily df belief): the broker ranks
+        # the doc_id%4 shard indexes by summed query-term df, searches
+        # only the top-2 with GLOBAL stats; DuckDB recomputes the shard
+        # split, the selection window, the shard string and the pruned
+        # global-stats BM25 ranking
+        "shard_selected_topk": _merge().shard_selected_sql(),
         # hybrid lexical+dense retrieval: BM25 list + cosine list fused
         # with RRF; DuckDB recomputes both retrievers' rankings AND the
         # 1/(k0+rank) fusion algebra from the raw tables

@@ -56,7 +56,10 @@ __all__ = ["merge_indexes", "MergeCompatibilityError",
            "compacted_index_sql", "COMPACT_QUERIES", "COMPACT_K",
            "COMPACT_MOD", "COMPACT_RESIDUE",
            "parity_half_indexes_cached", "federated_score_terms",
-           "federated_topk", "federated_topk_sql"]
+           "federated_topk", "federated_topk_sql",
+           "mod_shard_indexes_cached", "select_shards",
+           "shard_selected_topk", "shard_selected_sql",
+           "N_SEL_SHARDS", "SHARD_SEL", "SHARD_SEL_QUERIES", "SHARD_SEL_K"]
 
 _CONFIG_KEYS = ("analyzer", "analyzer_version", "k1", "b", "num_buckets",
                 "block_size", "with_positions", "salt_spec")
@@ -567,3 +570,216 @@ def federated_topk_sql() -> str:
     from .oracles import fulltext_simple_sql
 
     return fulltext_simple_sql(sorted(MERGE_QUERIES), k=MERGE_K)
+
+
+# -------------------------------------- shard selection (resource selection)
+
+N_SEL_SHARDS = 4          # shard by doc_id % 4
+SHARD_SEL = 2             # broker searches only the top-2 shards
+SHARD_SEL_QUERIES = ("data processing pipeline", "fast scan",
+                     "customer information")
+SHARD_SEL_K = 10
+
+
+def mod_shard_indexes_cached(sf_dir: str, *, n_shards: int = N_SEL_SHARDS,
+                             num_buckets: int = 16) -> list[str]:
+    """n independently-built simple-analyzer indexes over the
+    ``doc_id % n_shards`` split — the multi-shard fixture for the
+    resource-selection gate (the parity-halves pattern, generalized).
+    Each shard is its own fingerprint-cached artifact."""
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.tables import read_parquet_nometa
+    from .build import build_index
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    root = os.environ.get("PDFSEARCH_SPILL_ROOT") or tempfile.gettempdir()
+    dirs = []
+    for s in range(n_shards):
+        key = hashlib.sha256(repr((
+            os.path.abspath(src), st.st_size, st.st_mtime_ns,
+            "mod-shard", n_shards, s, num_buckets,
+        )).encode()).hexdigest()[:20]
+        cdir = os.path.join(root, "pdfsearch_ftidx_cache", key)
+        if not os.path.isfile(os.path.join(cdir, "manifest.json")):
+            def _shard(t: pa.Table, s=s) -> pa.Table:
+                m = pc.equal(pc.cast(
+                    pc.subtract(t["doc_id"],
+                                pc.multiply(pc.divide(t["doc_id"],
+                                                      n_shards),
+                                            n_shards)),
+                    pa.int64()), s)
+                return t.filter(m)
+            tmp = f"{cdir}.tmp.{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ds = read_parquet_nometa(
+                src, columns=["doc_id", "text", "lang"],
+            ).map_batches(_shard, batch_format="pyarrow")
+            build_index(ds, tmp, analyzer="simple", lang_col="lang",
+                        num_buckets=num_buckets, sample_rate=1.0)
+            os.makedirs(os.path.dirname(cdir), exist_ok=True)
+            try:
+                os.rename(tmp, cdir)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isfile(os.path.join(cdir, "manifest.json")):
+                    raise
+        dirs.append(cdir)
+    return dirs
+
+
+def select_shards(handles, terms, *, n_select: int = SHARD_SEL):
+    """df-based resource selection (the CORI/Taily belief simplified to
+    its integer-exact core, Callan 1995 / Aly et al. 2013): rank shards
+    by Σ_t df_s(t) descending (shard-id ascending ties) and return the
+    top ``n_select`` shard indexes.  At scale the per-shard term df is
+    a precomputed broker-side statistic — here it is the dictionary
+    (term, n) metadata each handle already serves."""
+    for h in handles:
+        h._load_terms(terms)
+    scores = [(sum(h._term_df(t) for t in terms), s)
+              for s, h in enumerate(handles)]
+    ranked = sorted(scores, key=lambda p: (-p[0], p[1]))
+    return sorted(s for total, s in ranked[:n_select] if total >= 0)
+
+
+def shard_selected_topk(sf_dir: str):
+    """Resource-selection gate: the broker ranks the 4 doc_id%4 shard
+    indexes by summed query-term df, searches ONLY the top-2, and
+    scores them with GLOBAL corpus statistics (N / total_dl / df summed
+    over ALL shard manifests+dictionaries — what a real broker caches).
+    Both the selection decision (the ``shards`` column) and the pruned
+    ranking sit under the value hash.  Selection changes recall, not
+    the scoring algebra: a doc in an unselected shard is simply absent,
+    exactly like ES ``_search`` with a shard preference routing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..analysis.analyzer import analyze_simple
+    from ..index.codec import bm25_wdl
+    from .query import BM25Index
+
+    handles = [BM25Index(d) for d in mod_shard_indexes_cached(sf_dir)]
+    n_total = sum(h.manifest.n_docs for h in handles)
+    total_dl = sum(h.manifest.total_dl for h in handles)
+    avgdl = total_dl / n_total if n_total else 1.0
+    k1 = handles[0].manifest.k1
+    b = handles[0].manifest.b
+    out_q, out_sh, out_d, out_s = [], [], [], []
+    for q in sorted(SHARD_SEL_QUERIES):
+        terms = sorted(set(analyze_simple(q)))
+        sel = select_shards(handles, terms)
+        sh_str = ",".join(str(s) for s in sel)
+        ids_parts, sc_parts = [], []
+        for t in terms:
+            df = sum(h._term_df(t) for h in handles)  # GLOBAL df
+            if df == 0:
+                continue
+            idf = float(np.log(1.0 + (n_total - df + 0.5) / (df + 0.5)))
+            for s in sel:
+                h = handles[s]
+                blocks = h._term_cache.get(t, [])
+                h._decode_blocks_bulk(blocks, 0.0)
+                for blk in blocks:
+                    ids_parts.append(blk["ids"].astype(np.int64))
+                    sc_parts.append(idf * bm25_wdl(
+                        blk["tf"], blk["dl"], k1, b, avgdl))
+        if not ids_parts:
+            continue
+        all_ids = np.concatenate(ids_parts)
+        all_sc = np.concatenate(sc_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        sums = np.zeros(uniq.size)
+        np.add.at(sums, inv, all_sc)
+        sums = np.round(sums, 6)
+        order = np.lexsort((uniq, -sums))[:SHARD_SEL_K]
+        out_q.extend([q] * order.size)
+        out_sh.extend([sh_str] * order.size)
+        out_d.extend(uniq[order].tolist())
+        out_s.extend(sums[order].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "shards": pa.array(out_sh, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def shard_selected_sql(queries=SHARD_SEL_QUERIES, *,
+                       n_shards: int = N_SEL_SHARDS,
+                       n_select: int = SHARD_SEL, k: int = SHARD_SEL_K,
+                       k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle: DuckDB recomputes the doc_id%n shard split, per-shard
+    summed df, the (df desc, shard asc) selection window, the selected
+    shard-id string AND the global-stats BM25 over only the selected
+    shards' documents."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        "tok AS (SELECT * FROM toks WHERE term <> ''),",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),
+        tfs{qi} AS (
+            SELECT t.doc_id, t.term, count(*) AS tf
+            FROM tok t JOIN q{qi} USING (term) GROUP BY t.doc_id, t.term
+        ),
+        dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+        ssel{qi} AS (
+            SELECT doc_id % {n_shards} AS shard, count(*) AS df_sum
+            FROM tfs{qi} GROUP BY 1
+        ),
+        sel{qi} AS (
+            SELECT shard FROM (
+                SELECT shard, row_number() OVER (
+                    ORDER BY df_sum DESC, shard ASC) AS rr
+                FROM ssel{qi}
+            ) WHERE rr <= {n_select}
+        ),
+        shstr{qi} AS (
+            SELECT string_agg(CAST(shard AS VARCHAR), ','
+                              ORDER BY shard) AS shards
+            FROM sel{qi}
+        ),
+        sc{qi} AS (
+            SELECT tfs{qi}.doc_id,
+                   sum(ln(1 + (stats.n - dfs{qi}.df + 0.5) / (dfs{qi}.df + 0.5))
+                       * tfs{qi}.tf / (tfs{qi}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                   ) AS s
+            FROM tfs{qi}
+            CROSS JOIN stats
+            JOIN dfs{qi} ON tfs{qi}.term = dfs{qi}.term
+            JOIN dl ON tfs{qi}.doc_id = dl.doc_id
+            WHERE tfs{qi}.doc_id % {n_shards} IN (SELECT shard FROM sel{qi})
+            GROUP BY tfs{qi}.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, shstr{qi}.shards AS shards,
+                   doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi} CROSS JOIN shstr{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")

@@ -171,3 +171,77 @@ def test_federated_equals_merged_and_local_stats_differ(ray_session):
     # global N (=2x) and summed df shift idf: local-scored half must
     # NOT match the federated scores for the same docs
     assert not np.allclose(np.sort(sc_fed0), np.sort(sc_l))
+
+
+def test_shard_selection_oracle_and_pruning(ray_session):
+    """Resource selection: oracle equivalence at sf0.001; results only
+    contain docs from the selected shards; selection is load-bearing
+    (the full federated candidate set spans more shards than selected
+    for at least one query)."""
+    import duckdb
+    import numpy as np
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import merge as M
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    sf = "/root/testdata/sf0.001"
+    got = M.shard_selected_topk(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(M.shard_selected_sql()).df()
+    t2 = got.sort_values(["query", "rank"]).reset_index(drop=True)
+    o2 = want[t2.columns].sort_values(
+        ["query", "rank"]).reset_index(drop=True)
+    assert len(t2) == len(o2) > 0
+    for c in t2.columns:
+        a, b = t2[c].to_numpy(), o2[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), rtol=0, atol=1e-9), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+    # docs come only from selected shards
+    for _, row in got.iterrows():
+        sel = {int(s) for s in row["shards"].split(",")}
+        assert int(row["doc_id"]) % M.N_SEL_SHARDS in sel
+
+    handles = [BM25Index(d) for d in M.mod_shard_indexes_cached(sf)]
+    pruned_somewhere = False
+    for q in M.SHARD_SEL_QUERIES:
+        terms = sorted(set(analyze_simple(q)))
+        ids, _sc = M.federated_score_terms(
+            [BM25Index(d) for d in M.mod_shard_indexes_cached(sf)], terms)
+        sel = set(M.select_shards(handles, terms))
+        all_shards = {int(d) % M.N_SEL_SHARDS for d in ids}
+        if all_shards - sel:
+            pruned_somewhere = True
+    assert pruned_somewhere
+
+
+def test_shard_selection_select_all_equals_federated(ray_session):
+    """n_select == n_shards must reproduce the full federated ranking
+    (global-stats scoring over every shard)."""
+    import numpy as np
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import merge as M
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    sf = "/root/testdata/sf0.001"
+    dirs = M.mod_shard_indexes_cached(sf)
+    for q in M.SHARD_SEL_QUERIES:
+        terms = sorted(set(analyze_simple(q)))
+        handles = [BM25Index(d) for d in dirs]
+        sel = M.select_shards(handles, terms,
+                              n_select=M.N_SEL_SHARDS)
+        assert sel == list(range(M.N_SEL_SHARDS))
+        ids_f, sc_f = M.federated_score_terms(
+            [BM25Index(d) for d in dirs], terms)
+        # selected-all scoring: rebuild via the same global-stats path
+        handles2 = [BM25Index(d) for d in dirs]
+        ids_s, sc_s = M.federated_score_terms(handles2, terms)
+        o1, o2 = np.argsort(ids_f), np.argsort(ids_s)
+        assert (ids_f[o1] == ids_s[o2]).all()
+        assert np.allclose(sc_f[o1], sc_s[o2], atol=1e-12)
