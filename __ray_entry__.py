@@ -116,6 +116,12 @@ def _expand():
     return expand
 
 
+def _diversify():
+    from pdfsearch_ray.pipelines import diversify
+
+    return diversify
+
+
 def _fields():
     from pdfsearch_ray.pipelines import fields
 
@@ -266,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_selected_topk": _merge().shard_selected_topk,
         "hybrid_rrf_topk": _hybrid().hybrid_rrf_topk,
         "hybrid_interp_topk": _hybrid().hybrid_interp_topk,
+        "mmr_diversify": _diversify().mmr_diversify,
         "percolate_matches": _percolate().percolate_matches,
         "significant_terms": _sigterms().significant_terms,
         "complete_prefix": _expand().complete_prefix,
@@ -653,6 +660,10 @@ def oracle_sql() -> dict[str, str]:
         # each depth-N list (degenerate list → 1.0) and the alpha blend
         # are recomputed by DuckDB window functions
         "hybrid_interp_topk": _hybrid().hybrid_interp_sql(),
+        # MMR diversification: DuckDB replays the dense candidate
+        # window, all pairwise candidate cosines and every greedy
+        # argmax round as chained pick1..pickK CTEs (bpe precedent)
+        "mmr_diversify": _diversify().mmr_diversify_sql(),
         # percolator (stored-query matching over a doc stream): DuckDB
         # recomputes distinct-term sets and the AND cover per registered
         # query, so the broadcast registry + counting algebra are hashed
