@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_facets": _searchx().range_facets,
         "explain_scores": _searchx().explain_scores,
         "index_stats": _searchx().index_stats,
+        "term_vectors": _searchx().term_vectors,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
         "cdc_chunk_stats": _webops().cdc_chunk_stats,
@@ -699,6 +700,9 @@ def oracle_sql() -> dict[str, str]:
         # the index integrity counts recomputed from the postings files
         "explain_scores": _searchx().explain_scores_sql(),
         "index_stats": _searchx().index_stats_sql(),
+        # term vectors (ES _termvectors): per selected doc the full
+        # (term, tf, first position) vector via on-the-fly re-analysis
+        "term_vectors": _searchx().term_vectors_sql(),
         # HITS hubs/authorities: chained LEFT-JOIN rounds over the
         # shared mix64 edge CTEs
         "link_hits": _webops().link_hits_sql(),

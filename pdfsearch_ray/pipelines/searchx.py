@@ -59,6 +59,7 @@ __all__ = [
     "related_terms_sql",
     "collapse_topk", "collapse_topk_sql",
     "range_facets", "range_facets_sql",
+    "term_vectors", "term_vectors_sql", "TV_MOD", "TV_RESIDUE",
     "FACET_QUERIES", "MLT_SEEDS", "MLT_F", "MLT_K", "SA_QUERIES", "SA_K",
     "FILTER_QUERIES", "FILTER_K", "SORT_QUERIES", "SORT_K",
     "SPELL_INPUTS", "PMI_TARGETS", "PMI_MIN_CO", "PMI_M",
@@ -1030,4 +1031,95 @@ def index_stats_sql() -> str:
                (SELECT count(DISTINCT term) FROM tok) AS n_terms,
                (SELECT count(DISTINCT (term, doc_id)) FROM tok)
                    AS n_postings
+    """
+
+
+# ----------------------------------------------------------- term vectors
+
+TV_MOD = 53
+TV_RESIDUE = 7
+
+
+def term_vectors(sf_dir: str) -> pa.Table:
+    """ES ``_termvectors`` analog: per selected document the full
+    (term, tf, first 1-based position) vector.  Like ES when term
+    vectors are not index-stored, the service RE-ANALYZES the stored
+    source field on the fly — the honest access path; reading a forward
+    vector out of an inverted index would be a full dictionary scan.
+
+    Scale shape: the doc-id selection is a pushdown filter (row groups
+    whose doc_id stats miss the residue class never leave storage at
+    scale; here a per-batch mask), then ONE dictionary-coded vectorized
+    kernel per batch (tf via packed-key np.unique, first position via
+    np.minimum.at) — output rows are O(selected docs × their distinct
+    terms), never corpus-sized."""
+    import numpy as np
+
+    from .queries import _docs, _tok_codes
+
+    def tv_batch(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string()),
+            ("tf", pa.int64()), ("first_pos", pa.int64())])
+        ids_all = batch["doc_id"].to_numpy()
+        sel = (ids_all % TV_MOD) == TV_RESIDUE
+        if not sel.any():
+            return out_schema.empty_table()
+        batch = batch.filter(pa.array(sel))
+        codes, doc_idx, vocab = _tok_codes(batch)
+        if codes.size == 0:
+            return out_schema.empty_table()
+        nrows = batch.num_rows
+        dl = np.bincount(doc_idx, minlength=nrows)
+        starts = np.zeros(nrows, dtype=np.int64)
+        np.cumsum(dl[:-1], out=starts[1:])
+        pos1 = np.arange(codes.size, dtype=np.int64) - starts[doc_idx] + 1
+        key = doc_idx.astype(np.int64) * len(vocab) + codes
+        uk, inv, tf = np.unique(key, return_inverse=True,
+                                return_counts=True)
+        first = np.full(uk.size, np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, pos1)
+        ids = batch["doc_id"].to_numpy()[uk // len(vocab)]
+        terms = [vocab[c] for c in (uk % len(vocab)).tolist()]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "tf": pa.array(tf.astype(np.int64)),
+            "first_pos": pa.array(first),
+        })
+
+    t = _docs(sf_dir).map_batches(
+        tv_batch, batch_format="pyarrow").to_arrow_refs()
+    import ray
+
+    parts = [ray.get(r) for r in t]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string()),
+            ("tf", pa.int64()), ("first_pos", pa.int64()),
+        ]).empty_table()
+    return pa.concat_tables(parts).sort_by(
+        [("doc_id", "ascending"), ("term", "ascending")])
+
+
+def term_vectors_sql(*, mod: int = TV_MOD, residue: int = TV_RESIDUE) -> str:
+    """Oracle: token ordinality re-derived from raw text for the
+    selected residue class; tf = count, first_pos = min ordinal."""
+    return f"""
+        WITH arrs AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(
+                lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+            FROM documents WHERE doc_id % {mod} = {residue}
+        ),
+        pos AS (
+            SELECT doc_id, arr[i] AS term, i
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr))) AS i
+                  FROM arrs)
+        )
+        SELECT doc_id, term, count(*) AS tf,
+               CAST(min(i) AS BIGINT) AS first_pos
+        FROM pos GROUP BY doc_id, term
+        ORDER BY doc_id, term
     """

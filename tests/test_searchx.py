@@ -267,3 +267,37 @@ def test_explain_parts_sum_to_score(ray_session):
         ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
         s = float(sc[ids.astype(np.int64) == d][0])
         assert abs(grp["score_part"].sum() - s) < 5e-6, (q, d)
+
+
+def test_term_vectors_oracle_and_positions(ray_session):
+    """Term vectors: oracle equivalence at sf0.001; tf sums to dl per
+    doc; first_pos of the doc's opening token is 1."""
+    import duckdb
+    import numpy as np
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import searchx as S
+
+    sf = "/root/testdata/sf0.001"
+    got = S.term_vectors(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(S.term_vectors_sql()).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy().astype(str)
+                == want[c].to_numpy().astype(str)).all(), c
+    # per doc: one term has first_pos == 1 (the opening token), and
+    # the tf sum equals the analyzed token count
+    import pyarrow.parquet as pq
+
+    texts = dict(zip(*[
+        pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])[c].to_pylist()
+        for c in ("doc_id", "text")]))
+    for did, g in got.groupby("doc_id"):
+        toks = analyze_simple(texts[int(did)])
+        assert g["tf"].sum() == len(toks)
+        assert (g["first_pos"] == 1).sum() == 1
+        assert g.loc[g["first_pos"] == 1, "term"].iloc[0] == toks[0]
