@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_topk": _scorequery().dismax_topk,
         "boosted_topk": _scorequery().boosted_topk,
         "synonym_topk": _scorequery().synonym_topk,
+        "recency_boost_topk": _scorequery().recency_boost_topk,
         "merged_index_topk": _merge().merged_index_topk,
         "compacted_index_topk": _merge().compacted_index_topk,
         "federated_topk": _merge().federated_topk,
@@ -632,6 +633,9 @@ def oracle_sql() -> dict[str, str]:
         # the class's distinct-doc count, so the class idf is under the
         # value hash (a plain-OR rewrite would hash-mismatch)
         "synonym_topk": _scorequery().synonym_sql(),
+        # function_score recency decay: splitmix64 age synth replayed in
+        # HUGEINT limbs + the unrounded-BM25 x decay blend at 6 dp
+        "recency_boost_topk": _scorequery().recency_boost_sql(),
         # index merge (Lucene addIndexes analog): two independent
         # half-corpus builds, segment-adopted into one index; the
         # oracle is the FULL-corpus BM25 chain, so merged N / summed

@@ -173,6 +173,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     from pdfsearch_ray.pipelines import hybrid as _hybrid
     from pdfsearch_ray.pipelines import percolate as _percolate
     from pdfsearch_ray.pipelines import sigterms as _sigterms
+    from pdfsearch_ray.pipelines import prune as _prune
+    from pdfsearch_ray.pipelines import fields as _fields
+    from pdfsearch_ray.pipelines import diversify as _diversify
     from pdfsearch_ray.pipelines import queries as _queries
     from pdfsearch_ray.pipelines import relational as rel
     from pdfsearch_ray.pipelines import sketches, textstats, webops
@@ -294,6 +297,16 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("percolate_matches", _percolate.percolate_matches),
         ("significant_terms", _sigterms.significant_terms),
         ("complete_prefix", _expand.complete_prefix),
+        # session-11: proximity scoring, static pruning, multi-field,
+        # resource selection, diversification, term vectors (the
+        # champion artifact and the 4 shard indexes are fingerprint
+        # cached — cold walls are one artifact build each)
+        ("sloppy_phrase_topk", _boolquery.sloppy_phrase_topk),
+        ("champion_topk", _prune.champion_topk),
+        ("bm25f_topk", _fields.bm25f_topk),
+        ("shard_selected_topk", _merge.shard_selected_topk),
+        ("mmr_diversify", _diversify.mmr_diversify),
+        ("term_vectors", _searchx.term_vectors),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -56,6 +56,7 @@ __all__ = [
     "dismax_sql",
     "boosted_sql",
     "synonym_sql",
+    "recency_boost_topk", "recency_boost_sql",
     "MSM_QUERIES",
     "DISMAX_QUERIES",
     "BOOST_QUERIES",
@@ -478,6 +479,142 @@ def boosted_sql(queries=BOOST_QUERIES, *, k: int = BOOST_K,
                    row_number() OVER (
                        ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
             FROM (SELECT doc_id, sum(c) AS s FROM c{qi} GROUP BY doc_id)
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+# ------------------------------------------------- function_score (recency)
+
+RECENCY_QUERIES = ("data processing pipeline", "fast scan merge",
+                   "customer information")
+RECENCY_K = 10
+RECENCY_HALF = 100      # weight = HALF / (HALF + age_days)
+RECENCY_MOD = 365       # synthesized crawl age in days
+
+
+def recency_boost_topk(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` decay boost (the freshness ranking every
+    news/web vertical applies on top of BM25): boosted = bm25 ×
+    HALF/(HALF + age_days), reciprocal age decay.  The corpus has no
+    timestamp column, so crawl age synthesizes deterministically as
+    ``mix64(doc_id) % RECENCY_MOD`` — the snapshot_diff/link-graph
+    synthesis discipline: the oracle re-derives the synth chain
+    bit-for-bit, so it is data, not fixture.
+
+    The boost multiplies the UNROUNDED BM25 sum and rounds once at
+    6 dp: multiplying two already-rounded grid values lands on exact
+    half-boundaries at the 7th digit where numpy (half-even) and
+    DuckDB (half-away) disagree — the MMR lesson (diversify.py).
+
+    Scale shape: identical to boosted_topk — the decay weight is a
+    per-candidate vector op on the posting match stream; age would be
+    a docs-table column at scale (here an O(1) hash of the id)."""
+    import numpy as np
+
+    from ..analysis.analyzer import analyze_simple
+    from ..functions.hashing import mix64
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    out_q, out_d, out_a, out_s = [], [], [], []
+    for q in sorted(RECENCY_QUERIES):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if not ids.size:
+            continue
+        age = (mix64(ids.astype(np.uint64))
+               % np.uint64(RECENCY_MOD)).astype(np.float64)
+        w = float(RECENCY_HALF) / (float(RECENCY_HALF) + age)
+        boosted = np.round(sc * w, 6)
+        ids64 = ids.astype(np.int64)
+        order = np.lexsort((ids64, -boosted))[:RECENCY_K]
+        out_q.extend([q] * order.size)
+        out_d.extend(ids64[order].tolist())
+        out_a.extend(age[order].astype(np.int64).tolist())
+        out_s.extend(boosted[order].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "age_days": pa.array(out_a, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def recency_boost_sql(queries=RECENCY_QUERIES, *, k: int = RECENCY_K,
+                      half: int = RECENCY_HALF, mod: int = RECENCY_MOD,
+                      k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle: the BM25 chain (unrounded s), the splitmix64 age synth
+    replayed in HUGEINT limb arithmetic, and the decay blend
+    ``round(s · half/(half+age), 6)`` — selection, synth and algebra
+    all under the value hash."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    U32, U64 = 1 << 32, 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    parts = [
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        "tok AS (SELECT * FROM toks WHERE term <> ''),",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),",
+        "ag0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x"
+        " FROM documents),",
+        f"ag1 AS (SELECT doc_id, {mulmod('xor(x, x >> 30)', C1)} AS x"
+        " FROM ag0),",
+        f"ag2 AS (SELECT doc_id, {mulmod('xor(x, x >> 27)', C2)} AS x"
+        " FROM ag1),",
+        f"ages AS (SELECT doc_id, CAST(xor(x, x >> 31) % {mod} AS BIGINT)"
+        " AS age FROM ag2)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),
+        tfs{qi} AS (
+            SELECT t.doc_id, t.term, count(*) AS tf
+            FROM tok t JOIN q{qi} USING (term) GROUP BY t.doc_id, t.term
+        ),
+        dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+        sc{qi} AS (
+            SELECT tfs{qi}.doc_id,
+                   sum(ln(1 + (stats.n - dfs{qi}.df + 0.5) / (dfs{qi}.df + 0.5))
+                       * tfs{qi}.tf / (tfs{qi}.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                   ) AS s
+            FROM tfs{qi}
+            CROSS JOIN stats
+            JOIN dfs{qi} ON tfs{qi}.term = dfs{qi}.term
+            JOIN dl ON tfs{qi}.doc_id = dl.doc_id
+            GROUP BY tfs{qi}.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, sc{qi}.doc_id,
+                   ages.age AS age_days,
+                   round(sc{qi}.s * (CAST({half} AS DOUBLE)
+                         / (CAST({half} AS DOUBLE) + ages.age)), 6)
+                       AS score,
+                   row_number() OVER (
+                       ORDER BY round(sc{qi}.s * (CAST({half} AS DOUBLE)
+                                / (CAST({half} AS DOUBLE) + ages.age)), 6)
+                                DESC, sc{qi}.doc_id ASC) AS rank
+            FROM sc{qi} JOIN ages ON sc{qi}.doc_id = ages.doc_id
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")

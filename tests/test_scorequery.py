@@ -164,3 +164,46 @@ def test_synonym_blended_df_tames_rare_synonym(ray_session, tmp_path):
     idf = np.log(1 + (m.n_docs - 9 + 0.5) / (9 + 0.5))
     wdl = 1.0 / (1.0 + m.k1 * (1 - m.b + m.b * 4.0 / m.avgdl))
     assert np.allclose(sc[0], idf * wdl)
+
+
+def test_recency_boost_oracle_and_decay(ray_session):
+    """Recency function_score: oracle equivalence at sf0.001; every
+    boosted score equals the raw BM25 contribution times the decay
+    weight of the doc's synthesized age."""
+    import duckdb
+    import numpy as np
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.functions.hashing import mix64
+    from pdfsearch_ray.pipelines import scorequery as SQ
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    sf = "/root/testdata/sf0.001"
+    got = SQ.recency_boost_topk(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(SQ.recency_boost_sql()).df()
+    t2 = got.sort_values(["query", "rank"]).reset_index(drop=True)
+    o2 = want[t2.columns].sort_values(
+        ["query", "rank"]).reset_index(drop=True)
+    assert len(t2) == len(o2) > 0
+    for c in t2.columns:
+        a, b = t2[c].to_numpy(), o2[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), rtol=0, atol=1e-9), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+    # decay law: boosted == raw_bm25 * half/(half+age), age from mix64
+    idx = BM25Index(simple_index_cached(sf))
+    for q, g in got.groupby("query"):
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        raw = dict(zip(ids.astype(np.int64).tolist(), sc.tolist()))
+        for _, row in g.iterrows():
+            age = int(mix64(np.array([row["doc_id"]], dtype=np.uint64))[0]
+                      % SQ.RECENCY_MOD)
+            assert age == row["age_days"]
+            w = SQ.RECENCY_HALF / (SQ.RECENCY_HALF + float(age))
+            assert abs(raw[int(row["doc_id"])] * w - row["score"]) < 1e-6
