@@ -202,9 +202,10 @@ def test_recency_boost_oracle_and_decay(ray_session):
         ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
         raw = dict(zip(ids.astype(np.int64).tolist(), sc.tolist()))
         for _, row in g.iterrows():
+            # int() BEFORE the modulo: np.uint64 % python-int promotes
+            # to float64 and mangles the high bits
             age = int(mix64(np.array([int(row["doc_id"])],
-                                     dtype=np.uint64))[0]
-                      % SQ.RECENCY_MOD)
+                                     dtype=np.uint64))[0]) % SQ.RECENCY_MOD
             assert age == row["age_days"]
             w = SQ.RECENCY_HALF / (SQ.RECENCY_HALF + float(age))
             assert abs(raw[int(row["doc_id"])] * w - row["score"]) < 1e-6
