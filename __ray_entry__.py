@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": _searchx().term_vectors,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
+        "docid_remap": _webops().docid_remap,
         "cdc_chunk_stats": _webops().cdc_chunk_stats,
         "snapshot_diff": _webops().snapshot_diff,
         "unimax_mix": q.unimax_mix,
@@ -713,6 +714,10 @@ def oracle_sql() -> dict[str, str]:
         # web-corpus curation ops (round 5): DuckDB recomputes the
         # deterministic synth AND the string transforms independently
         "url_dedup": _webops().url_dedup_sql(),
+        # docID reassignment by URL order (Silvestri 2007 compression
+        # move): a distributed sample sort + ordered prefix renumber;
+        # the oracle is one rank window over the re-synthesized urls
+        "docid_remap": _webops().docid_remap_sql(),
         # content-defined chunking: identical md5_number_lower boundary
         # rule; chunk identity = joined chunk string (engine polynomial
         # key is collision-equivalent)

@@ -2589,3 +2589,141 @@ def cdc_chunk_stats_sql(*, d: int = CDC_D) -> str:
            count(DISTINCT ctext) AS distinct_chunks,
            CAST(sum(nw) AS BIGINT) AS total_words
     FROM chunks GROUP BY lang ORDER BY lang"""
+
+
+# -------------------------------------------- docID reassignment (URL sort)
+
+REMAP_BUCKETS = 16
+REMAP_SAMPLE_MOD = 17   # every 17th doc's url seeds the range splitters
+
+
+def docid_remap(sf_dir: str) -> pa.Table:
+    """Global docID reassignment by URL order — the classic index-
+    compression move (Silvestri, ECIR 2007: "Sorting out the document
+    identifier assignment problem"): pages of the same host cluster
+    under consecutive ids, shrinking posting-list docID gaps and so the
+    delta+varint blocks.  Emits the (doc_id, new_id) renumber map;
+    new_id = 0-based rank in (url ASC, doc_id ASC) order.
+
+    Scale shape — a DISTRIBUTED SAMPLE SORT, no all-to-all of the wide
+    rows: (0) one pass synthesizes urls and a deterministic stride
+    sample (doc_id % {mod} == 0) seeds O(buckets) range splitters on
+    the driver; (1) narrow (url, doc_id) pairs spill partitioned by
+    splitter bucket — bucket k's urls all precede bucket k+1's, so
+    bucket order IS global order; (2) per-bucket row counts (parquet
+    metadata only) prefix-sum on the driver to O(buckets) offsets;
+    (3) each bucket finalizes locally: in-bucket lexsort + its global
+    offset.  The text column never moves; every exchange is O(docs)
+    narrow rows through the spill dir (the sequence_pack scan shape).
+
+    The oracle is one SQL window: row_number() OVER (ORDER BY url,
+    doc_id) - 1 over the re-synthesized urls."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.spill import spill_dir
+
+    def _stride_sample(t: pa.Table) -> pa.Table:
+        keep = (t["doc_id"].to_numpy() % REMAP_SAMPLE_MOD) == 0
+        return _synth_urls(t.filter(pa.array(keep)))
+
+    # phase 0: deterministic splitters from a stride sample
+    sample = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+        .map_batches(_stride_sample, batch_format="pyarrow")
+        .to_pandas())
+    splits = np.sort(sample["url"].to_numpy(dtype=object))
+    if splits.size >= REMAP_BUCKETS:
+        cut = splits[np.linspace(0, splits.size - 1, REMAP_BUCKETS + 1,
+                                 dtype=np.int64)[1:-1]]
+    else:
+        cut = splits
+    cut = np.unique(cut)
+
+    work = spill_dir(prefix="docidremap_")
+
+    def spill(t: pa.Table) -> pa.Table:
+        st = _synth_urls(t)
+        urls = np.asarray(st["url"].to_pylist(), dtype=object)
+        part = np.searchsorted(cut, urls, side="right").astype(np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "doc_id": st["doc_id"],
+            "url": st["url"],
+        })
+
+    try:
+        (read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+         .map_batches(spill, batch_format="pyarrow")
+         .write_parquet(work, partition_cols=["part"]))
+        parts = sorted(int(d.split("=")[1]) for d in os.listdir(work)
+                       if d.startswith("part="))
+        # phase 2: metadata-only row counts -> global offsets
+        counts = {}
+        for p in parts:
+            n = 0
+            d = f"{work}/part={p}"
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(f"{d}/{f}").metadata.num_rows
+            counts[p] = n
+        offs, run = {}, 0
+        for p in parts:
+            offs[p] = run
+            run += counts[p]
+        offs_ref = ray.put(offs)
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            offs_ = ray.get(offs_ref)
+            out_d, out_n = [], []
+            for p in batch["part"].to_pylist():
+                mt = pq.read_table(f"{work}/part={p}",
+                                   columns=["doc_id", "url"],
+                                   use_threads=False)
+                ids = mt["doc_id"].to_numpy().astype(np.int64)
+                urls = np.asarray(mt["url"].to_pylist(), dtype=object)
+                o = np.lexsort((ids, urls))
+                out_d.extend(ids[o].tolist())
+                out_n.extend(
+                    (offs_[int(p)]
+                     + np.arange(ids.size, dtype=np.int64)).tolist())
+            return pa.table({
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "new_id": pa.array(out_n, type=pa.int64()),
+            })
+
+        t = (rd.from_items([{"part": p} for p in parts])
+             .map_batches(finalize, batch_format="pyarrow", batch_size=1)
+             .to_arrow_refs())
+        out = pa.concat_tables([r for r in map(ray.get, t) if r.num_rows])
+        return out.sort_by([("doc_id", "ascending")])
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def docid_remap_sql() -> str:
+    """Oracle: the url_dedup synth CTE + one rank window."""
+    return """
+        WITH synth AS (
+            SELECT doc_id,
+                   (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.'
+                        WHEN 1 THEN 'https://' ELSE 'http://www.' END)
+                   || 'Ex' || ((doc_id // 3) % 50) || '.com/P/'
+                   || (doc_id // 3)
+                   || (CASE doc_id % 3
+                        WHEN 0 THEN '/?utm_source=a&utm_medium=b'
+                        WHEN 1 THEN '?utm_campaign=c' ELSE '/' END)
+                   AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               row_number() OVER (ORDER BY url, doc_id) - 1 AS new_id
+        FROM synth
+        ORDER BY doc_id
+    """

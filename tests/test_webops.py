@@ -580,3 +580,38 @@ def test_cdc_chunk_stats_planted_and_oracle(ray_session, tmp_path):
     c0 = set(per_doc[per_doc.doc_id == 0]["ctext"])
     c3 = set(per_doc[per_doc.doc_id == 3]["ctext"])
     assert len(c0 - c3) <= 1 and len(c3 - c0) <= 1
+
+
+def test_docid_remap_oracle_bijection_order(ray_session, monkeypatch):
+    """docID remap: oracle equivalence; new_id is a 0..n-1 permutation;
+    urls are sorted in new_id order; the mapping is invariant to the
+    sample-sort bucket count."""
+    import duckdb
+    import numpy as np
+
+    from pdfsearch_ray.pipelines import webops as W
+
+    sf = "/root/testdata/sf0.001"
+    got = W.docid_remap(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(W.docid_remap_sql()).df()
+    assert (got["doc_id"].to_numpy()
+            == want["doc_id"].to_numpy().astype("int64")).all()
+    assert (got["new_id"].to_numpy()
+            == want["new_id"].to_numpy().astype("int64")).all()
+    n = len(got)
+    assert sorted(got["new_id"].tolist()) == list(range(n))
+    # urls sorted in new_id order
+    import pyarrow as pa
+
+    urls = W._synth_urls(pa.table({
+        "doc_id": pa.array(got["doc_id"].tolist(), type=pa.int64())
+    }))["url"].to_pylist()
+    by_new = [u for _, u in sorted(zip(got["new_id"].tolist(), urls))]
+    assert by_new == sorted(by_new)
+    # bucket-count invariance
+    monkeypatch.setattr(W, "REMAP_BUCKETS", 3)
+    got3 = W.docid_remap(sf).to_pandas()
+    assert (got3["new_id"].to_numpy() == got["new_id"].to_numpy()).all()
