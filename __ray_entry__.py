@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_scores": _searchx().explain_scores,
         "index_stats": _searchx().index_stats,
         "term_vectors": _searchx().term_vectors,
+        "phrase_suggest": _searchx().phrase_suggest,
         "link_hits": _webops().link_hits,
         "url_dedup": _webops().url_dedup,
         "docid_remap": _webops().docid_remap,
@@ -708,6 +709,10 @@ def oracle_sql() -> dict[str, str]:
         # term vectors (ES _termvectors): per selected doc the full
         # (term, tf, first position) vector via on-the-fly re-analysis
         "term_vectors": _searchx().term_vectors_sql(),
+        # phrase suggester: edit-1 candidate pairs scored by exact
+        # adjacency counts from the positions store; DuckDB recomputes
+        # dictionary, levenshtein ball, adjacency and the rank window
+        "phrase_suggest": _searchx().phrase_suggest_sql(),
         # HITS hubs/authorities: chained LEFT-JOIN rounds over the
         # shared mix64 edge CTEs
         "link_hits": _webops().link_hits_sql(),

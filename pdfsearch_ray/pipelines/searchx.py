@@ -60,6 +60,7 @@ __all__ = [
     "collapse_topk", "collapse_topk_sql",
     "range_facets", "range_facets_sql",
     "term_vectors", "term_vectors_sql", "TV_MOD", "TV_RESIDUE",
+    "phrase_suggest", "phrase_suggest_sql", "PS_QUERIES", "PS_M",
     "FACET_QUERIES", "MLT_SEEDS", "MLT_F", "MLT_K", "SA_QUERIES", "SA_K",
     "FILTER_QUERIES", "FILTER_K", "SORT_QUERIES", "SORT_K",
     "SPELL_INPUTS", "PMI_TARGETS", "PMI_MIN_CO", "PMI_M",
@@ -1123,3 +1124,97 @@ def term_vectors_sql(*, mod: int = TV_MOD, residue: int = TV_RESIDUE) -> str:
         FROM pos GROUP BY doc_id, term
         ORDER BY doc_id, term
     """
+
+
+# --------------------------------------------------------- phrase suggest
+
+PS_QUERIES = ("fast scann", "dato processing", "tabl window")
+PS_M = 3
+
+
+def phrase_suggest(sf_dir: str) -> pa.Table:
+    """Phrase suggester (Lucene PhraseSuggester / ES ``phrase`` suggest):
+    the multi-term did-you-mean.  Each input term expands to its
+    edit-distance<=1 dictionary candidates (ONE distributed dictionary
+    scan — the fuzzy_topk kernel — for all queries), and every candidate
+    pair is scored by its exact-adjacency corpus frequency read off the
+    POSITIONS STORE (the phrase-counting probe): real-context evidence,
+    which is exactly what separates a phrase suggester from per-term
+    spell correction.  Top-M pairs by (bigram count desc, suggestion
+    asc) per input.
+
+    Scale shape: dictionary scan is column-pruned + vectorized; each
+    candidate-pair probe touches only the two terms' posting blocks;
+    candidate fan-out is bounded by the edit-1 ball (tiny)."""
+    from ..analysis.analyzer import analyze_simple
+    from .boolquery import phrase_counts_from_index
+    from .expand import expand_terms, simple_index_cached
+    from .query import BM25Index
+
+    idx_dir = simple_index_cached(sf_dir)
+    idx = BM25Index(idx_dir)
+    all_terms = sorted({t for q in PS_QUERIES for t in analyze_simple(q)})
+    cand = expand_terms(idx_dir, fuzzy=tuple(all_terms))
+    out_q, out_s, out_n, out_r = [], [], [], []
+    for q in sorted(PS_QUERIES):
+        t1, t2 = analyze_simple(q)[:2]
+        pairs = []
+        for c1 in cand.get(t1, []):
+            for c2 in cand.get(t2, []):
+                _nd, nm = phrase_counts_from_index(idx, [c1, c2])
+                if nm > 0:
+                    pairs.append((c1 + " " + c2, nm))
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        for r, (sug, nm) in enumerate(pairs[:PS_M], 1):
+            out_q.append(q)
+            out_s.append(sug)
+            out_n.append(nm)
+            out_r.append(r)
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "suggestion": pa.array(out_s, type=pa.string()),
+        "n_matches": pa.array(out_n, type=pa.int64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })
+
+
+def phrase_suggest_sql(queries=PS_QUERIES, *, m: int = PS_M) -> str:
+    """Oracle: dictionary + levenshtein<=1 candidate sets, adjacency
+    counts over re-derived token ordinality, and the (count desc,
+    suggestion asc) rank window — all from raw text."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr FROM documents),",
+        "pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)))"
+        " AS i FROM arrs),",
+        "dict AS (SELECT DISTINCT unnest(arr) AS term FROM arrs)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        t1, t2 = analyze_simple(q)[:2]
+        parts.append(f""",
+        c1q{qi} AS (SELECT term FROM dict
+                    WHERE levenshtein(term, '{_sq(t1)}') <= 1),
+        c2q{qi} AS (SELECT term FROM dict
+                    WHERE levenshtein(term, '{_sq(t2)}') <= 1),
+        pc{qi} AS (
+            SELECT a.term || ' ' || b.term AS suggestion,
+                   count(*) AS n_matches
+            FROM pos p
+            JOIN c1q{qi} a ON p.arr[p.i] = a.term
+            JOIN c2q{qi} b ON p.arr[p.i + 1] = b.term
+            GROUP BY 1
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, suggestion,
+                   CAST(n_matches AS BIGINT) AS n_matches,
+                   row_number() OVER (
+                       ORDER BY n_matches DESC, suggestion ASC) AS rank
+            FROM pc{qi}
+        ) WHERE rank <= {m}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")

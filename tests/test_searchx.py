@@ -301,3 +301,53 @@ def test_term_vectors_oracle_and_positions(ray_session):
         assert g["tf"].sum() == len(toks)
         assert (g["first_pos"] == 1).sum() == 1
         assert g.loc[g["first_pos"] == 1, "term"].iloc[0] == toks[0]
+
+
+def test_phrase_suggest_oracle_and_correction(ray_session):
+    """Phrase suggester: oracle equivalence; every suggestion's count
+    equals the positional phrase probe; suggestions are within edit 1
+    of the inputs per position."""
+    import duckdb
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import searchx as S
+    from pdfsearch_ray.pipelines.boolquery import phrase_counts_from_index
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    sf = "/root/testdata/sf0.001"
+    got = S.phrase_suggest(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(S.phrase_suggest_sql()).df()
+    t2 = got.sort_values(["query", "rank"]).reset_index(drop=True)
+    o2 = want[t2.columns].sort_values(
+        ["query", "rank"]).reset_index(drop=True)
+    assert len(t2) == len(o2) > 0
+    for c in t2.columns:
+        assert (t2[c].to_numpy().astype(str)
+                == o2[c].to_numpy().astype(str)).all(), c
+
+    def ed1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        # simple DP-free check via deletion alignment
+        import itertools
+
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b = b, a
+        return any(a == b[:i] + b[i + 1:] for i in range(len(b)))
+
+    idx = BM25Index(simple_index_cached(sf))
+    for _, row in got.iterrows():
+        q1, q2 = analyze_simple(row["query"])[:2]
+        s1, s2 = row["suggestion"].split(" ")
+        assert ed1(q1, s1) and ed1(q2, s2)
+        _nd, nm = phrase_counts_from_index(idx, [s1, s2])
+        assert nm == row["n_matches"]
