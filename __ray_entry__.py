@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_match_counts": _boolquery().near_match_counts,
         "sloppy_phrase_topk": _boolquery().sloppy_phrase_topk,
         "champion_topk": _prune().champion_topk,
+        "champion_safety": _prune().champion_safety,
         "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
         "dismax_topk": _scorequery().dismax_topk,
@@ -620,6 +621,9 @@ def oracle_sql() -> dict[str, str]:
         # postings score (unpruned df/N/avgdl for idf); DuckDB replays
         # the champion rank window + the BM25 algebra from raw text
         "champion_topk": _prune().champion_topk_sql(),
+        # pruned-tier safety certificate (Fagin/TA upper bound): theta,
+        # tail bound, outside upper bounds and the safe bit recomputed
+        "champion_safety": _prune().champion_safety_sql(),
         # BM25F multi-field: positional title/body split, per-field
         # soft length normalization, weight-before-saturate blend and
         # cross-field df all recomputed by DuckDB from raw text

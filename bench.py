@@ -307,6 +307,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("shard_selected_topk", _merge.shard_selected_topk),
         ("mmr_diversify", _diversify.mmr_diversify),
         ("term_vectors", _searchx.term_vectors),
+        ("recency_boost_topk", _scorequery.recency_boost_topk),
+        ("docid_remap", webops.docid_remap),
+        ("phrase_suggest", _searchx.phrase_suggest),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -52,6 +52,10 @@ __all__ = [
     "CHAMP_R",
     "CHAMP_K",
     "CHAMP_QUERIES",
+    "champion_safety",
+    "champion_safety_sql",
+    "SAFE_QUERIES",
+    "SAFE_K",
 ]
 
 CHAMP_R = 32   # champion list length per term
@@ -116,9 +120,13 @@ def champion_lists_cached(sf_dir: str, *, r: int = CHAMP_R,
                           num_buckets: int = 16) -> str:
     """Build-once cached champion-list artifact over the cached simple
     index: ``<cache>/champions/bucket=N/part.parquet`` rows
-    ``(term, doc_id, tf, dl)`` term-sorted, plus a stats manifest.
-    One Ray task per bucket (terms co-locate); salted terms emit
-    per-shard partials merged exactly at query time."""
+    ``(term, doc_id, tf, dl)`` term-sorted, plus per-bucket
+    ``stats.parquet`` rows ``(term, pruned_max_wdl)`` — the largest
+    BM25 wdl among that term's PRUNED postings (0.0 when nothing was
+    pruned), which is what makes the pruned tier SELF-CERTIFYING (see
+    champion_safety).  One Ray task per bucket (terms co-locate);
+    salted terms emit per-shard partials merged exactly at query
+    time."""
     import pyarrow.parquet as pq
 
     import ray.data as rd
@@ -129,6 +137,7 @@ def champion_lists_cached(sf_dir: str, *, r: int = CHAMP_R,
     mst = os.stat(os.path.join(idx_dir, "manifest.json"))
     key = hashlib.sha256(repr((
         os.path.abspath(idx_dir), mst.st_size, mst.st_mtime_ns, r,
+        "champ-v2",
     )).encode()).hexdigest()[:20]
     root = os.environ.get("PDFSEARCH_SPILL_ROOT") or tempfile.gettempdir()
     cdir = os.path.join(root, "pdfsearch_champ_cache", key)
@@ -154,6 +163,8 @@ def champion_lists_cached(sf_dir: str, *, r: int = CHAMP_R,
                           else (0, num_buckets - 1))
                 for b in range(int(lo), int(hi) + 1):
                     per_bucket.setdefault(b, []).append((path, rg))
+
+    bm = (float(man["k1"]), float(man["b"]), float(man["avgdl"]))
 
     tmp = f"{cdir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -190,7 +201,25 @@ def champion_lists_cached(sf_dir: str, *, r: int = CHAMP_R,
         os.makedirs(bdir, exist_ok=True)
         pqw.write_table(out, os.path.join(bdir, "part.parquet"),
                         row_group_size=4096)
-        n_terms = len(set(out["term"].to_pylist()))
+        # per-term max BM25 wdl among the PRUNED postings (the safety
+        # certificate's tail bound); 0.0 when the term kept everything
+        from ..index.codec import bm25_wdl
+
+        k1_, b_, avgdl_ = bm
+        pruned = np.ones(terms.size, dtype=bool)
+        pruned[keep] = False
+        codes_u, inv = np.unique(terms, return_inverse=True)
+        pm = np.zeros(codes_u.size)
+        if pruned.any():
+            wdl_p = bm25_wdl(tf[pruned].astype(np.float64),
+                             dl[pruned].astype(np.float64),
+                             k1_, b_, avgdl_)
+            np.maximum.at(pm, inv[pruned], wdl_p)
+        pqw.write_table(pa.table({
+            "term": pa.array(codes_u.tolist(), type=pa.string()),
+            "pruned_max_wdl": pa.array(pm, type=pa.float64()),
+        }), os.path.join(bdir, "stats.parquet"), row_group_size=4096)
+        n_terms = int(codes_u.size)
         return {"bucket": np.array([b]), "n_terms": np.array([n_terms]),
                 "n_rows": np.array([out.num_rows])}
 
@@ -365,3 +394,219 @@ def champion_topk_sql(queries=CHAMP_QUERIES, *, r: int = CHAMP_R,
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")
+
+
+# ------------------------------------------------- safe-pruning certificate
+
+SAFE_QUERIES = ("data processing pipeline", "the information",
+                "fast scan merge", "quantile histogram", "dup")
+SAFE_K = 10
+
+
+def champion_safety(sf_dir: str) -> pa.Table:
+    """Self-certifying pruned search (the Fagin/TA upper-bound idea
+    applied to champion lists): per query, decide from the pruned tier
+    ALONE whether its top-K is provably the exact top-K.
+
+    Sound test (set-exactness up to rounded-score ties): with
+    pmw_t = max BM25 wdl among term t's pruned postings and
+    B = Σ_t idf_t·pmw_t,
+
+    * a doc OUTSIDE the candidate set scores ≤ B;
+    * a candidate d missing from some champion lists scores ≤
+      computed(d) + miss(d), miss(d) = B − Σ_{t: d ∈ champ_t} idf_t·pmw_t;
+
+    so if round(B,6) ≤ θ and every outside-top-K candidate's rounded
+    upper bound ≤ θ (θ = the K-th rounded computed score), no unseen or
+    under-scored doc can displace the top-K set.  Rare-term queries
+    (df ≤ R: nothing pruned, B = 0) certify trivially; head-term
+    queries typically do not — both cases are in the fixed query set
+    and the certificate itself sits under the value hash.
+
+    Output: one row per query — theta, tail bound B, the worst outside
+    upper bound, the certificate bit, and the candidate count."""
+    from ..analysis.analyzer import analyze_simple
+    from ..index.codec import bm25_wdl
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import fnv1a64_str
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    champ = champion_lists_cached(sf_dir)
+    m = idx.manifest
+    nb = m.num_buckets
+    salt_spec = m.salt_spec or {}
+    rows = []
+    for q in sorted(SAFE_QUERIES):
+        terms = sorted(set(analyze_simple(q)))
+        crows = champion_rows_for_terms(champ, idx, terms)
+        idx._load_terms(terms)
+        # per-term pruned-max bound: build-side stats, plus any rows a
+        # salted-partial merge cut at query time (none when unsalted)
+        pmw: dict[str, float] = {}
+        buckets: set[int] = set()
+        for t in terms:
+            n_salts = int(salt_spec.get(t, 0))
+            if n_salts:
+                buckets.update(fnv1a64_str(f"{t}#{s}") % nb
+                               for s in range(n_salts))
+            else:
+                buckets.add(fnv1a64_str(t) % nb)
+        stats_parts = []
+        for bkt in sorted(buckets):
+            p = os.path.join(champ, f"bucket={bkt:03d}", "stats.parquet")
+            if os.path.isfile(p):
+                stats_parts.append(pq.read_table(p))
+        if stats_parts:
+            st = pa.concat_tables(stats_parts)
+            st_terms = np.asarray(st["term"].to_pylist(), dtype=object)
+            st_pm = st["pruned_max_wdl"].to_numpy()
+            for t in terms:
+                sel = st_terms == t
+                pmw[t] = float(st_pm[sel].max()) if sel.any() else 0.0
+        idfs = {t: idx._idf(t) for t in terms}
+        B = sum(idfs[t] * pmw.get(t, 0.0) for t in terms)
+        # candidate scores + per-candidate champion membership mass
+        all_ids, all_sc, all_cov = [], [], []
+        for t in terms:
+            ids, tf, dl = crows.get(t, (np.empty(0, dtype=np.int64),) * 3)
+            if not len(ids):
+                continue
+            all_ids.append(ids.astype(np.int64))
+            all_sc.append(idfs[t] * bm25_wdl(
+                tf.astype(np.float64), dl.astype(np.float64),
+                m.k1, m.b, m.avgdl))
+            all_cov.append(np.full(len(ids), idfs[t] * pmw.get(t, 0.0)))
+        if not all_ids:
+            rows.append((q, 0.0, round(B, 6), 0.0,
+                         1 if round(B, 6) <= 0.0 else 0, 0))
+            continue
+        ids = np.concatenate(all_ids)
+        sc = np.concatenate(all_sc)
+        cov = np.concatenate(all_cov)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        agg = np.zeros(uniq.size)
+        np.add.at(agg, inv, sc)
+        covered = np.zeros(uniq.size)
+        np.add.at(covered, inv, cov)
+        agg6 = np.round(agg, 6)
+        order = np.lexsort((uniq, -agg6))
+        kth = min(SAFE_K, uniq.size) - 1
+        theta = float(agg6[order[kth]])
+        outside = order[SAFE_K:]
+        ub6 = np.round(agg[outside] + (B - covered[outside]), 6)
+        max_out = float(ub6.max()) if outside.size else 0.0
+        safe = int(round(B, 6) <= theta
+                   and (outside.size == 0 or max_out <= theta))
+        rows.append((q, theta, round(B, 6), max_out, safe,
+                     int(uniq.size)))
+    return pa.table({
+        "query": pa.array([r[0] for r in rows], type=pa.string()),
+        "theta": pa.array([r[1] for r in rows], type=pa.float64()),
+        "tail_bound": pa.array([r[2] for r in rows], type=pa.float64()),
+        "max_outside_ub": pa.array([r[3] for r in rows],
+                                   type=pa.float64()),
+        "safe": pa.array([r[4] for r in rows], type=pa.int64()),
+        "n_candidates": pa.array([r[5] for r in rows], type=pa.int64()),
+    })
+
+
+def champion_safety_sql(queries=SAFE_QUERIES, *, r: int = CHAMP_R,
+                        k: int = SAFE_K, k1: float = 1.2,
+                        b: float = 0.75) -> str:
+    """Oracle: DuckDB recomputes champion windows, per-term pruned-max
+    wdl, idf, the tail bound, per-candidate coverage, θ, the outside
+    upper bounds and the certificate bit from raw text."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        "tok AS (SELECT * FROM toks WHERE term <> ''),",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),
+        tfs{qi} AS (
+            SELECT t.doc_id, t.term, count(*) AS tf
+            FROM tok t JOIN q{qi} USING (term) GROUP BY t.doc_id, t.term
+        ),
+        dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+        idfs{qi} AS (
+            SELECT term,
+                   ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+            FROM dfs{qi} CROSS JOIN stats
+        ),
+        rk{qi} AS (
+            SELECT f.doc_id, f.term, f.tf,
+                   f.tf / (f.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                       AS wdl,
+                   row_number() OVER (
+                       PARTITION BY f.term
+                       ORDER BY f.tf DESC, f.doc_id ASC) AS rr
+            FROM tfs{qi} f
+            CROSS JOIN stats
+            JOIN dl ON f.doc_id = dl.doc_id
+        ),
+        pmw{qi} AS (
+            SELECT i.term,
+                   coalesce(max(CASE WHEN rk.rr > {r} THEN rk.wdl END), 0)
+                       AS pmw
+            FROM idfs{qi} i LEFT JOIN rk{qi} rk ON i.term = rk.term
+            GROUP BY i.term
+        ),
+        bb{qi} AS (
+            SELECT coalesce(sum(i.idf * p.pmw), 0) AS tail
+            FROM idfs{qi} i JOIN pmw{qi} p ON i.term = p.term
+        ),
+        contrib{qi} AS (
+            SELECT rk.doc_id, rk.term, i.idf * rk.wdl AS c,
+                   i.idf * p.pmw AS cov
+            FROM rk{qi} rk
+            JOIN idfs{qi} i ON rk.term = i.term
+            JOIN pmw{qi} p ON rk.term = p.term
+            WHERE rk.rr <= {r}
+        ),
+        sc{qi} AS (
+            SELECT doc_id, sum(c) AS s, sum(cov) AS covered
+            FROM contrib{qi} GROUP BY doc_id
+        ),
+        ranked{qi} AS (
+            SELECT doc_id, s, covered, round(s, 6) AS s6,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ),
+        th{qi} AS (
+            SELECT coalesce(min(s6), 0) AS theta,
+                   (SELECT count(*) FROM ranked{qi}) AS n_cand
+            FROM ranked{qi} WHERE rank <= {k}
+        ),
+        outs{qi} AS (
+            SELECT coalesce(max(round(
+                       rk.s + (bb{qi}.tail - rk.covered), 6)), 0)
+                       AS max_ub
+            FROM ranked{qi} rk CROSS JOIN bb{qi}
+            WHERE rk.rank > {k}
+        )""")
+        selects.append(f"""
+        SELECT '{_sq(q)}' AS query,
+               th{qi}.theta AS theta,
+               round(bb{qi}.tail, 6) AS tail_bound,
+               outs{qi}.max_ub AS max_outside_ub,
+               CAST(CASE WHEN round(bb{qi}.tail, 6) <= th{qi}.theta
+                          AND outs{qi}.max_ub <= th{qi}.theta
+                    THEN 1 ELSE 0 END AS BIGINT) AS safe,
+               CAST(th{qi}.n_cand AS BIGINT) AS n_candidates
+        FROM th{qi} CROSS JOIN bb{qi} CROSS JOIN outs{qi}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query")

@@ -105,3 +105,71 @@ def test_unpruned_r_equals_exhaustive(ray_session):
         order = np.argsort(ref_ids.astype(np.int64))
         assert (ref_ids.astype(np.int64)[order] == uniq).all()
         assert np.allclose(ref_sc[order], agg, atol=1e-9)
+
+
+def test_safety_certificate_sound(ray_session):
+    """The certificate's CLAIM, verified against ground truth: every
+    safe==1 query's champion top-K doc set equals the exhaustive
+    full-postings top-K set; the fixed query set exercises both a
+    non-trivially safe query and unsafe ones."""
+    import duckdb
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines import prune as P
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    sf = "/root/testdata/sf0.001"
+    got = P.champion_safety(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(P.champion_safety_sql()).df()
+    g = got.sort_values("query").reset_index(drop=True)
+    w = want[g.columns].sort_values("query").reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    for c in g.columns:
+        a, b = g[c].to_numpy(), w[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), atol=1e-9), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+    # both branches present, and safe includes a non-trivial query
+    assert (got["safe"] == 0).any()
+    assert ((got["safe"] == 1) & (got["n_candidates"] > 0)).any()
+
+    idx = BM25Index(simple_index_cached(sf))
+    champ = P.champion_lists_cached(sf)
+    topk = {r["query"]: None for _, r in got.iterrows()}
+    ct = P.champion_topk(sf)  # not used directly; warms caches
+    for _, row in got.iterrows():
+        if row["safe"] != 1 or row["n_candidates"] == 0:
+            continue
+        q = row["query"]
+        terms = sorted(set(analyze_simple(q)))
+        # ground truth: exhaustive full-postings top-K set
+        ids, sc = idx.score_terms(terms)
+        sc6 = np.round(sc, 6)
+        order = np.lexsort((ids.astype(np.int64), -sc6))[:P.SAFE_K]
+        truth = set(ids.astype(np.int64)[order].tolist())
+        # champion top-K set
+        rows = P.champion_rows_for_terms(champ, idx, terms)
+        idx._load_terms(terms)
+        from pdfsearch_ray.index.codec import bm25_wdl
+
+        m = idx.manifest
+        a_ids, a_sc = [], []
+        for t in terms:
+            cids, tf, dl = rows.get(t, (np.empty(0),) * 3)
+            if not len(cids):
+                continue
+            a_ids.append(cids.astype(np.int64))
+            a_sc.append(idx._idf(t) * bm25_wdl(
+                tf.astype(np.float64), dl.astype(np.float64),
+                m.k1, m.b, m.avgdl))
+        uniq, inv = np.unique(np.concatenate(a_ids), return_inverse=True)
+        agg = np.zeros(uniq.size)
+        np.add.at(agg, inv, np.concatenate(a_sc))
+        agg6 = np.round(agg, 6)
+        cut = np.lexsort((uniq, -agg6))[:P.SAFE_K]
+        assert set(uniq[cut].tolist()) == truth, q
