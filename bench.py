@@ -310,6 +310,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("recency_boost_topk", _scorequery.recency_boost_topk),
         ("docid_remap", webops.docid_remap),
         ("phrase_suggest", _searchx.phrase_suggest),
+        ("champion_safety", _prune.champion_safety),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,
