@@ -256,53 +256,42 @@ class _BM25Scan:
     partials).  Output is O(matching docs), not O(corpus tokens)."""
 
     def __init__(self, qterms: tuple[str, ...]):
-        from ..analysis.analyzer import analyze_simple
-
-        self.analyze = analyze_simple
         # sorted so the per-row float summation order matches the old
         # term-sorted groupby sum exactly (6-dp rounding stability)
         self.qterms = tuple(sorted(qterms))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # session-11 vectorization: the old per-token Python loop was
+        # O(corpus tokens) interpreter work in the hot tokenize pass;
+        # the dictionary-coded kernel keeps everything in numpy
+        # (equivalence pinned by tests/test_round3_queries.py)
         m = len(self.qterms)
-        pos = {t: j for j, t in enumerate(self.qterms)}
-        ids: list[int] = []
-        dls: list[int] = []
-        tfs: list[list[int]] = [[] for _ in range(m)]
-        n_part = 0
-        dl_part = 0
-        df_part = [0] * m
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            toks = self.analyze(text or "")
-            if not toks:
-                continue
-            n_part += 1
-            dl_part += len(toks)
-            cnt = [0] * m
-            for t in toks:
-                j = pos.get(t)
-                if j is not None:
-                    cnt[j] += 1
-            if any(cnt):
-                ids.append(did)
-                dls.append(len(toks))
-                for j in range(m):
-                    tfs[j].append(cnt[j])
-                    if cnt[j]:
-                        df_part[j] += 1
-        nd = [0] * len(ids) + [n_part]
-        ids.append(-1)
-        dls.append(dl_part)
-        for j in range(m):
-            tfs[j].append(df_part[j])
+        codes, doc_idx, vocab = _tok_codes(batch)
+        nrows = batch.num_rows
+        dl = np.bincount(doc_idx, minlength=nrows).astype(np.int64)
+        slot = np.full(len(vocab), -1, dtype=np.int64)
+        for j, t in enumerate(self.qterms):
+            try:
+                slot[vocab.index(t)] = j
+            except ValueError:
+                pass
+        tok_slot = slot[codes]
+        hit = tok_slot >= 0
+        tf = np.zeros((nrows, m), dtype=np.int64)
+        np.add.at(tf, (doc_idx[hit], tok_slot[hit]), 1)
+        keep = (tf > 0).any(axis=1)
+        has_tok = dl > 0
+        ids = batch["doc_id"].to_numpy()[keep]
+        n_keep = int(keep.sum())
         cols = {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "dl": pa.array(dls, type=pa.int64()),
-            "nd": pa.array(nd, type=pa.int64()),
+            "doc_id": pa.array(np.r_[ids, [-1]], type=pa.int64()),
+            "dl": pa.array(np.r_[dl[keep], [int(dl.sum())]]),
+            "nd": pa.array(np.r_[np.zeros(n_keep, dtype=np.int64),
+                                 [int(has_tok.sum())]]),
         }
         for j in range(m):
-            cols[f"tf{j}"] = pa.array(tfs[j], type=pa.int64())
+            df_j = int((tf[:, j] > 0).sum())
+            cols[f"tf{j}"] = pa.array(np.r_[tf[keep, j], [df_j]])
         return pa.table(cols)
 
 
