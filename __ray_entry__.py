@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compacted_index_topk": _merge().compacted_index_topk,
         "federated_topk": _merge().federated_topk,
         "shard_selected_topk": _merge().shard_selected_topk,
+        "routed_lang_topk": _merge().routed_lang_topk,
         "hybrid_rrf_topk": _hybrid().hybrid_rrf_topk,
         "hybrid_interp_topk": _hybrid().hybrid_interp_topk,
         "mmr_diversify": _diversify().mmr_diversify,
@@ -663,6 +664,11 @@ def oracle_sql() -> dict[str, str]:
         # split, the selection window, the shard string and the pruned
         # global-stats BM25 ranking
         "shard_selected_topk": _merge().shard_selected_sql(),
+        # partition routing: per-lang index with LOCAL stats — the
+        # per-tenant semantics, contrasted with filtered (global-stats
+        # filter) and federated (global-stats correction); the oracle
+        # is one BM25 chain per language over only its documents
+        "routed_lang_topk": _merge().routed_lang_sql(),
         # hybrid lexical+dense retrieval: BM25 list + cosine list fused
         # with RRF; DuckDB recomputes both retrievers' rankings AND the
         # 1/(k0+rank) fusion algebra from the raw tables

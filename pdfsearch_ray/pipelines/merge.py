@@ -59,7 +59,9 @@ __all__ = ["merge_indexes", "MergeCompatibilityError",
            "federated_topk", "federated_topk_sql",
            "mod_shard_indexes_cached", "select_shards",
            "shard_selected_topk", "shard_selected_sql",
-           "N_SEL_SHARDS", "SHARD_SEL", "SHARD_SEL_QUERIES", "SHARD_SEL_K"]
+           "N_SEL_SHARDS", "SHARD_SEL", "SHARD_SEL_QUERIES", "SHARD_SEL_K",
+           "lang_index_cached", "routed_lang_topk", "routed_lang_sql",
+           "ROUTED_QUERIES", "ROUTED_K"]
 
 _CONFIG_KEYS = ("analyzer", "analyzer_version", "k1", "b", "num_buckets",
                 "block_size", "with_positions", "salt_spec")
@@ -783,3 +785,156 @@ def shard_selected_sql(queries=SHARD_SEL_QUERIES, *,
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")
+
+
+# --------------------------------------- partition routing (per-lang index)
+
+ROUTED_QUERIES = (("data processing pipeline", "en"),
+                  ("fast scan merge", "fr"),
+                  ("customer query", "de"),
+                  ("table window", "zh"))
+ROUTED_K = 10
+
+
+def lang_index_cached(sf_dir: str, lang: str, *,
+                      num_buckets: int = 16) -> str:
+    """One simple-analyzer index over ONLY the given language's docs —
+    the per-partition index of a lang-routed deployment (each tenant /
+    partition owns its index and ITS OWN statistics).  Fingerprint-
+    cached like every other index artifact."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..functions.tables import read_parquet_nometa
+    from .build import build_index
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    root = os.environ.get("PDFSEARCH_SPILL_ROOT") or tempfile.gettempdir()
+    key = hashlib.sha256(repr((
+        os.path.abspath(src), st.st_size, st.st_mtime_ns,
+        "lang-route", lang, num_buckets,
+    )).encode()).hexdigest()[:20]
+    cdir = os.path.join(root, "pdfsearch_ftidx_cache", key)
+    if os.path.isfile(os.path.join(cdir, "manifest.json")):
+        return cdir
+    tmp = f"{cdir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = read_parquet_nometa(
+        src, columns=["doc_id", "text", "lang"],
+    ).map_batches(
+        lambda t, lang=lang: t.filter(pc.equal(t["lang"], lang)),
+        batch_format="pyarrow")
+    build_index(ds, tmp, analyzer="simple", lang_col="lang",
+                num_buckets=num_buckets, sample_rate=1.0)
+    os.makedirs(os.path.dirname(cdir), exist_ok=True)
+    try:
+        os.rename(tmp, cdir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(cdir, "manifest.json")):
+            raise
+    return cdir
+
+
+def routed_lang_topk(sf_dir: str):
+    """Partition-routing gate: each query routes to its language's
+    OWN index and scores with that partition's LOCAL statistics
+    (local N / df / avgdl) — the per-tenant index semantics, and the
+    deliberate CONTRAST to `filtered_topk` (global stats + filter) and
+    `federated_topk` (global-stats correction): three distinct,
+    individually-hashed answers to "search within a slice".  At scale
+    routing is free (the partition key prunes everything); the index
+    per partition is how multi-tenant search actually ships.
+
+    The oracle recomputes the full BM25 chain over ONLY the routed
+    language's documents, so the local-stats semantics are under the
+    value hash."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..analysis.analyzer import analyze_simple
+    from .query import BM25Index
+
+    out_q, out_l, out_d, out_s = [], [], [], []
+    for q, lang in sorted(ROUTED_QUERIES):
+        idx = BM25Index(lang_index_cached(sf_dir, lang))
+        ids, sc = idx.score_terms(sorted(set(analyze_simple(q))))
+        if not ids.size:
+            continue
+        sc = np.round(sc, 6)
+        ids64 = ids.astype(np.int64)
+        order = np.lexsort((ids64, -sc))[:ROUTED_K]
+        out_q.extend([q] * order.size)
+        out_l.extend([lang] * order.size)
+        out_d.extend(ids64[order].tolist())
+        out_s.extend(sc[order].tolist())
+    ranks: list[int] = []
+    prev = None
+    for key in zip(out_q, out_l):
+        ranks.append(1 if key != prev else ranks[-1] + 1)
+        prev = key
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "lang": pa.array(out_l, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def routed_lang_sql(queries=ROUTED_QUERIES, *, k: int = ROUTED_K,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle: one BM25 chain PER LANGUAGE over only that language's
+    documents — local N / df / avgdl, nothing global."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = ["WITH "]
+    first = True
+    selects = []
+    for qi, (q, lang) in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        lead = "" if first else ","
+        first = False
+        parts.append(f"""{lead}
+        tok{qi} AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                                  '[^a-z0-9]+')) AS term
+            FROM documents WHERE lang = '{_sq(lang)}'
+        ),
+        tk{qi} AS (SELECT * FROM tok{qi} WHERE term <> ''),
+        dl{qi} AS (SELECT doc_id, count(*) AS dl FROM tk{qi}
+                   GROUP BY doc_id),
+        st{qi} AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl{qi}),
+        q{qi}(term) AS (VALUES {qvals}),
+        tfs{qi} AS (
+            SELECT t.doc_id, t.term, count(*) AS tf
+            FROM tk{qi} t JOIN q{qi} USING (term)
+            GROUP BY t.doc_id, t.term
+        ),
+        dfs{qi} AS (SELECT term, count(*) AS df FROM tfs{qi} GROUP BY term),
+        sc{qi} AS (
+            SELECT tfs{qi}.doc_id,
+                   sum(ln(1 + (st{qi}.n - dfs{qi}.df + 0.5) / (dfs{qi}.df + 0.5))
+                       * tfs{qi}.tf / (tfs{qi}.tf + {k1} * (1 - {b} + {b} * dl{qi}.dl / st{qi}.avgdl))
+                   ) AS s
+            FROM tfs{qi}
+            CROSS JOIN st{qi}
+            JOIN dfs{qi} ON tfs{qi}.term = dfs{qi}.term
+            JOIN dl{qi} ON tfs{qi}.doc_id = dl{qi}.doc_id
+            GROUP BY tfs{qi}.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, '{_sq(lang)}' AS lang, doc_id,
+                   round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, lang, rank")
