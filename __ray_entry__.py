@@ -134,6 +134,12 @@ def _prune():
     return prune
 
 
+def _tiering():
+    from pdfsearch_ray.pipelines import tiering
+
+    return tiering
+
+
 def _boolquery():
     from pdfsearch_ray.pipelines import boolquery
 
@@ -261,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_match_counts": _boolquery().near_match_counts,
         "sloppy_phrase_topk": _boolquery().sloppy_phrase_topk,
         "champion_topk": _prune().champion_topk,
+        "tiered_topk": _tiering().tiered_topk,
+        "impact_topk": _tiering().impact_topk,
         "champion_safety": _prune().champion_safety,
         "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
@@ -622,6 +630,13 @@ def oracle_sql() -> dict[str, str]:
         # postings score (unpruned df/N/avgdl for idf); DuckDB replays
         # the champion rank window + the BM25 algebra from raw text
         "champion_topk": _prune().champion_topk_sql(),
+        # tiered index (IIR §7.2.1): DuckDB replays the tf-threshold
+        # tiers, the cascade decision (first tier with >= K candidate
+        # docs) and the BM25 chain over the stopped cascade's postings
+        "tiered_topk": _tiering().tiered_sql(),
+        # impact-ordered index (Anh & Moffat 2006): per-posting centi-
+        # quantized idf*wdl impacts, exact INTEGER per-doc sums
+        "impact_topk": _tiering().impact_sql(),
         # pruned-tier safety certificate (Fagin/TA upper bound): theta,
         # tail bound, outside upper bounds and the safe bit recomputed
         "champion_safety": _prune().champion_safety_sql(),

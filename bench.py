@@ -174,6 +174,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     from pdfsearch_ray.pipelines import percolate as _percolate
     from pdfsearch_ray.pipelines import sigterms as _sigterms
     from pdfsearch_ray.pipelines import prune as _prune
+    from pdfsearch_ray.pipelines import tiering as _tiering
     from pdfsearch_ray.pipelines import fields as _fields
     from pdfsearch_ray.pipelines import diversify as _diversify
     from pdfsearch_ray.pipelines import queries as _queries
@@ -303,6 +304,12 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # cached — cold walls are one artifact build each)
         ("sloppy_phrase_topk", _boolquery.sloppy_phrase_topk),
         ("champion_topk", _prune.champion_topk),
+        # session-12: tiered cascade + impact-ordered integer scoring
+        # (both artifacts are fingerprint-cached, cold wall = one
+        # bucket-parallel artifact build each)
+        ("tiered_topk", _tiering.tiered_topk),
+        ("impact_topk", _tiering.impact_topk),
+        ("routed_lang_topk", _merge.routed_lang_topk),
         ("bm25f_topk", _fields.bm25f_topk),
         ("shard_selected_topk", _merge.shard_selected_topk),
         ("mmr_diversify", _diversify.mmr_diversify),

@@ -45,6 +45,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = [
+    "bucket_rowgroup_map",
+    "term_buckets",
     "champion_lists_cached",
     "champion_rows_for_terms",
     "champion_topk",
@@ -116,6 +118,55 @@ def _champion_cut(terms: np.ndarray, ids: np.ndarray, tf: np.ndarray,
     return keep, codes
 
 
+def bucket_rowgroup_map(idx_dir: str, num_buckets: int):
+    """Driver-side parquet FOOTER scan over the index's posting files
+    (base + delta segments): bucket -> [(path, row_group)] from row-
+    group min/max statistics, metadata only — the standard prelude for
+    any one-Ray-task-per-bucket derived-artifact build (champion lists,
+    tiered postings, impact lists).  Also returns the parsed manifest."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    seg_dirs = [idx_dir]
+    man = _json.load(open(os.path.join(idx_dir, "manifest.json")))
+    for s in man.get("segments", []):
+        if s["name"] != "base":
+            seg_dirs.append(os.path.join(idx_dir, "segments", s["name"]))
+    per_bucket: dict[int, list[tuple[str, int]]] = {}
+    for d in seg_dirs:
+        for path in sorted(_glob.glob(f"{d}/postings/*.parquet")):
+            md = pq.ParquetFile(path).metadata
+            names = md.schema.to_arrow_schema().names
+            b_idx = names.index("bucket")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(b_idx).statistics
+                lo, hi = ((st.min, st.max)
+                          if st is not None and st.min is not None
+                          else (0, num_buckets - 1))
+                for b in range(int(lo), int(hi) + 1):
+                    per_bucket.setdefault(b, []).append((path, rg))
+    return per_bucket, man
+
+
+def term_buckets(manifest, terms) -> set[int]:
+    """Salt-aware bucket set for a term list: unsalted terms hash to
+    one bucket, salted (hot) terms to one bucket per salt shard."""
+    from ..functions.hashing import fnv1a64_str
+
+    nb = manifest.num_buckets
+    salt_spec = manifest.salt_spec or {}
+    buckets: set[int] = set()
+    for t in terms:
+        n_salts = int(salt_spec.get(t, 0))
+        if n_salts:
+            buckets.update(fnv1a64_str(f"{t}#{s}") % nb
+                           for s in range(n_salts))
+        else:
+            buckets.add(fnv1a64_str(t) % nb)
+    return buckets
+
+
 def champion_lists_cached(sf_dir: str, *, r: int = CHAMP_R,
                           num_buckets: int = 16) -> str:
     """Build-once cached champion-list artifact over the cached simple
@@ -145,24 +196,7 @@ def champion_lists_cached(sf_dir: str, *, r: int = CHAMP_R,
         return cdir
 
     # driver-side footer scan: (path, rg) -> bucket range (metadata only)
-    seg_dirs = [idx_dir]
-    man = json.load(open(os.path.join(idx_dir, "manifest.json")))
-    for s in man.get("segments", []):
-        if s["name"] != "base":
-            seg_dirs.append(os.path.join(idx_dir, "segments", s["name"]))
-    per_bucket: dict[int, list[tuple[str, int]]] = {}
-    for d in seg_dirs:
-        for path in sorted(_glob.glob(f"{d}/postings/*.parquet")):
-            md = pq.ParquetFile(path).metadata
-            names = md.schema.to_arrow_schema().names
-            b_idx = names.index("bucket")
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(b_idx).statistics
-                lo, hi = ((st.min, st.max)
-                          if st is not None and st.min is not None
-                          else (0, num_buckets - 1))
-                for b in range(int(lo), int(hi) + 1):
-                    per_bucket.setdefault(b, []).append((path, rg))
+    per_bucket, man = bucket_rowgroup_map(idx_dir, num_buckets)
 
     bm = (float(man["k1"]), float(man["b"]), float(man["avgdl"]))
 
@@ -247,18 +281,7 @@ def champion_rows_for_terms(champ_dir: str, idx, terms: list[str],
     an exact final top-R merge over any salted per-shard partials."""
     import pyarrow.parquet as pq
 
-    from ..functions.hashing import fnv1a64_str
-
-    nb = idx.manifest.num_buckets
-    salt_spec = idx.manifest.salt_spec or {}
-    buckets: set[int] = set()
-    for t in terms:
-        n_salts = int(salt_spec.get(t, 0))
-        if n_salts:
-            buckets.update(fnv1a64_str(f"{t}#{s}") % nb
-                           for s in range(n_salts))
-        else:
-            buckets.add(fnv1a64_str(t) % nb)
+    buckets = term_buckets(idx.manifest, terms)
     parts = []
     for b in sorted(buckets):
         p = os.path.join(champ_dir, f"bucket={b:03d}", "part.parquet")
@@ -432,13 +455,9 @@ def champion_safety(sf_dir: str) -> pa.Table:
 
     import pyarrow.parquet as pq
 
-    from ..functions.hashing import fnv1a64_str
-
     idx = BM25Index(simple_index_cached(sf_dir))
     champ = champion_lists_cached(sf_dir)
     m = idx.manifest
-    nb = m.num_buckets
-    salt_spec = m.salt_spec or {}
     rows = []
     for q in sorted(SAFE_QUERIES):
         terms = sorted(set(analyze_simple(q)))
@@ -447,14 +466,7 @@ def champion_safety(sf_dir: str) -> pa.Table:
         # per-term pruned-max bound: build-side stats, plus any rows a
         # salted-partial merge cut at query time (none when unsalted)
         pmw: dict[str, float] = {}
-        buckets: set[int] = set()
-        for t in terms:
-            n_salts = int(salt_spec.get(t, 0))
-            if n_salts:
-                buckets.update(fnv1a64_str(f"{t}#{s}") % nb
-                               for s in range(n_salts))
-            else:
-                buckets.add(fnv1a64_str(t) % nb)
+        buckets = term_buckets(m, terms)
         stats_parts = []
         for bkt in sorted(buckets):
             p = os.path.join(champ, f"bucket={bkt:03d}", "stats.parquet")
