@@ -140,6 +140,12 @@ def _tiering():
     return tiering
 
 
+def _vsm():
+    from pdfsearch_ray.pipelines import vsm
+
+    return vsm
+
+
 def _boolquery():
     from pdfsearch_ray.pipelines import boolquery
 
@@ -269,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "champion_topk": _prune().champion_topk,
         "tiered_topk": _tiering().tiered_topk,
         "impact_topk": _tiering().impact_topk,
+        "vsm_lnc_ltc_topk": _vsm().vsm_lnc_ltc_topk,
         "champion_safety": _prune().champion_safety,
         "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
@@ -637,6 +644,9 @@ def oracle_sql() -> dict[str, str]:
         # impact-ordered index (Anh & Moffat 2006): per-posting centi-
         # quantized idf*wdl impacts, exact INTEGER per-doc sums
         "impact_topk": _tiering().impact_sql(),
+        # SMART lnc.ltc cosine (IIR §6.4): per-doc log-tf norm over the
+        # WHOLE vocab, ln(N/df) query weights, cosine algebra replayed
+        "vsm_lnc_ltc_topk": _vsm().vsm_sql(),
         # pruned-tier safety certificate (Fagin/TA upper bound): theta,
         # tail bound, outside upper bounds and the safe bit recomputed
         "champion_safety": _prune().champion_safety_sql(),

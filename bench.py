@@ -175,6 +175,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     from pdfsearch_ray.pipelines import sigterms as _sigterms
     from pdfsearch_ray.pipelines import prune as _prune
     from pdfsearch_ray.pipelines import tiering as _tiering
+    from pdfsearch_ray.pipelines import vsm as _vsm
     from pdfsearch_ray.pipelines import fields as _fields
     from pdfsearch_ray.pipelines import diversify as _diversify
     from pdfsearch_ray.pipelines import queries as _queries
@@ -309,6 +310,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # bucket-parallel artifact build each)
         ("tiered_topk", _tiering.tiered_topk),
         ("impact_topk", _tiering.impact_topk),
+        ("vsm_lnc_ltc_topk", _vsm.vsm_lnc_ltc_topk),
         ("routed_lang_topk", _merge.routed_lang_topk),
         ("bm25f_topk", _fields.bm25f_topk),
         ("shard_selected_topk", _merge.shard_selected_topk),

@@ -1,0 +1,54 @@
+"""lnc.ltc cosine gate (pipelines/vsm.py): planted-geometry pins.
+
+The property that separates lnc.ltc from BM25: cosine normalization
+makes a doc's score invariant to pure repetition of its only term
+(w/‖d‖ = 1 whatever the tf), off-topic terms strictly dilute, and
+multi-term coverage divided by sqrt(#terms) still wins.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _mk_corpus(tmp_path):
+    docs = [
+        (1, "data data data data"),               # repetition only
+        (2, "data"),                              # single occurrence
+        (3, "data alpha beta gamma delta epsilon zeta eta theta"),
+        (4, "filter stream data"),                # full query coverage
+        (5, "alpha beta gamma"),                  # no query terms
+        (6, "merge scan fast"),                   # other gate query
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": pa.array([s for _, s in docs], type=pa.string()),
+        "lang": pa.array(["en"] * len(docs), type=pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_vsm_cosine_properties(ray_session, tmp_path):
+    from pdfsearch_ray.pipelines.vsm import vsm_lnc_ltc_topk
+
+    out = vsm_lnc_ltc_topk(_mk_corpus(tmp_path)).to_pandas()
+    g = out[out["query"] == "data stream filter"].set_index("doc_id")
+    # full-coverage doc wins
+    assert g["rank"].idxmin() == 4
+    # repetition invariance: tf=4 and tf=1 single-term docs tie exactly
+    # (w/||d|| == 1 either way), tie broken doc_id-asc
+    assert g.loc[1, "score"] == g.loc[2, "score"]
+    assert g.loc[1, "rank"] < g.loc[2, "rank"]
+    # off-topic terms strictly dilute
+    assert g.loc[3, "score"] < g.loc[2, "score"]
+    # non-matching docs never appear
+    assert 5 not in g.index
+    # exact expected values: idf = ln(N/df) with N=6 docs, df(data)=4,
+    # df(stream)=df(filter)=1
+    idf_d, idf_sf = np.log(6 / 4), np.log(6 / 1)
+    assert g.loc[2, "score"] == round(float(idf_d), 6)
+    want4 = round(float((idf_d + 2 * idf_sf) / np.sqrt(3.0)), 6)
+    assert abs(g.loc[4, "score"] - want4) <= 1e-6
