@@ -146,6 +146,18 @@ def _vsm():
     return vsm
 
 
+def _snippets():
+    from pdfsearch_ray.pipelines import snippets
+
+    return snippets
+
+
+def _qpp():
+    from pdfsearch_ray.pipelines import qpp
+
+    return qpp
+
+
 def _boolquery():
     from pdfsearch_ray.pipelines import boolquery
 
@@ -276,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_topk": _tiering().tiered_topk,
         "impact_topk": _tiering().impact_topk,
         "vsm_lnc_ltc_topk": _vsm().vsm_lnc_ltc_topk,
+        "snippet_windows": _snippets().snippet_windows,
+        "query_clarity": _qpp().query_clarity,
         "champion_safety": _prune().champion_safety,
         "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
@@ -647,6 +661,14 @@ def oracle_sql() -> dict[str, str]:
         # SMART lnc.ltc cosine (IIR §6.4): per-doc log-tf norm over the
         # WHOLE vocab, ln(N/df) query weights, cosine algebra replayed
         "vsm_lnc_ltc_topk": _vsm().vsm_sql(),
+        # highlighter best-window selection from the positions store:
+        # DuckDB replays the window join, distinct-term counts, per-doc
+        # argmax and global top-K from token ordinality
+        "snippet_windows": _snippets().snippet_sql(),
+        # query performance prediction (Cronen-Townsend 2002): BM25
+        # retrieval, JM-smoothed LMs, relevance-model weights and the
+        # full-vocab KL divergence all replayed by DuckDB
+        "query_clarity": _qpp().clarity_sql(),
         # pruned-tier safety certificate (Fagin/TA upper bound): theta,
         # tail bound, outside upper bounds and the safe bit recomputed
         "champion_safety": _prune().champion_safety_sql(),
