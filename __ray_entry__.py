@@ -158,6 +158,12 @@ def _qpp():
     return qpp
 
 
+def _densefb():
+    from pdfsearch_ray.pipelines import densefb
+
+    return densefb
+
+
 def _boolquery():
     from pdfsearch_ray.pipelines import boolquery
 
@@ -290,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vsm_lnc_ltc_topk": _vsm().vsm_lnc_ltc_topk,
         "snippet_windows": _snippets().snippet_windows,
         "query_clarity": _qpp().query_clarity,
+        "rocchio_dense_topk": _densefb().rocchio_dense_topk,
         "champion_safety": _prune().champion_safety,
         "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
@@ -669,6 +676,10 @@ def oracle_sql() -> dict[str, str]:
         # retrieval, JM-smoothed LMs, relevance-model weights and the
         # full-vocab KL divergence all replayed by DuckDB
         "query_clarity": _qpp().clarity_sql(),
+        # dense PRF (Rocchio): round-1 cosine ranking, feedback window,
+        # normalized centroid blend and round-2 ranking replayed from
+        # the raw embeddings table
+        "rocchio_dense_topk": _densefb().rocchio_sql(),
         # pruned-tier safety certificate (Fagin/TA upper bound): theta,
         # tail bound, outside upper bounds and the safe bit recomputed
         "champion_safety": _prune().champion_safety_sql(),
