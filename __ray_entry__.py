@@ -164,6 +164,12 @@ def _densefb():
     return densefb
 
 
+def _ltr():
+    from pdfsearch_ray.pipelines import ltr
+
+    return ltr
+
+
 def _boolquery():
     from pdfsearch_ray.pipelines import boolquery
 
@@ -297,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_windows": _snippets().snippet_windows,
         "query_clarity": _qpp().query_clarity,
         "rocchio_dense_topk": _densefb().rocchio_dense_topk,
+        "ltr_rerank_topk": _ltr().ltr_rerank_topk,
         "champion_safety": _prune().champion_safety,
         "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
@@ -680,6 +687,10 @@ def oracle_sql() -> dict[str, str]:
         # normalized centroid blend and round-2 ranking replayed from
         # the raw embeddings table
         "rocchio_dense_topk": _densefb().rocchio_sql(),
+        # linear learning-to-rank re-rank: BM25 + freshness decay +
+        # coverage blended with fixed weights; feature extraction, the
+        # mix64 age synth (HUGEINT limbs) and the blend all replayed
+        "ltr_rerank_topk": _ltr().ltr_sql(),
         # pruned-tier safety certificate (Fagin/TA upper bound): theta,
         # tail bound, outside upper bounds and the safe bit recomputed
         "champion_safety": _prune().champion_safety_sql(),

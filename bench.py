@@ -179,6 +179,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     from pdfsearch_ray.pipelines import snippets as _snippets
     from pdfsearch_ray.pipelines import qpp as _qpp
     from pdfsearch_ray.pipelines import densefb as _densefb
+    from pdfsearch_ray.pipelines import ltr as _ltr
     from pdfsearch_ray.pipelines import fields as _fields
     from pdfsearch_ray.pipelines import diversify as _diversify
     from pdfsearch_ray.pipelines import queries as _queries
@@ -317,6 +318,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("snippet_windows", _snippets.snippet_windows),
         ("query_clarity", _qpp.query_clarity),
         ("rocchio_dense_topk", _densefb.rocchio_dense_topk),
+        ("ltr_rerank_topk", _ltr.ltr_rerank_topk),
         ("routed_lang_topk", _merge.routed_lang_topk),
         ("bm25f_topk", _fields.bm25f_topk),
         ("shard_selected_topk", _merge.shard_selected_topk),
