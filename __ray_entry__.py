@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routed_lang_topk": _merge().routed_lang_topk,
         "hybrid_rrf_topk": _hybrid().hybrid_rrf_topk,
         "hybrid_interp_topk": _hybrid().hybrid_interp_topk,
+        "hybrid_combmnz_topk": _hybrid().hybrid_combmnz_topk,
         "mmr_diversify": _diversify().mmr_diversify,
         "percolate_matches": _percolate().percolate_matches,
         "significant_terms": _sigterms().significant_terms,
@@ -746,6 +747,9 @@ def oracle_sql() -> dict[str, str]:
         # each depth-N list (degenerate list → 1.0) and the alpha blend
         # are recomputed by DuckDB window functions
         "hybrid_interp_topk": _hybrid().hybrid_interp_sql(),
+        # CombMNZ (Fox & Shaw 1994): hit-count × normalized score sum;
+        # consensus fusion completing the RRF / alpha-blend family
+        "hybrid_combmnz_topk": _hybrid().hybrid_combmnz_sql(),
         # MMR diversification: DuckDB replays the dense candidate
         # window, all pairwise candidate cosines and every greedy
         # argmax round as chained pick1..pickK CTEs (bpe precedent)

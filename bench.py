@@ -300,6 +300,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("phrase_topk", _boolquery.phrase_topk),
         ("hybrid_rrf_topk", _hybrid.hybrid_rrf_topk),
         ("hybrid_interp_topk", _hybrid.hybrid_interp_topk),
+        ("hybrid_combmnz_topk", _hybrid.hybrid_combmnz_topk),
         ("percolate_matches", _percolate.percolate_matches),
         ("significant_terms", _sigterms.significant_terms),
         ("complete_prefix", _expand.complete_prefix),

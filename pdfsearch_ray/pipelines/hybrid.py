@@ -47,6 +47,7 @@ import pyarrow as pa
 
 __all__ = ["hybrid_rrf_topk", "hybrid_rrf_sql",
            "hybrid_interp_topk", "hybrid_interp_sql",
+           "hybrid_combmnz_topk", "hybrid_combmnz_sql",
            "HYBRID_QUERIES", "HYBRID_N", "HYBRID_K", "RRF_K0",
            "INTERP_ALPHA"]
 
@@ -396,6 +397,134 @@ def hybrid_interp_sql(queries=HYBRID_QUERIES, *, n: int = HYBRID_N,
                    row_number() OVER (
                        ORDER BY mix_score DESC, doc_id ASC) AS rank
             FROM blend{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+# ------------------------------------------------------- CombMNZ fusion
+
+
+def hybrid_combmnz_topk(sf_dir: str) -> pa.Table:
+    """The THIRD canonical fusion (Fox & Shaw, TREC-2 1994):
+    ``CombMNZ(d) = |lists containing d| × Σ normalized scores`` —
+    multiplying by the hit count rewards CONSENSUS between the lexical
+    and dense retrievers, the property RRF (rank-only) and the alpha
+    blend (magnitude-only) each lack; together the three gates span
+    the fusion design space every production hybrid stack picks from.
+    Same depth-N lists and min-max normalization as the alpha blend;
+    output keeps the list count under the value hash."""
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    dense = _dense_lists(sf_dir, [qv for _, qv in HYBRID_QUERIES],
+                         HYBRID_N)
+    cols = {"query": [], "doc_id": [], "mnz_score": [],
+            "n_lists": [], "rank": []}
+    for q, qvec in sorted(HYBRID_QUERIES):
+        lids, lsc = _lex_list(idx, q, HYBRID_N)
+        vids, vsc = dense[qvec]
+        ln = dict(zip(lids.tolist(), _minmax(lsc).tolist()))
+        vn = dict(zip(vids.tolist(), _minmax(vsc).tolist()))
+        fused = []
+        for d in set(ln) | set(vn):
+            nz = (d in ln) + (d in vn)
+            fused.append((d, round(nz * (ln.get(d, 0.0)
+                                         + vn.get(d, 0.0)), 6), nz))
+        fused.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, mnz, nz) in enumerate(fused[:HYBRID_K], 1):
+            cols["query"].append(q)
+            cols["doc_id"].append(d)
+            cols["mnz_score"].append(mnz)
+            cols["n_lists"].append(nz)
+            cols["rank"].append(r)
+    return pa.table({
+        "query": pa.array(cols["query"], type=pa.string()),
+        "doc_id": pa.array(cols["doc_id"], type=pa.int64()),
+        "mnz_score": pa.array(cols["mnz_score"], type=pa.float64()),
+        "n_lists": pa.array(cols["n_lists"], type=pa.int64()),
+        "rank": pa.array(cols["rank"], type=pa.int64()),
+    })
+
+
+def hybrid_combmnz_sql(queries=HYBRID_QUERIES, *, n: int = HYBRID_N,
+                       k: int = HYBRID_K, k1: float = 1.2,
+                       b: float = 0.75) -> str:
+    """CombMNZ oracle: both retrievals, the depth-N windows, min-max
+    normalization and the hit-count × score-sum algebra."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+    from .searchx import _BM25_CHAIN, _score_cte
+
+    parts = list(_BM25_CHAIN)
+    parts.append(""",
+    be AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+    bn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM be GROUP BY vec_id)""")
+    selects = []
+    for qi, (q, qvec) in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        q{qi}(term) AS (VALUES {qvals}),{_score_cte(str(qi), f"q{qi}", k1=k1, b=b)},
+        qe{qi} AS (SELECT i, v FROM be WHERE vec_id = {qvec}),
+        qn{qi} AS (SELECT sqrt(sum(v * v)) AS nrm FROM qe{qi}),
+        sims{qi} AS (
+            SELECT b.vec_id,
+                   sum(q.v * b.v) / (qn{qi}.nrm * bn.nrm) AS sim
+            FROM qe{qi} q JOIN be b USING (i)
+            CROSS JOIN qn{qi}
+            JOIN bn ON b.vec_id = bn.vec_id
+            WHERE b.vec_id <> {qvec}
+            GROUP BY b.vec_id, qn{qi}.nrm, bn.nrm
+        ),
+        lr{qi} AS (
+            SELECT doc_id, round(s, 6) AS s6, row_number() OVER (
+                ORDER BY round(s, 6) DESC, doc_id ASC) AS r
+            FROM sc{qi}
+        ),
+        lnorm{qi} AS (
+            SELECT doc_id,
+                   CASE WHEN max(s6) OVER () = min(s6) OVER () THEN 1.0
+                        ELSE (s6 - min(s6) OVER ())
+                             / (max(s6) OVER () - min(s6) OVER ())
+                   END AS nrm
+            FROM lr{qi} WHERE r <= {n}
+        ),
+        vrr{qi} AS (
+            SELECT vec_id AS doc_id, round(sim, 6) AS s6,
+                   row_number() OVER (
+                       ORDER BY round(sim, 6) DESC, vec_id ASC) AS r
+            FROM sims{qi}
+        ),
+        vnorm{qi} AS (
+            SELECT doc_id,
+                   CASE WHEN max(s6) OVER () = min(s6) OVER () THEN 1.0
+                        ELSE (s6 - min(s6) OVER ())
+                             / (max(s6) OVER () - min(s6) OVER ())
+                   END AS nrm
+            FROM vrr{qi} WHERE r <= {n}
+        ),
+        mnz{qi} AS (
+            SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                   CAST((CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+                        + (CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_lists,
+                   round(((CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+                          + (CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END))
+                         * (coalesce(l.nrm, 0) + coalesce(v.nrm, 0)), 6)
+                       AS mnz_score
+            FROM lnorm{qi} l FULL OUTER JOIN vnorm{qi} v
+                ON l.doc_id = v.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, mnz_score, n_lists,
+                   row_number() OVER (
+                       ORDER BY mnz_score DESC, doc_id ASC) AS rank
+            FROM mnz{qi}
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")

