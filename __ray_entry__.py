@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_clarity": _qpp().query_clarity,
         "rocchio_dense_topk": _densefb().rocchio_dense_topk,
         "ltr_rerank_topk": _ltr().ltr_rerank_topk,
+        "ordered_span_topk": _boolquery().ordered_span_topk,
         "champion_safety": _prune().champion_safety,
         "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
@@ -692,6 +693,10 @@ def oracle_sql() -> dict[str, str]:
         # coverage blended with fixed weights; feature extraction, the
         # mix64 age synth (HUGEINT limbs) and the blend all replayed
         "ltr_rerank_topk": _ltr().ltr_sql(),
+        # ordered span-near (SpanNearQuery in_order=true): forward-pair
+        # join b.i - a.i in [1, w]; both orders of one term pair in the
+        # query set make the direction semantics load-bearing
+        "ordered_span_topk": _boolquery().ordered_span_sql(),
         # pruned-tier safety certificate (Fagin/TA upper bound): theta,
         # tail bound, outside upper bounds and the safe bit recomputed
         "champion_safety": _prune().champion_safety_sql(),

@@ -763,3 +763,153 @@ def phrase_topk_sql(queries=PHRASE_TOPK_QUERIES, *,
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")
+
+
+# ------------------------------------------------- ordered span-near
+
+SPANO_QUERIES = ("fast merge", "merge fast", "data window", "big dup")
+SPANO_W = SLOP_W
+SPANO_SCALE = SLOP_SCALE
+SPANO_K = 10
+
+
+def ordered_span_weights_from_index(idx, t1: str, t2: str, *,
+                                    w: int = SPANO_W,
+                                    scale: int = SPANO_SCALE):
+    """(doc_ids, integer-scaled ordered span tf): only FORWARD pairs
+    count — occurrences with ``1 <= p2 - p1 <= w`` (t1 strictly before
+    t2), weight ``scale // (p2 - p1)``.  The in_order=true face of
+    Lucene's SpanNearQuery; the unordered face is
+    sloppy_weights_from_index, and by construction
+    ordered(t1,t2) + ordered(t2,t1) == sloppy(t1,t2) per doc
+    (pytest-pinned)."""
+    uniq = sorted({t1, t2})
+    idx._load_terms(uniq)
+    id_sets = []
+    for t in uniq:
+        blocks = idx._term_cache.get(t, [])
+        idx._decode_blocks_bulk(blocks, idf=1.0)
+        ids = (np.concatenate([b["ids"] for b in blocks])
+               if blocks else np.empty(0, dtype=np.uint64))
+        if ids.size == 0:
+            return (np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.int64))
+        id_sets.append(np.sort(ids))
+    common = id_sets[0]
+    for s in id_sets[1:]:
+        common = np.intersect1d(common, s, assume_unique=True)
+    if common.size == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    k1 = _term_position_keys(idx, t1, common)
+    k2 = np.sort(_term_position_keys(idx, t2, common))
+    acc = np.zeros(common.size, dtype=np.int64)
+    for d in range(1, w + 1):
+        keys = k1 + np.uint64(d)          # forward direction only
+        m = np.isin(keys, k2)
+        if m.any():
+            codes = (k1[m] >> np.uint64(32)).astype(np.int64)
+            np.add.at(acc, codes, scale // d)
+    hit = acc > 0
+    return common[hit], acc[hit]
+
+
+def ordered_span_topk(sf_dir: str) -> pa.Table:
+    """Ordered span-near ranked gate: BM25 over the integer-scaled
+    forward-pair tf; the query set contains BOTH orders of one term
+    pair so the in_order semantics are load-bearing under the value
+    hash (the unordered sibling scores them identically)."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    m = idx.manifest
+    out_q, out_d, out_w, out_s = [], [], [], []
+    for q in sorted(SPANO_QUERIES):
+        t1, t2 = analyze_simple(q)[:2]
+        docs_u, w12 = ordered_span_weights_from_index(idx, t1, t2)
+        if docs_u.size == 0:
+            continue
+        docs = docs_u.astype(np.int64)
+        df = int(docs.size)
+        idf = float(np.log(1.0 + (m.n_docs - df + 0.5) / (df + 0.5)))
+        blocks = idx._term_cache.get(sorted({t1, t2})[0], [])
+        ids_all = np.concatenate([b["ids"] for b in blocks])
+        dl_all = np.concatenate([b["dl"] for b in blocks])
+        order = np.argsort(ids_all)
+        pos = np.searchsorted(ids_all[order], docs_u)
+        dl = dl_all[order][pos].astype(np.float64)
+        stf = w12 / float(SPANO_SCALE)
+        sc = idf * stf / (stf + m.k1 * (1 - m.b + m.b * dl / m.avgdl))
+        sc = np.round(sc, 6)
+        cut = np.lexsort((docs, -sc))[:SPANO_K]
+        out_q.extend([q] * cut.size)
+        out_d.extend(docs[cut].tolist())
+        out_w.extend(w12[cut].tolist())
+        out_s.extend(sc[cut].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "span_tf_x12": pa.array(out_w, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def ordered_span_sql(queries=SPANO_QUERIES, *, w: int = SPANO_W,
+                     scale: int = SPANO_SCALE, k: int = SPANO_K,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle: the sloppy oracle with the pair join restricted to the
+    forward direction ``b.i - a.i BETWEEN 1 AND w``."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr FROM documents),",
+        "pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)))"
+        " AS i FROM arrs),",
+        "dl AS (SELECT doc_id, len(arr) AS dl FROM arrs "
+        "WHERE len(arr) > 0),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        t1, t2 = analyze_simple(q)[:2]
+        parts.append(f""",
+        pw{qi} AS (
+            SELECT a.doc_id,
+                   CAST(sum({scale} // (b.i - a.i)) AS BIGINT) AS w12
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND b.i - a.i BETWEEN 1 AND {w}
+            WHERE a.arr[a.i] = '{_sq(t1)}' AND b.arr[b.i] = '{_sq(t2)}'
+            GROUP BY a.doc_id
+        ),
+        pdf{qi} AS (SELECT count(*) AS df FROM pw{qi}),
+        sc{qi} AS (
+            SELECT p.doc_id, p.w12,
+                   ln(1 + (stats.n - pdf{qi}.df + 0.5) / (pdf{qi}.df + 0.5))
+                       * (p.w12 / {scale}.0)
+                       / ((p.w12 / {scale}.0)
+                          + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                       AS s
+            FROM pw{qi} p
+            CROSS JOIN stats CROSS JOIN pdf{qi}
+            JOIN dl ON p.doc_id = dl.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, w12 AS span_tf_x12,
+                   round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")

@@ -227,3 +227,38 @@ def test_impact_termination_prunes_on_skewed_lists():
     ref = a_ids[np.lexsort((a_ids, -a_sc))[:10]]
     assert sorted(got2.tolist()) == sorted(ref.tolist())
     assert p2 < t2
+
+
+def test_ordered_plus_reverse_equals_sloppy(ray_session):
+    """Span-near decomposition: ordered(t1,t2) + ordered(t2,t1)
+    accumulates exactly the unordered sloppy weights per doc."""
+    from pdfsearch_ray.pipelines.boolquery import (
+        ordered_span_weights_from_index, sloppy_weights_from_index)
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    for t1, t2 in (("fast", "merge"), ("data", "window")):
+        sd, sw = sloppy_weights_from_index(idx, t1, t2)
+        fd, fw = ordered_span_weights_from_index(idx, t1, t2)
+        rd, rw = ordered_span_weights_from_index(idx, t2, t1)
+        acc = {}
+        for d, w in zip(fd.tolist(), fw.tolist()):
+            acc[d] = acc.get(d, 0) + w
+        for d, w in zip(rd.tolist(), rw.tolist()):
+            acc[d] = acc.get(d, 0) + w
+        want = dict(zip(sd.tolist(), sw.tolist()))
+        assert acc == want, (t1, t2)
+
+
+def test_ordered_direction_is_load_bearing(ray_session):
+    """'fast merge' and 'merge fast' must rank differently somewhere
+    (the unordered sibling scores them identically by construction)."""
+    from pdfsearch_ray.pipelines.boolquery import ordered_span_topk
+
+    out = ordered_span_topk(SF).to_pandas()
+    a = out[out["query"] == "fast merge"]
+    b = out[out["query"] == "merge fast"]
+    assert len(a) and len(b)
+    assert (a["doc_id"].tolist() != b["doc_id"].tolist()
+            or a["span_tf_x12"].tolist() != b["span_tf_x12"].tolist())
