@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_topk": _tiering().tiered_topk,
         "impact_topk": _tiering().impact_topk,
         "vsm_lnc_ltc_topk": _vsm().vsm_lnc_ltc_topk,
+        "lm_dirichlet_topk": _vsm().lm_dirichlet_topk,
         "snippet_windows": _snippets().snippet_windows,
         "query_clarity": _qpp().query_clarity,
         "rocchio_dense_topk": _densefb().rocchio_dense_topk,
@@ -677,6 +678,10 @@ def oracle_sql() -> dict[str, str]:
         # SMART lnc.ltc cosine (IIR §6.4): per-doc log-tf norm over the
         # WHOLE vocab, ln(N/df) query weights, cosine algebra replayed
         "vsm_lnc_ltc_topk": _vsm().vsm_sql(),
+        # LM Dirichlet query likelihood (Zhai & Lafferty 2001): the
+        # third scoring family; cf/T collection LM + the per-matched-
+        # term Dirichlet score replayed from raw text
+        "lm_dirichlet_topk": _vsm().lm_dirichlet_sql(),
         # highlighter best-window selection from the positions store:
         # DuckDB replays the window join, distinct-term counts, per-doc
         # argmax and global top-K from token ordinality

@@ -321,6 +321,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("rocchio_dense_topk", _densefb.rocchio_dense_topk),
         ("ltr_rerank_topk", _ltr.ltr_rerank_topk),
         ("ordered_span_topk", _boolquery.ordered_span_topk),
+        ("lm_dirichlet_topk", _vsm.lm_dirichlet_topk),
         ("routed_lang_topk", _merge.routed_lang_topk),
         ("bm25f_topk", _fields.bm25f_topk),
         ("shard_selected_topk", _merge.shard_selected_topk),

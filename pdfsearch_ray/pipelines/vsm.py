@@ -33,7 +33,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["vsm_lnc_ltc_topk", "vsm_sql", "VSM_QUERIES", "VSM_K"]
+__all__ = ["vsm_lnc_ltc_topk", "vsm_sql", "VSM_QUERIES", "VSM_K",
+           "lm_dirichlet_topk", "lm_dirichlet_sql", "LM_QUERIES",
+           "LM_K", "LM_MU"]
 
 VSM_QUERIES = ("data stream filter", "fast scan merge", "dup table")
 VSM_K = 10
@@ -232,6 +234,160 @@ def vsm_sql(queries=VSM_QUERIES, *, k: int = VSM_K) -> str:
             CROSS JOIN stats
             JOIN dfs{qi} ON f.term = dfs{qi}.term
             JOIN nrm ON f.doc_id = nrm.doc_id
+            GROUP BY f.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
+# --------------------------------------- LM Dirichlet query likelihood
+
+LM_MU = 100.0   # Dirichlet pseudo-count; ~2·avgdl on this corpus (the
+                # classic default 2000 is tuned for ~500-token docs)
+LM_QUERIES = ("data stream filter", "fast scan merge", "dup table")
+LM_K = 10
+
+
+def lm_dirichlet_topk(sf_dir: str) -> pa.Table:
+    """The THIRD classic scoring family (Zhai & Lafferty SIGIR'01;
+    Lucene's LMDirichletSimilarity, no positive clamp): for docs
+    matching ≥1 query term,
+
+        score = Σ_{t∈q, tf>0} [ ln(1 + tf / (μ·cf_t/T))
+                                + ln(μ / (μ + dl)) ]
+
+    — Dirichlet-smoothed query likelihood, per matched term.  With
+    BM25 (probabilistic) and lnc.ltc (vector-space) this completes the
+    scoring-family triad every IR platform ships.
+
+    Shape: collection LM (cf_t, T) comes from the memoized combiner
+    term-stats pass (queries._term_stats); the per-doc (tf, dl) hit
+    table is the same ONE-pass streaming scan as bm25_topk
+    (queries._BM25Scan — its df sentinels are simply unused here);
+    scoring is a per-batch vector op with O(K·blocks) driver merge."""
+    import pyarrow.compute as pc
+
+    from ..analysis.analyzer import analyze_simple
+    from .queries import _BM25Scan, _docs, _term_stats
+
+    st = _term_stats(sf_dir)
+    cf = dict(zip(st["term"].to_pylist(),
+                  (int(x) for x in st["tf"].to_pylist())))
+    T = float(sum(cf.values()))
+
+    per_q = {q: [t for t in sorted(set(analyze_simple(q)))
+                 if cf.get(t)] for q in LM_QUERIES}
+    union = tuple(sorted({t for ts in per_q.values() for t in ts}))
+    j_of = {t: j for j, t in enumerate(union)}
+    tf_cols = [f"tf{j}" for j in range(len(union))]
+
+    spill = _docs(sf_dir).map_batches(
+        _BM25Scan(union), batch_format="pyarrow", batch_size=512,
+    ).materialize()
+    mu = LM_MU
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["doc_id"], -1))
+        out_schema = pa.schema([("query", pa.string()),
+                                ("doc_id", pa.int64()),
+                                ("score", pa.float64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t["doc_id"].to_numpy()
+        dl = t["dl"].to_numpy().astype(np.float64)
+        len_part = np.log(mu / (mu + dl))
+        tfm = {c: t[c].to_numpy().astype(np.float64) for c in tf_cols}
+        out_q, out_d, out_s = [], [], []
+        for q in sorted(LM_QUERIES):
+            score = np.zeros(len(ids), dtype=np.float64)
+            matched = np.zeros(len(ids), dtype=bool)
+            for tm in per_q[q]:            # sorted-term sum order
+                tf = tfm[tf_cols[j_of[tm]]]
+                h = tf > 0
+                matched |= h
+                p = cf[tm] / T
+                score[h] += (np.log(1.0 + tf[h] / (mu * p))
+                             + len_part[h])
+            if not matched.any():
+                continue
+            sc = np.round(score[matched], 6)
+            mid = ids[matched]
+            top = np.lexsort((mid, -sc))[:LM_K]
+            out_q.extend([q] * top.size)
+            out_d.extend(mid[top].tolist())
+            out_s.extend(sc[top].tolist())
+        return pa.table({
+            "query": pa.array(out_q, type=pa.string()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
+
+    cand = spill.map_batches(
+        score_batch, batch_format="pyarrow").to_pandas()
+    out_q, out_d, out_s = [], [], []
+    for q in sorted(LM_QUERIES):
+        g = cand[cand["query"] == q]
+        if g.empty:
+            continue
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(LM_K)
+        out_q.extend([q] * len(g))
+        out_d.extend(g["doc_id"].tolist())
+        out_s.extend(g["score"].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def lm_dirichlet_sql(queries=LM_QUERIES, *, k: int = LM_K,
+                     mu: float = LM_MU) -> str:
+    """Oracle: cf/T collection LM, the per-matched-term Dirichlet
+    score and the (score desc, doc asc) top-K."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents),",
+        "tok AS (SELECT * FROM toks WHERE term <> ''),",
+        "tfa AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+        "GROUP BY doc_id, term),",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),",
+        "cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),",
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        terms = sorted(set(analyze_simple(q)))
+        qvals = ", ".join(f"('{_sq(t)}')" for t in terms) or "('')"
+        parts.append(f""",
+        qraw{qi}(term) AS (VALUES {qvals}),
+        q{qi} AS (SELECT qraw{qi}.term FROM qraw{qi}
+                  JOIN cf ON qraw{qi}.term = cf.term),
+        sc{qi} AS (
+            SELECT f.doc_id,
+                   sum(ln(1 + f.tf / ({mu} * cf.cf / tot.t))
+                       + ln({mu} / ({mu} + dl.dl))) AS s
+            FROM tfa f
+            JOIN q{qi} USING (term)
+            JOIN cf ON f.term = cf.term
+            CROSS JOIN tot
+            JOIN dl ON f.doc_id = dl.doc_id
             GROUP BY f.doc_id
         )""")
         selects.append(f"""
