@@ -56,3 +56,29 @@ def test_ef_size_regimes():
     assert ef_d < vi_d * 0.4          # >= 60% smaller on dense lists
     assert vi_m < ef_m                # varint's narrow one-byte regime
     assert ef_s < vi_s                # EF wins the multi-byte tail too
+
+
+# ------------------------- hypothesis property fuzz (codec.py idiom)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40),
+                min_size=1, max_size=400, unique=True))
+def test_ef_roundtrip_property(ids):
+    a = np.array(sorted(ids), dtype=np.uint64)
+    got = ef_decode(ef_encode(a), count=len(a))
+    assert got.tolist() == a.tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40),
+                min_size=1, max_size=400, unique=True))
+def test_ef_agrees_with_varint_delta(ids):
+    """Both codecs decode to the identical id sequence — a cross-codec
+    differential oracle (any disagreement is a bug in one of them)."""
+    a = np.array(sorted(ids), dtype=np.uint64)
+    assert (ef_decode(ef_encode(a), count=len(a)).tolist()
+            == delta_decode(delta_encode(a), count=len(a)).tolist())
