@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impact_topk": _tiering().impact_topk,
         "vsm_lnc_ltc_topk": _vsm().vsm_lnc_ltc_topk,
         "lm_dirichlet_topk": _vsm().lm_dirichlet_topk,
+        "ndcg_eval": _ireval().ndcg_eval,
         "snippet_windows": _snippets().snippet_windows,
         "query_clarity": _qpp().query_clarity,
         "rocchio_dense_topk": _densefb().rocchio_dense_topk,
@@ -682,6 +683,9 @@ def oracle_sql() -> dict[str, str]:
         # third scoring family; cf/T collection LM + the per-matched-
         # term Dirichlet score replayed from raw text
         "lm_dirichlet_topk": _vsm().lm_dirichlet_sql(),
+        # graded nDCG@10 (Järvelin & Kekäläinen): distinct-term grades,
+        # 2^g-1 gains, both discounted sums and the ratio replayed
+        "ndcg_eval": _ireval().ndcg_eval_sql(),
         # highlighter best-window selection from the positions store:
         # DuckDB replays the window join, distinct-term counts, per-doc
         # argmax and global top-K from token ordinality

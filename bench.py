@@ -273,6 +273,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         # share the fingerprint-cached simple index with the expand
         # gates, so their marginal cost is dictionary/posting reads)
         ("ir_eval", _ireval.ir_eval),
+        ("ndcg_eval", _ireval.ndcg_eval),
         ("facet_counts", _searchx.facet_counts),
         ("mlt_topk", _searchx.mlt_topk),
         ("search_after", _searchx.search_after),

@@ -78,3 +78,28 @@ def test_clarity_rare_query_is_most_focused(ray_session):
     assert (out["clarity"] > 0).all()
     # the rare focused term beats every head/stopword-ish query
     assert out.loc["dup", "clarity"] == out["clarity"].max()
+
+
+def test_ndcg_bounds_and_single_term_perfection(ray_session):
+    """nDCG ∈ [0,1]; a single-term query's grades are uniform so its
+    BM25 top-10 is trivially ideal (nDCG == 1); multi-term queries on
+    this corpus are imperfect (< 1 for at least one)."""
+    from pdfsearch_ray.pipelines.ireval import ndcg_eval
+
+    out = ndcg_eval(SF).to_pandas().set_index("query")
+    assert ((out["ndcg10"] >= 0) & (out["ndcg10"] <= 1 + 1e-9)).all()
+    assert (out["dcg10"] <= out["idcg10"] + 1e-9).all()
+    # "information" is OOV in the synthetic vocab: all-zero row
+    z = out.loc["information"]
+    assert (z[["dcg10", "idcg10", "ndcg10"]] == 0).all()
+    assert z["n_graded"] == 0
+    # matched queries: the ratio column is consistent with its parts,
+    # and raw-tf-mass grades make BM25 imperfect EVERYWHERE it matches
+    # (the discriminative-metric property the gate's docstring claims)
+    m = out[out["n_graded"] > 0]
+    assert len(m) >= 3
+    for _, r in m.iterrows():
+        assert abs(r["ndcg10"]
+                   - round(r["dcg10"] / r["idcg10"], 6)) <= 2e-6
+    assert (m["ndcg10"] < 1.0).all()
+    assert (m["ndcg10"] > 0.2).all()   # but far from random either
