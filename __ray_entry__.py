@@ -62,6 +62,18 @@ def _user_sessions(sf_dir: str):
     return user_sessions(sf_dir)
 
 
+def _funnel_counts(sf_dir: str):
+    from pdfsearch_ray.pipelines.events import funnel_counts
+
+    return funnel_counts(sf_dir)
+
+
+def _events_mod():
+    from pdfsearch_ray.pipelines import events
+
+    return events
+
+
 def _asof_join_events(sf_dir: str):
     from pdfsearch_ray.pipelines.events import asof_join_events
 
@@ -374,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": q.embedding_dup_pairs_lsh,
         "windowed_event_counts": _windowed_event_counts,
         "user_sessions": _user_sessions,
+        "funnel_counts": _funnel_counts,
         "asof_join_events": _asof_join_events,
         "sliding_event_counts": _sliding_event_counts,
         "corpus_sample": q.corpus_sample,
@@ -1011,6 +1024,9 @@ def oracle_sql() -> dict[str, str]:
         # reference rows pre-deduped to one per (user, ts) by max
         # event_id — the same tie rule asof_block applies — so DuckDB's
         # native ASOF JOIN resolves ties identically
+        # ordered funnel (greedy first-match, step-1 horizon): chained
+        # per-user min-after-previous CTEs, integer microsecond lags
+        "funnel_counts": _events_mod().funnel_sql(),
         "asof_join_events": """
             WITH r AS (
                 SELECT user_id, ts, max(event_id) AS ref_event_id

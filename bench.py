@@ -193,10 +193,14 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         asof_join_events,
         sliding_event_counts,
     )
+    from pdfsearch_ray.pipelines.events import (
+        funnel_counts as _funnel_counts_fn,
+    )
 
     for name, fn in (
         ("sliding_event_counts", sliding_event_counts),
         ("asof_join_events", asof_join_events),
+        ("funnel_counts", _funnel_counts_fn),
         ("pricing_summary", rel.pricing_summary),
         ("orders_by_nation", rel.orders_by_nation),
         ("region_part_revenue", rel.region_part_revenue),

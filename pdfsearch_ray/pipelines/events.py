@@ -331,3 +331,162 @@ def sliding_event_counts(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_events"),
                    Sum("value_cents", alias_name="sum_value_cents"))
     )
+
+
+# ---------------------------------------------------------- funnel
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_HORIZON_HOURS = 24
+
+
+def funnel_block(t: pa.Table, steps, horizon_us: int):
+    """Per-bucket vectorized funnel pass (greedy first-match, the
+    Amplitude/GA definition): step 1 = a user's FIRST `steps[0]`
+    event; step k = the first `steps[k]` event strictly after the
+    user's step-(k-1) time and within `horizon_us` of step 1.
+    Returns per-step (n_users, sum_lag_us) partials for this bucket —
+    lag measured from step 1, exact integer microseconds."""
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t["ts"].to_numpy(zero_copy_only=False).view("int64")
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+
+    def first_per_user(u, x):
+        order = np.lexsort((x, u))
+        u, x = u[order], x[order]
+        keep = np.r_[True, u[1:] != u[:-1]]
+        return u[keep], x[keep]
+
+    m0 = et == steps[0]
+    users, t1 = first_per_user(uid[m0], ts[m0])
+    n_users = [int(users.size)]
+    sum_lag = [0]
+    t_prev = t1
+    t_first = t1
+    for k in range(1, len(steps)):
+        mk = et == steps[k]
+        u_k, ts_k = uid[mk], ts[mk]
+        idx = np.searchsorted(users, u_k)
+        ok = (idx < users.size)
+        idx_c = np.minimum(idx, max(users.size - 1, 0))
+        ok &= users[idx_c] == u_k
+        ok &= ts_k > t_prev[idx_c]
+        ok &= ts_k <= t_first[idx_c] + horizon_us
+        if not ok.any():
+            n_users += [0] * (len(steps) - k)
+            sum_lag += [0] * (len(steps) - k)
+            break
+        users_k, tk = first_per_user(u_k[ok], ts_k[ok])
+        # carry each surviving user's step-1 time forward
+        pos = np.searchsorted(users, users_k)
+        t_first_k = t_first[pos]
+        n_users.append(int(users_k.size))
+        sum_lag.append(int((tk - t_first_k).sum()))
+        users, t_prev, t_first = users_k, tk, t_first_k
+    return n_users, sum_lag
+
+
+def funnel_counts(sf_dir: str, *, steps=FUNNEL_STEPS,
+                  horizon_hours: int = FUNNEL_HORIZON_HOURS,
+                  num_buckets: int = 32) -> pa.Table:
+    """Ordered funnel conversion gate: (step, event_type, n_users,
+    sum_lag_us) — integer-exact, so the value hash cannot flake.
+
+    Partitioning: the user_sessions hash-spill shape (each user's
+    events land wholly in one bucket; no all-to-all sort), one
+    vectorized funnel pass per bucket, O(steps) partial rows per
+    bucket to the driver."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import mix64
+
+    horizon_us = int(horizon_hours) * 3600 * 1_000_000
+    work_dir = spill_dir(prefix="pdfsearch_funnel_")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (mix64(uid.view(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    (
+        _events(sf_dir, ["user_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .write_parquet(work_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{work_dir}/{d}" for d in os.listdir(work_dir)
+        if d.startswith("bucket="))
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        ns = np.zeros(len(steps), dtype=np.int64)
+        ls = np.zeros(len(steps), dtype=np.int64)
+        for bdir in batch["dir"].to_pylist():
+            n, l = funnel_block(pq.read_table(bdir, use_threads=False),
+                                steps, horizon_us)
+            ns += np.array(n, dtype=np.int64)
+            ls += np.array(l, dtype=np.int64)
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1)),
+            "n_users": pa.array(ns),
+            "sum_lag_us": pa.array(ls),
+        })
+
+    part = (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=4)
+        .to_pandas()
+    )
+    agg = part.groupby("step")[["n_users", "sum_lag_us"]].sum()
+    return pa.table({
+        "step": pa.array([int(s) for s in agg.index], type=pa.int64()),
+        "event_type": pa.array([steps[s - 1] for s in agg.index],
+                               type=pa.string()),
+        "n_users": pa.array(agg["n_users"].astype("int64").tolist(),
+                            type=pa.int64()),
+        "sum_lag_us": pa.array(agg["sum_lag_us"].astype("int64").tolist(),
+                               type=pa.int64()),
+    })
+
+
+def funnel_sql(*, steps=FUNNEL_STEPS,
+               horizon_hours: int = FUNNEL_HORIZON_HOURS) -> str:
+    """Oracle: chained per-user min-after-previous CTEs with the
+    step-1 horizon, integer lag sums."""
+    a, b, c = steps
+    h = int(horizon_hours)
+    return f"""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{a}' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2, any_value(s1.t1) AS t1
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = '{b}' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL {h} HOUR
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3, any_value(s2.t1) AS t1
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = '{c}' AND e.ts > s2.t2
+              AND e.ts <= s2.t1 + INTERVAL {h} HOUR
+            GROUP BY e.user_id
+        )
+        SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS step, '{a}' AS event_type,
+                   (SELECT count(*) FROM s1) AS n_users,
+                   CAST(0 AS BIGINT) AS sum_lag_us
+            UNION ALL
+            SELECT 2, '{b}', (SELECT count(*) FROM s2),
+                   coalesce((SELECT CAST(sum(epoch_us(t2) - epoch_us(t1))
+                             AS BIGINT) FROM s2), 0)
+            UNION ALL
+            SELECT 3, '{c}', (SELECT count(*) FROM s3),
+                   coalesce((SELECT CAST(sum(epoch_us(t3) - epoch_us(t1))
+                             AS BIGINT) FROM s3), 0)
+        ) ORDER BY step"""

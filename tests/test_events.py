@@ -176,3 +176,48 @@ def test_asof_block_many_users_no_cross_match():
     out = asof_block(t, "purchase").to_pylist()
     assert out[0]["ref_event_id"] == 1
     assert all(r["ref_event_id"] == -1 for r in out[1:])
+
+
+def test_funnel_greedy_first_match_planted(ray_session, tmp_path):
+    """Planted funnel geometry: greedy first-match semantics — a user
+    whose FIRST view is followed by a click inside the horizon
+    converts; a user whose only in-order chain starts at a LATER view
+    does not (greedy anchors at the first step-1 event)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.events import funnel_counts
+
+    H = 3_600_000_000  # 1 hour in us
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: view -> click (+10m) -> purchase (+20m): full convert
+        (1, base, "view"), (1, base + H // 6, "click"),
+        (1, base + H // 3, "purchase"),
+        # user 2: first view, click arrives AFTER the 24h horizon
+        (2, base, "view"), (2, base + 25 * 24 * H, "click"),
+        # user 3: click BEFORE the first view only: no step 2
+        (3, base, "click"), (3, base + H, "view"),
+        # user 4: view then click, purchase before click: stops at 2
+        (4, base, "view"), (4, base + H, "click"),
+        (4, base + H // 2, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = funnel_counts(str(tmp_path)).to_pandas().set_index("step")
+    assert out.loc[1, "n_users"] == 4      # all four users view... (3 views late)
+    assert out.loc[2, "n_users"] == 2      # users 1 and 4
+    assert out.loc[3, "n_users"] == 1      # user 1 only
+    # exact integer lag sums from step 1
+    assert out.loc[2, "sum_lag_us"] == H // 6 + H
+    assert out.loc[3, "sum_lag_us"] == H // 3
