@@ -182,6 +182,12 @@ def _ltr():
     return ltr
 
 
+def _nextword():
+    from pdfsearch_ray.pipelines import nextword
+
+    return nextword
+
+
 def _boolquery():
     from pdfsearch_ray.pipelines import boolquery
 
@@ -319,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rocchio_dense_topk": _densefb().rocchio_dense_topk,
         "ltr_rerank_topk": _ltr().ltr_rerank_topk,
         "ordered_span_topk": _boolquery().ordered_span_topk,
+        "nextword_phrase_topk": _nextword().nextword_phrase_topk,
         "champion_safety": _prune().champion_safety,
         "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
@@ -719,6 +726,10 @@ def oracle_sql() -> dict[str, str]:
         # join b.i - a.i in [1, w]; both orders of one term pair in the
         # query set make the direction semantics load-bearing
         "ordered_span_topk": _boolquery().ordered_span_sql(),
+        # nextword auxiliary phrase index (Bahle/Williams/Zobel 2002):
+        # the artifact must reproduce the positional phrase evaluation
+        # exactly — same pair-ordinality SQL chain as phrase_topk
+        "nextword_phrase_topk": _nextword().nextword_sql(),
         # pruned-tier safety certificate (Fagin/TA upper bound): theta,
         # tail bound, outside upper bounds and the safe bit recomputed
         "champion_safety": _prune().champion_safety_sql(),

@@ -180,6 +180,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     from pdfsearch_ray.pipelines import qpp as _qpp
     from pdfsearch_ray.pipelines import densefb as _densefb
     from pdfsearch_ray.pipelines import ltr as _ltr
+    from pdfsearch_ray.pipelines import nextword as _nextword
     from pdfsearch_ray.pipelines import fields as _fields
     from pdfsearch_ray.pipelines import diversify as _diversify
     from pdfsearch_ray.pipelines import queries as _queries
@@ -327,6 +328,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("ltr_rerank_topk", _ltr.ltr_rerank_topk),
         ("ordered_span_topk", _boolquery.ordered_span_topk),
         ("lm_dirichlet_topk", _vsm.lm_dirichlet_topk),
+        ("nextword_phrase_topk", _nextword.nextword_phrase_topk),
         ("routed_lang_topk", _merge.routed_lang_topk),
         ("bm25f_topk", _fields.bm25f_topk),
         ("shard_selected_topk", _merge.shard_selected_topk),

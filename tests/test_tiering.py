@@ -262,3 +262,34 @@ def test_ordered_direction_is_load_bearing(ray_session):
     assert len(a) and len(b)
     assert (a["doc_id"].tolist() != b["doc_id"].tolist()
             or a["span_tf_x12"].tolist() != b["span_tf_x12"].tolist())
+
+
+def test_nextword_equals_positional_phrase(ray_session):
+    """Cross-implementation equivalence: for every nextword query the
+    artifact's (doc, tf) set equals the positions-store phrase
+    evaluation (adjacency-from-tokens == adjacency-from-positions),
+    and the ranked gate output is internally consistent."""
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines.boolquery import _phrase_starts
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.nextword import (NW_QUERIES,
+                                                  nextword_phrase_topk)
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    out = nextword_phrase_topk(SF).to_pandas()
+    assert len(out)
+    for q in sorted(NW_QUERIES):
+        terms = analyze_simple(q)
+        common, starts = _phrase_starts(idx, terms)
+        if starts.size == 0:
+            assert q not in set(out["query"])
+            continue
+        codes, tf = np.unique(starts >> np.uint64(32),
+                              return_counts=True)
+        pos_map = dict(zip(
+            common[codes.astype(np.int64)].astype(np.int64).tolist(),
+            tf.astype(int).tolist()))
+        g = out[out["query"] == q]
+        for d, t in zip(g["doc_id"], g["phrase_tf"]):
+            assert pos_map.get(int(d)) == int(t), (q, d)
