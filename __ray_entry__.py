@@ -188,6 +188,12 @@ def _nextword():
     return nextword
 
 
+def _querystring():
+    from pdfsearch_ray.pipelines import querystring
+
+    return querystring
+
+
 def _boolquery():
     from pdfsearch_ray.pipelines import boolquery
 
@@ -326,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_rerank_topk": _ltr().ltr_rerank_topk,
         "ordered_span_topk": _boolquery().ordered_span_topk,
         "nextword_phrase_topk": _nextword().nextword_phrase_topk,
+        "querystring_topk": _querystring().querystring_topk,
         "champion_safety": _prune().champion_safety,
         "bm25f_topk": _fields().bm25f_topk,
         "bm25_msm_topk": _scorequery().bm25_msm_topk,
@@ -730,6 +737,10 @@ def oracle_sql() -> dict[str, str]:
         # the artifact must reproduce the positional phrase evaluation
         # exactly — same pair-ordinality SQL chain as phrase_topk
         "nextword_phrase_topk": _nextword().nextword_sql(),
+        # query-string surface: +must -not term^boost "phrase" parsed
+        # once, executed as per-clause BM25 contributions + masks; the
+        # SAME parse drives the generated SQL (parser pytest-pinned)
+        "querystring_topk": _querystring().querystring_sql(),
         # pruned-tier safety certificate (Fagin/TA upper bound): theta,
         # tail bound, outside upper bounds and the safe bit recomputed
         "champion_safety": _prune().champion_safety_sql(),

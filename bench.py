@@ -181,6 +181,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     from pdfsearch_ray.pipelines import densefb as _densefb
     from pdfsearch_ray.pipelines import ltr as _ltr
     from pdfsearch_ray.pipelines import nextword as _nextword
+    from pdfsearch_ray.pipelines import querystring as _querystring
     from pdfsearch_ray.pipelines import fields as _fields
     from pdfsearch_ray.pipelines import diversify as _diversify
     from pdfsearch_ray.pipelines import queries as _queries
@@ -329,6 +330,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("ordered_span_topk", _boolquery.ordered_span_topk),
         ("lm_dirichlet_topk", _vsm.lm_dirichlet_topk),
         ("nextword_phrase_topk", _nextword.nextword_phrase_topk),
+        ("querystring_topk", _querystring.querystring_topk),
         ("routed_lang_topk", _merge.routed_lang_topk),
         ("bm25f_topk", _fields.bm25f_topk),
         ("shard_selected_topk", _merge.shard_selected_topk),

@@ -586,7 +586,12 @@ class BM25Index:
         blocks, so the exhaustive scorer concatenates the blobs and
         decodes each stream once, then splits per block with cheap
         slices (docID gaps use a segmented cumsum: each block's first id
-        is stored absolute, so any split point is a restart)."""
+        is stored absolute, so any split point is a restart).
+
+        CAVEAT: the decode caches each block's ``scores`` at the idf it
+        was FIRST given and never re-scores — callers that mix idf=1.0
+        positional decodes and idf-weighted scoring must use SEPARATE
+        handles (see pipelines/querystring.py)."""
         todo = [b for b in blocks if "ids" not in b]
         if not todo:
             return
