@@ -158,6 +158,24 @@ def _vsm():
     return vsm
 
 
+def _dfr():
+    from pdfsearch_ray.pipelines import dfr
+
+    return dfr
+
+
+def _geo():
+    from pdfsearch_ray.pipelines import geo
+
+    return geo
+
+
+def _blockjoin():
+    from pdfsearch_ray.pipelines import blockjoin
+
+    return blockjoin
+
+
 def _snippets():
     from pdfsearch_ray.pipelines import snippets
 
@@ -325,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impact_topk": _tiering().impact_topk,
         "vsm_lnc_ltc_topk": _vsm().vsm_lnc_ltc_topk,
         "lm_dirichlet_topk": _vsm().lm_dirichlet_topk,
+        "dfr_pl2_topk": _dfr().dfr_pl2_topk,
+        "geo_knn": _geo().geo_knn,
+        "blockjoin_topk": _blockjoin().blockjoin_topk,
         "ndcg_eval": _ireval().ndcg_eval,
         "snippet_windows": _snippets().snippet_windows,
         "query_clarity": _qpp().query_clarity,
@@ -710,6 +731,16 @@ def oracle_sql() -> dict[str, str]:
         # third scoring family; cf/T collection LM + the per-matched-
         # term Dirichlet score replayed from raw text
         "lm_dirichlet_topk": _vsm().lm_dirichlet_sql(),
+        # DFR PL2 (Amati & van Rijsbergen 2002): the fourth scoring
+        # family — Poisson + Laplace + length norm 2; log2 spelled
+        # ln(x)*(1/ln 2) on both sides, cf/df/N/avgdl from raw text
+        "dfr_pl2_topk": _dfr().dfr_pl2_sql(),
+        # geo k-NN: splitmix64 coordinate synth in HUGEINT limbs,
+        # integer wraparound squared distance, radius + ROW_NUMBER
+        "geo_knn": _geo().geo_knn_sql(),
+        # parent-child block join (ScoreMode.Max): chunk corpus, chunk
+        # BM25 stats, parent max / arg-min-chunk reduction replayed
+        "blockjoin_topk": _blockjoin().blockjoin_sql(),
         # graded nDCG@10 (Järvelin & Kekäläinen): distinct-term grades,
         # 2^g-1 gains, both discounted sums and the ratio replayed
         "ndcg_eval": _ireval().ndcg_eval_sql(),

@@ -1,0 +1,161 @@
+"""Geo nearest-neighbor search: radius filter + k-NN over synthetic
+per-document coordinates (the geo_distance / geo_point operator family
+of Lucene/ES, over a corpus with no native geo column).
+
+Coordinates synthesize deterministically from the doc id — the
+recency_boost/ltr mix64 convention, so the DuckDB oracle reproduces
+them in HUGEINT limbs:
+
+    h   = mix64(doc_id)                      (splitmix64 finalizer)
+    lat = (h mod 2^32) mod 180e6 - 90e6      (integer microdegrees)
+    lon = (h >> 32)    mod 360e6 - 180e6
+
+The distance metric is INTEGER planar squared distance in microdegrees
+with longitude wraparound — ``dlat² + min(|dlon|, 360e6-|dlon|)²`` —
+chosen over haversine deliberately: the gate's value hash needs
+bit-exact agreement between numpy and DuckDB, and int64 arithmetic is
+exact where libm trig is only ulp-close.  The operator SHAPE (bounding
+filter + distance sort + top-k per query point) is the real thing; the
+metric is the determinism contract, documented here.
+
+Scale shape: pure per-batch map — each batch computes its own
+distances and emits its local top-k per query point (narrow rows);
+the driver merge sees O(k · blocks · n_queries).  No shuffle, no
+materialization; at 100 TB this is a single streaming pass.  A real
+deployment would add an S2/geohash cell prefilter as a pushdown
+predicate — the cell id is one more integer column, same pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["geo_knn", "geo_knn_sql", "GEO_POINTS", "GEO_K",
+           "GEO_RADIUS_MICRO"]
+
+# fixed query points (lat, lon in integer microdegrees)
+GEO_POINTS = ((37_770_000, -122_420_000),     # SF
+              (51_500_000, -120_000),         # London
+              (-33_870_000, 151_210_000))     # Sydney
+GEO_K = 20
+GEO_RADIUS_MICRO = 60_000_000                 # 60 degrees
+
+_MOD_LAT = 180_000_000
+_MOD_LON = 360_000_000
+_WRAP = 360_000_000
+
+
+def _coords(ids: np.ndarray):
+    from ..functions.hashing import mix64
+
+    h = mix64(ids.astype(np.uint64))
+    lat = ((h & np.uint64(0xFFFFFFFF)) % np.uint64(_MOD_LAT)
+           ).astype(np.int64) - (_MOD_LAT // 2)
+    lon = ((h >> np.uint64(32)) % np.uint64(_MOD_LON)
+           ).astype(np.int64) - (_MOD_LON // 2)
+    return lat, lon
+
+
+def geo_knn(sf_dir: str, *, points=GEO_POINTS, k: int = GEO_K,
+            radius_micro: int = GEO_RADIUS_MICRO) -> pa.Table:
+    """Per query point: the k nearest documents within the radius,
+    (dist2 asc, doc_id asc), integer-exact."""
+    from ..functions.tables import read_parquet_nometa
+
+    r2 = int(radius_micro) * int(radius_micro)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        lat, lon = _coords(ids)
+        out_p, out_d, out_dist = [], [], []
+        for pi, (plat, plon) in enumerate(points):
+            dlat = lat - plat
+            adl = np.abs(lon - plon)
+            dlon = np.minimum(adl, _WRAP - adl)
+            d2 = dlat * dlat + dlon * dlon
+            m = d2 <= r2
+            mi, md = ids[m], d2[m]
+            top = np.lexsort((mi, md))[:k]
+            out_p.extend([pi] * top.size)
+            out_d.extend(mi[top].tolist())
+            out_dist.extend(md[top].tolist())
+        return pa.table({
+            "point_id": pa.array(out_p, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "dist2": pa.array(out_dist, type=pa.int64()),
+        })
+
+    cand = read_parquet_nometa(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+    ).map_batches(
+        local_topk, batch_format="pyarrow", batch_size=4096,
+    ).to_pandas()
+
+    out_p, out_d, out_dist, out_r = [], [], [], []
+    for pi in range(len(points)):
+        g = cand[cand["point_id"] == pi]
+        g = g.sort_values(["dist2", "doc_id"], kind="mergesort").head(k)
+        out_p.extend([pi] * len(g))
+        out_d.extend(g["doc_id"].tolist())
+        out_dist.extend(g["dist2"].tolist())
+        out_r.extend(range(1, len(g) + 1))
+    return pa.table({
+        "point_id": pa.array(out_p, type=pa.int64()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "dist2": pa.array(out_dist, type=pa.int64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })
+
+
+def geo_knn_sql(*, points=GEO_POINTS, k: int = GEO_K,
+                radius_micro: int = GEO_RADIUS_MICRO) -> str:
+    """Oracle: the splitmix64 finalizer in HUGEINT limbs (sample_sql
+    convention), the same integer coordinate synth, wraparound squared
+    distance and ROW_NUMBER top-k."""
+    U32, U64 = 1 << 32, 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    r2 = int(radius_micro) * int(radius_micro)
+    half_lat, half_lon = _MOD_LAT // 2, _MOD_LON // 2
+    pvals = ", ".join(f"({pi}, {plat}, {plon})"
+                      for pi, (plat, plon) in enumerate(points))
+    return f"""
+        WITH m0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x
+                    FROM documents),
+        m1 AS (SELECT doc_id, {mulmod('xor(x, x >> 30)', C1)} AS x FROM m0),
+        m2 AS (SELECT doc_id, {mulmod('xor(x, x >> 27)', C2)} AS x FROM m1),
+        m3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM m2),
+        geo AS (
+            SELECT doc_id,
+                   CAST((x % {U32}) % {_MOD_LAT} AS BIGINT)
+                       - {half_lat} AS lat,
+                   CAST((x >> 32) % {_MOD_LON} AS BIGINT)
+                       - {half_lon} AS lon
+            FROM m3
+        ),
+        pts(point_id, plat, plon) AS (VALUES {pvals}),
+        d AS (
+            SELECT pts.point_id, geo.doc_id,
+                   (geo.lat - pts.plat) * (geo.lat - pts.plat)
+                   + least(abs(geo.lon - pts.plon),
+                           {_WRAP} - abs(geo.lon - pts.plon))
+                     * least(abs(geo.lon - pts.plon),
+                             {_WRAP} - abs(geo.lon - pts.plon)) AS dist2
+            FROM geo CROSS JOIN pts
+        )
+        SELECT point_id, doc_id, dist2, rank FROM (
+            SELECT point_id, doc_id, dist2,
+                   row_number() OVER (
+                       PARTITION BY point_id
+                       ORDER BY dist2 ASC, doc_id ASC) AS rank
+            FROM d WHERE dist2 <= {r2}
+        ) WHERE rank <= {k}
+        ORDER BY point_id, rank
+    """
