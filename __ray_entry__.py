@@ -122,6 +122,12 @@ def _sketches():
     return sketches
 
 
+def _relational():
+    from pdfsearch_ray.pipelines import relational
+
+    return relational
+
+
 def _expand():
     from pdfsearch_ray.pipelines import expand
 
@@ -430,6 +436,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _pricing_summary,
         "orders_by_nation": _orders_by_nation,
         "region_part_revenue": _region_part_revenue,
+        "revenue_rollup": _relational().revenue_rollup,
+        "running_totals": _relational().customer_running_totals,
+        "anti_join_customers": _relational().silent_customers,
+        "weighted_sample": q.weighted_sample,
+        "pmi_collocations": q.pmi_collocations,
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
         # 13-gram GPT-3-style decontamination — distinct key from the
@@ -993,6 +1004,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.p_size < 20
             GROUP BY r.r_name
         """,
+        # OLAP subtotals: GROUP BY ROLLUP(region, nation), 'ALL' labels,
+        # integer cents (engine derives subtotals from the leaf agg)
+        "revenue_rollup": _relational().rollup_sql(),
+        # per-key window function: running revenue per customer —
+        # SUM/ROW_NUMBER OVER (PARTITION BY custkey ORDER BY date, key)
+        # vs the bucket-spill lexsort+cumsum
+        "running_totals": _relational().running_totals_sql(),
+        # distributed anti-join (NOT EXISTS): customers with no urgent
+        # order, per-nation count + exact acctbal cents
+        "anti_join_customers": _relational().silent_customers_sql(),
+        # Efraimidis-Spirakis weighted sample: splitmix64 u in HUGEINT
+        # limbs, ln(u)/n_chars keys, top-k
+        "weighted_sample": q.weighted_sample_sql(),
+        # PMI collocations (Church & Hanks): bigram/unigram counts and
+        # the PMI algebra replayed from raw text
+        "pmi_collocations": q.pmi_sql(),
         "doc_length_quantiles": """
             SELECT CAST(0.5 AS DOUBLE) AS p,
                    CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars

@@ -2439,3 +2439,278 @@ def shard_layout_sql(*, k: int = SHARD_COUNT) -> str:
                min(doc_id) AS min_doc, max(doc_id) AS max_doc
         FROM a GROUP BY shard ORDER BY shard
     """
+
+
+WSAMPLE_K = 50
+
+
+def weighted_sample(sf_dir: str, *, k: int = WSAMPLE_K) -> pa.Table:
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis 2006, A-ES): each doc draws u = mix64(doc_id)/2^64 and
+    keeps key = ln(u)/w with weight w = n_chars; the k LARGEST keys win
+    — longer docs are proportionally likelier, yet the sample is a pure
+    function of doc_id (re-runs and the SQL oracle reproduce it
+    bit-for-bit).
+
+    Scale shape: key computation and top-k are per-batch (narrow rows:
+    doc_id, lang, n_chars); the driver merge sees O(k · blocks).  No
+    shuffle, no RNG state — the splitmix64 finalizer is the corpus_
+    sample convention, so the oracle replays it in HUGEINT limbs.
+    Zero-length docs are excluded (w = 0 has no valid E-S key)."""
+    from ..functions.hashing import mix64
+    from ..functions.tables import read_parquet_nometa
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = t["n_chars"].to_numpy().astype(np.float64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        langs = t["lang"].to_numpy(zero_copy_only=False)[keep]
+        nch = t["n_chars"].to_numpy()[keep]
+        # +0.5 keeps u in (0,1): mix64(0) = 0 and ln(0) is a pole (the
+        # oracle replays the identical half-up offset)
+        u = (mix64(ids.astype(np.uint64)).astype(np.float64)
+             + 0.5) / 2.0 ** 64
+        key = np.log(u) / w
+        top = np.lexsort((ids, -key))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[top], type=pa.int64()),
+            "lang": pa.array(langs[top].tolist(), type=pa.string()),
+            "n_chars": pa.array(nch[top], type=pa.int64()),
+            "key": pa.array(key[top], type=pa.float64()),
+        })
+
+    cand = read_parquet_nometa(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    ).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["key", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return pa.table({
+        "doc_id": pa.array(cand["doc_id"].tolist(), type=pa.int64()),
+        "lang": pa.array(cand["lang"].tolist(), type=pa.string()),
+        "n_chars": pa.array(cand["n_chars"].tolist(), type=pa.int64()),
+    })
+
+
+def weighted_sample_sql(*, k: int = WSAMPLE_K) -> str:
+    """Oracle: splitmix64 in HUGEINT limbs (sample_sql convention),
+    the same ln(u)/w key and top-k."""
+    U32, U64 = 1 << 32, 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    return f"""
+        WITH m0 AS (SELECT doc_id, lang, n_chars,
+                           CAST(doc_id AS HUGEINT) AS x
+                    FROM documents WHERE n_chars > 0),
+        m1 AS (SELECT doc_id, lang, n_chars,
+                      {mulmod('xor(x, x >> 30)', C1)} AS x FROM m0),
+        m2 AS (SELECT doc_id, lang, n_chars,
+                      {mulmod('xor(x, x >> 27)', C2)} AS x FROM m1),
+        m3 AS (SELECT doc_id, lang, n_chars,
+                      xor(x, x >> 31) AS x FROM m2)
+        SELECT doc_id, lang, n_chars FROM m3
+        ORDER BY ln((CAST(x AS DOUBLE) + 0.5) / {float(U64)!r})
+                     / CAST(n_chars AS DOUBLE) DESC,
+                 doc_id ASC
+        LIMIT {k}
+    """
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 100
+
+
+def pmi_collocations(sf_dir: str, *, min_count: int = PMI_MIN_COUNT,
+                     k: int = PMI_TOPK) -> pa.Table:
+    """PMI-ranked collocations (Church & Hanks 1990): top-k adjacent
+    word pairs by pointwise mutual information among pairs with
+    n >= min_count.
+
+    pmi(x,y) = ln( (c_xy / T) / ((c_x / U) * (c_y / U)) ) with T total
+    bigrams, U total unigrams.
+
+    Scale shape: the bigram_counts packed-code combiner feeds the pair
+    groupby; unigram counts come from a second per-batch value_counts
+    combiner; T and U are O(blocks) partial sums.  The >= min filter is
+    applied distributed BEFORE anything is collected, and the unigram
+    table the PMI pass consults is broadcast once (every unigram in a
+    surviving pair has count >= min, so the broadcast is bounded by the
+    filtered vocabulary, the term_df trade documented there)."""
+    import ray
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        codes, _, vocab = _tok_codes(t)
+        if not len(codes):
+            return empty
+        cnt = np.bincount(codes, minlength=len(vocab))
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "term": pa.array([vocab[i] for i in nz], type=pa.string()),
+            "n": pa.array(cnt[nz].astype(np.int64), type=pa.int64()),
+        })
+
+    uni = (
+        _docs(sf_dir)
+        .map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    u_total = int(uni.sum("n") or 0)
+    # bounded broadcast: only terms that can appear in a surviving pair
+    uni_keep = uni.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+        batch_format="pyarrow").to_pandas()
+    cmap_ref = ray.put(dict(zip(uni_keep["term"], uni_keep["n"])))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        # identical pairing rule to bigram_counts (packed vocab codes)
+        empty = pa.table({"bigram": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        n = len(flat)
+        if n < 2:
+            return empty
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        bounds = np.cumsum(lens[:-1], dtype=np.int64)
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = de.dictionary
+        V = len(vocab)
+        try:
+            empty_code = vocab.index("").as_py()
+        except Exception:
+            empty_code = -1
+        ok = (codes[:-1] != empty_code) & (codes[1:] != empty_code)
+        bounds = bounds[(bounds > 0) & (bounds <= n - 1)]
+        ok[bounds - 1] = False
+        key = codes[:-1][ok] * V + codes[1:][ok]
+        if key.size == 0:
+            return empty
+        uniq, counts = np.unique(key, return_counts=True)
+        a = pa.array(uniq // V, type=pa.int64())
+        b = pa.array(uniq % V, type=pa.int64())
+        big = pc.binary_join_element_wise(
+            vocab.take(a), vocab.take(b), " ")
+        return pa.table({
+            "bigram": big,
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+
+    pairs = (
+        _docs(sf_dir)
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    t_total = int(pairs.sum("n") or 0)
+    empty = pa.table({
+        "bigram": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "pmi": pa.array([], type=pa.float64()),
+    })
+    if t_total == 0 or u_total == 0:
+        return empty
+
+    def score_local(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        if t.num_rows == 0:
+            return empty
+        cmap = ray.get(cmap_ref)
+        bigs = t["bigram"].to_pylist()
+        ns = t["n"].to_numpy().astype(np.float64)
+        cx = np.fromiter(
+            (cmap.get(bg.split(" ", 1)[0], 0) for bg in bigs),
+            dtype=np.float64, count=len(bigs))
+        cy = np.fromiter(
+            (cmap.get(bg.split(" ", 1)[1], 0) for bg in bigs),
+            dtype=np.float64, count=len(bigs))
+        pmi = np.round(np.log(
+            (ns / float(t_total))
+            / ((cx / float(u_total)) * (cy / float(u_total)))), 6)
+        import pandas as pd
+
+        # local cut in the SAME (pmi desc, bigram asc) order as the
+        # driver merge, so a boundary tie can never drop the winner
+        df = pd.DataFrame({
+            "bigram": bigs,
+            "n": t["n"].to_numpy(),
+            "pmi": pmi,
+        }).sort_values(["pmi", "bigram"], ascending=[False, True],
+                       kind="mergesort").head(k)
+        return pa.table({
+            "bigram": pa.array(df["bigram"].tolist(), type=pa.string()),
+            "n": pa.array(df["n"].astype("int64").tolist(),
+                          type=pa.int64()),
+            "pmi": pa.array(df["pmi"].tolist(), type=pa.float64()),
+        })
+
+    cand = pairs.map_batches(
+        score_local, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return empty
+    cand = cand.sort_values(["pmi", "bigram"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return pa.table({
+        "bigram": pa.array(cand["bigram"].tolist(), type=pa.string()),
+        "n": pa.array(cand["n"].astype("int64").tolist(),
+                      type=pa.int64()),
+        "pmi": pa.array(cand["pmi"].tolist(), type=pa.float64()),
+    })
+
+
+def pmi_sql(*, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK) -> str:
+    """Oracle: the bigram_counts pairing CTE + unigram counts + the PMI
+    algebra, same float expression shape."""
+    return f"""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS toklist
+          FROM documents
+        ), t AS (
+          SELECT doc_id, unnest(list_zip(
+                     list_slice(toklist, 1, len(toklist) - 1),
+                     list_slice(toklist, 2, len(toklist)))) AS pr
+          FROM tl WHERE len(toklist) >= 2
+        ), pairs AS (
+          SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n
+          FROM t GROUP BY 1, 2
+        ), tot AS (SELECT sum(n) AS t FROM pairs),
+        uni AS (
+          SELECT unnest(toklist) AS term FROM tl
+        ), ucnt AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+        utot AS (SELECT count(*) AS u FROM uni)
+        SELECT w1 || ' ' || w2 AS bigram, n,
+               round(ln((CAST(n AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                        / ((CAST(ux.c AS DOUBLE) / CAST(utot.u AS DOUBLE))
+                           * (CAST(uy.c AS DOUBLE)
+                              / CAST(utot.u AS DOUBLE)))), 6) AS pmi
+        FROM pairs
+        CROSS JOIN tot CROSS JOIN utot
+        JOIN ucnt ux ON pairs.w1 = ux.term
+        JOIN ucnt uy ON pairs.w2 = uy.term
+        WHERE n >= {min_count}
+        ORDER BY pmi DESC, bigram ASC
+        LIMIT {k}
+    """

@@ -272,3 +272,320 @@ def region_part_revenue(sf_dir: str) -> pa.Table:
         "n_items": pa.array(out["n_items"].astype("int64").tolist(),
                             type=pa.int64()),
     })
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(region, nation) over order revenue — the OLAP
+    subtotal shape (leaf rows + per-region subtotals + grand total,
+    rolled-up levels labeled 'ALL').
+
+    Scale shape: the fact (orders) flows through the SAME distributed
+    hash join as orders_by_nation; nation→(region, name) is a 25-row
+    broadcast.  The per-batch combiner reduces to O(|nations|) rows, so
+    the driver's rollup derivation is O(25) arithmetic over the leaf
+    aggregate — subtotals are DERIVED from leaves, never a second pass
+    over the fact."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, cust, left_on="o_custkey",
+                       right_on="c_custkey", num_buckets=8)
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name", "n_regionkey"])
+    rt = pq.read_table(f"{sf_dir}/region.parquet",
+                       columns=["r_regionkey", "r_name"])
+    r2n = dict(zip(rt["r_regionkey"].to_pylist(),
+                   rt["r_name"].to_pylist()))
+    nmap_ref = ray.put({
+        int(k): (r2n[int(rk)], str(nm))
+        for k, nm, rk in zip(nt["n_nationkey"].to_pylist(),
+                             nt["n_name"].to_pylist(),
+                             nt["n_regionkey"].to_pylist())})
+
+    def tag(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        keys = np.asarray([nmap[int(k)][0] + "\x00" + nmap[int(k)][1]
+                           for k in nk], dtype=object) \
+            if nk.size else np.asarray([], dtype=object)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = uniq.size
+        return pa.table({
+            "key": pa.array(uniq.tolist(), type=pa.string()),
+            "n_orders": pa.array(
+                np.bincount(inv, minlength=n).astype(np.int64)),
+            "revenue_cents": pa.array(_group_sum_i64(inv, cents, n)),
+        })
+
+    leaf = (
+        joined.map_batches(tag, batch_format="pyarrow")
+        .repartition(1)
+        .groupby("key")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    leaf[["r_name", "n_name"]] = leaf["key"].str.split("\x00", expand=True)
+    leaf = leaf[["r_name", "n_name", "n_orders", "revenue_cents"]]
+    region = (leaf.groupby("r_name", as_index=False)
+              [["n_orders", "revenue_cents"]].sum())
+    region["n_name"] = "ALL"
+    total = leaf[["n_orders", "revenue_cents"]].sum().to_frame().T
+    total["r_name"] = "ALL"
+    total["n_name"] = "ALL"
+    import pandas as pd
+
+    out = pd.concat([leaf, region, total], ignore_index=True)
+    out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return pa.table({
+        "r_name": pa.array(out["r_name"].tolist(), type=pa.string()),
+        "n_name": pa.array(out["n_name"].tolist(), type=pa.string()),
+        "n_orders": pa.array(out["n_orders"].astype("int64").tolist(),
+                             type=pa.int64()),
+        "revenue_cents": pa.array(
+            out["revenue_cents"].astype("int64").tolist(),
+            type=pa.int64()),
+    })
+
+
+def rollup_sql() -> str:
+    """Oracle: GROUP BY ROLLUP with COALESCE('ALL') labels, integer
+    cents."""
+    return """
+        SELECT coalesce(r.r_name, 'ALL') AS r_name,
+               coalesce(n.n_name, 'ALL') AS n_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+        ORDER BY r_name, n_name
+    """
+
+
+def running_totals_block(t: pa.Table) -> pa.Table:
+    """Vectorized per-partition window function: for every order,
+    ROW_NUMBER and the running revenue sum per customer ordered by
+    (o_orderdate, o_orderkey) — one lexsort + one cumsum, no per-key
+    Python."""
+    if t.num_rows == 0:
+        return pa.table({
+            "o_custkey": pa.array([], type=pa.int64()),
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "seq": pa.array([], type=pa.int64()),
+            "running_cents": pa.array([], type=pa.int64()),
+        })
+    cust = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t["o_orderdate"].to_numpy(zero_copy_only=False)
+    tsi = ts.astype("datetime64[us]").view(np.int64)
+    cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    order = np.lexsort((ok, tsi, cust))
+    cust, ok, cents = cust[order], ok[order], cents[order]
+    starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+    cum = np.cumsum(cents, dtype=np.int64)
+    base = np.zeros(starts.size, dtype=np.int64)
+    base[1:] = cum[starts[1:] - 1]
+    counts = np.diff(np.r_[starts, cust.size])
+    running = cum - np.repeat(base, counts)
+    idx = np.arange(cust.size, dtype=np.int64)
+    seq = idx - np.repeat(starts, counts) + 1
+    return pa.table({
+        "o_custkey": pa.array(cust, type=pa.int64()),
+        "o_orderkey": pa.array(ok, type=pa.int64()),
+        "seq": pa.array(seq, type=pa.int64()),
+        "running_cents": pa.array(running, type=pa.int64()),
+    })
+
+
+def customer_running_totals(sf_dir: str, *,
+                            num_buckets: int = 32) -> rd.Dataset:
+    """Per-customer running order totals — SUM() OVER (PARTITION BY
+    custkey ORDER BY date, orderkey) done the at-scale way: a map-side
+    hash spill on mix64(custkey) % B (the user_sessions shuffle — each
+    customer's orders land wholly in one bucket file, no global sort),
+    then ONE vectorized lexsort+cumsum pass per bucket.  Integer cents
+    keep the value hash exact."""
+    import os
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import mix64
+    from ..functions.spill import spill_dir
+
+    work_dir = spill_dir(prefix="pdfsearch_runtot_")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (mix64(ck.view(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .write_parquet(work_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{work_dir}/{d}" for d in os.listdir(work_dir)
+        if d.startswith("bucket="))
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        outs = [
+            running_totals_block(pq.read_table(bdir, use_threads=False))
+            for bdir in batch["dir"].to_pylist()
+        ]
+        return pa.concat_tables(outs)
+
+    return (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+    )
+
+
+def running_totals_sql() -> str:
+    return """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS seq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    OVER w AS BIGINT) AS running_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """
+
+
+ANTI_PRIORITY = "1-URGENT"
+
+
+def silent_customers(sf_dir: str, *, num_buckets: int = 16,
+                     priority: str = ANTI_PRIORITY) -> pa.Table:
+    """Customers with NO urgent orders, aggregated per nation (count +
+    exact acctbal cents) — the distributed ANTI-join: both sides
+    hash-spill on custkey (the posting-build shuffle,
+    functions/joins.py layout), each bucket task anti-filters its
+    customers against its orders' keys with one np.isin, then the
+    per-nation combiner reduces to O(|nations|) rows.  Neither side is
+    ever collected on the driver; the orders side is filtered to the
+    priority predicate and pre-shrunk to per-batch DISTINCT custkeys
+    before the spill.  (Unfiltered, the testdata generator gives every
+    customer at least one order — the priority filter keeps the
+    anti-join load-bearing.)"""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.joins import spill_bucketed
+    from ..functions.spill import spill_dir
+
+    work = spill_dir(prefix="pdfsearch_anti_")
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], priority))
+        ck = np.unique(
+            t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"o_custkey": pa.array(ck, type=pa.int64())})
+
+    okeys = _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderpriority"]).map_batches(
+        distinct_keys, batch_format="pyarrow")
+    cdir = spill_bucketed(cust, "c_custkey", f"{work}/cust",
+                          num_buckets=num_buckets)
+    odir = spill_bucketed(okeys, "o_custkey", f"{work}/orders",
+                          num_buckets=num_buckets)
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nt["n_nationkey"].to_pylist(),
+                                nt["n_name"].to_pylist())))
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        out_n, out_c, out_b = [], [], []
+        for b in batch["b"].to_pylist():
+            cpath = f"{cdir}/__jb={b}"
+            if not os.path.isdir(cpath):
+                continue
+            ct = pq.read_table(cpath, use_threads=False)
+            opath = f"{odir}/__jb={b}"
+            have = (pq.read_table(opath, use_threads=False)
+                    ["o_custkey"].to_numpy()
+                    if os.path.isdir(opath)
+                    else np.empty(0, dtype=np.int64))
+            ck = ct["c_custkey"].to_numpy()
+            anti = ~np.isin(ck, have)
+            if not anti.any():
+                continue
+            nk = ct["c_nationkey"].to_numpy()[anti]
+            bal = np.round(
+                ct["c_acctbal"].to_numpy()[anti] * 100).astype(np.int64)
+            uniq, inv = np.unique(nk, return_inverse=True)
+            out_n.extend(nmap[int(k)] for k in uniq)
+            out_c.extend(np.bincount(inv, minlength=uniq.size)
+                         .astype(np.int64).tolist())
+            out_b.extend(
+                _group_sum_i64(inv, bal, uniq.size).tolist())
+        return pa.table({
+            "n_name": pa.array(out_n, type=pa.string()),
+            "n_customers": pa.array(out_c, type=pa.int64()),
+            "acctbal_cents": pa.array(out_b, type=pa.int64()),
+        })
+
+    out = (
+        rd.from_items([{"b": b} for b in range(num_buckets)],
+                      override_num_blocks=num_buckets)
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+        .repartition(1)
+        .groupby("n_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("acctbal_cents", alias_name="acctbal_cents"))
+        .to_pandas()
+    )
+    if out.empty or "n_name" not in out.columns:
+        return pa.table({
+            "n_name": pa.array([], type=pa.string()),
+            "n_customers": pa.array([], type=pa.int64()),
+            "acctbal_cents": pa.array([], type=pa.int64()),
+        })
+    out = out.sort_values("n_name")
+    return pa.table({
+        "n_name": pa.array(out["n_name"].tolist(), type=pa.string()),
+        "n_customers": pa.array(
+            out["n_customers"].astype("int64").tolist(), type=pa.int64()),
+        "acctbal_cents": pa.array(
+            out["acctbal_cents"].astype("int64").tolist(),
+            type=pa.int64()),
+    })
+
+
+def silent_customers_sql(*, priority: str = ANTI_PRIORITY) -> str:
+    return f"""
+        SELECT n.n_name,
+               count(*) AS n_customers,
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                   AS BIGINT) AS acctbal_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '{priority}')
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """

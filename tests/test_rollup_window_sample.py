@@ -1,0 +1,114 @@
+"""Pins for the session-13 wave-2 gates: ROLLUP subtotals, per-key
+running totals (window function), distributed anti-join, weighted
+sampling, PMI collocations."""
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    """Leaf rows must sum to their region subtotal, regions to the
+    grand total — the rollup invariant, independent of the oracle."""
+    from pdfsearch_ray.pipelines.relational import revenue_rollup
+
+    t = revenue_rollup(SF).to_pandas()
+    leaf = t[(t["r_name"] != "ALL") & (t["n_name"] != "ALL")]
+    reg = t[(t["r_name"] != "ALL") & (t["n_name"] == "ALL")]
+    tot = t[(t["r_name"] == "ALL")]
+    assert len(tot) == 1
+    assert tot["revenue_cents"].iloc[0] == leaf["revenue_cents"].sum()
+    assert tot["n_orders"].iloc[0] == leaf["n_orders"].sum()
+    for _, r in reg.iterrows():
+        sub = leaf[leaf["r_name"] == r["r_name"]]
+        assert r["revenue_cents"] == sub["revenue_cents"].sum()
+        assert r["n_orders"] == sub["n_orders"].sum()
+
+
+def test_running_totals_per_key_invariants(ray_session):
+    """Each customer's sequence is 1..n, the running sum is cumulative
+    and its last value equals the customer's total (exact cents)."""
+    import duckdb
+
+    from pdfsearch_ray.pipelines.relational import \
+        customer_running_totals
+
+    t = customer_running_totals(SF).to_pandas()
+    con = duckdb.connect()
+    want_total = con.execute(
+        f"SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS "
+        f"BIGINT)) AS BIGINT) s FROM '{SF}/orders.parquet' GROUP BY 1"
+    ).fetchdf().set_index("o_custkey")["s"]
+    n_orders = con.execute(
+        f"SELECT count(*) FROM '{SF}/orders.parquet'").fetchone()[0]
+    assert len(t) == n_orders
+    for ck, g in t.groupby("o_custkey"):
+        g = g.sort_values("seq")
+        assert g["seq"].tolist() == list(range(1, len(g) + 1))
+        assert (np.diff(g["running_cents"].to_numpy()) > 0).all() or \
+            len(g) == 1
+        assert g["running_cents"].iloc[-1] == want_total[ck]
+
+
+def test_anti_join_matches_pandas(ray_session):
+    """The bucketed anti-join must equal a driver-side set difference
+    (independent of the SQL oracle)."""
+    import duckdb
+
+    from pdfsearch_ray.pipelines.relational import (
+        ANTI_PRIORITY, silent_customers)
+
+    t = silent_customers(SF).to_pandas()
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_custkey, c_nationkey FROM '{SF}/customer.parquet'"
+    ).fetchdf()
+    urgent = set(con.execute(
+        f"SELECT DISTINCT o_custkey FROM '{SF}/orders.parquet' "
+        f"WHERE o_orderpriority = '{ANTI_PRIORITY}'"
+    ).fetchdf()["o_custkey"])
+    silent = cust[~cust["c_custkey"].isin(urgent)]
+    assert t["n_customers"].sum() == len(silent)
+    assert len(silent) > 0          # the priority filter keeps it live
+
+
+def test_weighted_sample_is_deterministic_and_length_biased(ray_session):
+    """Two runs identical; long docs oversampled vs uniform (statistical
+    pin on the synthetic corpus: sampled mean length > corpus mean)."""
+    import duckdb
+
+    from pdfsearch_ray.pipelines.queries import weighted_sample
+
+    a = weighted_sample(SF).to_pandas()
+    b = weighted_sample(SF).to_pandas()
+    assert a.equals(b)
+    con = duckdb.connect()
+    mean_all = con.execute(
+        f"SELECT avg(n_chars) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert a["n_chars"].mean() > mean_all
+
+
+def test_pmi_prefers_exclusive_pairs(ray_session):
+    """Planted corpus: a pair that always co-occurs exclusively must
+    out-PMI a pair of independently frequent words."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.queries import pmi_collocations
+
+    rare = ["qq ww . " * 5] * 2                  # qq ww always together
+    common = ["aa bb . aa cc . bb dd . cc aa . dd bb . " * 3] * 4
+    d = tempfile.mkdtemp(prefix="pmi_")
+    docs = rare + common
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs),
+    }), os.path.join(d, "documents.parquet"))
+    t = pmi_collocations(d, min_count=5, k=50).to_pandas()
+    t = t.set_index("bigram")
+    assert "qq ww" in t.index
+    assert t.loc["qq ww", "pmi"] == t["pmi"].max()
