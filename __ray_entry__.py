@@ -441,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": _relational().silent_customers,
         "weighted_sample": q.weighted_sample,
         "pmi_collocations": q.pmi_collocations,
+        "daily_active_users": _events_mod().daily_active_users,
+        "event_transitions": _events_mod().event_transitions,
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
         # 13-gram GPT-3-style decontamination — distinct key from the
@@ -1020,6 +1022,11 @@ def oracle_sql() -> dict[str, str]:
         # PMI collocations (Church & Hanks): bigram/unigram counts and
         # the PMI algebra replayed from raw text
         "pmi_collocations": q.pmi_sql(),
+        # exact COUNT(DISTINCT) per group via the user-hash bucket
+        # spill (per-bucket dedup partials sum without double counting)
+        "daily_active_users": _events_mod().dau_sql(),
+        # the LAG() window shape: per-user adjacent event-type pairs
+        "event_transitions": _events_mod().transitions_sql(),
         "doc_length_quantiles": """
             SELECT CAST(0.5 AS DOUBLE) AS p,
                    CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars

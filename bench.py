@@ -184,6 +184,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     from pdfsearch_ray.pipelines import querystring as _querystring
     from pdfsearch_ray.pipelines import fields as _fields
     from pdfsearch_ray.pipelines import diversify as _diversify
+    from pdfsearch_ray.pipelines import dfr as _dfr
+    from pdfsearch_ray.pipelines import geo as _geo
+    from pdfsearch_ray.pipelines import blockjoin as _blockjoin
     from pdfsearch_ray.pipelines import queries as _queries
     from pdfsearch_ray.pipelines import relational as rel
     from pdfsearch_ray.pipelines import sketches, textstats, webops
@@ -195,6 +198,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         asof_join_events,
         sliding_event_counts,
     )
+    from pdfsearch_ray.pipelines import events as _events
     from pdfsearch_ray.pipelines.events import (
         funnel_counts as _funnel_counts_fn,
     )
@@ -340,6 +344,19 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("docid_remap", webops.docid_remap),
         ("phrase_suggest", _searchx.phrase_suggest),
         ("champion_safety", _prune.champion_safety),
+        # session-13: fourth scoring family, geo k-NN, block join,
+        # OLAP rollup, window cumsum, anti-join, weighted sampling,
+        # PMI collocations
+        ("dfr_pl2_topk", _dfr.dfr_pl2_topk),
+        ("geo_knn", _geo.geo_knn),
+        ("blockjoin_topk", _blockjoin.blockjoin_topk),
+        ("revenue_rollup", rel.revenue_rollup),
+        ("running_totals", rel.customer_running_totals),
+        ("anti_join_customers", rel.silent_customers),
+        ("weighted_sample", qmod.weighted_sample),
+        ("pmi_collocations", qmod.pmi_collocations),
+        ("daily_active_users", _events.daily_active_users),
+        ("event_transitions", _events.event_transitions),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -490,3 +490,191 @@ def funnel_sql(*, steps=FUNNEL_STEPS,
                    coalesce((SELECT CAST(sum(epoch_us(t3) - epoch_us(t1))
                              AS BIGINT) FROM s3), 0)
         ) ORDER BY step"""
+
+
+def daily_active_users(sf_dir: str, *, num_buckets: int = 32) -> pa.Table:
+    """Exact DISTINCT-per-group at scale: active users per calendar
+    day.  COUNT(DISTINCT) is the classic shuffle trap — the correct
+    at-scale shape is the same user-hash bucket spill every other
+    per-user op here uses: each user's events land wholly in ONE
+    bucket, so per-bucket (day, user) dedup partials can simply be
+    SUMMED per day with no cross-bucket double counting.  The driver
+    sees O(days × buckets) partial rows, never user IDs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import mix64
+
+    work_dir = spill_dir(prefix="pdfsearch_dau_")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (mix64(uid.view(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    (
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .write_parquet(work_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{work_dir}/{d}" for d in os.listdir(work_dir)
+        if d.startswith("bucket="))
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bdir in batch["dir"].to_pylist():
+            t = pq.read_table(bdir, use_threads=False)
+            if t.num_rows == 0:
+                continue
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            day = (t["ts"].to_numpy(zero_copy_only=False)
+                   .astype("datetime64[D]").view(np.int64))
+            pair = np.unique(day * np.int64(1 << 40) + uid)
+            d_of = pair >> np.int64(40)
+            days, counts = np.unique(d_of, return_counts=True)
+            outs.append(pa.table({
+                "day_i": pa.array(days, type=pa.int64()),
+                "n_users": pa.array(counts.astype(np.int64),
+                                    type=pa.int64()),
+            }))
+        if not outs:
+            return pa.table({"day_i": pa.array([], type=pa.int64()),
+                             "n_users": pa.array([], type=pa.int64())})
+        return pa.concat_tables(outs)
+
+    agg = (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+        .repartition(1)
+        .groupby("day_i")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("day_i")
+    )
+    days = agg["day_i"].to_numpy().astype("datetime64[D]")
+    return pa.table({
+        "day": pa.array(np.datetime_as_string(days, unit="D").tolist(),
+                        type=pa.string()),
+        "n_users": pa.array(agg["n_users"].astype("int64").tolist(),
+                            type=pa.int64()),
+    })
+
+
+def dau_sql() -> str:
+    return """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY day ORDER BY day
+    """
+
+
+def transitions_block(t: pa.Table) -> pa.Table:
+    """Per-partition Markov transition counts: one lexsort by
+    (user, ts, event_id), adjacent same-user pairs, packed-code
+    np.unique — no per-user Python."""
+    empty = pa.table({
+        "prev_type": pa.array([], type=pa.string()),
+        "event_type": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows < 2:
+        return empty
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = (t["ts"].to_numpy(zero_copy_only=False)
+          .astype("datetime64[us]").view(np.int64))
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, uid))
+    uid, et = uid[order], et[order]
+    same = uid[1:] == uid[:-1]
+    if not same.any():
+        return empty
+    types, codes = np.unique(et, return_inverse=True)
+    k = types.size
+    key = codes[:-1][same] * k + codes[1:][same]
+    uniq, counts = np.unique(key, return_counts=True)
+    return pa.table({
+        "prev_type": pa.array(types[uniq // k].tolist(),
+                              type=pa.string()),
+        "event_type": pa.array(types[uniq % k].tolist(),
+                               type=pa.string()),
+        "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+    })
+
+
+def event_transitions(sf_dir: str, *, num_buckets: int = 32) -> pa.Table:
+    """Event-type transition matrix (the LAG() window shape): for every
+    consecutive pair in a user's time-ordered stream, count
+    (prev_type → event_type).  Same user-hash bucket spill as
+    user_sessions — a user's timeline never crosses a bucket, so
+    adjacency is exact — then one vectorized pass per bucket and an
+    O(types² × buckets) combiner reduce."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import mix64
+
+    work_dir = spill_dir(prefix="pdfsearch_trans_")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (mix64(uid.view(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    (
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .write_parquet(work_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{work_dir}/{d}" for d in os.listdir(work_dir)
+        if d.startswith("bucket="))
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        outs = [
+            transitions_block(pq.read_table(bdir, use_threads=False))
+            for bdir in batch["dir"].to_pylist()
+        ]
+        return pa.concat_tables(outs)
+
+    agg = (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+        .repartition(1)
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["prev_type", "event_type"])
+    )
+    return pa.table({
+        "prev_type": pa.array(agg["prev_type"].tolist(),
+                              type=pa.string()),
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               type=pa.string()),
+        "n": pa.array(agg["n"].astype("int64").tolist(),
+                      type=pa.int64()),
+    })
+
+
+def transitions_sql() -> str:
+    return """
+        SELECT prev_type, event_type, count(*) AS n
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ) WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, event_type
+    """
