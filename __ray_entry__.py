@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": q.pmi_collocations,
         "daily_active_users": _events_mod().daily_active_users,
         "event_transitions": _events_mod().event_transitions,
+        "group_quantiles": _relational().group_quantiles,
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
         # 13-gram GPT-3-style decontamination — distinct key from the
@@ -1027,6 +1028,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_active_users": _events_mod().dau_sql(),
         # the LAG() window shape: per-user adjacent event-type pairs
         "event_transitions": _events_mod().transitions_sql(),
+        # per-group exact discrete quantiles via sparse histogram merge
+        "group_quantiles": _relational().group_quantiles_sql(),
         "doc_length_quantiles": """
             SELECT CAST(0.5 AS DOUBLE) AS p,
                    CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars

@@ -357,6 +357,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("pmi_collocations", qmod.pmi_collocations),
         ("daily_active_users", _events.daily_active_users),
         ("event_transitions", _events.event_transitions),
+        ("group_quantiles", rel.group_quantiles),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

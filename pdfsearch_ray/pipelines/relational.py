@@ -589,3 +589,67 @@ def silent_customers_sql(*, priority: str = ANTI_PRIORITY) -> str:
         GROUP BY n.n_name
         ORDER BY n.n_name
     """
+
+
+GQ_PS = (0.25, 0.5, 0.75, 0.95)
+
+
+def group_quantiles(sf_dir: str, *, ps=GQ_PS) -> pa.Table:
+    """EXACT per-group discrete quantiles (quantile_disc semantics) of
+    l_quantity per return flag — the grouped sibling of
+    queries.doc_length_quantiles: each batch emits a sparse
+    (flag, value, count) histogram partial over the bounded integer
+    domain, the groupby moves O(groups × distinct values × blocks)
+    rows, and the driver does one cumulative scan per group.  No
+    distributed sort, no per-group collection."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        qty = np.round(t["l_quantity"].to_numpy()).astype(np.int64)
+        uf, fi = np.unique(flags, return_inverse=True)
+        key = fi * np.int64(1 << 32) + qty
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "flag": pa.array(uf[(uk >> np.int64(32))].tolist(),
+                             type=pa.string()),
+            "v": pa.array(uk & np.int64(0xFFFFFFFF), type=pa.int64()),
+            "c": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+
+    hist = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .groupby(["flag", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["flag", "v"])
+    )
+    out_f, out_p, out_v = [], [], []
+    for flag, g in hist.groupby("flag", sort=True):
+        vals = g["v"].to_numpy()
+        cum = g["c"].to_numpy().cumsum()
+        n = int(cum[-1])
+        for p in ps:
+            rank = int(np.ceil(p * n))
+            j = int(np.searchsorted(cum, max(rank, 1)))
+            out_f.append(flag)
+            out_p.append(p)
+            out_v.append(int(vals[min(j, len(vals) - 1)]))
+    return pa.table({
+        "l_returnflag": pa.array(out_f, type=pa.string()),
+        "p": pa.array(out_p, type=pa.float64()),
+        "l_quantity": pa.array(out_v, type=pa.int64()),
+    })
+
+
+def group_quantiles_sql(*, ps=GQ_PS) -> str:
+    selects = [
+        f"""SELECT l_returnflag, CAST({p} AS DOUBLE) AS p,
+                   CAST(quantile_disc(CAST(round(l_quantity) AS BIGINT),
+                                      {p}) AS BIGINT) AS l_quantity
+            FROM lineitem GROUP BY l_returnflag"""
+        for p in ps
+    ]
+    return (" UNION ALL ".join(selects)
+            + " ORDER BY l_returnflag, p")

@@ -162,3 +162,24 @@ def test_event_transitions_planted(ray_session):
     t = event_transitions(d, num_buckets=4).to_pandas()
     got = {(r.prev_type, r.event_type): r.n for r in t.itertuples()}
     assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_group_quantiles_match_pandas(ray_session):
+    """Per-group quantile_disc semantics: smallest value whose
+    cumulative count reaches ceil(p*n) — checked against a pandas
+    recompute per group."""
+    import duckdb
+
+    from pdfsearch_ray.pipelines.relational import GQ_PS, group_quantiles
+
+    t = group_quantiles(SF).to_pandas()
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) q "
+        f"FROM '{SF}/lineitem.parquet'").fetchdf()
+    for (flag, p), g in t.groupby(["l_returnflag", "p"]):
+        vals = np.sort(df[df["l_returnflag"] == flag]["q"].to_numpy())
+        rank = int(np.ceil(p * vals.size))
+        want = int(vals[max(rank, 1) - 1])
+        assert int(g["l_quantity"].iloc[0]) == want, (flag, p)
+    assert len(t) == len(GQ_PS) * df["l_returnflag"].nunique()
