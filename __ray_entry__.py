@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _events_mod().daily_active_users,
         "event_transitions": _events_mod().event_transitions,
         "group_quantiles": _relational().group_quantiles,
+        "above_avg_orders": _relational().above_avg_histogram,
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
         # 13-gram GPT-3-style decontamination — distinct key from the
@@ -1030,6 +1031,9 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _events_mod().transitions_sql(),
         # per-group exact discrete quantiles via sparse histogram merge
         "group_quantiles": _relational().group_quantiles_sql(),
+        # correlated-aggregate window: orders above the customer's own
+        # mean, integer-exact (cents*n > total), bucket-spill grouped
+        "above_avg_orders": _relational().above_avg_sql(),
         "doc_length_quantiles": """
             SELECT CAST(0.5 AS DOUBLE) AS p,
                    CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars

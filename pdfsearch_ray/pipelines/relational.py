@@ -653,3 +653,109 @@ def group_quantiles_sql(*, ps=GQ_PS) -> str:
     ]
     return (" UNION ALL ".join(selects)
             + " ORDER BY l_returnflag, p")
+
+
+def above_avg_histogram(sf_dir: str, *, num_buckets: int = 32) -> pa.Table:
+    """The correlated-aggregate window shape: for each customer, how
+    many of their orders exceed their own average order value — output
+    as the (n_above → n_customers) distribution.
+
+    The comparison is INTEGER-exact: order > customer mean iff
+    cents·n_orders > total_cents (no float average ever materializes,
+    so the value hash cannot flake on a representation boundary).
+    Same custkey-hash bucket spill as customer_running_totals; one
+    vectorized grouped pass per bucket; the combiner reduces to
+    O(distinct n_above × buckets) rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import mix64
+    from ..functions.spill import spill_dir
+
+    work_dir = spill_dir(prefix="pdfsearch_aboveavg_")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (mix64(ck.view(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .write_parquet(work_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{work_dir}/{d}" for d in os.listdir(work_dir)
+        if d.startswith("bucket="))
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        outs_v, outs_c = [], []
+        for bdir in batch["dir"].to_pylist():
+            t = pq.read_table(bdir, use_threads=False)
+            if t.num_rows == 0:
+                continue
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = np.round(
+                t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            order = np.argsort(ck, kind="stable")
+            ck, cents = ck[order], cents[order]
+            starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+            counts = np.diff(np.r_[starts, ck.size])
+            totals = np.add.reduceat(cents, starts)
+            n_rep = np.repeat(counts, counts)
+            tot_rep = np.repeat(totals, counts)
+            above = (cents * n_rep > tot_rep).astype(np.int64)
+            n_above = np.add.reduceat(above, starts)
+            vals, ccounts = np.unique(n_above, return_counts=True)
+            outs_v.append(vals)
+            outs_c.append(ccounts.astype(np.int64))
+        if not outs_v:
+            return pa.table({
+                "n_above": pa.array([], type=pa.int64()),
+                "n_customers": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "n_above": pa.array(np.concatenate(outs_v), type=pa.int64()),
+            "n_customers": pa.array(np.concatenate(outs_c),
+                                    type=pa.int64()),
+        })
+
+    agg = (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+        .repartition(1)
+        .groupby("n_above")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+        .sort_values("n_above")
+    )
+    return pa.table({
+        "n_above": pa.array(agg["n_above"].astype("int64").tolist(),
+                            type=pa.int64()),
+        "n_customers": pa.array(
+            agg["n_customers"].astype("int64").tolist(),
+            type=pa.int64()),
+    })
+
+
+def above_avg_sql() -> str:
+    return """
+        SELECT n_above, count(*) AS n_customers FROM (
+            SELECT o_custkey,
+                   CAST(sum(CASE WHEN cents * cnt > total
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+            FROM (
+                SELECT o_custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       count(*) OVER (PARTITION BY o_custkey) AS cnt,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           OVER (PARTITION BY o_custkey) AS total
+                FROM orders
+            ) GROUP BY o_custkey
+        ) GROUP BY n_above ORDER BY n_above
+    """

@@ -183,3 +183,32 @@ def test_group_quantiles_match_pandas(ray_session):
         want = int(vals[max(rank, 1) - 1])
         assert int(g["l_quantity"].iloc[0]) == want, (flag, p)
     assert len(t) == len(GQ_PS) * df["l_returnflag"].nunique()
+
+
+def test_above_avg_histogram_planted(ray_session):
+    """Planted orders: exact per-customer above-own-mean counts,
+    including the all-equal customer (0 above) and a single-order
+    customer (an order never exceeds its own mean)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.relational import above_avg_histogram
+
+    rows = [
+        (1, 10.0), (1, 10.0), (1, 10.0),    # all equal -> 0 above
+        (2, 5.0), (2, 10.0), (2, 30.0),     # mean 15 -> 1 above
+        (3, 42.0),                          # single order -> 0 above
+        (4, 1.0), (4, 2.0), (4, 3.0), (4, 4.0),  # mean 2.5 -> 2 above
+    ]
+    d = tempfile.mkdtemp(prefix="aavg_")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows],
+                                 type=pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    t = above_avg_histogram(d, num_buckets=4).to_pandas()
+    got = dict(zip(t["n_above"], t["n_customers"]))
+    assert got == {0: 2, 1: 1, 2: 1}
