@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _events_mod().event_transitions,
         "group_quantiles": _relational().group_quantiles,
         "above_avg_orders": _relational().above_avg_histogram,
+        "basket_pairs": _relational().basket_pairs,
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
         # 13-gram GPT-3-style decontamination — distinct key from the
@@ -1034,6 +1035,9 @@ def oracle_sql() -> dict[str, str]:
         # correlated-aggregate window: orders above the customer's own
         # mean, integer-exact (cents*n > total), bucket-spill grouped
         "above_avg_orders": _relational().above_avg_sql(),
+        # market-basket: within-order self-join pair counts, vectorized
+        # pair expansion per bucket, distributed >=min + local top-k
+        "basket_pairs": _relational().basket_pairs_sql(),
         "doc_length_quantiles": """
             SELECT CAST(0.5 AS DOUBLE) AS p,
                    CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars

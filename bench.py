@@ -359,6 +359,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("event_transitions", _events.event_transitions),
         ("group_quantiles", rel.group_quantiles),
         ("above_avg_orders", rel.above_avg_histogram),
+        ("basket_pairs", rel.basket_pairs),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

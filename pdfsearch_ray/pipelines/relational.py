@@ -759,3 +759,137 @@ def above_avg_sql() -> str:
             ) GROUP BY o_custkey
         ) GROUP BY n_above ORDER BY n_above
     """
+
+
+BASKET_MIN_COUNT = 2
+BASKET_TOPK = 100
+
+
+def basket_pairs(sf_dir: str, *, num_buckets: int = 32,
+                 min_count: int = BASKET_MIN_COUNT,
+                 k: int = BASKET_TOPK) -> pa.Table:
+    """Market-basket co-occurrence: top-k part PAIRS by the number of
+    orders containing both — the within-group self-join family
+    (frequent-itemset mining's first pass).
+
+    Scale shape: (orderkey, partkey) rows hash-spill on orderkey (an
+    order's items never cross a bucket), each bucket task dedups,
+    expands per-order sorted items into ordered pairs with a fully
+    VECTORIZED repeat/offset construction (no per-order Python), and
+    counts packed int64 pair codes; the groupby then moves per-bucket
+    UNIQUE pairs, the ≥min filter and local top-k run distributed
+    (the bigram_counts pattern), and the driver merge sees
+    O(k × blocks) rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import mix64
+    from ..functions.spill import spill_dir
+
+    work_dir = spill_dir(prefix="pdfsearch_basket_")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = (mix64(okey.view(np.uint64))
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .write_parquet(work_dir, partition_cols=["bucket"])
+    )
+    bucket_dirs = sorted(
+        f"{work_dir}/{d}" for d in os.listdir(work_dir)
+        if d.startswith("bucket="))
+
+    empty = pa.table({
+        "p1": pa.array([], type=pa.int64()),
+        "p2": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+    })
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bdir in batch["dir"].to_pylist():
+            t = pq.read_table(bdir, use_threads=False)
+            if t.num_rows == 0:
+                continue
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            # dedup (order, part) then sort so parts ascend per order
+            key = np.unique(ok * np.int64(1 << 32) + pk)
+            ok = key >> np.int64(32)
+            pk = key & np.int64(0xFFFFFFFF)
+            starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+            counts = np.diff(np.r_[starts, ok.size])
+            # vectorized ordered-pair expansion: row i at local
+            # position j pairs with the c-1-j later rows of its order
+            local = np.arange(ok.size, dtype=np.int64) \
+                - np.repeat(starts, counts)
+            reps = np.repeat(counts, counts) - 1 - local
+            total = int(reps.sum())
+            if total == 0:
+                continue
+            first = np.repeat(np.arange(ok.size, dtype=np.int64), reps)
+            csum = np.cumsum(reps, dtype=np.int64) - reps
+            second = (np.arange(total, dtype=np.int64)
+                      - np.repeat(csum, reps) + first + 1)
+            pair = pk[first] * np.int64(1 << 32) + pk[second]
+            uniq, cnt = np.unique(pair, return_counts=True)
+            outs.append(pa.table({
+                "p1": pa.array(uniq >> np.int64(32), type=pa.int64()),
+                "p2": pa.array(uniq & np.int64(0xFFFFFFFF),
+                               type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().sort_values(
+            ["n", "p1", "p2"], ascending=[False, True, True],
+            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(empty.schema)
+
+    agg = (
+        rd.from_items([{"dir": d} for d in bucket_dirs],
+                      override_num_blocks=max(1, len(bucket_dirs)))
+        .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+        .groupby(["p1", "p2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n", "p1", "p2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+    return pa.table({
+        "p1": pa.array(agg["p1"].astype("int64").tolist(),
+                       type=pa.int64()),
+        "p2": pa.array(agg["p2"].astype("int64").tolist(),
+                       type=pa.int64()),
+        "n": pa.array(agg["n"].astype("int64").tolist(),
+                      type=pa.int64()),
+    })
+
+
+def basket_pairs_sql(*, min_count: int = BASKET_MIN_COUNT,
+                     k: int = BASKET_TOPK) -> str:
+    return f"""
+        WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+        FROM p a JOIN p b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {min_count}
+        ORDER BY n DESC, p1, p2 LIMIT {k}
+    """

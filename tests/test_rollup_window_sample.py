@@ -212,3 +212,30 @@ def test_above_avg_histogram_planted(ray_session):
     t = above_avg_histogram(d, num_buckets=4).to_pandas()
     got = dict(zip(t["n_above"], t["n_customers"]))
     assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_basket_pairs_planted(ray_session):
+    """Planted baskets: pair expansion is ordered (p1<p2), per-order
+    duplicates collapse, counts are exact across buckets."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.pipelines.relational import basket_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),       # pairs: 10-20 10-30 20-30
+        (2, 20), (2, 10), (2, 10),       # dup 10 collapses; 10-20
+        (3, 30), (3, 10),                # 10-30
+        (4, 99),                         # singleton -> no pair
+    ]
+    d = tempfile.mkdtemp(prefix="basket_")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], type=pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    t = basket_pairs(d, num_buckets=4, min_count=1, k=10).to_pandas()
+    got = {(r.p1, r.p2): r.n for r in t.itertuples()}
+    assert got == {(10, 20): 2, (10, 30): 2, (20, 30): 1}
