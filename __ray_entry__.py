@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": _boolquery().phrase_topk,
         "near_match_counts": _boolquery().near_match_counts,
         "sloppy_phrase_topk": _boolquery().sloppy_phrase_topk,
+        "phrase_prefix_topk": _boolquery().phrase_prefix_topk,
+        "ann_filtered": q.ann_filtered,
         "champion_topk": _prune().champion_topk,
         "tiered_topk": _tiering().tiered_topk,
         "impact_topk": _tiering().impact_topk,
@@ -1038,6 +1040,12 @@ def oracle_sql() -> dict[str, str]:
         # market-basket: within-order self-join pair counts, vectorized
         # pair expansion per bucket, distributed >=min + local top-k
         "basket_pairs": _relational().basket_pairs_sql(),
+        # match_phrase_prefix: ordinality chain + arr[i+n] LIKE 'p%',
+        # summed expansion tf, phrase BM25 replayed from raw text
+        "phrase_prefix_topk": _boolquery().phrase_prefix_sql(),
+        # filtered vector search: the ann_cosine chain + the same-label
+        # pre-filter (metadata-filtered kNN)
+        "ann_filtered": q.ann_filtered_sql(),
         "doc_length_quantiles": """
             SELECT CAST(0.5 AS DOUBLE) AS p,
                    CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars

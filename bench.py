@@ -360,6 +360,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("group_quantiles", rel.group_quantiles),
         ("above_avg_orders", rel.above_avg_histogram),
         ("basket_pairs", rel.basket_pairs),
+        ("phrase_prefix_topk", _boolquery.phrase_prefix_topk),
+        ("ann_filtered", qmod.ann_filtered),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

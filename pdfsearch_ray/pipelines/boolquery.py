@@ -913,3 +913,140 @@ def ordered_span_sql(queries=SPANO_QUERIES, *, w: int = SPANO_W,
         ) WHERE rank <= {k}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")
+
+
+PHRASE_PREFIX_QUERIES = ("fast sc", "data wind", "table s",
+                         "dup ta", "window zz")
+PHRASE_PREFIX_K = 10
+
+
+def phrase_prefix_topk(sf_dir: str, *, queries=PHRASE_PREFIX_QUERIES,
+                       k: int = PHRASE_PREFIX_K) -> pa.Table:
+    """match_phrase_prefix (the query-as-you-type front door): the
+    LAST token is a dictionary prefix; it expands to every matching
+    term (the prefix_topk rewrite) and the phrase matches any
+    expansion.  Ranked semantics documented here: per-doc tf = exact
+    phrase occurrences SUMMED over expansions, df = docs with tf ≥ 1,
+    the phrase_topk BM25 formula on top.
+
+    Scale shape: one dictionary scan for all prefixes (range-pruned,
+    shared with the expand gates), then per-expansion positional
+    intersection over block-pruned postings — O(candidate docs) work
+    per expansion, doc text never read."""
+    from ..analysis.analyzer import analyze_simple
+    from .expand import expand_terms, simple_index_cached
+    from .query import BM25Index
+
+    index_dir = simple_index_cached(sf_dir)
+    prefixes = tuple(sorted({analyze_simple(q)[-1] for q in queries}))
+    exp = expand_terms(index_dir, prefix=prefixes)
+    idx = BM25Index(index_dir)
+    m = idx.manifest
+    out_q, out_d, out_t, out_s = [], [], [], []
+    for q in sorted(queries):
+        toks = analyze_simple(q)
+        head, pre = toks[:-1], toks[-1]
+        # per-doc summed phrase tf over expansions (packed uint64 keys:
+        # doc_id is partition-prefixed, so accumulate on raw ids)
+        acc_ids: list[np.ndarray] = []
+        acc_tf: list[np.ndarray] = []
+        for e in exp.get(pre, []):
+            common, starts = _phrase_starts(idx, head + [e])
+            if starts.size == 0:
+                continue
+            codes, tf = np.unique(starts >> np.uint64(32),
+                                  return_counts=True)
+            acc_ids.append(common[codes.astype(np.int64)]
+                           .astype(np.int64))
+            acc_tf.append(tf.astype(np.int64))
+        if not acc_ids:
+            continue
+        ids = np.concatenate(acc_ids)
+        tfs = np.concatenate(acc_tf)
+        docs, inv = np.unique(ids, return_inverse=True)
+        tf_sum = np.zeros(docs.size, dtype=np.int64)
+        np.add.at(tf_sum, inv, tfs)
+        df = int(docs.size)
+        idf = float(np.log(1.0 + (m.n_docs - df + 0.5) / (df + 0.5)))
+        blocks = idx._term_cache.get(sorted(set(head))[0], [])
+        ids_all = np.concatenate([b["ids"] for b in blocks])
+        dl_all = np.concatenate([b["dl"] for b in blocks])
+        order = np.argsort(ids_all)
+        pos = np.searchsorted(ids_all[order], docs.astype(np.uint64))
+        dl = dl_all[order][pos].astype(np.float64)
+        sc = idf * tf_sum / (tf_sum + m.k1 * (1 - m.b
+                                              + m.b * dl / m.avgdl))
+        sc = np.round(sc, 6)
+        cut = np.lexsort((docs, -sc))[:k]
+        out_q.extend([q] * cut.size)
+        out_d.extend(docs[cut].tolist())
+        out_t.extend(tf_sum[cut].tolist())
+        out_s.extend(sc[cut].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "phrase_tf": pa.array(out_t, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def phrase_prefix_sql(queries=PHRASE_PREFIX_QUERIES, *,
+                      k: int = PHRASE_PREFIX_K, k1: float = 1.2,
+                      b: float = 0.75) -> str:
+    """Oracle: token ordinality + ``arr[i+1] LIKE 'prefix%'`` phrase
+    matching, per-doc summed tf, df, corpus stats and the BM25 algebra
+    from raw text."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    parts = [
+        "WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr FROM documents),",
+        "dl AS (SELECT doc_id, len(arr) AS dl FROM arrs"
+        " WHERE len(arr) > 0),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),",
+        "pos AS (SELECT doc_id, arr,"
+        " unnest(generate_series(1, len(arr))) AS i FROM arrs)",
+    ]
+    selects = []
+    for qi, q in enumerate(sorted(queries)):
+        toks = analyze_simple(q)
+        head, pre = toks[:-1], toks[-1]
+        conds = [f"arr[i + {j}] = '{_sq(t)}'"
+                 for j, t in enumerate(head)]
+        conds.append(f"i + {len(head)} <= len(arr)")
+        conds.append(f"arr[i + {len(head)}] LIKE '{_sq(pre)}%'")
+        parts.append(f""",
+        tf{qi} AS (
+            SELECT doc_id, count(*) AS tf FROM pos
+            WHERE {" AND ".join(conds)}
+            GROUP BY doc_id
+        ),
+        df{qi} AS (SELECT count(*) AS df FROM tf{qi}),
+        sc{qi} AS (
+            SELECT tf{qi}.doc_id, tf{qi}.tf,
+                   round(ln(1 + (stats.n - df{qi}.df + 0.5)
+                            / (df{qi}.df + 0.5))
+                         * tf{qi}.tf
+                         / (tf{qi}.tf + {k1} * (1 - {b}
+                            + {b} * dl.dl / stats.avgdl)), 6) AS s
+            FROM tf{qi}
+            CROSS JOIN stats CROSS JOIN df{qi}
+            JOIN dl ON tf{qi}.doc_id = dl.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(q)}' AS query, doc_id, tf AS phrase_tf,
+                   s AS score,
+                   row_number() OVER (
+                       ORDER BY s DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")

@@ -2714,3 +2714,138 @@ def pmi_sql(*, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK) -> str:
         ORDER BY pmi DESC, bigram ASC
         LIMIT {k}
     """
+
+
+def ann_filtered(sf_dir: str, *, k: int = ANN_K,
+                 num_queries: int = ANN_NUM_QUERIES) -> pa.Table:
+    """FILTERED vector search — brute cosine top-k restricted to
+    candidates sharing the query's label (the metadata-filtered kNN
+    every vector store ships: pre-filter semantics, so the k results
+    all satisfy the predicate, never post-filter truncation).
+
+    Same scale shape as ann_cosine_topk (queries broadcast once, one
+    matmul per batch, k+buffer local cut); the filter is one vectorized
+    mask per (batch, query) — at 100 TB the mask is where a real
+    deployment pushes its partition predicate."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", num_queries)],
+    )
+    q_ids = qt["vec_id"].to_numpy()
+    q_labels = qt["label"].to_numpy()
+    qm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in qt["embedding"].to_pylist()])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ref = ray.put((q_ids, q_labels, qn))
+
+    empty = pa.table({
+        "query_id": pa.array([], type=pa.int64()),
+        "vec_id": pa.array([], type=pa.int64()),
+        "sim": pa.array([], type=pa.float64()),
+    })
+
+    def sims(batch: pa.Table) -> pa.Table:
+        q_ids_, q_labels_, qn_ = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        labels = batch["label"].to_numpy()
+        mask = ids >= num_queries
+        if not mask.any():
+            return empty
+        emb = batch["embedding"].combine_chunks()
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.chunk(0)
+        flat = emb.flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dim = qn_.shape[1]
+        m = flat.reshape(-1, dim)[mask]
+        ids, labels = ids[mask], labels[mask]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = mn @ qn_.T
+        kk = k + 32
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(q_ids_):
+            ok = labels == q_labels_[j]          # the metadata filter
+            if not ok.any():
+                continue
+            col, cid = s[ok, j], ids[ok]
+            top = (np.lexsort((cid, -col))[:kk]
+                   if len(cid) > kk else np.arange(len(cid)))
+            out_q += [int(qid)] * len(top)
+            out_v += [int(x) for x in cid[top]]
+            out_s += [float(x) for x in col[top]]
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
+
+    from ..functions.tables import read_parquet_nometa
+
+    pdf = read_parquet_nometa(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]) \
+        .map_batches(sims, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    pdf["sim_r"] = pdf["sim"].round(6)
+    pdf = pdf.sort_values(["query_id", "sim_r", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+    pdf = pdf.groupby("query_id", sort=True).head(k)
+    pdf["rank"] = pdf.groupby("query_id", sort=True).cumcount() + 1
+    return pa.table({
+        "query_id": pa.array(pdf["query_id"].tolist(), type=pa.int64()),
+        "vec_id": pa.array(pdf["vec_id"].tolist(), type=pa.int64()),
+        "sim": pa.array(pdf["sim_r"].tolist(), type=pa.float64()),
+        "rank": pa.array(pdf["rank"].tolist(), type=pa.int64()),
+    })
+
+
+def ann_filtered_sql(*, k: int = ANN_K,
+                     num_queries: int = ANN_NUM_QUERIES) -> str:
+    """Oracle: the ann_cosine chain + the same-label pre-filter."""
+    return f"""
+        WITH qe AS (
+            SELECT vec_id AS query_id, label,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings WHERE vec_id < {num_queries}
+        ),
+        be AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings WHERE vec_id >= {num_queries}
+        ),
+        qn AS (SELECT query_id, any_value(label) AS label,
+                      sqrt(sum(v * v)) AS nrm
+               FROM qe GROUP BY query_id),
+        bn AS (SELECT vec_id, any_value(label) AS label,
+                      sqrt(sum(v * v)) AS nrm
+               FROM be GROUP BY vec_id),
+        dots AS (
+            SELECT qe.query_id, be.vec_id, sum(qe.v * be.v) AS dot
+            FROM qe JOIN be ON qe.i = be.i
+            GROUP BY qe.query_id, be.vec_id
+        ),
+        sims AS (
+            SELECT d.query_id, d.vec_id, d.dot / (qn.nrm * bn.nrm) AS s
+            FROM dots d
+            JOIN qn ON d.query_id = qn.query_id
+            JOIN bn ON d.vec_id = bn.vec_id
+            WHERE qn.label = bn.label
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, round(s, 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(s, 6) DESC, vec_id ASC
+                   ) AS rank
+            FROM sims
+        )
+        SELECT query_id, vec_id, sim, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
