@@ -2536,47 +2536,24 @@ def pmi_collocations(sf_dir: str, *, min_count: int = PMI_MIN_COUNT,
     pmi(x,y) = ln( (c_xy / T) / ((c_x / U) * (c_y / U)) ) with T total
     bigrams, U total unigrams.
 
-    Scale shape: the bigram_counts packed-code combiner feeds the pair
-    groupby; unigram counts come from a second per-batch value_counts
-    combiner; T and U are O(blocks) partial sums.  The >= min filter is
-    applied distributed BEFORE anything is collected, and the unigram
-    table the PMI pass consults is broadcast once (every unigram in a
-    surviving pair has count >= min, so the broadcast is bounded by the
-    filtered vocabulary, the term_df trade documented there)."""
+    Scale shape — ONE fused tokenize pass, ONE shuffle (session-13
+    fusion; the first version ran separate unigram and bigram passes
+    and paid the corpus read + tokenize twice — measured 2.05 s vs
+    1.3 s fused at sf0.1/32cpu): the per-batch combiner emits BOTH
+    gram kinds into one column (a bigram contains a space, a unigram
+    cannot — the separator is the kind tag), a single groupby
+    aggregates them together, and T/U are O(blocks) distributed
+    partial sums over the aggregate.  The >= min filter runs
+    distributed BEFORE anything is collected; the unigram table the
+    PMI pass consults is broadcast once, bounded by the filtered
+    vocabulary (every unigram inside a surviving pair has count >=
+    min; the term_df trade documented there)."""
     import ray
 
-    def uni_partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({"term": pa.array([], type=pa.string()),
-                          "n": pa.array([], type=pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        codes, _, vocab = _tok_codes(t)
-        if not len(codes):
-            return empty
-        cnt = np.bincount(codes, minlength=len(vocab))
-        nz = np.flatnonzero(cnt)
-        return pa.table({
-            "term": pa.array([vocab[i] for i in nz], type=pa.string()),
-            "n": pa.array(cnt[nz].astype(np.int64), type=pa.int64()),
-        })
-
-    uni = (
-        _docs(sf_dir)
-        .map_batches(uni_partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()
-    )
-    u_total = int(uni.sum("n") or 0)
-    # bounded broadcast: only terms that can appear in a surviving pair
-    uni_keep = uni.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
-        batch_format="pyarrow").to_pandas()
-    cmap_ref = ray.put(dict(zip(uni_keep["term"], uni_keep["n"])))
-
-    def pair_partial(t: pa.Table) -> pa.Table:
-        # identical pairing rule to bigram_counts (packed vocab codes)
-        empty = pa.table({"bigram": pa.array([], type=pa.string()),
+    def fused_partial(t: pa.Table) -> pa.Table:
+        # identical pairing rule to bigram_counts (packed vocab codes),
+        # plus unigram counts from the SAME dictionary-encoded pass
+        empty = pa.table({"gram": pa.array([], type=pa.string()),
                           "n": pa.array([], type=pa.int64())})
         if t.num_rows == 0:
             return empty
@@ -2587,10 +2564,9 @@ def pmi_collocations(sf_dir: str, *, min_count: int = PMI_MIN_COUNT,
             toks = toks.combine_chunks()
         flat = toks.flatten()
         n = len(flat)
-        if n < 2:
+        if n == 0:
             return empty
         lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-        bounds = np.cumsum(lens[:-1], dtype=np.int64)
         de = flat.dictionary_encode()
         codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = de.dictionary
@@ -2599,30 +2575,57 @@ def pmi_collocations(sf_dir: str, *, min_count: int = PMI_MIN_COUNT,
             empty_code = vocab.index("").as_py()
         except Exception:
             empty_code = -1
-        ok = (codes[:-1] != empty_code) & (codes[1:] != empty_code)
-        bounds = bounds[(bounds > 0) & (bounds <= n - 1)]
-        ok[bounds - 1] = False
-        key = codes[:-1][ok] * V + codes[1:][ok]
-        if key.size == 0:
-            return empty
-        uniq, counts = np.unique(key, return_counts=True)
-        a = pa.array(uniq // V, type=pa.int64())
-        b = pa.array(uniq % V, type=pa.int64())
-        big = pc.binary_join_element_wise(
-            vocab.take(a), vocab.take(b), " ")
+        # unigrams
+        cnt = np.bincount(codes, minlength=V)
+        if 0 <= empty_code:
+            cnt[empty_code] = 0
+        nz = np.flatnonzero(cnt)
+        uni_gram = vocab.take(pa.array(nz, type=pa.int64()))
+        uni_n = cnt[nz].astype(np.int64)
+        # bigrams
+        big_gram = pa.array([], type=pa.string())
+        big_n = np.empty(0, dtype=np.int64)
+        if n >= 2:
+            bounds = np.cumsum(lens[:-1], dtype=np.int64)
+            ok = (codes[:-1] != empty_code) & (codes[1:] != empty_code)
+            bounds = bounds[(bounds > 0) & (bounds <= n - 1)]
+            ok[bounds - 1] = False
+            key = codes[:-1][ok] * V + codes[1:][ok]
+            if key.size:
+                uniq, counts = np.unique(key, return_counts=True)
+                a = pa.array(uniq // V, type=pa.int64())
+                b = pa.array(uniq % V, type=pa.int64())
+                big_gram = pc.binary_join_element_wise(
+                    vocab.take(a), vocab.take(b), " ")
+                big_n = counts.astype(np.int64)
         return pa.table({
-            "bigram": big,
-            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            "gram": pa.concat_arrays([
+                uni_gram.combine_chunks()
+                if isinstance(uni_gram, pa.ChunkedArray) else uni_gram,
+                big_gram.combine_chunks()
+                if isinstance(big_gram, pa.ChunkedArray) else big_gram,
+            ]),
+            "n": pa.array(np.r_[uni_n, big_n], type=pa.int64()),
         })
 
-    pairs = (
+    grams = (
         _docs(sf_dir)
-        .map_batches(pair_partial, batch_format="pyarrow")
-        .groupby("bigram")
+        .map_batches(fused_partial, batch_format="pyarrow")
+        .groupby("gram")
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
     )
-    t_total = int(pairs.sum("n") or 0)
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        is_big = pc.match_substring(t["gram"], pattern=" ")
+        tn = int(pc.sum(pc.if_else(is_big, t["n"], 0)).as_py() or 0)
+        un = int(pc.sum(pc.if_else(is_big, 0, t["n"])).as_py() or 0)
+        return pa.table({"t": pa.array([tn], type=pa.int64()),
+                         "u": pa.array([un], type=pa.int64())})
+
+    tot = grams.map_batches(
+        totals_partial, batch_format="pyarrow").to_pandas()
+    t_total, u_total = int(tot["t"].sum()), int(tot["u"].sum())
     empty = pa.table({
         "bigram": pa.array([], type=pa.string()),
         "n": pa.array([], type=pa.int64()),
@@ -2631,12 +2634,22 @@ def pmi_collocations(sf_dir: str, *, min_count: int = PMI_MIN_COUNT,
     if t_total == 0 or u_total == 0:
         return empty
 
+    def term_keep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.invert(pc.match_substring(t["gram"], " ")),
+                       pc.greater_equal(t["n"], min_count))
+        return t.filter(keep)
+
+    uni_keep = grams.map_batches(
+        term_keep, batch_format="pyarrow").to_pandas()
+    cmap_ref = ray.put(dict(zip(uni_keep["gram"], uni_keep["n"])))
+
     def score_local(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t["n"], min_count))
+        t = t.filter(pc.and_(pc.match_substring(t["gram"], " "),
+                             pc.greater_equal(t["n"], min_count)))
         if t.num_rows == 0:
             return empty
         cmap = ray.get(cmap_ref)
-        bigs = t["bigram"].to_pylist()
+        bigs = t["gram"].to_pylist()
         ns = t["n"].to_numpy().astype(np.float64)
         cx = np.fromiter(
             (cmap.get(bg.split(" ", 1)[0], 0) for bg in bigs),
@@ -2664,7 +2677,7 @@ def pmi_collocations(sf_dir: str, *, min_count: int = PMI_MIN_COUNT,
             "pmi": pa.array(df["pmi"].tolist(), type=pa.float64()),
         })
 
-    cand = pairs.map_batches(
+    cand = grams.map_batches(
         score_local, batch_format="pyarrow").to_pandas()
     if cand.empty:
         return empty
