@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_dirichlet_topk": _vsm().lm_dirichlet_topk,
         "dfr_pl2_topk": _dfr().dfr_pl2_topk,
         "geo_knn": _geo().geo_knn,
+        "geo_grid": _geo().geo_grid,
         "blockjoin_topk": _blockjoin().blockjoin_topk,
         "ndcg_eval": _ireval().ndcg_eval,
         "snippet_windows": _snippets().snippet_windows,
@@ -756,6 +757,9 @@ def oracle_sql() -> dict[str, str]:
         # geo k-NN: splitmix64 coordinate synth in HUGEINT limbs,
         # integer wraparound squared distance, radius + ROW_NUMBER
         "geo_knn": _geo().geo_knn_sql(),
+        # geo grid facet: floor-division cells over the same synth,
+        # count per cell + deterministic top-k
+        "geo_grid": _geo().geo_grid_sql(),
         # parent-child block join (ScoreMode.Max): chunk corpus, chunk
         # BM25 stats, parent max / arg-min-chunk reduction replayed
         "blockjoin_topk": _blockjoin().blockjoin_sql(),

@@ -362,6 +362,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("basket_pairs", rel.basket_pairs),
         ("phrase_prefix_topk", _boolquery.phrase_prefix_topk),
         ("ann_filtered", qmod.ann_filtered),
+        ("geo_grid", _geo.geo_grid),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -159,3 +159,105 @@ def geo_knn_sql(*, points=GEO_POINTS, k: int = GEO_K,
         ) WHERE rank <= {k}
         ORDER BY point_id, rank
     """
+
+
+GRID_CELL_MICRO = 10_000_000          # 10-degree cells
+GRID_TOPK = 50
+
+
+def geo_grid(sf_dir: str, *, cell_micro: int = GRID_CELL_MICRO,
+             k: int = GRID_TOPK) -> pa.Table:
+    """Geo grid aggregation (the geohash_grid / geotile_grid facet):
+    doc counts per fixed lat/lon cell, top-k cells by (count desc,
+    cell asc).  Cells are integer floor-division buckets of the same
+    synthesized microdegree coordinates as geo_knn, so the oracle
+    replays them exactly.
+
+    Scale shape: per-batch (cell, count) combiner → one tiny groupby →
+    distributed top-k cut; the shuffle moves O(occupied cells × blocks)
+    rows."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import read_parquet_nometa
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        lat, lon = _coords(ids)
+        cell = ((lat // cell_micro) * np.int64(1 << 32)
+                + (lon // cell_micro + (1 << 16)))
+        uniq, counts = np.unique(cell, return_counts=True)
+        return pa.table({
+            "cell": pa.array(uniq, type=pa.int64()),
+            "n_docs": pa.array(counts.astype(np.int64),
+                               type=pa.int64()),
+        })
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        df = t.to_pandas().sort_values(
+            ["n_docs", "cell"], ascending=[False, True],
+            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n_docs", "cell"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    cells = agg["cell"].to_numpy()
+    return pa.table({
+        "cell_lat": pa.array(cells >> np.int64(32), type=pa.int64()),
+        "cell_lon": pa.array((cells & np.int64(0xFFFFFFFF))
+                             - (1 << 16), type=pa.int64()),
+        "n_docs": pa.array(agg["n_docs"].astype("int64").tolist(),
+                           type=pa.int64()),
+    })
+
+
+def geo_grid_sql(*, cell_micro: int = GRID_CELL_MICRO,
+                 k: int = GRID_TOPK) -> str:
+    """Oracle: same coordinate synth, floor-division cells (DuckDB's
+    // on integers floors toward -inf for positive divisors like
+    numpy's), count + top-k."""
+    U32, U64 = 1 << 32, 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    half_lat, half_lon = _MOD_LAT // 2, _MOD_LON // 2
+    return f"""
+        WITH m0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x
+                    FROM documents),
+        m1 AS (SELECT doc_id, {mulmod('xor(x, x >> 30)', C1)} AS x FROM m0),
+        m2 AS (SELECT doc_id, {mulmod('xor(x, x >> 27)', C2)} AS x FROM m1),
+        m3 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM m2),
+        geo AS (
+            SELECT CAST((x % {U32}) % {_MOD_LAT} AS BIGINT)
+                       - {half_lat} AS lat,
+                   CAST((x >> 32) % {_MOD_LON} AS BIGINT)
+                       - {half_lon} AS lon
+            FROM m3
+        )
+        SELECT CAST(floor(lat / {cell_micro}.0) AS BIGINT) AS cell_lat,
+               CAST(floor(lon / {cell_micro}.0) AS BIGINT) AS cell_lon,
+               count(*) AS n_docs
+        FROM geo
+        GROUP BY cell_lat, cell_lon
+        ORDER BY n_docs DESC,
+                 cell_lat * {1 << 32}
+                   + (cell_lon + {1 << 16}) ASC
+        LIMIT {k}
+    """

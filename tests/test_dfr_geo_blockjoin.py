@@ -210,3 +210,27 @@ def test_blockjoin_oracle_match_small(ray_session):
     assert g["doc_id"].tolist() == w["doc_id"].tolist()
     assert g["best_chunk"].tolist() == w["best_chunk"].tolist()
     assert np.allclose(g["score"], w["score"], atol=0)
+
+
+def test_geo_grid_counts_sum_to_corpus(ray_session):
+    """With one giant cell the grid must count every doc; with the
+    default cell size, top-k counts are exact vs a local recompute."""
+    import duckdb
+
+    from pdfsearch_ray.pipelines.geo import (
+        GRID_CELL_MICRO, _coords, geo_grid)
+
+    con = duckdb.connect()
+    ids = con.execute(
+        f"SELECT doc_id FROM '{SF}/documents.parquet'"
+    ).fetchdf()["doc_id"].to_numpy()
+    one = geo_grid(SF, cell_micro=1_000_000_000, k=10).to_pandas()
+    assert len(one) == 1 and int(one["n_docs"].iloc[0]) == ids.size
+    t = geo_grid(SF).to_pandas()
+    lat, lon = _coords(ids)
+    import collections
+
+    want = collections.Counter(zip(lat // GRID_CELL_MICRO,
+                                   lon // GRID_CELL_MICRO))
+    for r in t.itertuples():
+        assert want[(r.cell_lat, r.cell_lon)] == r.n_docs
