@@ -224,8 +224,10 @@ def test_geo_grid_counts_sum_to_corpus(ray_session):
     ids = con.execute(
         f"SELECT doc_id FROM '{SF}/documents.parquet'"
     ).fetchdf()["doc_id"].to_numpy()
+    # a giant cell still splits at the (0,0) floor-division axes ->
+    # exactly the 4 quadrants, and the counts must sum to the corpus
     one = geo_grid(SF, cell_micro=1_000_000_000, k=10).to_pandas()
-    assert len(one) == 1 and int(one["n_docs"].iloc[0]) == ids.size
+    assert len(one) == 4 and int(one["n_docs"].sum()) == ids.size
     t = geo_grid(SF).to_pandas()
     lat, lon = _coords(ids)
     import collections
