@@ -492,7 +492,8 @@ def funnel_sql(*, steps=FUNNEL_STEPS,
         ) ORDER BY step"""
 
 
-def daily_active_users(sf_dir: str, *, num_buckets: int = 32) -> pa.Table:
+def daily_active_users(sf_dir: str, *,
+                       num_buckets: int | None = None) -> pa.Table:
     """Exact DISTINCT-per-group at scale: active users per calendar
     day.  COUNT(DISTINCT) is the classic shuffle trap — the correct
     at-scale shape is the same user-hash bucket spill every other
@@ -505,7 +506,10 @@ def daily_active_users(sf_dir: str, *, num_buckets: int = 32) -> pa.Table:
     import pyarrow.parquet as pq
 
     from ..functions.hashing import mix64
+    from ..functions.spill import auto_buckets
 
+    if num_buckets is None:   # scale knob: bytes-derived, not fixed
+        num_buckets = auto_buckets(f"{sf_dir}/events.parquet", lo=32)
     work_dir = spill_dir(prefix="pdfsearch_dau_")
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -607,7 +611,8 @@ def transitions_block(t: pa.Table) -> pa.Table:
     })
 
 
-def event_transitions(sf_dir: str, *, num_buckets: int = 32) -> pa.Table:
+def event_transitions(sf_dir: str, *,
+                      num_buckets: int | None = None) -> pa.Table:
     """Event-type transition matrix (the LAG() window shape): for every
     consecutive pair in a user's time-ordered stream, count
     (prev_type → event_type).  Same user-hash bucket spill as
@@ -619,7 +624,10 @@ def event_transitions(sf_dir: str, *, num_buckets: int = 32) -> pa.Table:
     import pyarrow.parquet as pq
 
     from ..functions.hashing import mix64
+    from ..functions.spill import auto_buckets
 
+    if num_buckets is None:
+        num_buckets = auto_buckets(f"{sf_dir}/events.parquet", lo=32)
     work_dir = spill_dir(prefix="pdfsearch_trans_")
 
     def add_bucket(t: pa.Table) -> pa.Table:

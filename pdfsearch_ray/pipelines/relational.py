@@ -411,7 +411,7 @@ def running_totals_block(t: pa.Table) -> pa.Table:
 
 
 def customer_running_totals(sf_dir: str, *,
-                            num_buckets: int = 32) -> rd.Dataset:
+                            num_buckets: int | None = None) -> rd.Dataset:
     """Per-customer running order totals — SUM() OVER (PARTITION BY
     custkey ORDER BY date, orderkey) done the at-scale way: a map-side
     hash spill on mix64(custkey) % B (the user_sessions shuffle — each
@@ -422,8 +422,10 @@ def customer_running_totals(sf_dir: str, *,
     import pyarrow.parquet as pq
 
     from ..functions.hashing import mix64
-    from ..functions.spill import spill_dir
+    from ..functions.spill import auto_buckets, spill_dir
 
+    if num_buckets is None:   # scale knob: bytes-derived, not fixed
+        num_buckets = auto_buckets(f"{sf_dir}/orders.parquet", lo=32)
     work_dir = spill_dir(prefix="pdfsearch_runtot_")
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -472,7 +474,7 @@ def running_totals_sql() -> str:
 ANTI_PRIORITY = "1-URGENT"
 
 
-def silent_customers(sf_dir: str, *, num_buckets: int = 16,
+def silent_customers(sf_dir: str, *, num_buckets: int | None = None,
                      priority: str = ANTI_PRIORITY) -> pa.Table:
     """Customers with NO urgent orders, aggregated per nation (count +
     exact acctbal cents) — the distributed ANTI-join: both sides
@@ -491,8 +493,12 @@ def silent_customers(sf_dir: str, *, num_buckets: int = 16,
     import ray
 
     from ..functions.joins import spill_bucketed
-    from ..functions.spill import spill_dir
+    from ..functions.spill import auto_buckets, spill_dir
 
+    if num_buckets is None:   # both spills must co-partition
+        num_buckets = auto_buckets(
+            [f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet"],
+            lo=16)
     work = spill_dir(prefix="pdfsearch_anti_")
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_nationkey", "c_acctbal"])
@@ -655,7 +661,8 @@ def group_quantiles_sql(*, ps=GQ_PS) -> str:
             + " ORDER BY l_returnflag, p")
 
 
-def above_avg_histogram(sf_dir: str, *, num_buckets: int = 32) -> pa.Table:
+def above_avg_histogram(sf_dir: str, *,
+                        num_buckets: int | None = None) -> pa.Table:
     """The correlated-aggregate window shape: for each customer, how
     many of their orders exceed their own average order value — output
     as the (n_above → n_customers) distribution.
@@ -671,8 +678,10 @@ def above_avg_histogram(sf_dir: str, *, num_buckets: int = 32) -> pa.Table:
     import pyarrow.parquet as pq
 
     from ..functions.hashing import mix64
-    from ..functions.spill import spill_dir
+    from ..functions.spill import auto_buckets, spill_dir
 
+    if num_buckets is None:
+        num_buckets = auto_buckets(f"{sf_dir}/orders.parquet", lo=32)
     work_dir = spill_dir(prefix="pdfsearch_aboveavg_")
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -765,7 +774,7 @@ BASKET_MIN_COUNT = 2
 BASKET_TOPK = 100
 
 
-def basket_pairs(sf_dir: str, *, num_buckets: int = 32,
+def basket_pairs(sf_dir: str, *, num_buckets: int | None = None,
                  min_count: int = BASKET_MIN_COUNT,
                  k: int = BASKET_TOPK) -> pa.Table:
     """Market-basket co-occurrence: top-k part PAIRS by the number of
@@ -785,8 +794,10 @@ def basket_pairs(sf_dir: str, *, num_buckets: int = 32,
     import pyarrow.parquet as pq
 
     from ..functions.hashing import mix64
-    from ..functions.spill import spill_dir
+    from ..functions.spill import auto_buckets, spill_dir
 
+    if num_buckets is None:
+        num_buckets = auto_buckets(f"{sf_dir}/lineitem.parquet", lo=32)
     work_dir = spill_dir(prefix="pdfsearch_basket_")
 
     def add_bucket(t: pa.Table) -> pa.Table:

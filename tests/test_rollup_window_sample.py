@@ -239,3 +239,16 @@ def test_basket_pairs_planted(ray_session):
     t = basket_pairs(d, num_buckets=4, min_count=1, k=10).to_pandas()
     got = {(r.p1, r.p2): r.n for r in t.itertuples()}
     assert got == {(10, 20): 2, (10, 30): 2, (20, 30): 1}
+
+
+def test_auto_buckets_scales_and_clamps(ray_session):
+    """auto_buckets: lo at test scale, power-of-two, capped at hi."""
+    from pdfsearch_ray.functions.spill import auto_buckets
+
+    assert auto_buckets(f"{SF}/orders.parquet") == 8
+    assert auto_buckets(f"{SF}/orders.parquet", lo=32) == 32
+    # synthetic sizes via target_bytes: 10 "bytes" per bucket
+    assert auto_buckets(f"{SF}/orders.parquet",
+                        target_bytes=1, hi=64) == 64      # cap
+    n = auto_buckets(f"{SF}/orders.parquet", target_bytes=1 << 12)
+    assert n & (n - 1) == 0                                # pow2
