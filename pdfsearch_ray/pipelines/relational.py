@@ -880,6 +880,10 @@ def basket_pairs(sf_dir: str, *, num_buckets: int | None = None,
         .map_batches(local_topk, batch_format="pyarrow")
         .to_pandas()
     )
+    if agg.empty or "n" not in agg.columns:
+        # an all-singleton corpus yields no pairs; the empty groupby
+        # drops the schema (found by the session-13 hypothesis fuzz)
+        return empty
     agg = agg.sort_values(["n", "p1", "p2"],
                           ascending=[False, True, True],
                           kind="mergesort").head(k)
