@@ -142,7 +142,7 @@ def blockjoin_topk(sf_dir: str, *, queries=BJ_QUERIES, k: int = BJ_K,
 
     st = spill.map_batches(
         stats_partial, batch_format="pyarrow").to_pandas()
-    n = int(st["nc"].sum())
+    n = int(st["nc"].sum()) if "nc" in st.columns else 0
     empty = pa.table({
         "query": pa.array([], type=pa.string()),
         "doc_id": pa.array([], type=pa.int64()),

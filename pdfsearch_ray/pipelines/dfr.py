@@ -87,7 +87,7 @@ def dfr_pl2_topk(sf_dir: str, *, queries=DFR_QUERIES,
 
     st = spill.map_batches(
         stats_partial, batch_format="pyarrow").to_pandas()
-    n = int(st["nd"].sum())
+    n = int(st["nd"].sum()) if "nd" in st.columns else 0
     empty = pa.table({
         "query": pa.array([], type=pa.string()),
         "doc_id": pa.array([], type=pa.int64()),

@@ -558,8 +558,13 @@ def daily_active_users(sf_dir: str, *,
         .groupby("day_i")
         .aggregate(Sum("n_users", alias_name="n_users"))
         .to_pandas()
-        .sort_values("day_i")
     )
+    if agg.empty or "day_i" not in agg.columns:     # empty corpus
+        return pa.table({
+            "day": pa.array([], type=pa.string()),
+            "n_users": pa.array([], type=pa.int64()),
+        })
+    agg = agg.sort_values("day_i")
     days = agg["day_i"].to_numpy().astype("datetime64[D]")
     return pa.table({
         "day": pa.array(np.datetime_as_string(days, unit="D").tolist(),
@@ -661,8 +666,14 @@ def event_transitions(sf_dir: str, *,
         .groupby(["prev_type", "event_type"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values(["prev_type", "event_type"])
     )
+    if agg.empty or "prev_type" not in agg.columns:  # empty corpus
+        return pa.table({
+            "prev_type": pa.array([], type=pa.string()),
+            "event_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        })
+    agg = agg.sort_values(["prev_type", "event_type"])
     return pa.table({
         "prev_type": pa.array(agg["prev_type"].tolist(),
                               type=pa.string()),

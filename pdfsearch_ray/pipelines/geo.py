@@ -93,6 +93,9 @@ def geo_knn(sf_dir: str, *, points=GEO_POINTS, k: int = GEO_K,
     ).to_pandas()
 
     out_p, out_d, out_dist, out_r = [], [], [], []
+    if cand.empty or "point_id" not in cand.columns:
+        # empty corpus: the empty Dataset drops the schema
+        cand = cand.reindex(columns=["point_id", "doc_id", "dist2"])
     for pi in range(len(points)):
         g = cand[cand["point_id"] == pi]
         g = g.sort_values(["dist2", "doc_id"], kind="mergesort").head(k)
@@ -211,6 +214,12 @@ def geo_grid(sf_dir: str, *, cell_micro: int = GRID_CELL_MICRO,
         .map_batches(local_topk, batch_format="pyarrow")
         .to_pandas()
     )
+    if agg.empty or "n_docs" not in agg.columns:
+        return pa.table({
+            "cell_lat": pa.array([], type=pa.int64()),
+            "cell_lon": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+        })
     agg = agg.sort_values(["n_docs", "cell"], ascending=[False, True],
                           kind="mergesort").head(k)
     cells = agg["cell"].to_numpy()

@@ -2484,6 +2484,9 @@ def weighted_sample(sf_dir: str, *, k: int = WSAMPLE_K) -> pa.Table:
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "n_chars"],
     ).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if cand.empty or "key" not in cand.columns:     # empty corpus
+        cand = cand.reindex(columns=["doc_id", "lang", "n_chars",
+                                     "key"])
     cand = cand.sort_values(["key", "doc_id"], ascending=[False, True],
                             kind="mergesort").head(k)
     return pa.table({
@@ -2625,7 +2628,8 @@ def pmi_collocations(sf_dir: str, *, min_count: int = PMI_MIN_COUNT,
 
     tot = grams.map_batches(
         totals_partial, batch_format="pyarrow").to_pandas()
-    t_total, u_total = int(tot["t"].sum()), int(tot["u"].sum())
+    t_total = int(tot["t"].sum()) if "t" in tot.columns else 0
+    u_total = int(tot["u"].sum()) if "u" in tot.columns else 0
     empty = pa.table({
         "bigram": pa.array([], type=pa.string()),
         "n": pa.array([], type=pa.int64()),

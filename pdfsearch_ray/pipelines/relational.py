@@ -334,6 +334,13 @@ def revenue_rollup(sf_dir: str) -> pa.Table:
                    Sum("revenue_cents", alias_name="revenue_cents"))
         .to_pandas()
     )
+    if leaf.empty or "key" not in leaf.columns:      # empty corpus
+        return pa.table({
+            "r_name": pa.array([], type=pa.string()),
+            "n_name": pa.array([], type=pa.string()),
+            "n_orders": pa.array([], type=pa.int64()),
+            "revenue_cents": pa.array([], type=pa.int64()),
+        })
     leaf[["r_name", "n_name"]] = leaf["key"].str.split("\x00", expand=True)
     leaf = leaf[["r_name", "n_name", "n_orders", "revenue_cents"]]
     region = (leaf.groupby("r_name", as_index=False)
@@ -629,8 +636,10 @@ def group_quantiles(sf_dir: str, *, ps=GQ_PS) -> pa.Table:
         .groupby(["flag", "v"])
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
-        .sort_values(["flag", "v"])
     )
+    if hist.empty or "flag" not in hist.columns:     # empty corpus
+        hist = hist.reindex(columns=["flag", "v", "c"])
+    hist = hist.sort_values(["flag", "v"])
     out_f, out_p, out_v = [], [], []
     for flag, g in hist.groupby("flag", sort=True):
         vals = g["v"].to_numpy()
@@ -741,8 +750,13 @@ def above_avg_histogram(sf_dir: str, *,
         .groupby("n_above")
         .aggregate(Sum("n_customers", alias_name="n_customers"))
         .to_pandas()
-        .sort_values("n_above")
     )
+    if agg.empty or "n_above" not in agg.columns:    # empty corpus
+        return pa.table({
+            "n_above": pa.array([], type=pa.int64()),
+            "n_customers": pa.array([], type=pa.int64()),
+        })
+    agg = agg.sort_values("n_above")
     return pa.table({
         "n_above": pa.array(agg["n_above"].astype("int64").tolist(),
                             type=pa.int64()),

@@ -1,0 +1,77 @@
+"""Empty-corpus robustness net for the session-13 gates: an empty
+Ray Dataset drops its schema through map_batches→to_pandas, which
+turned several driver-side merges into KeyErrors (found by the
+session-13 sweep).  Every gate must return its typed empty table."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([], type=pa.int64()),
+        "o_custkey": pa.array([], type=pa.int64()),
+        "o_orderdate": pa.array([], type=pa.timestamp("us")),
+        "o_totalprice": pa.array([], type=pa.float64()),
+        "o_orderpriority": pa.array([], type=pa.string()),
+    }), f"{d}/orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([], type=pa.int64()),
+        "c_nationkey": pa.array([], type=pa.int64()),
+        "c_acctbal": pa.array([], type=pa.float64()),
+    }), f"{d}/customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([], type=pa.int64()),
+        "n_name": pa.array([], type=pa.string()),
+        "n_regionkey": pa.array([], type=pa.int64()),
+    }), f"{d}/nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([], type=pa.int64()),
+        "r_name": pa.array([], type=pa.string()),
+    }), f"{d}/region.parquet")
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array([], type=pa.string()),
+        "l_quantity": pa.array([], type=pa.float64()),
+        "l_orderkey": pa.array([], type=pa.int64()),
+        "l_partkey": pa.array([], type=pa.int64()),
+    }), f"{d}/lineitem.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "event_type": pa.array([], type=pa.string()),
+    }), f"{d}/events.parquet")
+    return d
+
+
+def test_session13_gates_survive_empty_corpus(ray_session, empty_sf):
+    from pdfsearch_ray.pipelines import blockjoin as B
+    from pdfsearch_ray.pipelines import dfr as D
+    from pdfsearch_ray.pipelines import events as E
+    from pdfsearch_ray.pipelines import geo as G
+    from pdfsearch_ray.pipelines import queries as Q
+    from pdfsearch_ray.pipelines import relational as R
+
+    gates = [
+        R.revenue_rollup,
+        lambda s: R.customer_running_totals(s).to_pandas(),
+        R.silent_customers, R.above_avg_histogram,
+        R.group_quantiles, R.basket_pairs,
+        E.daily_active_users, E.event_transitions,
+        Q.weighted_sample, Q.pmi_collocations,
+        G.geo_knn, G.geo_grid,
+        D.dfr_pl2_topk, B.blockjoin_topk,
+    ]
+    for fn in gates:
+        r = fn(empty_sf)
+        n = len(r) if hasattr(r, "__len__") else r.num_rows
+        assert n == 0, fn
