@@ -471,7 +471,10 @@ def build_index(
             docs.map_batches(
                 lambda b: b.sort_by("doc_id"), batch_format="pyarrow"
             ).write_parquet(tmp)
+            os.makedirs(tmp, exist_ok=True)  # empty corpus: no files
             os.rename(tmp, docs_dir)
+        if not any(f.endswith(".parquet") for f in os.listdir(docs_dir)):
+            return 0
         return int(rd.read_parquet(docs_dir, columns=["doc_id"]).count())
 
     from concurrent.futures import ThreadPoolExecutor
@@ -523,6 +526,12 @@ def build_index(
             .to_pandas()
         )
         report("corpus stats pass done")
+        if stats.empty or "total_dl" not in stats.columns:
+            # empty corpus: the empty Dataset drops the partial schema;
+            # proceed with zero stats so the build emits a valid empty
+            # index (manifest + no postings) instead of a KeyError
+            stats = stats.reindex(
+                columns=["total_dl", "n_docs", "term", "df_part"])
         total_dl = int(stats["total_dl"].sum())
         n_sampled = int(stats["n_docs"].sum())
         avgdl = (total_dl / n_sampled) if n_sampled else 1.0
@@ -620,6 +629,9 @@ def build_index(
                 column_encoding={
                     "seg_docs.list.element": "DELTA_BINARY_PACKED"},
             )
+            # an empty corpus writes no files (and no tmp dir): commit
+            # an empty stage so the build yields a valid empty index
+            os.makedirs(tmp, exist_ok=True)
             os.rename(tmp, tokens_dir)
         if os.path.isdir(tokens_dir):
             spill_bytes = _dir_bytes(tokens_dir)
@@ -664,6 +676,7 @@ def build_index(
         # terms — and, for doc-range shard handles, whose
         # [first_doc, last_doc] span intersects the shard's slice
         postings.write_parquet(tmp, row_group_size=row_group_size)
+        os.makedirs(tmp, exist_ok=True)      # empty corpus: no files
         os.rename(tmp, postings_dir)
         # the spill is only removable once postings are durably renamed
         shutil.rmtree(tokens_dir, ignore_errors=True)

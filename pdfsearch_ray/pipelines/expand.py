@@ -159,6 +159,8 @@ def expand_terms(
         os.path.join(pdir, f) for f in os.listdir(pdir)
         if f.endswith(".parquet")
     )
+    if not files:                   # empty index: no dictionary at all
+        return {q: [] for q in tuple(fuzzy) + tuple(prefix)}
     flt = None
     if prefix and not fuzzy:
         for p in prefix:

@@ -2751,6 +2751,14 @@ def ann_filtered(sf_dir: str, *, k: int = ANN_K,
         columns=["vec_id", "embedding", "label"],
         filters=[("vec_id", "<", num_queries)],
     )
+    empty_out = pa.table({
+        "query_id": pa.array([], type=pa.int64()),
+        "vec_id": pa.array([], type=pa.int64()),
+        "sim": pa.array([], type=pa.float64()),
+        "rank": pa.array([], type=pa.int64()),
+    })
+    if qt.num_rows == 0:                  # empty embeddings table
+        return empty_out
     q_ids = qt["vec_id"].to_numpy()
     q_labels = qt["label"].to_numpy()
     qm = np.stack([np.asarray(v, dtype=np.float64)
@@ -2806,6 +2814,8 @@ def ann_filtered(sf_dir: str, *, k: int = ANN_K,
         columns=["vec_id", "embedding", "label"]) \
         .map_batches(sims, batch_format="pyarrow",
                      batch_size=4096).to_pandas()
+    if pdf.empty or "sim" not in pdf.columns:
+        return empty_out
     pdf["sim_r"] = pdf["sim"].round(6)
     pdf = pdf.sort_values(["query_id", "sim_r", "vec_id"],
                           ascending=[True, False, True],

@@ -426,8 +426,13 @@ class BM25Index:
                 {p for p, *_ in want})
             self.io_stats["postings_row_groups_read"] += len(want)
             parts = [p for p in parts if p.num_rows]
-            tbl = (pa.concat_tables(parts) if parts
-                   else self.postings.schema.empty_table().select(cols))
+            if not parts:
+                # nothing to decode — also covers an EMPTY index, whose
+                # postings dataset has no files and hence no schema
+                for t in missing:
+                    self._term_cache[t] = []
+                return
+            tbl = pa.concat_tables(parts)
         for t in missing:
             self._term_cache[t] = []
         if tbl.num_rows == 0:

@@ -50,6 +50,11 @@ def empty_sf(tmp_path_factory):
         "ts": pa.array([], type=pa.timestamp("us")),
         "event_type": pa.array([], type=pa.string()),
     }), f"{d}/events.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+        "label": pa.array([], type=pa.int32()),
+    }), f"{d}/embeddings.parquet")
     return d
 
 
@@ -75,3 +80,31 @@ def test_session13_gates_survive_empty_corpus(ray_session, empty_sf):
         r = fn(empty_sf)
         n = len(r) if hasattr(r, "__len__") else r.num_rows
         assert n == 0, fn
+
+
+def test_flagship_build_query_on_empty_corpus(ray_session, empty_sf):
+    """The PRODUCT path: build_index on an empty corpus must emit a
+    valid empty index (manifest, no postings) that BM25Index opens and
+    searches (0 matches), not a KeyError/FileNotFoundError — a filter
+    stage that drops every row is a legitimate upstream."""
+    import tempfile
+
+    from pdfsearch_ray.pipelines.build import build_index
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx_dir = tempfile.mkdtemp(prefix="empty_idx_")
+    m = build_index(f"{empty_sf}/documents.parquet", idx_dir,
+                    analyzer="simple", lang_col="lang")
+    assert m.n_docs == 0
+    idx = BM25Index(idx_dir)
+    r = idx.search("data pipeline", max_results=5)
+    assert r.total_matches == 0 and len(r.matches) == 0
+    assert idx.search_to_table("data", max_results=5).num_rows == 0
+
+
+def test_more_session13_gates_empty(ray_session, empty_sf):
+    from pdfsearch_ray.pipelines.boolquery import phrase_prefix_topk
+    from pdfsearch_ray.pipelines.queries import ann_filtered
+
+    assert ann_filtered(empty_sf).num_rows == 0
+    assert phrase_prefix_topk(empty_sf).num_rows == 0
