@@ -867,29 +867,31 @@ def basket_pairs(sf_dir: str, *, num_buckets: int | None = None,
                       - np.repeat(csum, reps) + first + 1)
             pair = pk[first] * np.int64(1 << 32) + pk[second]
             uniq, cnt = np.unique(pair, return_counts=True)
+            # ONE packed int64 groupby key (not two columns): halves
+            # the shuffle width and the grouping comparisons
             outs.append(pa.table({
-                "p1": pa.array(uniq >> np.int64(32), type=pa.int64()),
-                "p2": pa.array(uniq & np.int64(0xFFFFFFFF),
-                               type=pa.int64()),
+                "pair": pa.array(uniq, type=pa.int64()),
                 "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
             }))
-        return pa.concat_tables(outs) if outs else empty
+        return (pa.concat_tables(outs) if outs
+                else pa.table({"pair": pa.array([], type=pa.int64()),
+                               "n": pa.array([], type=pa.int64())}))
 
     def local_topk(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t["n"], min_count))
         if t.num_rows == 0:
-            return empty
+            return pa.table({"pair": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
         df = t.to_pandas().sort_values(
-            ["n", "p1", "p2"], ascending=[False, True, True],
+            ["n", "pair"], ascending=[False, True],
             kind="mergesort").head(k)
-        return pa.Table.from_pandas(df, preserve_index=False) \
-            .cast(empty.schema)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     agg = (
         rd.from_items([{"dir": d} for d in bucket_dirs],
                       override_num_blocks=max(1, len(bucket_dirs)))
         .map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
-        .groupby(["p1", "p2"])
+        .groupby("pair")
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(local_topk, batch_format="pyarrow")
         .to_pandas()
@@ -898,14 +900,14 @@ def basket_pairs(sf_dir: str, *, num_buckets: int | None = None,
         # an all-singleton corpus yields no pairs; the empty groupby
         # drops the schema (found by the session-13 hypothesis fuzz)
         return empty
-    agg = agg.sort_values(["n", "p1", "p2"],
-                          ascending=[False, True, True],
+    # (n desc, pair asc) == (n desc, p1 asc, p2 asc): the packed key
+    # preserves the tie order because p1 occupies the high 32 bits
+    agg = agg.sort_values(["n", "pair"], ascending=[False, True],
                           kind="mergesort").head(k)
+    pair = agg["pair"].to_numpy().astype(np.int64)
     return pa.table({
-        "p1": pa.array(agg["p1"].astype("int64").tolist(),
-                       type=pa.int64()),
-        "p2": pa.array(agg["p2"].astype("int64").tolist(),
-                       type=pa.int64()),
+        "p1": pa.array(pair >> np.int64(32), type=pa.int64()),
+        "p2": pa.array(pair & np.int64(0xFFFFFFFF), type=pa.int64()),
         "n": pa.array(agg["n"].astype("int64").tolist(),
                       type=pa.int64()),
     })
