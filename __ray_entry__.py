@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _events_mod().event_transitions,
         "group_quantiles": _relational().group_quantiles,
         "above_avg_orders": _relational().above_avg_histogram,
+        "revenue_cube": _relational().revenue_cube,
+        "order_value_histogram": _relational().order_value_histogram,
         "basket_pairs": _relational().basket_pairs,
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
@@ -1046,6 +1048,11 @@ def oracle_sql() -> dict[str, str]:
         # market-basket: within-order self-join pair counts, vectorized
         # pair expansion per bucket, distributed >=min + local top-k
         "basket_pairs": _relational().basket_pairs_sql(),
+        # GROUP BY CUBE: all four grouping sets derived from the leaf
+        # combiner aggregate, 'ALL' labels, integer cents
+        "revenue_cube": _relational().cube_sql(),
+        # numeric histogram facet: integer floor bins over cents
+        "order_value_histogram": _relational().histogram_sql(),
         # match_phrase_prefix: ordinality chain + arr[i+n] LIKE 'p%',
         # summed expansion tf, phrase BM25 replayed from raw text
         "phrase_prefix_topk": _boolquery().phrase_prefix_sql(),

@@ -363,6 +363,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("phrase_prefix_topk", _boolquery.phrase_prefix_topk),
         ("ann_filtered", qmod.ann_filtered),
         ("geo_grid", _geo.geo_grid),
+        ("revenue_cube", rel.revenue_cube),
+        ("order_value_histogram", rel.order_value_histogram),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

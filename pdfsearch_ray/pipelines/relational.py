@@ -924,3 +924,179 @@ def basket_pairs_sql(*, min_count: int = BASKET_MIN_COUNT,
         GROUP BY 1, 2 HAVING count(*) >= {min_count}
         ORDER BY n DESC, p1, p2 LIMIT {k}
     """
+
+
+def revenue_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(region, orderstatus): all four grouping sets —
+    leaves, each single-dimension margin, and the grand total ('ALL'
+    labels).  Same shape as revenue_rollup (fact joined once, tiny
+    combiner, O(groups) driver derivation) but the CUBE adds the
+    status-only margin the rollup lacks — the full OLAP grouping-sets
+    surface."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderstatus", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, cust, left_on="o_custkey",
+                       right_on="c_custkey", num_buckets=8)
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_regionkey"])
+    rt = pq.read_table(f"{sf_dir}/region.parquet",
+                       columns=["r_regionkey", "r_name"])
+    r2n = dict(zip(rt["r_regionkey"].to_pylist(),
+                   rt["r_name"].to_pylist()))
+    nmap_ref = ray.put({
+        int(k): r2n[int(rk)]
+        for k, rk in zip(nt["n_nationkey"].to_pylist(),
+                         nt["n_regionkey"].to_pylist())})
+
+    def tag(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        status = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        keys = np.asarray(
+            [nmap[int(k)] + "\x00" + str(s)
+             for k, s in zip(nk, status)], dtype=object) \
+            if nk.size else np.asarray([], dtype=object)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = uniq.size
+        return pa.table({
+            "key": pa.array(uniq.tolist(), type=pa.string()),
+            "n_orders": pa.array(
+                np.bincount(inv, minlength=n).astype(np.int64)),
+            "revenue_cents": pa.array(_group_sum_i64(inv, cents, n)),
+        })
+
+    leaf = (
+        joined.map_batches(tag, batch_format="pyarrow")
+        .repartition(1)
+        .groupby("key")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    empty = pa.table({
+        "r_name": pa.array([], type=pa.string()),
+        "o_orderstatus": pa.array([], type=pa.string()),
+        "n_orders": pa.array([], type=pa.int64()),
+        "revenue_cents": pa.array([], type=pa.int64()),
+    })
+    if leaf.empty or "key" not in leaf.columns:
+        return empty
+    leaf[["r_name", "o_orderstatus"]] = leaf["key"].str.split(
+        "\x00", expand=True)
+    leaf = leaf[["r_name", "o_orderstatus", "n_orders",
+                 "revenue_cents"]]
+    import pandas as pd
+
+    m1 = (leaf.groupby("r_name", as_index=False)
+          [["n_orders", "revenue_cents"]].sum())
+    m1["o_orderstatus"] = "ALL"
+    m2 = (leaf.groupby("o_orderstatus", as_index=False)
+          [["n_orders", "revenue_cents"]].sum())
+    m2["r_name"] = "ALL"
+    tot = leaf[["n_orders", "revenue_cents"]].sum().to_frame().T
+    tot["r_name"] = "ALL"
+    tot["o_orderstatus"] = "ALL"
+    out = pd.concat([leaf, m1, m2, tot], ignore_index=True)
+    out = out.sort_values(["r_name", "o_orderstatus"]) \
+             .reset_index(drop=True)
+    return pa.table({
+        "r_name": pa.array(out["r_name"].tolist(), type=pa.string()),
+        "o_orderstatus": pa.array(out["o_orderstatus"].tolist(),
+                                  type=pa.string()),
+        "n_orders": pa.array(out["n_orders"].astype("int64").tolist(),
+                             type=pa.int64()),
+        "revenue_cents": pa.array(
+            out["revenue_cents"].astype("int64").tolist(),
+            type=pa.int64()),
+    })
+
+
+def cube_sql() -> str:
+    return """
+        SELECT coalesce(r.r_name, 'ALL') AS r_name,
+               coalesce(o.o_orderstatus, 'ALL') AS o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY CUBE(r.r_name, o.o_orderstatus)
+        ORDER BY r_name, o_orderstatus
+    """
+
+
+HIST_BIN_CENTS = 50_000_00          # $50k bins
+HIST_MAX_BINS = 200
+
+
+def order_value_histogram(sf_dir: str, *,
+                          bin_cents: int = HIST_BIN_CENTS) -> pa.Table:
+    """Numeric histogram facet (the ES histogram aggregation): order
+    counts + exact revenue per fixed-width value bin.  Integer floor
+    bins over cents — arithmetic-exact on both sides.  Per-batch
+    (bin, count, sum) combiner → tiny groupby; the shuffle moves
+    O(occupied bins × blocks) rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        b = cents // bin_cents
+        uniq, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "bin": pa.array(uniq, type=pa.int64()),
+            "n_orders": pa.array(
+                np.bincount(inv, minlength=uniq.size).astype(np.int64)),
+            "revenue_cents": pa.array(
+                _group_sum_i64(inv, cents, uniq.size)),
+        })
+
+    agg = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .groupby("bin")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    if agg.empty or "bin" not in agg.columns:
+        return pa.table({
+            "bin_lo_cents": pa.array([], type=pa.int64()),
+            "n_orders": pa.array([], type=pa.int64()),
+            "revenue_cents": pa.array([], type=pa.int64()),
+        })
+    agg = agg.sort_values("bin")
+    return pa.table({
+        "bin_lo_cents": pa.array(
+            (agg["bin"].to_numpy().astype(np.int64)
+             * bin_cents).tolist(), type=pa.int64()),
+        "n_orders": pa.array(agg["n_orders"].astype("int64").tolist(),
+                             type=pa.int64()),
+        "revenue_cents": pa.array(
+            agg["revenue_cents"].astype("int64").tolist(),
+            type=pa.int64()),
+    })
+
+
+def histogram_sql(*, bin_cents: int = HIST_BIN_CENTS) -> str:
+    return f"""
+        SELECT (CAST(round(o_totalprice * 100) AS BIGINT)
+                // {bin_cents}) * {bin_cents} AS bin_lo_cents,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY bin_lo_cents ORDER BY bin_lo_cents
+    """

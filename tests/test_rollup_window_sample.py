@@ -252,3 +252,38 @@ def test_auto_buckets_scales_and_clamps(ray_session):
                         target_bytes=1, hi=64) == 64      # cap
     n = auto_buckets(f"{SF}/orders.parquet", target_bytes=1 << 12)
     assert n & (n - 1) == 0                                # pow2
+
+
+def test_cube_margins_consistent(ray_session):
+    """CUBE invariants: both single-dimension margins and the grand
+    total each sum to the same leaf total."""
+    from pdfsearch_ray.pipelines.relational import revenue_cube
+
+    t = revenue_cube(SF).to_pandas()
+    leaf = t[(t["r_name"] != "ALL") & (t["o_orderstatus"] != "ALL")]
+    m_r = t[(t["r_name"] != "ALL") & (t["o_orderstatus"] == "ALL")]
+    m_s = t[(t["r_name"] == "ALL") & (t["o_orderstatus"] != "ALL")]
+    tot = t[(t["r_name"] == "ALL") & (t["o_orderstatus"] == "ALL")]
+    assert len(tot) == 1
+    for margin in (m_r, m_s):
+        assert margin["revenue_cents"].sum() == \
+            leaf["revenue_cents"].sum()
+        assert margin["n_orders"].sum() == leaf["n_orders"].sum()
+    assert tot["n_orders"].iloc[0] == leaf["n_orders"].sum()
+
+
+def test_histogram_bins_partition_orders(ray_session):
+    """Bins are disjoint floor intervals: counts sum to the order
+    count, revenue to the exact total."""
+    import duckdb
+
+    from pdfsearch_ray.pipelines.relational import order_value_histogram
+
+    t = order_value_histogram(SF).to_pandas()
+    con = duckdb.connect()
+    n, s = con.execute(
+        f"SELECT count(*), CAST(sum(CAST(round(o_totalprice*100) AS "
+        f"BIGINT)) AS BIGINT) FROM '{SF}/orders.parquet'").fetchone()
+    assert t["n_orders"].sum() == n
+    assert t["revenue_cents"].sum() == s
+    assert (np.diff(t["bin_lo_cents"].to_numpy()) > 0).all()
