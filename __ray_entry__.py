@@ -5,7 +5,7 @@ here (or in pdfsearch_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` keys with a matching ``oracle_sql()`` entry are verified by
 the driver against DuckDB at sf0.01 (row-count + schema + value-hash).
-156 of 158 queries carry an oracle (round-5 close-out; the 2 rows-only
+158 of 160 queries carry an oracle (round-5 close-out; the 2 rows-only
 entries are the media tensor pipelines) — including BOTH real engine
 paths:
 ``fulltext_topk_simple`` (the SQL-reproducible ``simple`` analyzer) and,
