@@ -50,6 +50,44 @@ def read_parquet_nometa(
     return rd.read_parquet(paths, columns=columns, schema=schema, **kwargs)
 
 
+def typed_pandas(obj, dtypes: dict[str, str]):
+    """``to_pandas`` that survives Ray's empty-pipeline schema loss.
+
+    A Dataset whose map stages received ZERO rows never calls the map
+    fn, reports ``schema() is None`` and ``to_pandas()`` returns a
+    column-less frame — every downstream driver merge then KeyErrors.
+    A zero-row upstream is a legitimate state at scale (a filter stage
+    can drop every row), so reindex such a frame to the stage's
+    contract columns with the given pandas dtypes.  Frames that already
+    carry columns pass through untouched (missing contract columns are
+    added typed-empty only when the frame has no rows).
+    """
+    import pandas as pd
+
+    df = obj if isinstance(obj, pd.DataFrame) else obj.to_pandas()
+    if len(df) == 0:
+        missing = [c for c in dtypes if c not in df.columns]
+        for c in missing:
+            df[c] = pd.Series([], dtype=dtypes[c])
+    return df
+
+
+def typed_table(obj, schema: pa.Schema) -> pa.Table:
+    """Arrow twin of :func:`typed_pandas`: materialize a Dataset (or
+    pass through a Table) and, when the pipeline lost its schema by
+    seeing zero rows, substitute the typed empty table instead."""
+    if isinstance(obj, pa.Table):
+        tbl = obj
+    else:
+        df = obj.to_pandas()
+        if len(df) == 0 and len(df.columns) < len(schema.names):
+            return schema.empty_table()
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+    if tbl.num_rows == 0 and set(schema.names) - set(tbl.schema.names):
+        return schema.empty_table()
+    return tbl
+
+
 def strip_schema_metadata(ds: rd.Dataset) -> rd.Dataset:
     """Drop schema-level metadata from every block, 1:1 (zero-copy).
 

@@ -1160,7 +1160,17 @@ def compact_index(
     if not m.build_metrics.get("store_text", True):
         raise ValueError("compact_index requires store_text=True catalogs")
     doc_files = _committed_doc_files(index_dir, m)
-    ds = rd.read_parquet(doc_files)
+    if doc_files:
+        ds = rd.read_parquet(doc_files)
+    else:
+        # empty index: no catalog files — compact to another valid
+        # empty index rather than failing the read
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "url": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "text": pa.array([], type=pa.string()),
+        }))
     tomb = _load_tombstones(index_dir, m)
     if tomb.size:
         import ray

@@ -247,14 +247,14 @@ def ngram_jaccard_pairs(
             .map_batches(pairs_bucket, batch_size=1,
                          batch_format="pyarrow"),
             "doc_a", pair_dir)
-        out = (
+        from ..functions.tables import typed_pandas
+        out = typed_pandas(
             rd.from_items([{"b": i} for i in range(16)],
                           override_num_blocks=16)
             .map_batches(combine_bucket, batch_size=1,
-                         batch_format="pyarrow")
-            .to_pandas()
-            .sort_values(["doc_a", "doc_b"])
-        )
+                         batch_format="pyarrow"),
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"},
+        ).sort_values(["doc_a", "doc_b"])
     finally:
         if own_work:
             shutil.rmtree(work_dir, ignore_errors=True)
@@ -477,6 +477,11 @@ def minhash_lsh_dedup(
         partial(_sign_batch, num_perm=num_perm, shingle_n=shingle_n),
         batch_format="pyarrow",
     ).write_parquet(sig_dir)
+    if not os.path.isdir(sig_dir):   # zero-row corpus: nothing signed
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "keep_id": pa.array([], type=pa.int64()),
+        })
     sigs = rd.read_parquet(sig_dir)
 
     band_dir = f"{work_dir}/bands"

@@ -110,6 +110,13 @@ def rocchio_dense_topk(sf_dir: str, *, alpha: float = ROCCHIO_ALPHA,
     qt = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", ROCCHIO_NQ)])
+    if qt.num_rows == 0:             # empty corpus: no query vectors
+        return pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64()),
+        })
     q_ids = qt["vec_id"].to_numpy().astype(np.int64)
     qm = np.stack([np.asarray(v, dtype=np.float64)
                    for v in qt["embedding"].to_pylist()])

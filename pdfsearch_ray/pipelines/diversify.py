@@ -58,6 +58,8 @@ def _pairwise_sims(sf_dir: str, cand_ids: list[int]) -> tuple:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "in", sorted(cand_ids))])
+    if t.num_rows == 0:              # empty corpus: no candidates
+        return np.array([], dtype=np.int64), np.zeros((0, 0), dtype=np.int64)
     order = np.argsort(t["vec_id"].to_numpy())
     ids = t["vec_id"].to_numpy()[order].astype(np.int64)
     m = np.stack([np.asarray(v, dtype=np.float64)

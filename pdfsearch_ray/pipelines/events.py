@@ -440,6 +440,9 @@ def funnel_counts(sf_dir: str, *, steps=FUNNEL_STEPS,
         .map_batches(per_bucket, batch_format="pyarrow", batch_size=4)
         .to_pandas()
     )
+    from ..functions.tables import typed_pandas
+    part = typed_pandas(part, {
+        "step": "int64", "n_users": "int64", "sum_lag_us": "int64"})
     agg = part.groupby("step")[["n_users", "sum_lag_us"]].sum()
     return pa.table({
         "step": pa.array([int(s) for s in agg.index], type=pa.int64()),

@@ -403,9 +403,11 @@ def expand_terms_infix(index_dir: str,
             "term": pa.array(ts, type=pa.string()),
         })
 
+    out: dict[str, list[str]] = {s: [] for s in infixes}
+    if not files:                   # empty index: no dictionary at all
+        return out
     pairs = read_parquet_nometa(files, columns=["term"]) \
         .map_batches(match, batch_format="pyarrow").to_pandas()
-    out: dict[str, list[str]] = {s: [] for s in infixes}
     for q, grp in pairs.drop_duplicates().groupby("q"):
         out[q] = sorted(grp["term"])
     return out
@@ -465,9 +467,11 @@ def expand_terms_regex(index_dir: str,
             "term": pa.array(ts, type=pa.string()),
         })
 
+    out: dict[str, list[str]] = {p: [] for p in patterns}
+    if not files:                   # empty index: no dictionary at all
+        return out
     pairs = read_parquet_nometa(files, columns=["term"]) \
         .map_batches(match, batch_format="pyarrow").to_pandas()
-    out: dict[str, list[str]] = {p: [] for p in patterns}
     for q, grp in pairs.drop_duplicates().groupby("q"):
         out[q] = sorted(grp["term"])
     return out
@@ -536,11 +540,13 @@ def expand_terms_range(index_dir: str,
             "term": pa.array(terms.tolist(), type=pa.string()),
         })
 
+    out: dict[str, list[str]] = {_range_label(lo, hi): []
+                                 for lo, hi in ranges}
+    if not files:                   # empty index: no dictionary at all
+        return out
     pairs = read_parquet_nometa(
         files, columns=["term"], filter=flt,
     ).map_batches(match, batch_format="pyarrow").to_pandas()
-    out: dict[str, list[str]] = {_range_label(lo, hi): []
-                                 for lo, hi in ranges}
     if pairs.empty:  # the pushed filter can prune EVERY row group
         return out
     for q, grp in pairs.drop_duplicates().groupby("q"):
@@ -728,8 +734,12 @@ def dict_membership(index_dir: str, words: tuple[str, ...]) -> set[str]:
         hit = u.filter(pc.is_in(u, value_set=cand))
         return pa.table({"term": hit})
 
+    if not files:                   # empty index: no dictionary at all
+        return set()
     pairs = read_parquet_nometa(files, columns=["term"]) \
         .map_batches(match, batch_format="pyarrow").to_pandas()
+    if pairs.empty:
+        return set()
     return set(pairs["term"])
 
 
@@ -832,11 +842,12 @@ def complete_prefix(sf_dir: str) -> pa.Table:
             "df_part": pa.array(out_n, type=pa.int64()),
         })
 
+    out = {"prefix": [], "term": [], "df": [], "rank": []}
     parts = read_parquet_nometa(files, columns=["term", "n"],
                                 filter=flt) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = {"prefix": [], "term": [], "df": [], "rank": []}
-    if len(parts):
+        .map_batches(partial, batch_format="pyarrow").to_pandas() \
+        if files else None          # empty index: no dictionary at all
+    if parts is not None and len(parts):
         agg = parts.groupby(["prefix", "term"], sort=True)["df_part"] \
             .sum().reset_index()
         for p in prefixes:

@@ -141,7 +141,7 @@ def bm25f_topk(sf_dir: str) -> pa.Table:
         return pa.table(cols)
 
     st = spill.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
-    n = int(st["nd"].sum())
+    n = int(st["nd"].sum()) if "nd" in st.columns else 0
     empty = pa.table({"query": pa.array([], type=pa.string()),
                       "doc_id": pa.array([], type=pa.int64()),
                       "score": pa.array([], type=pa.float64()),

@@ -95,6 +95,9 @@ def _dense_lists(sf_dir: str, qvecs, n: int):
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"],
                        filters=[("vec_id", "in", qvecs)])
+    if qt.num_rows == 0:             # empty corpus: no query vectors
+        return {int(q): (np.array([], dtype=np.int64),
+                         np.array([], dtype=np.float64)) for q in qvecs}
     order = np.argsort(qt["vec_id"].to_numpy())
     q_ids = qt["vec_id"].to_numpy()[order]
     qm = np.stack([np.asarray(v, dtype=np.float64)

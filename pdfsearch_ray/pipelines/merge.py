@@ -49,6 +49,8 @@ import os
 import shutil
 import time
 
+import numpy as np
+
 __all__ = ["merge_indexes", "MergeCompatibilityError",
            "merged_index_cached", "merged_index_topk", "merged_index_sql",
            "MERGE_QUERIES", "MERGE_K",
@@ -148,7 +150,10 @@ def merge_indexes(
 
         files = [f for s, m in zip(sources, manifests)
                  for f in _committed_doc_files(s, m)]
-        dups = duplicate_doc_ids(rd.read_parquet(files, columns=["doc_id"]))
+        # all-empty sources have no catalog files (and cannot collide)
+        dups = duplicate_doc_ids(
+            rd.read_parquet(files, columns=["doc_id"])) if files \
+            else np.array([], dtype=np.int64)
         if dups.size:
             raise BuildConsistencyError(
                 f"merge would collide on {dups.size} doc_id(s); "

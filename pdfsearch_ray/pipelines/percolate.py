@@ -136,6 +136,8 @@ def percolate_matches(sf_dir: str) -> pa.Table:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
     ).map_batches(match, batch_format="pyarrow", batch_size=2048) \
         .to_pandas()
+    from ..functions.tables import typed_pandas
+    t = typed_pandas(t, {"query_id": "int64", "doc_id": "int64"})
     t = t.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
     return pa.table({
         "query_id": pa.array([qids[i] for i in t["query_id"]],

@@ -128,7 +128,9 @@ def _term_stats(sf_dir: str) -> pa.Table:
         .aggregate(Sum("df_part", alias_name="df"),
                    Sum("tf_part", alias_name="tf"))
     )
-    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    from ..functions.tables import typed_table
+    tbl = typed_table(agg, pa.schema([
+        ("term", pa.string()), ("df", pa.int64()), ("tf", pa.int64())]))
     _TERM_STATS_CACHE[sf_dir] = tbl
     return tbl
 
@@ -343,6 +345,8 @@ def bm25_topk(sf_dir: str) -> pa.Table:
 
     st = spill.map_batches(
         stats_partial, batch_format="pyarrow").to_pandas()
+    if "nd" not in st.columns:       # zero-row corpus: schema-dropped
+        return empty
     n = int(st["nd"].sum())
     if n == 0:
         return empty
@@ -461,6 +465,13 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", ANN_NUM_QUERIES)],
     )
+    if qt.num_rows == 0:             # empty corpus: no query vectors
+        return pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64()),
+        })
     q_ids = qt["vec_id"].to_numpy()
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -645,6 +656,12 @@ def media_features_meta(sf_dir: str) -> pa.Table:
         .aggregate(Sum("payload_bytes", alias_name="payload_bytes"))
         .to_pandas()
     )
+    from ..functions.tables import typed_pandas
+    agg = typed_pandas(agg, {
+        "kind": "object", "n_rows": "int64", "n_media": "int64",
+        "n_null_feat": "int64", "min_feat_len": "int64",
+        "max_feat_len": "int64"})
+    pb = typed_pandas(pb, {"kind": "object", "payload_bytes": "int64"})
     out = agg.merge(pb, on="kind").sort_values("kind")
     return pa.table({
         "kind": pa.array(out["kind"].tolist(), type=pa.string()),
@@ -702,15 +719,16 @@ def media_features_real_meta(sf_dir: str) -> pa.Table:
             return empty
         return pa.Table.from_pylist(rows, schema=empty.schema)
 
-    out = (
+    from ..functions.tables import typed_pandas
+    out = typed_pandas(
         feats.map_batches(fpartial, batch_format="pyarrow")
         .groupby("kind")
         .aggregate(Sum("n_rows", alias_name="n_rows"),
                    Min("min_feat_len", alias_name="min_feat_len"),
-                   Max("max_feat_len", alias_name="max_feat_len"))
-        .to_pandas()
-        .sort_values("kind")
-    )
+                   Max("max_feat_len", alias_name="max_feat_len")),
+        {"kind": "object", "n_rows": "int64",
+         "min_feat_len": "int64", "max_feat_len": "int64"},
+    ).sort_values("kind")
     return pa.table({
         "kind": pa.array(out["kind"].tolist(), type=pa.string()),
         "n_rows": pa.array(out["n_rows"].astype("int64").tolist(),
@@ -754,8 +772,15 @@ def doc_length_quantiles(sf_dir: str) -> pa.Table:
         .groupby("v")
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
-        .sort_values("v")
     )
+    from ..functions.tables import typed_pandas
+    hist = typed_pandas(hist, {"v": "int64", "c": "int64"})
+    if len(hist) == 0:               # zero-row corpus: no distribution
+        return pa.table({
+            "p": pa.array([], type=pa.float64()),
+            "n_chars": pa.array([], type=pa.int64()),
+        })
+    hist = hist.sort_values("v")
     vals = hist["v"].to_numpy()
     cum = hist["c"].to_numpy().cumsum()
     n = int(cum[-1]) if len(cum) else 0
@@ -811,10 +836,13 @@ def top_docs_per_lang(sf_dir: str) -> pa.Table:
             df.groupby("lang", sort=False).head(TOP_PER_LANG_K),
             preserve_index=False)
 
-    parts = read_parquet_nometa(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "lang", "n_chars"],
-    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    from ..functions.tables import typed_pandas
+    parts = typed_pandas(
+        read_parquet_nometa(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        {"doc_id": "int64", "lang": "object", "n_chars": "int64"})
     parts = parts.sort_values(["lang", "n_chars", "doc_id"],
                               ascending=[True, False, True],
                               kind="mergesort")
@@ -1266,6 +1294,8 @@ def bigram_counts(sf_dir: str) -> pa.Table:
         .map_batches(local_topk, batch_format="pyarrow")
         .to_pandas()
     )
+    from ..functions.tables import typed_pandas
+    agg = typed_pandas(agg, {"bigram": "object", "n": "int64"})
     agg = agg.sort_values(["n", "bigram"], ascending=[False, True],
                           kind="mergesort").head(BIGRAM_TOPK)
     return pa.table({
@@ -1688,8 +1718,11 @@ def event_props_stats(sf_dir: str) -> pa.Table:
                    Sum("sum_k", alias_name="sum_k"),
                    Max("max_k", alias_name="max_k"))
         .to_pandas()
-        .sort_values("event_type")
     )
+    from ..functions.tables import typed_pandas
+    out = typed_pandas(out, {
+        "event_type": "object", "n_events": "int64",
+        "sum_k": "int64", "max_k": "int64"}).sort_values("event_type")
     return pa.table({
         "event_type": pa.array(out["event_type"].tolist(),
                                type=pa.string()),
@@ -1755,6 +1788,12 @@ def knn_label_accuracy(sf_dir: str) -> pa.Table:
 
     from .similarity import _embed_matrix, ivf_layout_cached
 
+    if pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows == 0:
+        return pa.table({
+            "label": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "n_correct": pa.array([], type=pa.int64()),
+        })
     cents, parts_dir = ivf_layout_cached(
         sf_dir, n_clusters=KNN_N_CLUSTERS, exclude_below=0,
         extra_cols=("label",),
@@ -1910,6 +1949,10 @@ def source_mix(sf_dir: str) -> pa.Table:
                    Sum("total_chars", alias_name="total_chars"))
         .to_pandas()
     )
+    from ..functions.tables import typed_pandas
+    agg = typed_pandas(agg, {
+        "source": "object", "lang": "object",
+        "n_docs": "int64", "total_chars": "int64"})
     total = int(agg["n_docs"].sum())
     agg["share_bp"] = (10_000 * agg["n_docs"].astype("int64")) // max(total, 1)
     agg = agg.sort_values(["source", "lang"])
@@ -1973,6 +2016,9 @@ def temperature_mix(sf_dir: str) -> rd.Dataset:
                    Sum("total_chars", alias_name="total_chars"))
         .to_pandas()
     )
+    from ..functions.tables import typed_pandas
+    agg = typed_pandas(agg, {
+        "source": "object", "n_docs": "int64", "total_chars": "int64"})
     srcs = agg["source"].tolist()
     nd = agg["n_docs"].astype("int64").tolist()
     w = [math.isqrt(int(tc)) for tc in agg["total_chars"].tolist()]
@@ -2059,12 +2105,26 @@ def sequence_pack(sf_dir: str) -> pa.Table:
 
     work = spill_dir(prefix="seqpack_")
     try:
-        (read_parquet_nometa(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "text"])
-         .map_batches(counts, batch_format="pyarrow")
-         .write_parquet(work, partition_cols=["part"]))
+        try:
+            (read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+             .map_batches(counts, batch_format="pyarrow")
+             .write_parquet(work, partition_cols=["part"]))
+        except KeyError:
+            # zero-row corpus: the map stage saw no batches, so the
+            # partitioned write gets a schemaless empty dataset
+            pass
         parts = sorted(int(d.split("=")[1]) for d in os.listdir(work)
                        if d.startswith("part="))
+        if not parts:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "first_seq": pa.array([], type=pa.int64()),
+                "last_seq": pa.array([], type=pa.int64()),
+                "offset_in_seq": pa.array([], type=pa.int64()),
+                "crosses": pa.array([], type=pa.bool_()),
+            })
 
         def bucket_sum(batch: pa.Table) -> pa.Table:
             out_p, out_s = [], []
@@ -2266,6 +2326,8 @@ def unimax_mix(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("size", alias_name="size"))
         .to_pandas()
     )
+    from ..functions.tables import typed_pandas
+    agg = typed_pandas(agg, {"lang": "object", "size": "int64"})
     sizes = {l: int(s) for l, s in zip(agg["lang"], agg["size"])}
     rem = sum(sizes.values()) * UNIMAX_NUM // UNIMAX_DEN
     k = len(sizes)
@@ -2341,12 +2403,21 @@ def shard_layout(sf_dir: str) -> pa.Table:
 
     work = spill_dir(prefix="shardlay_")
     try:
-        (read_parquet_nometa(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "n_chars"])
-         .map_batches(narrow, batch_format="pyarrow")
-         .write_parquet(work, partition_cols=["part"]))
+        try:
+            (read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+             .map_batches(narrow, batch_format="pyarrow")
+             .write_parquet(work, partition_cols=["part"]))
+        except KeyError:
+            # zero-row corpus: schemaless empty dataset at the
+            # partitioned write — no buckets to lay out
+            pass
         parts = sorted(int(d.split("=")[1]) for d in os.listdir(work)
                        if d.startswith("part="))
+        if not parts:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("shard", "n_docs", "n_chars",
+                                       "min_doc", "max_doc")})
 
         def bucket_sum(batch: pa.Table) -> pa.Table:
             out_p, out_s = [], []

@@ -1143,6 +1143,14 @@ class BM25Index:
         cols = ["doc_id", "url"]
         docs_schema = (self._docs_mem.schema if self._docs_mem is not None
                        else self.docs.schema)
+        if not docs_schema.names:
+            # empty index: the docs dir has no fragments, so the dataset
+            # carries no schema — answer with the standard catalog shape
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "url": pa.array([], type=pa.string()),
+                "text": pa.array([], type=pa.string()),
+            }).select(cols + ["text"] if with_text else cols), True
         has_text = "text" in docs_schema.names
         if has_text and with_text:
             cols.append("text")

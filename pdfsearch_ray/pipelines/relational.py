@@ -109,8 +109,13 @@ def pricing_summary(sf_dir: str) -> pa.Table:
                        alias_name="sum_disc_price_e4"),
                    Sum("n_rows", alias_name="n_rows"))
         .to_pandas()
-        .sort_values(["l_returnflag", "l_linestatus"])
     )
+    from ..functions.tables import typed_pandas
+    agg = typed_pandas(agg, {
+        "l_returnflag": "object", "l_linestatus": "object",
+        "sum_qty": "int64", "sum_base_price_cents": "int64",
+        "sum_disc_price_e4": "int64", "n_rows": "int64",
+    }).sort_values(["l_returnflag", "l_linestatus"])
     # avg from identical integer inputs: both engines divide the same
     # two ints in float64, so the quotient (and its rounding) match
     return pa.table({
@@ -178,8 +183,11 @@ def orders_by_nation(sf_dir: str) -> pa.Table:
         .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("price_cents", alias_name="revenue_cents"))
         .to_pandas()
-        .sort_values("n_name")
     )
+    from ..functions.tables import typed_pandas
+    out = typed_pandas(out, {
+        "n_name": "object", "n_orders": "int64",
+        "revenue_cents": "int64"}).sort_values("n_name")
     return pa.table({
         "n_name": pa.array(out["n_name"].tolist(), type=pa.string()),
         "n_orders": pa.array(out["n_orders"].astype("int64").tolist(),
@@ -263,8 +271,11 @@ def region_part_revenue(sf_dir: str) -> pa.Table:
         .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
                    Sum("n_items", alias_name="n_items"))
         .to_pandas()
-        .sort_values("r_name")
     )
+    from ..functions.tables import typed_pandas
+    out = typed_pandas(out, {
+        "r_name": "object", "revenue_e4": "int64",
+        "n_items": "int64"}).sort_values("r_name")
     return pa.table({
         "r_name": pa.array(out["r_name"].tolist(), type=pa.string()),
         "revenue_e4": pa.array(out["revenue_e4"].astype("int64").tolist(),

@@ -132,8 +132,15 @@ def _doc_field(path: str, col: str, *, id_col: str = "doc_id"):
     of a docs parquet dir/file — the lookup side of every field join
     here (facets, filters, field sort).  At scale this column pair is a
     broadcast per facet shard, not a driver table."""
+    import glob
+
     import pyarrow.dataset as pds
 
+    if os.path.isdir(path) and not glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True):
+        # empty index: the docs dir has no fragments, so the dataset
+        # has no schema to project from
+        return np.array([], dtype=np.int64), np.array([], dtype=object)
     cat = pds.dataset(path).to_table(columns=[id_col, col])
     ids = cat[id_col].to_numpy()
     order = np.argsort(ids)
@@ -530,9 +537,10 @@ def spell_suggest(sf_dir: str) -> pa.Table:
 
     cand = read_parquet_nometa(
         files, columns=["term", "n"],
-    ).map_batches(match, batch_format="pyarrow").to_pandas()
+    ).map_batches(match, batch_format="pyarrow").to_pandas() \
+        if files else None          # empty index: no dictionary at all
     out_w, out_s, out_d = [], [], []
-    if len(cand):
+    if cand is not None and len(cand):
         agg = cand.groupby(["qi", "term"], as_index=False)["df_part"].sum()
         for qi, w in enumerate(inputs):
             g = agg[agg["qi"] == qi]
@@ -665,6 +673,9 @@ def related_terms(sf_dir: str) -> pa.Table:
            .groupby("term")
            .aggregate(*[Sum(c, alias_name=c) for c in co_cols])
            .to_pandas())
+    from ..functions.tables import typed_pandas
+    agg = typed_pandas(agg, {"term": "object",
+                             **{c: "int64" for c in co_cols}})
     stats = _term_stats(sf_dir).select(["term", "df"]).to_pandas()
     merged = agg.merge(stats, on="term", how="left")
     out_t, out_term, out_co, out_pmi, out_r = [], [], [], [], []
@@ -1011,13 +1022,17 @@ def index_stats(sf_dir: str) -> pa.Table:
             "n_post": pa.array([n] + [0] * (len(u) - 1), type=pa.int64()),
         })
 
-    agg = read_parquet_nometa(files, columns=["term", "n"]) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if files:
+        agg = read_parquet_nometa(files, columns=["term", "n"]) \
+            .map_batches(partial, batch_format="pyarrow").to_pandas()
+        n_terms, n_post = int(agg["term"].nunique()), int(agg["n_post"].sum())
+    else:                           # empty index: no postings at all
+        n_terms, n_post = 0, 0
     return pa.table({
         "n_docs": pa.array([int(m.n_docs)], type=pa.int64()),
         "total_tokens": pa.array([int(m.total_dl)], type=pa.int64()),
-        "n_terms": pa.array([int(agg["term"].nunique())], type=pa.int64()),
-        "n_postings": pa.array([int(agg["n_post"].sum())], type=pa.int64()),
+        "n_terms": pa.array([n_terms], type=pa.int64()),
+        "n_postings": pa.array([n_post], type=pa.int64()),
     })
 
 

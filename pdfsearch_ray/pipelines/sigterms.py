@@ -129,6 +129,10 @@ def significant_terms(sf_dir: str) -> pa.Table:
         .aggregate(*aggs)
         .to_pandas()
     )
+    from ..functions.tables import typed_pandas
+    vocab = typed_pandas(vocab, {
+        "term": "object", "bg": "int64",
+        **{f"fg{i}": "int64" for i in range(nq)}})
     out = {"query": [], "term": [], "fg_df": [], "bg_df": [],
            "lift": [], "rank": []}
     for i, q in enumerate(queries):

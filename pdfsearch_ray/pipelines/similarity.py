@@ -60,6 +60,8 @@ def _read_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", num_queries)],
     )
+    if qt.num_rows == 0:             # empty corpus: no query vectors
+        return np.array([], dtype=np.int64), np.zeros((0, 1))
     q_ids = qt["vec_id"].to_numpy()
     qm = np.stack([np.asarray(v, dtype=np.float64)
                    for v in qt["embedding"].to_pylist()])
@@ -134,6 +136,20 @@ def build_partitioned_embeddings(
         batch_format="pyarrow",
         concurrency=(1, 4),
     ).write_parquet(out_dir, partition_cols=["part"])
+
+
+_EMPTY_TOPK = pa.table({
+    "query_id": pa.array([], type=pa.int64()),
+    "vec_id": pa.array([], type=pa.int64()),
+    "sim": pa.array([], type=pa.float64()),
+    "rank": pa.array([], type=pa.int64()),
+})
+
+_EMPTY_PAIRS = pa.table({
+    "vec_a": pa.array([], type=pa.int64()),
+    "vec_b": pa.array([], type=pa.int64()),
+    "cos": pa.array([], type=pa.float64()),
+})
 
 
 def _probe_topk(
@@ -239,6 +255,8 @@ def ann_lsh_topk(
     """Approximate cosine top-k via hyperplane LSH + multi-probe over a
     persisted bucket-partitioned index (see module docstring)."""
     q_ids, qm = _read_queries(sf_dir, num_queries)
+    if q_ids.size == 0:              # empty corpus
+        return _EMPTY_TOPK
     dim = qm.shape[1]
     planes = _hyperplanes(dim, nbits, seed)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -278,6 +296,8 @@ def embedding_dup_pairs(
     — same per-batch math, partitioned candidates."""
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
+    if t.num_rows == 0:              # empty corpus: no pairs
+        return _EMPTY_PAIRS
     ids_all = t["vec_id"].to_numpy()
     dim = len(t["embedding"][0])
     m = _embed_matrix(t["embedding"], dim)
@@ -350,6 +370,8 @@ def embedding_dup_pairs_lsh(
 
     t0 = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["embedding"])
+    if t0.num_rows == 0:             # empty corpus: no pairs
+        return _EMPTY_PAIRS
     dim = len(t0["embedding"][0])
     del t0
     planes = _hyperplanes(dim, n_bands * nbits, seed)
@@ -566,6 +588,8 @@ def ann_ivf_topk(
     """Approximate cosine top-k via IVF over a persisted
     cluster-partitioned index; probes scored in-task (module docstring)."""
     q_ids, qm = _read_queries(sf_dir, num_queries)
+    if q_ids.size == 0:              # empty corpus
+        return _EMPTY_TOPK
     dim = qm.shape[1]
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     if index_dir is None:
@@ -622,6 +646,13 @@ def semantic_dedup(
     which retrains nothing: it inlines the shared centroids and
     independently recomputes assignment, ranking, the pairwise sims
     and the keep rule."""
+    if pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "cluster": pa.array([], type=pa.int64()),
+            "cent_sim": pa.array([], type=pa.float64()),
+            "keep": pa.array([], type=pa.bool_()),
+        }))
     cents, parts_dir = ivf_layout_cached(
         sf_dir, n_clusters=n_clusters, exclude_below=0,
     )

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.tables import read_parquet_nometa
+from ..functions.tables import read_parquet_nometa, typed_pandas
 
 HLL_P = 12                      # 2^12 = 4096 registers
 HLL_M = 1 << HLL_P
@@ -100,8 +100,9 @@ def vocab_hll_sketch(sf_dir: str) -> pa.Table:
         .groupby("reg")
         .aggregate(Max("rho", alias_name="max_rho"))
         .to_pandas()
-        .sort_values("reg")
     )
+    out = typed_pandas(out, {"reg": "int64", "max_rho": "int64"}) \
+        .sort_values("reg")
     return pa.table({
         "reg": pa.array(out["reg"].astype("int64").tolist(),
                         type=pa.int64()),
@@ -205,8 +206,9 @@ def term_cms_sketch(sf_dir: str) -> pa.Table:
         .groupby(["row", "col"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values(["row", "col"])
     )
+    out = typed_pandas(out, {"row": "int64", "col": "int64",
+                             "n": "int64"}).sort_values(["row", "col"])
     return pa.table({
         "row": pa.array(out["row"].astype("int64").tolist(),
                         type=pa.int64()),
@@ -282,8 +284,9 @@ def bloom_build(ds, text_col: str = "text") -> np.ndarray:
         pos = np.unique(bloom_positions(_hash_u64(texts)))
         return pa.table({"pos": pa.array(pos, type=pa.int64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("pos").count().to_pandas()
+    parts = typed_pandas(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pos").count(), {"pos": "int64"})
     words = np.zeros(BLOOM_M // 64, dtype=np.uint64)
     p = parts["pos"].to_numpy().astype(np.int64)
     np.bitwise_or.at(words, p // 64, np.uint64(1) << (p % 64).astype(np.uint64))
@@ -326,8 +329,10 @@ def bloom_snapshot_dedup(sf_dir: str) -> pa.Table:
     words = bloom_build(snap, "text")
     # gate synth: texts of dup sources (even ids whose successor is the
     # planted odd doc) — O(planted dups) driver state
-    srcs = snap.map_batches(_mod_take(BLOOM_DUP_MOD, 0, shift=1),
-                            batch_format="pyarrow").to_pandas()
+    srcs = typed_pandas(
+        snap.map_batches(_mod_take(BLOOM_DUP_MOD, 0, shift=1),
+                         batch_format="pyarrow"),
+        {"doc_id": "int64", "text": "object"})
     dup_src = {int(i) + 1: t for i, t in zip(srcs["doc_id"], srcs["text"])}
     ref = ray.put((words, dup_src))
 
@@ -343,9 +348,10 @@ def bloom_snapshot_dedup(sf_dir: str) -> pa.Table:
             "member": pa.array(bloom_member(w, texts), type=pa.int64()),
         })
 
-    out = src.map_batches(_mod_take(2, 1), batch_format="pyarrow") \
-        .map_batches(member, batch_format="pyarrow") \
-        .to_pandas().sort_values("doc_id")
+    out = typed_pandas(
+        src.map_batches(_mod_take(2, 1), batch_format="pyarrow")
+        .map_batches(member, batch_format="pyarrow"),
+        {"doc_id": "int64", "member": "int64"}).sort_values("doc_id")
     return pa.table({
         "doc_id": pa.array(out["doc_id"].astype("int64").tolist(),
                            type=pa.int64()),

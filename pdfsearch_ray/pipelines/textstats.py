@@ -254,7 +254,9 @@ def unigram_lm_train(docs: rd.Dataset, top_v: int | None = None):
 
     tf = docs.map_batches(partial, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("tf", alias_name="tf"))
-    n_total = int(tf.sum("tf"))
+    n_total = int(tf.sum("tf") or 0)   # None on a zero-row corpus
+    if n_total == 0:
+        return {}, 1, 0
     top = tf.sort(["tf", "term"], descending=[True, False]) \
         .limit(top_v).to_pandas()
     vocab_bits = {
@@ -450,6 +452,9 @@ def dsir_train(docs: rd.Dataset, *, text_col: str = "text",
            .aggregate(Sum("c_raw", alias_name="c_raw"),
                       Sum("c_tgt", alias_name="c_tgt"))
            .to_pandas())
+    from ..functions.tables import typed_pandas
+    agg = typed_pandas(agg, {
+        "bucket": "int64", "c_raw": "int64", "c_tgt": "int64"})
     c_raw = np.zeros(B, dtype=np.int64)
     c_tgt = np.zeros(B, dtype=np.int64)
     c_raw[agg["bucket"].to_numpy()] = agg["c_raw"].to_numpy()
@@ -772,10 +777,13 @@ def ccnet_buckets(sf_dir: str) -> pa.Table:
 
     from ray.data.aggregate import Sum
 
-    hist = (ppl.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby(["lang", "ppl_milli"])
-            .aggregate(Sum("n", alias_name="n"))  # tiny table: ok multi-key
-            .to_pandas().sort_values(["lang", "ppl_milli"]))
+    from ..functions.tables import typed_pandas
+    hist = typed_pandas(
+        ppl.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "ppl_milli"])
+        .aggregate(Sum("n", alias_name="n")),  # tiny table: ok multi-key
+        {"lang": "object", "ppl_milli": "int64", "n": "int64"},
+    ).sort_values(["lang", "ppl_milli"])
 
     # rank spans per histogram cell; find boundary-straddling cells
     cell_bucket: dict[tuple, int] = {}      # fully-inside cells

@@ -124,7 +124,7 @@ def vsm_lnc_ltc_topk(sf_dir: str) -> pa.Table:
 
     st = spill.map_batches(
         stats_partial, batch_format="pyarrow").to_pandas()
-    n = int(st["nd"].sum())
+    n = int(st["nd"].sum()) if "nd" in st.columns else 0
     empty = pa.table({
         "query": pa.array([], type=pa.string()),
         "doc_id": pa.array([], type=pa.int64()),
@@ -331,6 +331,9 @@ def lm_dirichlet_topk(sf_dir: str) -> pa.Table:
 
     cand = spill.map_batches(
         score_batch, batch_format="pyarrow").to_pandas()
+    from ..functions.tables import typed_pandas
+    cand = typed_pandas(cand, {
+        "query": "object", "doc_id": "int64", "score": "float64"})
     out_q, out_d, out_s = [], [], []
     for q in sorted(LM_QUERIES):
         g = cand[cand["query"] == q]

@@ -105,8 +105,11 @@ def url_dedup(sf_dir: str) -> pa.Table:
         .aggregate(Count(alias_name="n_docs"),
                    Min("doc_id", alias_name="winner_doc_id"))
         .to_pandas()
-        .sort_values("canonical_url")
     )
+    from ..functions.tables import typed_pandas
+    out = typed_pandas(out, {
+        "canonical_url": "object", "n_docs": "int64",
+        "winner_doc_id": "int64"}).sort_values("canonical_url")
     return pa.table({
         "canonical_url": pa.array(out["canonical_url"].tolist(),
                                   type=pa.string()),
@@ -287,13 +290,12 @@ def decontaminate(sf_dir: str) -> pa.Table:
     lead()) and the membership join independently in DuckDB."""
     import ray
 
-    bench = (
+    from ..functions.tables import typed_pandas
+    bench = typed_pandas(
         read_parquet_nometa(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-        .filter(lambda r: r["doc_id"] % DECON_BENCH_MOD == 0)
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+        .filter(lambda r: r["doc_id"] % DECON_BENCH_MOD == 0),
+        {"doc_id": "int64", "text": "object"}).sort_values("doc_id")
     shingles: set[str] = set()
     prefixes: dict[int, str] = {}
     for bid, text in zip(bench["doc_id"], bench["text"]):
@@ -330,13 +332,12 @@ def decontaminate(sf_dir: str) -> pa.Table:
                                      type=pa.int64()),
         })
 
-    out = (
+    out = typed_pandas(
         read_parquet_nometa(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-        .map_batches(flag, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+        .map_batches(flag, batch_format="pyarrow"),
+        {"doc_id": "int64", "n_contaminated": "int64",
+         "contaminated": "int64"}).sort_values("doc_id")
     return pa.table({
         "doc_id": pa.array(out["doc_id"].astype("int64").tolist(),
                            type=pa.int64()),
@@ -571,7 +572,8 @@ def line_dedup_stats(sf_dir: str) -> pa.Table:
                             columns=["doc_id", "text"])
         .map_batches(_inject_boiler, batch_format="pyarrow")
     )
-    hot_tbl = line_df(src, LINE_DF_MIN).to_pandas()
+    from ..functions.tables import typed_pandas
+    hot_tbl = typed_pandas(line_df(src, LINE_DF_MIN), {"h": "int64"})
     hot_sorted = np.sort(
         hot_tbl["h"].to_numpy().astype(np.int64).view(np.uint64))
     ref = ray.put(hot_sorted)
@@ -597,8 +599,10 @@ def line_dedup_stats(sf_dir: str) -> pa.Table:
             "kept_chars": pa.array(kc, type=pa.int64()),
         })
 
-    out = src.map_batches(stats, batch_format="pyarrow") \
-        .to_pandas().sort_values("doc_id")
+    out = typed_pandas(
+        src.map_batches(stats, batch_format="pyarrow"),
+        {"doc_id": "int64", "n_lines": "int64", "n_removed": "int64",
+         "kept_chars": "int64"}).sort_values("doc_id")
     return pa.table({
         "doc_id": pa.array(out["doc_id"].astype("int64").tolist(),
                            type=pa.int64()),
@@ -860,7 +864,8 @@ def exact_substring_over(ds: rd.Dataset,
     spans."""
     import ray
 
-    dup_tbl = dup_window_hashes(ds, window).to_pandas()
+    from ..functions.tables import typed_pandas
+    dup_tbl = typed_pandas(dup_window_hashes(ds, window), {"h": "int64"})
     dup_sorted = np.sort(
         dup_tbl["h"].to_numpy().astype(np.int64).view(np.uint64))
     ref = ray.put(dup_sorted)
@@ -897,8 +902,10 @@ def exact_substring_over(ds: rd.Dataset,
             "dup_tokens": pa.array(cov, type=pa.int64()),
         })
 
-    out = ds.map_batches(stats, batch_format="pyarrow") \
-        .to_pandas().sort_values("doc_id")
+    out = typed_pandas(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        {c: "int64" for c in ("doc_id", "n_windows", "n_dup_windows",
+                              "dup_tokens")}).sort_values("doc_id")
     return pa.table({
         c: pa.array(out[c].astype("int64").tolist(), type=pa.int64())
         for c in ("doc_id", "n_windows", "n_dup_windows", "dup_tokens")
@@ -1038,8 +1045,11 @@ def domain_stats(sf_dir: str) -> pa.Table:
                    Sum("total_chars", alias_name="total_chars"),
                    Sum("n_en", alias_name="n_en"))
         .to_pandas()
-        .sort_values("host")
     )
+    from ..functions.tables import typed_pandas
+    out = typed_pandas(out, {
+        "host": "object", "n_canonical": "int64", "n_docs": "int64",
+        "total_chars": "int64", "n_en": "int64"}).sort_values("host")
     blocked = out["host"].isin(DOMAIN_BLOCKLIST)
     return pa.table({
         "host": pa.array(out["host"].tolist(), type=pa.string()),
@@ -2543,6 +2553,10 @@ def cdc_chunk_stats(sf_dir: str) -> pa.Table:
         .aggregate(Sum("n", alias_name="n"), Sum("w", alias_name="w"))
         .map_batches(per_lang, batch_format="pyarrow")
         .to_pandas())
+    from ..functions.tables import typed_pandas
+    parts = typed_pandas(parts, {
+        "lang": "object", "keys": "int64", "inst": "int64",
+        "words": "int64"})
     g = (parts.groupby("lang", as_index=False)
          .agg(distinct_chunks=("keys", "sum"), n_chunks=("inst", "sum"),
               total_words=("words", "sum"))
@@ -2635,6 +2649,8 @@ def docid_remap(sf_dir: str) -> pa.Table:
                             columns=["doc_id"])
         .map_batches(_stride_sample, batch_format="pyarrow")
         .to_pandas())
+    from ..functions.tables import typed_pandas
+    sample = typed_pandas(sample, {"doc_id": "int64", "url": "object"})
     splits = np.sort(sample["url"].to_numpy(dtype=object))
     if splits.size >= REMAP_BUCKETS:
         cut = splits[np.linspace(0, splits.size - 1, REMAP_BUCKETS + 1,
@@ -2656,12 +2672,22 @@ def docid_remap(sf_dir: str) -> pa.Table:
         })
 
     try:
-        (read_parquet_nometa(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id"])
-         .map_batches(spill, batch_format="pyarrow")
-         .write_parquet(work, partition_cols=["part"]))
+        try:
+            (read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+             .map_batches(spill, batch_format="pyarrow")
+             .write_parquet(work, partition_cols=["part"]))
+        except KeyError:
+            # zero-row corpus: schemaless empty dataset at the
+            # partitioned write — nothing to remap
+            pass
         parts = sorted(int(d.split("=")[1]) for d in os.listdir(work)
                        if d.startswith("part="))
+        if not parts:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "new_id": pa.array([], type=pa.int64()),
+            })
         # phase 2: metadata-only row counts -> global offsets
         counts = {}
         for p in parts:

@@ -108,3 +108,63 @@ def test_more_session13_gates_empty(ray_session, empty_sf):
 
     assert ann_filtered(empty_sf).num_rows == 0
     assert phrase_prefix_topk(empty_sf).num_rows == 0
+
+
+@pytest.fixture(scope="module")
+def empty_sf_full(tmp_path_factory):
+    """Zero-row copies of EVERY real table, exact schemas included —
+    the input shape a filter stage that drops every row hands to any
+    downstream gate."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    if not os.path.isdir(src):
+        pytest.skip("testdata not available")
+    d = str(tmp_path_factory.mktemp("empty_sf_full"))
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(src, f))
+            pq.write_table(schema.empty_table(), os.path.join(d, f))
+    return d
+
+
+def _result_rows(r):
+    for attempt in (lambda: r.num_rows, lambda: len(r),
+                    lambda: r.count()):
+        try:
+            return attempt()
+        except Exception:
+            continue
+    raise AssertionError(f"cannot count rows of {type(r)}")
+
+
+def test_every_gate_survives_empty_corpus(ray_session, empty_sf_full):
+    """The session-14 completion of the session-13 hardening: EVERY
+    driver gate — not a hand-picked subset — must return its typed
+    empty result on a zero-row corpus.  Ray drops the schema of an
+    empty pipeline (map fns never run), so each driver-side merge
+    needs the typed_pandas/typed_table reindex or an explicit
+    empty-input guard; this net pins all 160."""
+    import __ray_entry__ as RE
+
+    # summary-shaped gates report one row per query/metric (value 0)
+    # or one global stats row even over zero documents — that IS their
+    # typed empty answer
+    fixed_rows = {
+        "champion_safety": 5, "index_stats": 1, "ir_eval": 5,
+        "ndcg_eval": 5, "near_match_counts": 5,
+        "phrase_match_counts": 6,
+    }
+    failures = []
+    for name, fn in sorted(RE.queries().items()):
+        try:
+            n = _result_rows(fn(empty_sf_full))
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+            continue
+        want = fixed_rows.get(name, 0)
+        if n != want:
+            failures.append(f"{name}: expected {want} rows, got {n}")
+    assert not failures, "\n".join(failures)
