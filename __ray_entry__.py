@@ -452,6 +452,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_orders": _relational().above_avg_histogram,
         "revenue_cube": _relational().revenue_cube,
         "order_value_histogram": _relational().order_value_histogram,
+        "order_value_pct_ranks": _relational().order_value_pct_ranks,
+        "daily_event_deltas": _events_mod().daily_event_deltas,
+        "rare_terms": q.rare_terms,
+        "query_adjacency": _searchx().query_adjacency,
         "basket_pairs": _relational().basket_pairs,
         "chunk_dedup": q.chunk_dedup_docs,
         "source_overlap": q.source_overlap_report,
@@ -1053,6 +1057,14 @@ def oracle_sql() -> dict[str, str]:
         "revenue_cube": _relational().cube_sql(),
         # numeric histogram facet: integer floor bins over cents
         "order_value_histogram": _relational().histogram_sql(),
+        # percentile_ranks: exact integer-bp inverse quantiles
+        "order_value_pct_ranks": _relational().pct_ranks_sql(),
+        # date_histogram + derivative: day buckets + one LAG window
+        "daily_event_deltas": _events_mod().daily_event_deltas_sql(),
+        # rare_terms: bounded hapax report (K first + total count)
+        "rare_terms": q.rare_terms_sql(),
+        # adjacency_matrix: pairwise OR-candidate-set intersections
+        "query_adjacency": _searchx().query_adjacency_sql(),
         # match_phrase_prefix: ordinality chain + arr[i+n] LIKE 'p%',
         # summed expansion tf, phrase BM25 replayed from raw text
         "phrase_prefix_topk": _boolquery().phrase_prefix_sql(),

@@ -365,6 +365,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("geo_grid", _geo.geo_grid),
         ("revenue_cube", rel.revenue_cube),
         ("order_value_histogram", rel.order_value_histogram),
+        ("order_value_pct_ranks", rel.order_value_pct_ranks),
+        ("daily_event_deltas", _events.daily_event_deltas),
+        ("rare_terms", qmod.rare_terms),
+        ("query_adjacency", _searchx.query_adjacency),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

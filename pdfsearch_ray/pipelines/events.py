@@ -585,6 +585,69 @@ def dau_sql() -> str:
     """
 
 
+def daily_event_deltas(sf_dir: str) -> pa.Table:
+    """date_histogram + derivative — the ES pipeline-aggregation pair:
+    events per calendar day, plus each day's first derivative (count
+    minus the previous PRESENT day's count; 0 for the first bucket —
+    gaps are not zero-filled, matching the LAG-over-present-buckets
+    oracle).  Scale shape: a per-batch (day, n) combiner → one
+    days-sized groupby; the derivative is an O(days) driver scan over
+    the already-tiny result — pipeline aggregations never touch the
+    event stream."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").view(np.int64))
+        days, counts = np.unique(day, return_counts=True)
+        return pa.table({
+            "day_i": pa.array(days, type=pa.int64()),
+            "n_events": pa.array(counts.astype(np.int64),
+                                 type=pa.int64()),
+        })
+
+    agg = (
+        _events(sf_dir, ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .groupby("day_i")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+    )
+    if agg.empty or "day_i" not in agg.columns:     # empty corpus
+        return pa.table({
+            "day": pa.array([], type=pa.string()),
+            "n_events": pa.array([], type=pa.int64()),
+            "delta": pa.array([], type=pa.int64()),
+        })
+    agg = agg.sort_values("day_i")
+    n = agg["n_events"].to_numpy().astype(np.int64)
+    delta = np.concatenate(([0], np.diff(n)))
+    days = agg["day_i"].to_numpy().astype("datetime64[D]")
+    return pa.table({
+        "day": pa.array(np.datetime_as_string(days, unit="D").tolist(),
+                        type=pa.string()),
+        "n_events": pa.array(n, type=pa.int64()),
+        "delta": pa.array(delta, type=pa.int64()),
+    })
+
+
+def daily_event_deltas_sql() -> str:
+    """Oracle: the day histogram + one LAG window (coalesce 0 mirrors
+    the first-bucket convention)."""
+    return """
+        WITH d AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY day
+        )
+        SELECT day, CAST(n_events AS BIGINT) AS n_events,
+               CAST(coalesce(n_events - lag(n_events) OVER (ORDER BY day),
+                             0) AS BIGINT) AS delta
+        FROM d ORDER BY day
+    """
+
+
 def transitions_block(t: pa.Table) -> pa.Table:
     """Per-partition Markov transition counts: one lexsort by
     (user, ts, event_id), adjacent same-user pairs, packed-code

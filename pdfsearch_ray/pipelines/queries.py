@@ -2947,3 +2947,90 @@ def ann_filtered_sql(*, k: int = ANN_K,
         FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# ------------------------------------------------------------- rare terms
+
+RARE_MAX_DF = 1      # hapax legomena (the ES rare_terms default)
+RARE_K = 100         # bounded report: K lexicographically-first terms
+RARE_PLANT_MOD = 3   # docs planted with a unique token (gate synth)
+
+
+def _plant_rare(t: pa.Table) -> pa.Table:
+    """Gate synth: the 31-term synthetic vocabulary has min df = 25, so
+    a rare-tail gate would be load-free.  Append one doc-unique token
+    (``d<doc_id>x``) to every RARE_PLANT_MOD-th doc — hapax by
+    construction; the oracle replays the same concatenation."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = t["text"].to_pylist()
+    out = [(x or "") + f" d{i}x" if i % RARE_PLANT_MOD == 0 else (x or "")
+           for i, x in zip(ids, texts)]
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "text": pa.array(out, type=pa.string()),
+    })
+
+
+def rare_terms(sf_dir: str, *, max_df: int = RARE_MAX_DF,
+               k: int = RARE_K) -> pa.Table:
+    """rare_terms — the ES long-tail aggregation (inverse of
+    top_terms/significant_terms): terms whose document frequency is at
+    most ``max_df``.  By Heaps' law the rare tail IS most of the
+    vocabulary, so the full answer is never driver-safe; the gate
+    reports the ``k`` lexicographically-first rare terms plus the
+    total rare count on every row (the bounded contract a UI pages
+    through).
+
+    Scale shape: the _TermAgg combiner → term groupby → a DISTRIBUTED
+    ``df <= max_df`` filter; the count is a Dataset count and the
+    sample a distributed sort+limit — the driver receives k rows and
+    one integer, never the tail.  (ES caps the same blow-up with a
+    bloom-filtered streaming agg; exact here.)"""
+    empty = pa.table({
+        "term": pa.array([], type=pa.string()),
+        "df": pa.array([], type=pa.int64()),
+        "n_rare_total": pa.array([], type=pa.int64()),
+    })
+    rare = (
+        _docs(sf_dir)
+        .map_batches(_plant_rare, batch_format="pyarrow")
+        .map_batches(_term_agg_task, batch_format="pyarrow",
+                     batch_size=512)
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+    try:
+        rare = rare.filter(expr=f"df <= {int(max_df)}").materialize()
+    except Exception:       # zero-row corpus: schema-dropped aggregate
+        return empty
+    n_rare = int(rare.count())
+    if n_rare == 0:
+        return empty
+    top = rare.sort("term").limit(k).to_pandas()
+    return pa.table({
+        "term": pa.array(top["term"].tolist(), type=pa.string()),
+        "df": pa.array(top["df"].astype("int64").tolist(),
+                       type=pa.int64()),
+        "n_rare_total": pa.array([n_rare] * len(top), type=pa.int64()),
+    })
+
+
+def rare_terms_sql(*, max_df: int = RARE_MAX_DF, k: int = RARE_K) -> str:
+    """Oracle: per-term df + the same bounded rare-tail report."""
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {RARE_PLANT_MOD} = 0
+                        THEN text || ' d' || CAST(doc_id AS VARCHAR) || 'x'
+                        ELSE text END AS text
+            FROM documents),
+        toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+                     lower(text), '[^a-z0-9]+')) AS term
+                 FROM planted),
+        dfs AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM toks WHERE term <> '' GROUP BY term),
+        rare AS (SELECT term, df FROM dfs WHERE df <= {int(max_df)})
+        SELECT term, CAST(df AS BIGINT) AS df,
+               CAST((SELECT count(*) FROM rare) AS BIGINT) AS n_rare_total
+        FROM rare ORDER BY term LIMIT {int(k)}
+    """

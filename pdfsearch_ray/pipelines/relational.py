@@ -1111,3 +1111,77 @@ def histogram_sql(*, bin_cents: int = HIST_BIN_CENTS) -> str:
         FROM orders
         GROUP BY bin_lo_cents ORDER BY bin_lo_cents
     """
+
+
+# ---------------------------------------------------------- percentile ranks
+
+# fixed probe values for the percentile_ranks aggregation (cents)
+PCT_RANK_VALUES_CENTS = (10_000_000, 25_000_000, 40_000_000)
+
+
+def order_value_pct_ranks(
+        sf_dir: str, *,
+        values_cents: tuple[int, ...] = PCT_RANK_VALUES_CENTS,
+) -> pa.Table:
+    """percentile_ranks — the inverse of the quantile aggregation (ES
+    percentile_ranks): for each probe value, the share of orders with
+    totalprice <= value, in integer-exact basis points
+    (``rank_bp = 10000 * n_le // n_total``).  Scale shape: each batch
+    emits ONE row per probe value (count below + batch total) — an
+    O(values) combiner, no shuffle of order rows, O(values) driver
+    state; exact at any corpus size, unlike the t-digest approximation
+    ES uses (divergence documented)."""
+    vals = np.asarray(sorted(values_cents), dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        cents.sort()
+        n_le = np.searchsorted(cents, vals, side="right").astype(np.int64)
+        return pa.table({
+            "value_cents": pa.array(vals, type=pa.int64()),
+            "n_le": pa.array(n_le, type=pa.int64()),
+            "n_total": pa.array(np.full(vals.size, cents.size,
+                                        dtype=np.int64)),
+        })
+
+    agg = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .groupby("value_cents")
+        .aggregate(Sum("n_le", alias_name="n_le"),
+                   Sum("n_total", alias_name="n_total"))
+        .to_pandas()
+    )
+    from ..functions.tables import typed_pandas
+    agg = typed_pandas(agg, {
+        "value_cents": "int64", "n_le": "int64", "n_total": "int64"})
+    agg = agg.sort_values("value_cents")
+    n_le = agg["n_le"].to_numpy().astype(np.int64)
+    n_tot = agg["n_total"].to_numpy().astype(np.int64)
+    return pa.table({
+        "value_cents": pa.array(agg["value_cents"].astype("int64"),
+                                type=pa.int64()),
+        "n_le": pa.array(n_le, type=pa.int64()),
+        "rank_bp": pa.array(
+            10_000 * n_le // np.maximum(n_tot, 1), type=pa.int64()),
+    })
+
+
+def pct_ranks_sql(
+        *, values_cents: tuple[int, ...] = PCT_RANK_VALUES_CENTS) -> str:
+    """Oracle: one scalar-subquery count per probe value."""
+    rows = ", ".join(f"({v})" for v in sorted(values_cents))
+    return f"""
+        WITH probes(value_cents) AS (VALUES {rows}),
+        c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        SELECT CAST(value_cents AS BIGINT) AS value_cents,
+               (SELECT count(*) FROM c WHERE cents <= value_cents) AS n_le,
+               CAST(10000 * (SELECT count(*) FROM c
+                             WHERE cents <= value_cents)
+                    // greatest((SELECT count(*) FROM c), 1)
+                    AS BIGINT) AS rank_bp
+        FROM probes ORDER BY value_cents
+    """

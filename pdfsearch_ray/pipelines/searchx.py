@@ -1233,3 +1233,99 @@ def phrase_suggest_sql(queries=PS_QUERIES, *, m: int = PS_M) -> str:
         ) WHERE rank <= {m}""")
     return "".join(parts) + (" UNION ALL ".join(selects)
                              + " ORDER BY query, rank")
+
+
+# ------------------------------------------------------ adjacency matrix
+
+ADJ_QUERIES = FACET_QUERIES
+
+
+def query_adjacency(sf_dir: str) -> pa.Table:
+    """adjacency_matrix — the ES co-occurrence aggregation: for every
+    pair of registered queries (a <= b, diagonal included), the number
+    of documents matching BOTH query filters, where a query's filter is
+    its OR-of-terms candidate set (the facet_counts contract).  Empty
+    intersections are omitted (ES drops empty buckets).
+
+    Scale shape: one streaming pass over the corpus — each batch
+    computes a (queries × rows) boolean membership matrix from the
+    broadcast term lists (vectorized is_in over the flattened token
+    column) and emits its Q×Q co-count partial; the shuffle carries
+    O(Q² × blocks) integer rows and the driver holds one Q×Q matrix.
+    No per-pair corpus passes, no doc-id lists ever move."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..analysis.analyzer import analyze_simple
+    from ..functions.tables import read_parquet_nometa, typed_pandas
+
+    queries = sorted(ADJ_QUERIES)
+    nq = len(queries)
+    qsets = [sorted(set(analyze_simple(q))) for q in queries]
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = toks.value_parent_indices().to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        member = np.zeros((nq, t.num_rows), dtype=bool)
+        for qi, terms in enumerate(qsets):
+            m = pc.is_in(flat, value_set=pa.array(terms, type=pa.string()))
+            m = m.to_numpy(zero_copy_only=False)
+            if m.any():
+                member[qi, parent[m]] = True
+        co = member.astype(np.int64) @ member.T.astype(np.int64)
+        ai, bi = np.triu_indices(nq)
+        return pa.table({
+            "pair": pa.array(ai * nq + bi, type=pa.int64()),
+            "n_docs": pa.array(co[ai, bi], type=pa.int64()),
+        })
+
+    agg = typed_pandas(
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n_docs", alias_name="n_docs")),
+        {"pair": "int64", "n_docs": "int64"})
+    agg = agg[agg["n_docs"] > 0].sort_values("pair")
+    pair = agg["pair"].to_numpy().astype(np.int64)
+    return pa.table({
+        "query_a": pa.array([queries[p // nq] for p in pair],
+                            type=pa.string()),
+        "query_b": pa.array([queries[p % nq] for p in pair],
+                            type=pa.string()),
+        "n_docs": pa.array(agg["n_docs"].astype("int64").tolist(),
+                           type=pa.int64()),
+    })
+
+
+def query_adjacency_sql(queries=ADJ_QUERIES) -> str:
+    """Oracle: one DISTINCT-membership CTE per query (term lists from
+    the engine's analyzer at generation time — the expansion-SQL
+    precedent), one scalar intersection count per pair."""
+    from ..analysis.analyzer import analyze_simple
+    from .oracles import _sq
+
+    qs = sorted(queries)
+    parts = list(_BM25_CHAIN[:2])       # toks + tok CTEs
+    for qi, q in enumerate(qs):
+        terms = ", ".join(f"'{_sq(t)}'"
+                          for t in sorted(set(analyze_simple(q))))
+        parts.append(
+            f"m{qi} AS (SELECT DISTINCT doc_id FROM tok "
+            f"WHERE term IN ({terms})),")
+    parts[-1] = parts[-1].rstrip(",")
+    selects = []
+    for a in range(len(qs)):
+        for b in range(a, len(qs)):
+            cnt = (f"(SELECT count(*) FROM m{a})" if a == b else
+                   f"(SELECT count(*) FROM m{a} JOIN m{b} USING (doc_id))")
+            selects.append(
+                f"SELECT '{_sq(qs[a])}' AS query_a, "
+                f"'{_sq(qs[b])}' AS query_b, {cnt} AS n_docs")
+    return ("".join(parts)
+            + " SELECT * FROM (" + " UNION ALL ".join(selects)
+            + ") WHERE n_docs > 0 ORDER BY query_a, query_b")
