@@ -312,6 +312,26 @@ def make_lm_scorer(ref, passthrough: tuple = ()):
     return score
 
 
+_LM_MODEL_CACHE: dict = {}
+
+
+def unigram_lm_cached(sf_dir: str, top_v: int | None = None):
+    """Per-process memo for the trained unigram table (the
+    _TERM_STATS_CACHE precedent): lm_surprisal and ccnet_buckets share
+    one model per corpus, so back-to-back driver calls pay the train
+    pass (a full tokenize + vocabulary groupby) once, not twice.  The
+    model depends only on the text column, which both callers read
+    identically."""
+    from ..functions.tables import read_parquet_nometa
+
+    key = (sf_dir, top_v)
+    if key not in _LM_MODEL_CACHE:
+        docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        _LM_MODEL_CACHE[key] = unigram_lm_train(docs, top_v)
+    return _LM_MODEL_CACHE[key]
+
+
 def lm_surprisal(sf_dir: str) -> rd.Dataset:
     """Gate query: per-doc unigram-LM surprisal
     (doc_id, n_tokens, n_oov, bits_total) — the integer analog of a
@@ -325,7 +345,7 @@ def lm_surprisal(sf_dir: str) -> rd.Dataset:
 
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    vocab_bits, oov_bits, _ = unigram_lm_train(docs)
+    vocab_bits, oov_bits, _ = unigram_lm_cached(sf_dir)
     ref = ray.put((vocab_bits, oov_bits))
     return docs.map_batches(make_lm_scorer(ref), batch_format="pyarrow")
 
@@ -747,7 +767,7 @@ def ccnet_buckets(sf_dir: str) -> pa.Table:
 
     docs = read_parquet_nometa(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
-    vocab_bits, oov_bits, _ = unigram_lm_train(docs)
+    vocab_bits, oov_bits, _ = unigram_lm_cached(sf_dir)
     ref = ray.put((vocab_bits, oov_bits))
     scored = docs.map_batches(make_lm_scorer(ref, passthrough=("lang",)),
                               batch_format="pyarrow")
