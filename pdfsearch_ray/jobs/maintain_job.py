@@ -1,4 +1,4 @@
-"""Index maintenance job: append / delete / compact.
+"""Index maintenance job: append / delete / compact / snapshot.
 
 The lifecycle counterpart of build_job — the reference reaches these
 through the forceCreate=false reopen path (bleve_glue.go:16-29) and the
@@ -74,10 +74,41 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--url-col", default=None)
     tp.add_argument("--no-dedup", action="store_true")
 
-    for q in (ap, dp, cp, tp):
+    sp = sub.add_parser(
+        "snapshot",
+        help="content-addressed incremental backup of a committed index")
+    sp.add_argument("--index-dir", required=True)
+    sp.add_argument("--repo-dir", required=True)
+    sp.add_argument("--name", required=True)
+
+    rp = sub.add_parser("restore",
+                        help="verified restore of a snapshot")
+    rp.add_argument("--repo-dir", required=True)
+    rp.add_argument("--name", required=True)
+    rp.add_argument("--dest-dir", required=True)
+
+    lp = sub.add_parser("snapshots", help="list repository snapshots")
+    lp.add_argument("--repo-dir", required=True)
+
+    for q in (ap, dp, cp, tp, sp, rp, lp):
         q.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
+
+    # snapshot/restore are pure file ops — no Ray session needed
+    if args.cmd in ("snapshot", "restore", "snapshots"):
+        from pdfsearch_ray.pipelines import snapshot as snap
+
+        if args.cmd == "snapshot":
+            out = snap.snapshot_index(args.index_dir, args.repo_dir,
+                                      name=args.name)
+        elif args.cmd == "restore":
+            snap.restore_index(args.repo_dir, args.name, args.dest_dir)
+            out = {"restored": args.dest_dir}
+        else:
+            out = snap.list_snapshots(args.repo_dir)
+        print(json.dumps(out))
+        return 0
 
     import ray
 
