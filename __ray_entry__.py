@@ -453,7 +453,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cube": _relational().revenue_cube,
         "order_value_histogram": _relational().order_value_histogram,
         "order_value_pct_ranks": _relational().order_value_pct_ranks,
+        "value_matrix_stats": _relational().value_matrix_stats,
         "daily_event_deltas": _events_mod().daily_event_deltas,
+        "geo_bounds": _geo().geo_bounds,
+        "composite_page2": q.composite_page2,
         "rare_terms": q.rare_terms,
         "query_adjacency": _searchx().query_adjacency,
         "basket_pairs": _relational().basket_pairs,
@@ -1059,6 +1062,12 @@ def oracle_sql() -> dict[str, str]:
         "order_value_histogram": _relational().histogram_sql(),
         # percentile_ranks: exact integer-bp inverse quantiles
         "order_value_pct_ranks": _relational().pct_ranks_sql(),
+        # matrix_stats: exact HUGEINT moments -> identical float exprs
+        "value_matrix_stats": _relational().matrix_stats_sql(),
+        # geo_bounds/centroid per lang over the mix64 coordinate synth
+        "geo_bounds": _geo().geo_bounds_sql(),
+        # composite after-key paging vs an independent OFFSET oracle
+        "composite_page2": q.composite_page2_sql(),
         # date_histogram + derivative: day buckets + one LAG window
         "daily_event_deltas": _events_mod().daily_event_deltas_sql(),
         # rare_terms: bounded hapax report (K first + total count)

@@ -369,6 +369,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("daily_event_deltas", _events.daily_event_deltas),
         ("rare_terms", qmod.rare_terms),
         ("query_adjacency", _searchx.query_adjacency),
+        ("value_matrix_stats", rel.value_matrix_stats),
+        ("geo_bounds", _geo.geo_bounds),
+        ("composite_page2", qmod.composite_page2),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

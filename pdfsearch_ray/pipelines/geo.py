@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["geo_knn", "geo_knn_sql", "GEO_POINTS", "GEO_K",
-           "GEO_RADIUS_MICRO"]
+           "GEO_RADIUS_MICRO", "geo_bounds", "geo_bounds_sql"]
 
 # fixed query points (lat, lon in integer microdegrees)
 GEO_POINTS = ((37_770_000, -122_420_000),     # SF
@@ -269,4 +269,110 @@ def geo_grid_sql(*, cell_micro: int = GRID_CELL_MICRO,
                  cell_lat * {1 << 32}
                    + (cell_lon + {1 << 16}) ASC
         LIMIT {k}
+    """
+
+
+def geo_bounds(sf_dir: str) -> pa.Table:
+    """geo_bounds + geo_centroid — the ES spatial summary aggregations,
+    per language bucket: bounding box (min/max lat/lon) and integer
+    centroid (floor(sum/n) microdegrees, exact on both sides).  Scale
+    shape: per-batch (lang → n, mins, maxes, sums) combiner → one
+    langs-sized groupby; sums of microdegrees stay far inside int64
+    (1.8e8 × 10^10 docs ≈ 2e18)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.tables import read_parquet_nometa, typed_pandas
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _coords(ids)
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(langs, return_inverse=True)
+        n = uniq.size
+        mins_lat = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        maxs_lat = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        mins_lon = mins_lat.copy()
+        maxs_lon = maxs_lat.copy()
+        np.minimum.at(mins_lat, inv, lat)
+        np.maximum.at(maxs_lat, inv, lat)
+        np.minimum.at(mins_lon, inv, lon)
+        np.maximum.at(maxs_lon, inv, lon)
+        sum_lat = np.zeros(n, dtype=np.int64)
+        sum_lon = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_lat, inv, lat)
+        np.add.at(sum_lon, inv, lon)
+        return pa.table({
+            "lang": pa.array(uniq.tolist(), type=pa.string()),
+            "n_docs": pa.array(np.bincount(inv, minlength=n)
+                               .astype(np.int64)),
+            "min_lat": pa.array(mins_lat), "max_lat": pa.array(maxs_lat),
+            "min_lon": pa.array(mins_lon), "max_lon": pa.array(maxs_lon),
+            "sum_lat": pa.array(sum_lat), "sum_lon": pa.array(sum_lon),
+        })
+
+    agg = typed_pandas(
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Min("min_lat", alias_name="min_lat"),
+                   Max("max_lat", alias_name="max_lat"),
+                   Min("min_lon", alias_name="min_lon"),
+                   Max("max_lon", alias_name="max_lon"),
+                   Sum("sum_lat", alias_name="sum_lat"),
+                   Sum("sum_lon", alias_name="sum_lon")),
+        {"lang": "object", "n_docs": "int64", "min_lat": "int64",
+         "max_lat": "int64", "min_lon": "int64", "max_lon": "int64",
+         "sum_lat": "int64", "sum_lon": "int64"}).sort_values("lang")
+    n = agg["n_docs"].to_numpy().astype(np.int64)
+    cols = {"lang": pa.array(agg["lang"].tolist(), type=pa.string()),
+            "n_docs": pa.array(n, type=pa.int64())}
+    for c in ("min_lat", "max_lat", "min_lon", "max_lon"):
+        cols[c] = pa.array(agg[c].astype("int64"), type=pa.int64())
+    # centroid divides TRUNCATING toward zero — DuckDB's integer `//`
+    # truncates where numpy's floors, and sums go negative
+    nn = np.maximum(n, 1)
+    for c, s_col in (("ctr_lat", "sum_lat"), ("ctr_lon", "sum_lon")):
+        s = agg[s_col].to_numpy().astype(np.int64)
+        cols[c] = pa.array(np.sign(s) * (np.abs(s) // nn),
+                           type=pa.int64())
+    return pa.table(cols)
+
+
+def geo_bounds_sql() -> str:
+    """Oracle: the mix64 coordinate synth (geo_grid_sql limbs) + plain
+    min/max/floor-div-centroid per lang."""
+    U32, U64 = 1 << 32, 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        ch, cl = c >> 32, c % U32
+        return (f"((({x} % {U32}) * {cl} + "
+                f"((({x} % {U32}) * {ch} + ({x} >> 32) * {cl}) % {U32})"
+                f" * {U32}) % {U64})")
+
+    half_lat, half_lon = _MOD_LAT // 2, _MOD_LON // 2
+    return f"""
+        WITH m0 AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS x
+                    FROM documents),
+        m1 AS (SELECT doc_id, lang, {mulmod('xor(x, x >> 30)', C1)} AS x
+               FROM m0),
+        m2 AS (SELECT doc_id, lang, {mulmod('xor(x, x >> 27)', C2)} AS x
+               FROM m1),
+        m3 AS (SELECT doc_id, lang, xor(x, x >> 31) AS x FROM m2),
+        geo AS (
+            SELECT lang,
+                   CAST((x % {U32}) % {_MOD_LAT} AS BIGINT)
+                       - {half_lat} AS lat,
+                   CAST((x >> 32) % {_MOD_LON} AS BIGINT)
+                       - {half_lon} AS lon
+            FROM m3
+        )
+        SELECT lang, count(*) AS n_docs,
+               min(lat) AS min_lat, max(lat) AS max_lat,
+               min(lon) AS min_lon, max(lon) AS max_lon,
+               CAST(sum(lat) // count(*) AS BIGINT) AS ctr_lat,
+               CAST(sum(lon) // count(*) AS BIGINT) AS ctr_lon
+        FROM geo GROUP BY lang ORDER BY lang
     """

@@ -3034,3 +3034,80 @@ def rare_terms_sql(*, max_df: int = RARE_MAX_DF, k: int = RARE_K) -> str:
                CAST((SELECT count(*) FROM rare) AS BIGINT) AS n_rare_total
         FROM rare ORDER BY term LIMIT {int(k)}
     """
+
+
+# -------------------------------------------------------- composite paging
+
+COMPOSITE_PAGE_SIZE = 8
+
+
+def composite_page2(sf_dir: str, *,
+                    size: int = COMPOSITE_PAGE_SIZE) -> pa.Table:
+    """composite aggregation + after-key paging (the ES pattern for
+    walking an unbounded bucket space): buckets keyed (source, lang)
+    in key order, page ``size``; this gate returns PAGE 2, computed the
+    way a real pager must — with the strict-successor predicate
+    ``(source > sa) OR (source = sa AND lang > la)`` from page 1's
+    after-key, NOT by offset-slicing a full bucket list.  The oracle
+    verifies the predicate algebra independently via ORDER BY/OFFSET.
+
+    Scale shape: the bucket table comes from the source_mix per-batch
+    combiner (O(sources × langs) rows); paging is O(page) driver work.
+    At a truly unbounded key space the after-key predicate pushes into
+    the bucket groupby's pre-filter — which is exactly why composite
+    paging exists instead of OFFSET."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import read_parquet_nometa, typed_pandas
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["source", "lang", "n_chars"])
+             .group_by(["source", "lang"])
+             .aggregate([("n_chars", "count")]))
+        return pa.table({
+            "source": g["source"],
+            "lang": g["lang"],
+            "n_docs": g["n_chars_count"].cast(pa.int64()),
+        })
+
+    buckets = typed_pandas(
+        read_parquet_nometa(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs")),
+        {"source": "object", "lang": "object", "n_docs": "int64"},
+    ).sort_values(["source", "lang"]).reset_index(drop=True)
+    empty = pa.table({
+        "source": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string()),
+        "n_docs": pa.array([], type=pa.int64()),
+    })
+    if len(buckets) <= size:
+        return empty
+    # page 1's after-key, then the strict-successor predicate
+    sa, la = buckets.iloc[size - 1][["source", "lang"]]
+    page2 = buckets[(buckets["source"] > sa)
+                    | ((buckets["source"] == sa)
+                       & (buckets["lang"] > la))].head(size)
+    if not len(page2):
+        return empty
+    return pa.table({
+        "source": pa.array(page2["source"].tolist(), type=pa.string()),
+        "lang": pa.array(page2["lang"].tolist(), type=pa.string()),
+        "n_docs": pa.array(page2["n_docs"].astype("int64").tolist(),
+                           type=pa.int64()),
+    })
+
+
+def composite_page2_sql(*, size: int = COMPOSITE_PAGE_SIZE) -> str:
+    """Oracle: OFFSET paging over the ordered bucket list — an
+    INDEPENDENT formulation that equals the after-key predicate iff
+    the successor algebra is right."""
+    return f"""
+        SELECT source, lang, count(*) AS n_docs
+        FROM documents
+        GROUP BY source, lang
+        ORDER BY source, lang
+        LIMIT {int(size)} OFFSET {int(size)}
+    """

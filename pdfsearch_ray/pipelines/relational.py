@@ -1185,3 +1185,94 @@ def pct_ranks_sql(
                     AS BIGINT) AS rank_bp
         FROM probes ORDER BY value_cents
     """
+
+
+# ------------------------------------------------------------ matrix stats
+
+def value_matrix_stats(sf_dir: str) -> pa.Table:
+    """matrix_stats — the ES multi-field numeric statistics aggregation
+    over (l_quantity, l_extendedprice): count, means, population
+    covariance and Pearson correlation.  All five moment sums are EXACT
+    integers — per-batch int64 partials (batch_size bounds the partial
+    below int64 range: 4096 rows × cents² ≈ 4e17) summed as Python
+    arbitrary-precision ints on the driver, so the float divisions at
+    the end start from identical integers on both engines (the DuckDB
+    oracle accumulates the same moments in HUGEINT; a float-accumulated
+    covar_pop would NOT hash-match, which is the point of the integer
+    detour).  Scale shape: one streaming pass, O(1) partial per batch,
+    O(blocks) driver rows — the textbook distributed-moments sketch."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.round(t["l_quantity"].to_numpy()).astype(np.int64)
+        y = np.round(t["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array([x.size], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+        })
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    from ..functions.tables import typed_pandas
+    parts = typed_pandas(parts, {c: "int64" for c in
+                                 ("n", "sx", "sy", "sxx", "syy", "sxy")})
+    if len(parts) == 0 or int(parts["n"].sum()) == 0:
+        return pa.table({
+            "n_rows": pa.array([], type=pa.int64()),
+            "mean_qty": pa.array([], type=pa.float64()),
+            "mean_price_cents": pa.array([], type=pa.float64()),
+            "covariance": pa.array([], type=pa.float64()),
+            "correlation": pa.array([], type=pa.float64()),
+        })
+    # exact big-int totals (int64 would overflow on the y² moment)
+    n, sx, sy, sxx, syy, sxy = (
+        sum(int(v) for v in parts[c]) for c in
+        ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    cov_num = n * sxy - sx * sy          # exact ints
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = float(cov_num) / math.sqrt(float(var_x) * float(var_y)) \
+        if var_x > 0 and var_y > 0 else 0.0
+    return pa.table({
+        "n_rows": pa.array([n], type=pa.int64()),
+        "mean_qty": pa.array([round(float(sx) / n, 6)],
+                             type=pa.float64()),
+        "mean_price_cents": pa.array([round(float(sy) / n, 6)],
+                                     type=pa.float64()),
+        "covariance": pa.array([round(float(cov_num) / (n * n), 6)],
+                               type=pa.float64()),
+        "correlation": pa.array([round(corr, 6)], type=pa.float64()),
+    })
+
+
+def matrix_stats_sql() -> str:
+    """Oracle: identical integer moments in HUGEINT, identical float
+    expression order (cast-then-multiply-then-sqrt)."""
+    return """
+        WITH v AS (
+            SELECT CAST(round(l_quantity) AS HUGEINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+            FROM lineitem),
+        m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM v)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+               round(CAST(sy AS DOUBLE) / n, 6) AS mean_price_cents,
+               round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * n), 6)
+                   AS covariance,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS correlation
+        FROM m
+    """

@@ -122,3 +122,66 @@ def test_agg_family_empty_corpus(ray_session, tmp_path):
     assert daily_event_deltas(d).num_rows == 0
     assert rare_terms(d).num_rows == 0
     assert query_adjacency(d).num_rows == 0
+
+
+def test_matrix_stats_vs_numpy(ray_session):
+    from pdfsearch_ray.pipelines.relational import value_matrix_stats
+
+    t = value_matrix_stats(SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_quantity", "l_extendedprice"])
+    x = np.round(li["l_quantity"].to_numpy()).astype(np.int64)
+    y = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    assert int(t["n_rows"][0]) == x.size
+    # float reference (population moments); integer path must agree
+    # to well inside the 6-dp rounding
+    assert abs(t["mean_qty"][0] - x.mean()) < 1e-6
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    corr = cov / (x.std() * y.std())
+    assert abs(t["covariance"][0] - cov) < max(1e-6 * abs(cov), 1e-4)
+    assert abs(t["correlation"][0] - corr) < 1e-6
+    assert -1.0 <= t["correlation"][0] <= 1.0
+
+
+def test_geo_bounds_contract(ray_session):
+    from pdfsearch_ray.pipelines.geo import _coords, geo_bounds
+
+    t = geo_bounds(SF).to_pandas()
+    d = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "lang"])
+    ids = d["doc_id"].to_numpy().astype(np.int64)
+    lat, lon = _coords(ids)
+    langs = np.asarray(d["lang"].to_pylist(), dtype=object)
+    assert int(t["n_docs"].sum()) == ids.size
+    for _, row in t.iterrows():
+        m = langs == row["lang"]
+        assert row["min_lat"] == lat[m].min()
+        assert row["max_lat"] == lat[m].max()
+        assert row["min_lon"] == lon[m].min()
+        assert row["max_lon"] == lon[m].max()
+        # centroid inside the box, truncating division
+        s = int(lat[m].sum())
+        want = (abs(s) // m.sum()) * (1 if s >= 0 else -1)
+        assert row["ctr_lat"] == want
+        assert row["min_lat"] <= row["ctr_lat"] <= row["max_lat"]
+        assert row["min_lon"] <= row["ctr_lon"] <= row["max_lon"]
+
+
+def test_composite_page2_is_offset_page(ray_session):
+    from pdfsearch_ray.pipelines.queries import (
+        COMPOSITE_PAGE_SIZE,
+        composite_page2,
+    )
+
+    t = composite_page2(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "lang"]).to_pandas()
+    full = (docs.groupby(["source", "lang"]).size().reset_index(name="n")
+            .sort_values(["source", "lang"]).reset_index(drop=True))
+    want = full.iloc[COMPOSITE_PAGE_SIZE:2 * COMPOSITE_PAGE_SIZE]
+    assert list(t["source"]) == want["source"].tolist()
+    assert list(t["lang"]) == want["lang"].tolist()
+    assert list(t["n_docs"]) == want["n"].astype(int).tolist()
+    # page 2 starts strictly after page 1's after-key
+    ak = tuple(full.iloc[COMPOSITE_PAGE_SIZE - 1][["source", "lang"]])
+    assert (t["source"][0], t["lang"][0]) > ak
