@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rocchio_dense_topk": _densefb().rocchio_dense_topk,
         "ltr_rerank_topk": _ltr().ltr_rerank_topk,
         "ordered_span_topk": _boolquery().ordered_span_topk,
+        "span_not_topk": _boolquery().span_not_topk,
         "nextword_phrase_topk": _nextword().nextword_phrase_topk,
         "querystring_topk": _querystring().querystring_topk,
         "champion_safety": _prune().champion_safety,
@@ -797,6 +798,8 @@ def oracle_sql() -> dict[str, str]:
         # join b.i - a.i in [1, w]; both orders of one term pair in the
         # query set make the direction semantics load-bearing
         "ordered_span_topk": _boolquery().ordered_span_sql(),
+        # SpanNot: forward spans with no exclude term strictly inside
+        "span_not_topk": _boolquery().span_not_sql(),
         # nextword auxiliary phrase index (Bahle/Williams/Zobel 2002):
         # the artifact must reproduce the positional phrase evaluation
         # exactly — same pair-ordinality SQL chain as phrase_topk

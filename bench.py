@@ -372,6 +372,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("value_matrix_stats", rel.value_matrix_stats),
         ("geo_bounds", _geo.geo_bounds),
         ("composite_page2", qmod.composite_page2),
+        ("span_not_topk", _boolquery.span_not_topk),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -915,6 +915,174 @@ def ordered_span_sql(queries=SPANO_QUERIES, *, w: int = SPANO_W,
                              + " ORDER BY query, rank")
 
 
+# ------------------------------------------------------------- span not
+
+# (include t1, include t2, exclude t3): forward (t1 .. t2) spans with
+# no t3 STRICTLY BETWEEN them survive (Lucene SpanNotQuery with the
+# exclusion tested against the span interior)
+SPANNOT_QUERIES = (("data", "window", "processing"),
+                   ("fast", "merge", "scan"),
+                   ("big", "vector", "slow"),
+                   ("table", "dup", "merge"))
+SPANNOT_W = SPANO_W
+SPANNOT_SCALE = SPANO_SCALE
+SPANNOT_K = 10
+
+
+def span_not_weights_from_index(idx, t1: str, t2: str, t3: str, *,
+                                w: int = SPANNOT_W,
+                                scale: int = SPANNOT_SCALE):
+    """(doc_ids, integer-scaled surviving span tf): forward pairs
+    ``1 <= p2 - p1 <= w`` of (t1, t2) weighted ``scale // gap``,
+    MINUS any pair with a t3 occurrence strictly inside (p1, p2) —
+    the SpanNot exclusion.  Same packed (doc_code << 32 | pos) key
+    algebra as the ordered/sloppy faces: per gap d, one isin against
+    t2's keys finds the pairs and d-1 isins against t3's keys test
+    the interior — O(w²) vectorized passes, no per-doc Python."""
+    pair = sorted({t1, t2})
+    idx._load_terms(sorted({t1, t2, t3}))
+    id_sets = []
+    for t in pair:
+        blocks = idx._term_cache.get(t, [])
+        idx._decode_blocks_bulk(blocks, idf=1.0)
+        ids = (np.concatenate([b["ids"] for b in blocks])
+               if blocks else np.empty(0, dtype=np.uint64))
+        if ids.size == 0:
+            return (np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.int64))
+        id_sets.append(np.sort(ids))
+    common = id_sets[0]
+    for s in id_sets[1:]:
+        common = np.intersect1d(common, s, assume_unique=True)
+    if common.size == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    # t3 keys only matter inside candidate docs; decode just those
+    idx._decode_blocks_bulk(idx._term_cache.get(t3, []), idf=1.0)
+    k1 = _term_position_keys(idx, t1, common)
+    k2 = np.sort(_term_position_keys(idx, t2, common))
+    k3 = np.sort(_term_position_keys(idx, t3, common))
+    acc = np.zeros(common.size, dtype=np.int64)
+    for d in range(1, w + 1):
+        m = np.isin(k1 + np.uint64(d), k2)
+        if not m.any():
+            continue
+        base = k1[m]
+        excl = np.zeros(base.size, dtype=bool)
+        for e in range(1, d):            # strictly interior positions
+            excl |= np.isin(base + np.uint64(e), k3)
+        keep = ~excl
+        if keep.any():
+            codes = (base[keep] >> np.uint64(32)).astype(np.int64)
+            np.add.at(acc, codes, scale // d)
+    hit = acc > 0
+    return common[hit], acc[hit]
+
+
+def span_not_topk(sf_dir: str) -> pa.Table:
+    """SpanNot ranked gate: BM25 over the surviving-span integer tf.
+    Degeneracy (pytest-pinned): an exclude term absent from the corpus
+    reproduces ordered_span ranking exactly; a ubiquitous exclude term
+    strictly shrinks or empties the match set."""
+    from .expand import simple_index_cached
+    from .query import BM25Index
+
+    idx = BM25Index(simple_index_cached(sf_dir))
+    m = idx.manifest
+    out_q, out_d, out_w, out_s = [], [], [], []
+    for t1, t2, t3 in sorted(SPANNOT_QUERIES):
+        q = f"{t1} {t2} -{t3}"
+        docs_u, w12 = span_not_weights_from_index(idx, t1, t2, t3)
+        if docs_u.size == 0:
+            continue
+        docs = docs_u.astype(np.int64)
+        df = int(docs.size)
+        idf = float(np.log(1.0 + (m.n_docs - df + 0.5) / (df + 0.5)))
+        blocks = idx._term_cache.get(sorted({t1, t2})[0], [])
+        ids_all = np.concatenate([b["ids"] for b in blocks])
+        dl_all = np.concatenate([b["dl"] for b in blocks])
+        order = np.argsort(ids_all)
+        pos = np.searchsorted(ids_all[order], docs_u)
+        dl = dl_all[order][pos].astype(np.float64)
+        stf = w12 / float(SPANNOT_SCALE)
+        sc = idf * stf / (stf + m.k1 * (1 - m.b + m.b * dl / m.avgdl))
+        sc = np.round(sc, 6)
+        cut = np.lexsort((docs, -sc))[:SPANNOT_K]
+        out_q.extend([q] * cut.size)
+        out_d.extend(docs[cut].tolist())
+        out_w.extend(w12[cut].tolist())
+        out_s.extend(sc[cut].tolist())
+    ranks: list[int] = []
+    prev = None
+    for q in out_q:
+        ranks.append(1 if q != prev else ranks[-1] + 1)
+        prev = q
+    return pa.table({
+        "query": pa.array(out_q, type=pa.string()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "span_tf_x12": pa.array(out_w, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(ranks, type=pa.int64()),
+    })
+
+
+def span_not_sql(queries=SPANNOT_QUERIES, *, w: int = SPANNOT_W,
+                 scale: int = SPANNOT_SCALE, k: int = SPANNOT_K,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle: the ordered-span oracle with one NOT EXISTS interior
+    test per pair."""
+    from .oracles import _sq
+
+    parts = [
+        "WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr FROM documents),",
+        "pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)))"
+        " AS i FROM arrs),",
+        "dl AS (SELECT doc_id, len(arr) AS dl FROM arrs "
+        "WHERE len(arr) > 0),",
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, (t1, t2, t3) in enumerate(sorted(queries)):
+        label = f"{t1} {t2} -{t3}"
+        parts.append(f""",
+        pw{qi} AS (
+            SELECT a.doc_id,
+                   CAST(sum({scale} // (b.i - a.i)) AS BIGINT) AS w12
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND b.i - a.i BETWEEN 1 AND {w}
+            WHERE a.arr[a.i] = '{_sq(t1)}' AND b.arr[b.i] = '{_sq(t2)}'
+              AND NOT EXISTS (
+                  SELECT 1 FROM pos c
+                  WHERE c.doc_id = a.doc_id
+                    AND c.arr[c.i] = '{_sq(t3)}'
+                    AND c.i > a.i AND c.i < b.i)
+            GROUP BY a.doc_id
+        ),
+        pdf{qi} AS (SELECT count(*) AS df FROM pw{qi}),
+        sc{qi} AS (
+            SELECT p.doc_id, p.w12,
+                   ln(1 + (stats.n - pdf{qi}.df + 0.5) / (pdf{qi}.df + 0.5))
+                       * (p.w12 / {scale}.0)
+                       / ((p.w12 / {scale}.0)
+                          + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                       AS s
+            FROM pw{qi} p
+            CROSS JOIN stats CROSS JOIN pdf{qi}
+            JOIN dl ON p.doc_id = dl.doc_id
+        )""")
+        selects.append(f"""
+        SELECT * FROM (
+            SELECT '{_sq(label)}' AS query, doc_id, w12 AS span_tf_x12,
+                   round(s, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+            FROM sc{qi}
+        ) WHERE rank <= {k}""")
+    return "".join(parts) + (" UNION ALL ".join(selects)
+                             + " ORDER BY query, rank")
+
+
 PHRASE_PREFIX_QUERIES = ("fast sc", "data wind", "table s",
                          "dup ta", "window zz")
 PHRASE_PREFIX_K = 10

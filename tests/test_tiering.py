@@ -293,3 +293,60 @@ def test_nextword_equals_positional_phrase(ray_session):
         g = out[out["query"] == q]
         for d, t in zip(g["doc_id"], g["phrase_tf"]):
             assert pos_map.get(int(d)) == int(t), (q, d)
+
+
+def test_span_not_degenerates_to_ordered_without_excluder(ray_session):
+    """SpanNot with an exclude term absent from the corpus IS the
+    ordered span query (weights identical per doc)."""
+    from pdfsearch_ray.pipelines.boolquery import (
+        ordered_span_weights_from_index, span_not_weights_from_index)
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    for t1, t2 in (("fast", "merge"), ("data", "window")):
+        od, ow = ordered_span_weights_from_index(idx, t1, t2)
+        nd, nw = span_not_weights_from_index(idx, t1, t2, "zzzznope")
+        assert od.tolist() == nd.tolist()
+        assert ow.tolist() == nw.tolist()
+
+
+def test_span_not_exclusion_bites_and_matches_brute(ray_session):
+    """The exclude term strictly shrinks total span mass on this
+    corpus, and the surviving weights equal a brute positional
+    recomputation from raw text."""
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines.boolquery import (
+        SPANNOT_SCALE, SPANNOT_W,
+        ordered_span_weights_from_index, span_not_weights_from_index)
+    from pdfsearch_ray.pipelines.expand import simple_index_cached
+    from pdfsearch_ray.pipelines.query import BM25Index
+
+    idx = BM25Index(simple_index_cached(SF))
+    t1, t2, t3 = "fast", "merge", "scan"
+    od, ow = ordered_span_weights_from_index(idx, t1, t2)
+    nd, nw = span_not_weights_from_index(idx, t1, t2, t3)
+    assert nw.sum() < ow.sum()          # the exclusion is load-bearing
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    want = {}
+    for did, text in zip(docs["doc_id"].to_pylist(),
+                         docs["text"].to_pylist()):
+        toks = analyze_simple(text or "")
+        acc = 0
+        for i, a in enumerate(toks):
+            if a != t1:
+                continue
+            for d in range(1, SPANNOT_W + 1):
+                j = i + d
+                if j >= len(toks) or toks[j] != t2:
+                    continue
+                if t3 in toks[i + 1:j]:
+                    continue
+                acc += SPANNOT_SCALE // d
+        if acc:
+            want[did] = acc
+    assert dict(zip(nd.astype(int).tolist(), nw.tolist())) == want
