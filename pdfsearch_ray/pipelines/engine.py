@@ -21,13 +21,41 @@ from .query import BM25Index, MatchSet
 class QueryEngine:
     """One serving replica: constructs the index handle once, then
     answers searches from warm caches.  dataclass results (MatchSet /
-    Match) serialize as-is."""
+    Match) serialize as-is.
 
-    def __init__(self, index_dir: str):
+    A small LRU RESULT cache sits in front of the scorer (every
+    production engine's request cache): keyed by (index version, query,
+    kwargs), where version = the manifest's built_at — so entries can
+    never survive a reload that picked up appended segments or
+    tombstones (reload also drops the map outright to free memory).
+    Identical repeated queries — the head of every real query
+    distribution — skip scoring entirely."""
+
+    def __init__(self, index_dir: str, *, result_cache_size: int = 256):
+        from collections import OrderedDict
+
         self.idx = BM25Index(index_dir)
+        self._rc: "OrderedDict[tuple, MatchSet]" = OrderedDict()
+        self._rc_size = int(result_cache_size)
+        self.cache_stats = {"hits": 0, "misses": 0}
 
     def search(self, query: str, **kwargs) -> MatchSet:
-        return self.idx.search(query, **kwargs)
+        key = (self.idx.manifest.built_at, query,
+               tuple(sorted(kwargs.items())))
+        hit = self._rc.get(key)
+        if hit is not None:
+            self._rc.move_to_end(key)
+            self.cache_stats["hits"] += 1
+            return hit
+        self.cache_stats["misses"] += 1
+        out = self.idx.search(query, **kwargs)
+        self._rc[key] = out
+        if len(self._rc) > self._rc_size:
+            self._rc.popitem(last=False)
+        return out
+
+    def result_cache_stats(self) -> dict:
+        return dict(self.cache_stats, size=len(self._rc))
 
     def warm(self, queries: list[str]) -> int:
         """Pre-load term caches for a query set; returns #terms cached."""
@@ -39,9 +67,12 @@ class QueryEngine:
         """Re-open the index handle — picks up appended segments and
         tombstones committed since construction (append/delete only
         ever ADD manifest-listed files, so a reload is always safe
-        mid-serving).  Returns the manifest built_at."""
+        mid-serving).  Returns the manifest built_at.  The result
+        cache is dropped: its version key already fences stale
+        entries, clearing just returns the memory."""
         self.idx = BM25Index(self.idx.index_dir,
                              verify_checksums=self.idx.verify_checksums)
+        self._rc.clear()
         return self.idx.manifest.built_at
 
 

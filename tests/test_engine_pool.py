@@ -283,3 +283,49 @@ def test_shard_reads_prune_to_doc_range(ray_session, tmp_path):
     full2 = BM25Index(d)
     full2._load_terms(["data"])
     assert half._term_df("data") == full2._term_df("data")
+
+
+def test_result_cache_hits_and_reload_invalidation(ray_session, tmp_path):
+    """The serving-replica result cache: identical repeated queries hit
+    (identical object contents), a reload after an append drops the
+    cache AND the new answer reflects the appended docs."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from pdfsearch_ray.pipelines.build import build_index, tail_append
+    from pdfsearch_ray.pipelines.engine import QueryEngine
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    cut = int(t.num_rows * 0.7)
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(t.slice(0, cut)), d, analyzer="en",
+                num_buckets=8, lang_col="lang")
+    eng = QueryEngine.options(num_cpus=0.25).remote(d)
+    q = "data processing pipeline"
+    r1 = ray.get(eng.search.remote(q, max_results=5, with_spans=False))
+    r2 = ray.get(eng.search.remote(q, max_results=5, with_spans=False))
+    st = ray.get(eng.result_cache_stats.remote())
+    assert st["hits"] == 1 and st["misses"] == 1
+    assert [(m.doc_id, m.score) for m in r1.matches] == \
+           [(m.doc_id, m.score) for m in r2.matches]
+    # different kwargs are a different key
+    ray.get(eng.search.remote(q, max_results=3, with_spans=False))
+    assert ray.get(eng.result_cache_stats.remote())["misses"] == 2
+
+    watch = str(tmp_path / "deltas")
+    os.makedirs(watch)
+    tmp = f"{watch}/.d.tmp"
+    pq.write_table(t.slice(cut), tmp)
+    os.replace(tmp, f"{watch}/delta-001.parquet")
+    out = tail_append(d, watch, poll_sec=0.1, max_batches=1,
+                      lang_col="lang")
+    assert out["commits"] == 1
+    ray.get(eng.reload.remote())
+    st = ray.get(eng.result_cache_stats.remote())
+    assert st["size"] == 0              # cache dropped on reload
+    r3 = ray.get(eng.search.remote(q, max_results=5, with_spans=False))
+    assert r3.total_matches > r1.total_matches   # fresh view, not stale
+    ray.kill(eng)
