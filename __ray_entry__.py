@@ -364,6 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_rerank_topk": _ltr().ltr_rerank_topk,
         "ordered_span_topk": _boolquery().ordered_span_topk,
         "span_not_topk": _boolquery().span_not_topk,
+        "quality_classifier": __import__(
+            "pdfsearch_ray.pipelines.textstats",
+            fromlist=["quality_classifier"]).quality_classifier,
         "nextword_phrase_topk": _nextword().nextword_phrase_topk,
         "querystring_topk": _querystring().querystring_topk,
         "champion_safety": _prune().champion_safety,
@@ -800,6 +803,10 @@ def oracle_sql() -> dict[str, str]:
         "ordered_span_topk": _boolquery().ordered_span_sql(),
         # SpanNot: forward spans with no exclude term strictly inside
         "span_not_topk": _boolquery().span_not_sql(),
+        # hashed linear quality scorer: md5 buckets + integer logits
+        "quality_classifier": __import__(
+            "pdfsearch_ray.pipelines.textstats",
+            fromlist=["quality_classifier_sql"]).quality_classifier_sql(),
         # nextword auxiliary phrase index (Bahle/Williams/Zobel 2002):
         # the artifact must reproduce the positional phrase evaluation
         # exactly — same pair-ordinality SQL chain as phrase_topk

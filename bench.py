@@ -165,6 +165,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # comparable with earlier rounds' totals
     extra: dict[str, float] = {}
     from pdfsearch_ray.pipelines import boolquery as _boolquery
+    from pdfsearch_ray.pipelines import textstats as _ts
     from pdfsearch_ray.pipelines import scorequery as _scorequery
     from pdfsearch_ray.pipelines import merge as _merge
     from pdfsearch_ray.pipelines import ireval as _ireval
@@ -373,6 +374,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ("geo_bounds", _geo.geo_bounds),
         ("composite_page2", qmod.composite_page2),
         ("span_not_topk", _boolquery.span_not_topk),
+        ("quality_classifier", _ts.quality_classifier),
     ):
         if name == "knn_label_accuracy":
             # the IVF layout is a build-once cached artifact (round 5,

@@ -920,3 +920,103 @@ def ccnet_buckets_sql() -> str:
                    ELSE 'tail' END AS bucket
         FROM r ORDER BY doc_id
     """
+
+
+# ------------------------------------------- hashed linear quality scorer
+
+QC_BUCKETS = 64
+QC_WEIGHT_MOD = 997          # weight(b) = (b * 2654435761) % 997 - 498
+QC_WEIGHT_MUL = 2654435761   # Knuth multiplicative constant (public)
+
+
+def _qc_weights() -> np.ndarray:
+    b = np.arange(QC_BUCKETS, dtype=np.int64)
+    return (b * QC_WEIGHT_MUL) % QC_WEIGHT_MOD - (QC_WEIGHT_MOD - 1) // 2
+
+
+def quality_classifier(sf_dir: str) -> rd.Dataset:
+    """Hashed linear quality classifier — the fastText-style scorer
+    every big pretraining corpus is filtered with (GPT-3's LR
+    classifier, LLaMA's "looks like a reference" filter): tokens hash
+    into ``QC_BUCKETS`` feature buckets (md5-low64 mod B, the sketches
+    convention), a broadcast weight vector scores each doc as an
+    INTEGER logit (tf-weighted bucket counts · weights), and
+    ``keep = logit > 0``.  The weights here are a deterministic public
+    function of the bucket index — the SHAPE under test is hashed
+    featurization + broadcast-weights batched inference, exactly how a
+    real trained classifier deploys (weights would come from training;
+    swap the vector, nothing else changes).  Integer logits make the
+    gate hash-exact.
+
+    Scale: one streaming map_batches; per batch the distinct-token
+    vocabulary is hashed once and counts fold via bincount — no
+    shuffle, O(B) broadcast state."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..functions.tables import read_parquet_nometa
+
+    w = _qc_weights()
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = toks.value_parent_indices().to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        keep_tok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # batch-vocabulary hashing: distinct terms once, not per token
+        import pandas as pd
+
+        codes, uniq = pd.factorize(
+            np.asarray(flat.to_pylist(), dtype=object)[keep_tok])
+        md5 = hashlib.md5
+        buck = np.array(
+            [int.from_bytes(md5(u.encode()).digest()[8:16], "little")
+             % QC_BUCKETS for u in uniq], dtype=np.int64)
+        tok_w = w[buck[codes]]
+        logit = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(logit, parent[keep_tok], tok_w)
+        n_tok = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(n_tok, parent[keep_tok], 1)
+        # parity with the oracle's GROUP BY: a doc with zero non-empty
+        # tokens yields no row
+        nz = n_tok > 0
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()).filter(pa.array(nz)),
+            "n_tokens": pa.array(n_tok[nz], type=pa.int64()),
+            "logit": pa.array(logit[nz], type=pa.int64()),
+            "keep": pa.array((logit[nz] > 0).astype(np.int64),
+                             type=pa.int64()),
+        })
+
+    return read_parquet_nometa(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pyarrow")
+
+
+def quality_classifier_sql() -> str:
+    """Oracle: md5_number_lower bucket, the same affine weight, one
+    integer sum per doc."""
+    half = (QC_WEIGHT_MOD - 1) // 2
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+                          lower(text), '[^a-z0-9]+')) AS term
+                      FROM documents),
+        tok AS (SELECT * FROM toks WHERE term <> ''),
+        f AS (SELECT doc_id,
+                     CAST(CAST(md5_number_lower(term) AS HUGEINT)
+                          % {QC_BUCKETS} AS BIGINT) AS b
+              FROM tok),
+        s AS (SELECT doc_id, count(*) AS n_tokens,
+                     sum((b * {QC_WEIGHT_MUL}) % {QC_WEIGHT_MOD}
+                         - {half}) AS logit
+              FROM f GROUP BY doc_id)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(logit AS BIGINT) AS logit,
+               CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep
+        FROM s
+    """

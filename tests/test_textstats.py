@@ -322,3 +322,40 @@ def test_ccnet_buckets_oracle_and_tercile_shape(ray_session, tmp_path):
     # bucket order respects ppl order
     assert (got[got["bucket"] == "head"]["ppl_milli"].max()
             <= got[got["bucket"] == "tail"]["ppl_milli"].min())
+
+
+def test_quality_classifier_contract(ray_session):
+    """Hashed-linear scorer: logit equals a brute per-doc recompute,
+    keep is the sign gate, and both keep classes are populated (the
+    weight vector is load-bearing, not constant-sign)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfsearch_ray.analysis.analyzer import analyze_simple
+    from pdfsearch_ray.pipelines.textstats import (
+        QC_BUCKETS,
+        _qc_weights,
+        quality_classifier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = quality_classifier(sf).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    w = _qc_weights()
+    md5 = hashlib.md5
+    for did, text in list(zip(docs["doc_id"].to_pylist(),
+                              docs["text"].to_pylist()))[:50]:
+        toks = analyze_simple(text or "")
+        logit = sum(int(w[int.from_bytes(
+            md5(t.encode()).digest()[8:16], "little") % QC_BUCKETS])
+            for t in toks)
+        row = out.loc[did]
+        assert row["n_tokens"] == len(toks)
+        assert row["logit"] == logit
+        assert row["keep"] == int(logit > 0)
+    ks = out["keep"].to_numpy()
+    assert 0 < ks.sum() < len(ks)       # both classes present
+    assert int(np.abs(w).max()) <= 498 and w.min() < 0 < w.max()
